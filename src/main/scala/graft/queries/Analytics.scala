@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** General OLAP surface (SURVEY §2.3): aggregation, joins, windows, rollup,
+  * distinct, anti-join — the engine's headline analytics queries.
+  *
+  * Determinism contract with the DuckDB oracle (SURVEY §6): money values are
+  * converted per-row to integer cents via `floor(x*100)` before summing
+  * (bigint sums are order-independent); every result is explicitly ordered.
+  *
+  * Scale notes per query inline; all plans are declarative → Catalyst pushes
+  * filters/projections into the parquet scan and AQE re-plans shuffles.
+  */
+object Analytics extends QueryModule {
+
+  /** floor(x*100) as bigint — exact cents, safe to sum in any order. */
+  private def cents(c: Column): Column = floor(c * 100).cast("long")
+
+  /** TPC-H Q1-flavored pricing summary. Partial aggregation collapses each
+    * scan partition to ≤ |returnflag×linestatus| rows before the shuffle. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge_c"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1AggSql: String = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS bigint) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice*100) AS bigint)) AS bigint) AS sum_base_c,
+           CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS bigint)) AS bigint) AS sum_disc_c,
+           CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS bigint)) AS bigint) AS sum_charge_c,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** TPC-H Q3-flavored: join fact tables, aggregate, take top-10 revenue.
+    * customer is broadcast; orders⋈lineitem shuffles on orderkey only.
+    * Top-10 runs as TakeOrderedAndProject (no full sort). */
+  def q3JoinTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li   = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopKSql: String = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS bigint)) AS bigint) AS revenue_c
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_c DESC, l_orderkey
+    LIMIT 10"""
+
+  /** TPC-H Q5-flavored: revenue by region/nation through the full dim chain.
+    * All dims broadcast → the only shuffle is the final small groupBy. */
+  def q5MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q5MultiJoinSql: String = """
+    SELECT r_name, n_name,
+           CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS bigint)) AS bigint) AS revenue_c,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name"""
+
+  /** Window functions: top-3 events by value per user, with previous-event
+    * gap. Single shuffle on user_id serves both window specs. */
+  def qEventsWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byValue = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"), col("event_type"), cents(col("value")).as("value_c"),
+        rank().over(byValue).as("rnk"),
+        lag(col("event_id"), 1).over(byValue).as("prev_event_id"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("user_id"), col("rnk"), col("event_id"))
+  }
+
+  val qEventsWindowSql: String = """
+    SELECT * FROM (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(value*100) AS bigint) AS value_c,
+             rank() OVER w AS rnk,
+             lag(event_id, 1) OVER w AS prev_event_id
+      FROM events
+      WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    ) WHERE rnk <= 3
+    ORDER BY user_id, rnk, event_id"""
+
+  /** Daily tumbling-window aggregation over events — the batch mirror of
+    * [[graft.streaming.EventsStream]]. */
+  def qEventsWindowed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(cents(col("value"))).as("sum_value_c"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"), col("event_type"))
+
+  val qEventsWindowedSql: String = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value*100) AS bigint)) AS bigint) AS sum_value_c,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type"""
+
+  /** Hierarchical ROLLUP region → nation (null grouping keys coalesced to
+    * 'ALL' so both engines order identically). */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir)
+    cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), sum(cents(col("c_acctbal"))).as("sum_acctbal_c"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("n_name"), lit("ALL")).as("nation"),
+              col("n_customers"), col("sum_acctbal_c"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val qRollupSql: String = """
+    SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+           count(*) AS n_customers,
+           CAST(sum(CAST(floor(c_acctbal*100) AS bigint)) AS bigint) AS sum_acctbal_c
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation"""
+
+  /** Exact distinct counting per group (the approx-HLL variant is the
+    * rows-only `q_approx_distinct`). */
+  def qDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val qDistinctUsersSql: String = """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** Approximate distinct via HLL — engine-specific sketch, rows-only check.
+    * At 100 TB this replaces the exact shuffle-heavy distinct. */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** Left-anti join: customers with no event activity, counted per nation.
+    * Anti join shuffles only the projected key column; dims broadcast. */
+  def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    val nat = Tables.nation(spark, sfDir)
+    cust.join(ev, col("c_custkey") === col("user_id"), "left_anti")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_inactive_custs"))
+      .orderBy(col("n_name"))
+  }
+
+  val qAntiJoinSql: String = """
+    SELECT n_name, count(*) AS n_inactive_custs
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey NOT IN (SELECT user_id FROM events)
+    GROUP BY n_name
+    ORDER BY n_name"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (q1Agg _),
+    "q3_join_topk"      -> (q3JoinTopK _),
+    "q5_multijoin"      -> (q5MultiJoin _),
+    "q_events_window"   -> (qEventsWindow _),
+    "q_events_windowed" -> (qEventsWindowed _),
+    "q_rollup_region_nation" -> (qRollup _),
+    "q_distinct_users"  -> (qDistinctUsers _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_anti_join"       -> (qAntiJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg"            -> q1AggSql,
+    "q3_join_topk"      -> q3JoinTopKSql,
+    "q5_multijoin"      -> q5MultiJoinSql,
+    "q_events_window"   -> qEventsWindowSql,
+    "q_events_windowed" -> qEventsWindowedSql,
+    "q_rollup_region_nation" -> qRollupSql,
+    "q_distinct_users"  -> qDistinctUsersSql,
+    "q_anti_join"       -> qAntiJoinSql)
+}
