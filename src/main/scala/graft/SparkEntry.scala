@@ -10,7 +10,8 @@ import graft.queries.QueryModule
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    graft.queries.Analytics)
+    graft.queries.Analytics,
+    graft.queries.NamespaceQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{graftshim => ExpressionUtils}
+import org.apache.spark.sql.functions._
+
+/** Column-level function surface of the engine (SURVEY §2.2/§2.4).
+  * Everything here is either a native Catalyst expression or a composition
+  * of built-in codegen'd functions — no Scala UDFs on hot paths.
+  */
+package object functions {
+
+  /** Exponential size bucket (HFSA SizeBucket semantics). */
+  def size_bucket(c: Column): Column =
+    ExpressionUtils.column(SizeBucketExpr(ExpressionUtils.expression(c.cast("long"))))
+
+  /** Upper byte border of a size bucket: 0, 1 MiB, 2 MiB, 4 MiB, ... */
+  def bucket_upper(bucket: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, ShiftLeft}
+    when(bucket <= 0, lit(0L)).otherwise(ExpressionUtils.column(
+      ShiftLeft(Literal(1L), ExpressionUtils.expression(bucket + 19))))
+  }
+
+  /** Integer cents: floor(x*100) as bigint — exact, order-independent sums. */
+  def cents(c: Column): Column = floor(c * 100).cast("long")
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to Spark's `private[sql]` Column⇄Expression converters so
+  * graft can register native Catalyst expressions (SURVEY §4). Lives inside
+  * the org.apache.spark.sql package purely for access; nothing else from
+  * Spark internals is touched.
+  */
+package object graftshim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
