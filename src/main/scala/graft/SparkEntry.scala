@@ -11,7 +11,10 @@ import graft.queries.QueryModule
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.Analytics,
-    graft.queries.NamespaceQueries)
+    graft.queries.NamespaceQueries,
+    graft.queries.TextQueries,
+    graft.queries.VectorQueries,
+    graft.queries.MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

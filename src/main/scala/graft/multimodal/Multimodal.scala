@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Multimodal-column plumbing (SURVEY §2.4): media as opaque `binary`
+  * payloads with a typed metadata struct, plus a batched decode /
+  * feature-extract stage.
+  *
+  * The decode step is a STUB — this container has no image/audio codecs —
+  * but everything Spark-side is real: schema, per-partition batching,
+  * deterministic output, column pruning (metadata queries never touch the
+  * payload bytes thanks to parquet struct/column pruning).
+  */
+object Multimodal {
+
+  /** A media row: payload + metadata, as a training pipeline would store it
+    * in parquet (payload column stays opaque/prunable). */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String,
+                      width: Int, height: Int, n_bytes: Long)
+
+  case class MediaFeature(doc_id: Long, n_bytes: Long, mean_byte: Double,
+                          feature: Array[Float])
+
+  /** Assemble a media table from `documents` (text bytes stand in for
+    * image payloads; dims derived deterministically). */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      lit("image/fake").as("mime"),
+      (lit(64) + col("doc_id") % 64).cast("int").as("width"),
+      (lit(64) + col("doc_id") % 48).cast("int").as("height"),
+      octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+
+  /** Batched "decode" + feature extraction via mapPartitions — the Scala
+    * analogue of a pandas-batch UDF: one iterator per partition so a real
+    * codec could amortize model/library init across the batch.
+    *
+    * STUB CODEC: `decodeStub` fakes pixel decoding deterministically.
+    * Swap in a real decoder here; the partitioning, schema and batch shape
+    * don't change. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "mime", "width", "height", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        // real pipeline: val codec = Codec.load() — once per partition
+        batch.map { m =>
+          val px = decodeStub(m.payload, m.width, m.height)
+          MediaFeature(m.doc_id, m.n_bytes,
+            if (px.isEmpty) 0.0 else px.map(_ & 0xFF).sum.toDouble / px.length,
+            Array.tabulate(8)(i => if (i < px.length) (px(i) & 0xFF).toFloat else 0f))
+        }
+      }
+  }
+
+  /** ??? in spirit — a deterministic fake standing in for e.g. libjpeg:
+    * "decodes" by tiling payload bytes to width*height (capped). */
+  private def decodeStub(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val n = math.min(width * height, 4096)
+    if (payload.isEmpty) Array.emptyByteArray
+    else Array.tabulate(n)(i => payload(i % payload.length))
+  }
+
+  /** Metadata projection — reads only pruned columns, never the payload
+    * (verify with .explain: ReadSchema excludes `text` bytes beyond the
+    * encode). Oracle-checked as `m_multimodal_meta`. */
+  def metaQuery(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("n_bytes"), md5(col("payload")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val metaQuerySql: String = """
+    SELECT doc_id, 'image/fake' AS mime,
+           CAST(64 + doc_id % 64 AS int) AS width,
+           CAST(64 + doc_id % 48 AS int) AS height,
+           CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
+           md5(text) AS fp
+    FROM documents
+    ORDER BY doc_id"""
+
+  /** Feature extraction through the stubbed codec (rows-only — engine-side
+    * mapPartitions, not SQL-expressible). */
+  def featureQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    extractFeatures(mediaTable(spark, sfDir))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), floor(col("mean_byte") * 100).cast("long").as("mean_byte_c"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,14 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.multimodal.Multimodal
+
+/** QueryModule face of [[graft.multimodal.Multimodal]] (SURVEY §2.4). */
+object MultimodalQueries extends QueryModule {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_multimodal_meta"     -> (Multimodal.metaQuery _),
+    "m_multimodal_features" -> (Multimodal.featureQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "m_multimodal_meta" -> Multimodal.metaQuerySql)
+}

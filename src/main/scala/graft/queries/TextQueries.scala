@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis + dedup operators over `documents` (SURVEY §2.4) — the
+  * training-data-pipeline surface. All built from codegen'd built-ins
+  * (regexp_count, higher-order array functions, md5); no UDFs.
+  *
+  * Portability: md5 is bit-identical in Spark and DuckDB, so even
+  * hash-keyed dedup is oracle-checked. Ratios are integer basis points
+  * (floor(x*10000/denom)) — no order-dependent float aggregation.
+  */
+object TextQueries extends QueryModule {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private def stopListSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Word tokens (whitespace split). */
+  private def words(text: Column): Column = split(text, "\\s+")
+
+  /** md5 of each word-3gram; the shingle set used by fingerprint/jaccard/
+    * minhash. Shuffle-free (per-row map). */
+  private def shingles(text: Column): Column = {
+    val w = words(text)
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => md5(concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array(md5(text)))
+  }
+
+  /** DuckDB twin of [[shingles]] given a `words` list column named `w`. */
+  private def shinglesSql(textCol: String): String =
+    s"""CASE WHEN len(w) >= 3
+        THEN list_transform(range(1, len(w) - 1),
+                            i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        ELSE [md5($textCol)] END"""
+
+  // ------------------------------------------------------------- tokenizing
+
+  /** Token counting: whitespace tokens, word-regex tokens, and a BPE-ish
+    * piece count (letter runs / digit runs / single punctuation). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9']+")).cast("long").as("n_word_tokens"),
+        regexp_count(col("text"), lit("[\\p{L}\\p{N}]+|[^\\s\\p{L}\\p{N}]")).cast("long").as("n_pieces"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String = """
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS bigint) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9'']+')) AS bigint) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\s\p{L}\p{N}]')) AS bigint) AS n_pieces,
+           CAST(length(text) AS bigint) AS n_chars
+    FROM documents
+    ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- quality
+
+  /** Quality scoring: alpha/punct/stopword ratios in basis points plus a
+    * combined heuristic score — per-row map, shuffle-free. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val len = length(col("text"))
+    val nAlpha = regexp_count(col("text"), lit("[a-zA-Z]"))
+    val nPunct = regexp_count(col("text"), lit("[.,;:!?]"))
+    val nWs = size(words(col("text")))
+    val nStop = size(filter(words(lower(col("text"))), w => w.isInCollection(Stopwords)))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        floor(nAlpha * 10000.0 / len).cast("long").as("alpha_bp"),
+        floor(nPunct * 10000.0 / len).cast("long").as("punct_bp"),
+        floor(nStop * 10000.0 / nWs).cast("long").as("stop_bp"),
+        floor((nAlpha * 10000.0 / len) * 0.6 + (nStop * 10000.0 / nWs) * 0.4).cast("long").as("quality_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String = s"""
+    SELECT doc_id,
+           CAST(floor(n_alpha * 10000.0 / len) AS bigint) AS alpha_bp,
+           CAST(floor(n_punct * 10000.0 / len) AS bigint) AS punct_bp,
+           CAST(floor(n_stop * 10000.0 / n_ws) AS bigint) AS stop_bp,
+           CAST(floor((n_alpha * 10000.0 / len) * 0.6 + (n_stop * 10000.0 / n_ws) * 0.4) AS bigint) AS quality_bp
+    FROM (
+      SELECT doc_id,
+             length(text) AS len,
+             len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(string_split_regex(text, '\\s+')) AS n_ws,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             w -> list_contains($stopListSql, w))) AS n_stop
+      FROM documents
+    )
+    ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- lang id
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "las", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** Language ID: stopword-marker scoring per language + CJK character
+    * density; argmax with fixed tie-break order (en,de,es,fr,zh). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = words(lower(col("text")))
+    val scores = LangMarkers.map { case (l, ms) =>
+      l -> size(filter(toks, w => w.isInCollection(ms))).cast("long")
+    }
+    val zh = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("long")
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    val pred = when(zh > en && zh > de && zh > es && zh > fr, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        en.as("score_en"), de.as("score_de"), es.as("score_es"), fr.as("score_fr"), zh.as("score_zh"),
+        pred.as("pred_lang"))
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val markerSql = LangMarkers.map { case (l, ms) =>
+      val list = ms.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, w -> list_contains($list, w))) AS bigint) AS score_$l"
+    }.mkString(",\n             ")
+    s"""
+    SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+           CASE WHEN score_zh > score_en AND score_zh > score_de AND score_zh > score_es AND score_zh > score_fr THEN 'zh'
+                WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           CAST(CASE WHEN (CASE WHEN score_zh > score_en AND score_zh > score_de AND score_zh > score_es AND score_zh > score_fr THEN 'zh'
+                WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END) = lang THEN 1 ELSE 0 END AS int) AS is_match
+    FROM (
+      SELECT doc_id, lang,
+             $markerSql,
+             CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS bigint) AS score_zh
+      FROM (SELECT doc_id, lang, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
+    )
+    ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------ fingerprint
+
+  /** Document fingerprinting: full-text md5 + min-shingle (the 1-function
+    * MinHash used as a cheap near-dup signature). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        array_min(shingles(col("text"))).as("fp_minshingle"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String = s"""
+    SELECT doc_id, md5(text) AS fp_md5,
+           list_min(${shinglesSql("text")}) AS fp_minshingle
+    FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+    ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------ dedup
+
+  /** Exact dedup on normalized text (lower, strip non-alnum, collapse ws):
+    * canonical = min doc_id per key. One shuffle on the md5 key. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val byKey = Window.partitionBy(col("key"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(norm).as("key"))
+      .withColumn("canonical_id", min(col("doc_id")).over(byKey))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupExactSql: String = """
+    SELECT doc_id, key,
+           min(doc_id) OVER (PARTITION BY key) AS canonical_id,
+           CAST(doc_id <> min(doc_id) OVER (PARTITION BY key) AS int) AS is_dup
+    FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS key
+      FROM documents
+    )
+    ORDER BY doc_id"""
+
+  /** N-gram Jaccard near-dup pairs: explode distinct shingles → equi-join
+    * on shingle (never O(n²)) → pair-count → Jaccard in basis points.
+    * At 100 TB: identical shape, plus a stop-shingle cut (drop shingles
+    * with doc-frequency above a cap) to bound the skew of hot shingles. */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+    val counts = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = docs.as("x").join(docs.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("n_common") * 10000.0 / (col("ca.n_sh") + col("cb.n_sh") - col("n_common"))).cast("long").as("jaccard_bp"))
+      .filter(col("jaccard_bp") >= 100)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupNgramJaccardSql: String = s"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh
+      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+    ), counts AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(n_common * 10000.0 / (ca.n_sh + cb.n_sh - n_common)) AS bigint) AS jaccard_bp
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE floor(n_common * 10000.0 / (ca.n_sh + cb.n_sh - n_common)) >= 100
+    ORDER BY doc_a, doc_b"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_count"   -> (tokenCount _),
+    "t_quality_score" -> (qualityScore _),
+    "t_lang_id"       -> (langId _),
+    "t_fingerprint"   -> (fingerprint _),
+    "d_dedup_exact"   -> (dedupExact _),
+    "d_dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "t_token_count"   -> tokenCountSql,
+    "t_quality_score" -> qualityScoreSql,
+    "t_lang_id"       -> langIdSql,
+    "t_fingerprint"   -> fingerprintSql,
+    "d_dedup_exact"   -> dedupExactSql,
+    "d_dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+}

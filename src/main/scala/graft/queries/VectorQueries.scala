@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity search + sketch-based near-dup over `embeddings`/`documents`
+  * (SURVEY §2.4). Dot products run as codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — sequential fold, so DuckDB's `list_reduce`
+  * reproduces the exact IEEE doubles and brute-force cosine IS
+  * oracle-checkable. Sketch ops (LSH / MinHash / SimHash) use engine hashes
+  * → rows-only.
+  */
+object VectorQueries extends QueryModule {
+
+  /** embedding as array<double>. */
+  private def vec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product — same order as DuckDB list_reduce. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosBp(a: Column, b: Column, na: Column, nb: Column): Column =
+    floor(dot(a, b) * 10000.0 / (na * nb)).cast("long")
+
+  /** Pre-normed embeddings: vec_id, v (double[]), nrm. */
+  private def embs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  private val dotSql =
+    "list_reduce(list_transform(range(1, len(%s) + 1), i -> CAST(%s[i] AS double) * CAST(%s[i] AS double)), (x, y) -> x + y)"
+
+  private def dotSqlOf(a: String, b: String): String = dotSql.format(a, a, b)
+
+  // -------------------------------------------------------------------- ANN
+
+  /** Brute-force cosine top-5 neighbors for the query set (vec_id < 10).
+    * The query side is broadcast → a map-side nested-loop over candidate
+    * partitions, no shuffle of the big side; top-k per query via window
+    * rank on a tiny intermediate. This is the exact-recall baseline the
+    * LSH variant is measured against. */
+  def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    val cands = embs(spark, sfDir)
+    val qs = cands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = cands.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
+    scored.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"), col("cand_id"))
+  }
+
+  val annBruteForceSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt(${dotSqlOf("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             CAST(floor(${"list_reduce(list_transform(range(1, len(q.v) + 1), i -> CAST(q.v[i] AS double) * CAST(c.v[i] AS double)), (x, y) -> x + y)"} * 10000.0 / (q.nrm * c.nrm)) AS bigint) AS cos_bp
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, cand_id, cos_bp, rnk FROM (
+      SELECT q_id, cand_id, cos_bp,
+             rank() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY q_id, rnk, cand_id"""
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.30). Brute-force pair join —
+    * the exactness baseline; the scale path is [[annLsh]]'s bucketing. */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosBp(col("va"), col("vb"), col("na"), col("nb")).as("cos_bp"))
+      .filter(col("cos_bp") >= 3000)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEmbeddingSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt(${dotSqlOf("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(floor(${"list_reduce(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS double) * CAST(b.v[i] AS double)), (x, y) -> x + y)"} * 10000.0 / (a.nrm * b.nrm)) AS bigint) AS cos_bp
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE floor(${"list_reduce(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS double) * CAST(b.v[i] AS double)), (x, y) -> x + y)"} * 10000.0 / (a.nrm * b.nrm)) >= 3000
+    ORDER BY id_a, id_b"""
+
+  // ------------------------------------------------------------- LSH / ANN
+
+  /** Deterministic random hyperplanes (seeded driver-side, shipped as
+    * literals — tiny, broadcast with the plan). */
+  private def planes(n: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection LSH ANN (rows-only): 8-bit bucket from 8
+    * hyperplane signs; candidates share the query's bucket → equi-join on
+    * bucket key instead of the O(n·q) nested loop; exact cosine re-rank
+    * inside buckets. The 100 TB path: bucket key is shuffle-partitionable
+    * and the candidate set per query drops ~2^8×. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = planes(8, 64, seed = 7)
+    val planeCols = ps.map(p => typedLit(p))
+    val bucket = planeCols.zipWithIndex.map { case (p, i) =>
+      when(dot(col("v"), p) >= 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+    val e = embs(spark, sfDir).withColumn("bucket", bucket)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val scored = e.join(broadcast(qs), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
+    scored.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"), col("cand_id"))
+  }
+
+  // ------------------------------------------------------ MinHash / SimHash
+
+  private def shingles(text: Column): Column = {
+    val w = split(text, "\\s+")
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => md5(concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array(md5(text)))
+  }
+
+  /** MinHash + banded LSH near-dup candidates (rows-only): 12 hash
+    * functions = xxhash64(seed_i ‖ shingle), signature min per function;
+    * bands of 2 → 6 band keys; candidates = pairs sharing a band key.
+    * Candidate generation is an equi-join on (band, band_hash) — the
+    * standard shuffle-friendly shape; never all-pairs. */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val numHashes = 12
+    val bandSize = 2
+    val sigCols = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i")
+    }
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bands = (0 until numHashes / bandSize).map { b =>
+      val cols = (0 until bandSize).map(j => col(s"h${b * bandSize + j}"))
+      struct(lit(b).as("band"), hash(cols: _*).as("bh"))
+    }
+    val exploded = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup (rows-only): 64-bit signature = sign of per-bit
+    * weight sums over token hashes; candidate pairs share one of four
+    * 16-bit chunks (≤ hamming-16 guarantee by pigeonhole needs 4 chunks for
+    * r=3 — used as a recall-oriented blocking key), verified with exact
+    * hamming ≤ 16 via bit_count(xor). All columnar, no UDFs. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    val sigs = agg.select(col("doc_id"), simhash.as("simhash"))
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))
+    }
+    val exploded = sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 16)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_ann_bruteforce"  -> (annBruteForce _),
+    "e_ann_lsh"         -> (annLsh _),
+    "d_dedup_embedding" -> (dedupEmbedding _),
+    "d_dedup_minhash"   -> (dedupMinhash _),
+    "d_dedup_simhash"   -> (dedupSimhash _))
+
+  val oracles: Map[String, String] = Map(
+    "e_ann_bruteforce"  -> annBruteForceSql,
+    "d_dedup_embedding" -> dedupEmbeddingSql)
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming semantics = batch semantics: feed events through a
+  * MemoryStream, compare the windowed aggregation with the same
+  * computation run as a batch plan. */
+case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+class EventsStreamSpec extends SparkSpecBase {
+
+  private def mkEvents: Seq[Ev] = {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 200).map { i =>
+      Ev(new Timestamp(base + i * 3600L * 1000), // hourly → spans ~8 days
+         if (i % 3 == 0) "click" else "view", i % 7, i * 1.5)
+    }
+  }
+
+  test("windowed streaming aggregation matches the batch plan") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val query = EventsStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData(mkEvents)
+      query.processAllAvailable()
+
+      val streamed = spark.table("win_counts")
+        .orderBy("win_start", "event_type").collect()
+
+      val batch = mkEvents.toDF()
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(floor(col("value") * 100).cast("long")).as("sum_value_c"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value_c"))
+        .orderBy("win_start", "event_type").collect()
+
+      assert(streamed.length > 0)
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    } finally query.stop()
+  }
+
+  test("late events beyond the watermark are dropped in append mode") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val query = EventsStream.windowedCounts(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("win_append")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      input.addData(Ev(new Timestamp(base), "click", 1, 1.0))
+      query.processAllAvailable()
+      // advance watermark far past day 1 → day-1 window closes
+      input.addData(Ev(new Timestamp(base + 5L * 86400 * 1000), "click", 1, 1.0))
+      query.processAllAvailable()
+      // this event is days late → must be dropped, not re-open the window
+      input.addData(Ev(new Timestamp(base + 3600 * 1000), "click", 1, 1.0))
+      query.processAllAvailable()
+
+      val closed = spark.table("win_append")
+        .filter(col("win_start") === new Timestamp(base)).collect()
+      assert(closed.length == 1 && closed(0).getAs[Long]("n_events") == 1L)
+    } finally query.stop()
+  }
+}
