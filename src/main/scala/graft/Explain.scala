@@ -1,0 +1,21 @@
+package graft
+
+/** Prints the formatted physical plan (and optionally times) for one named
+  * query: `runMain graft.Explain <queryName> [sfDir] [time]`. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = graft.core.GraftSession.builder(
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.explain("formatted")
+    if (args.length > 2 && args(2) == "time") {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"TIMING rows=$n elapsed=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}

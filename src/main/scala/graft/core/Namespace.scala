@@ -31,8 +31,18 @@ object Namespace {
 
   val BlockSize = 65536L // 64 KiB synthetic block size
 
-  /** Full inode table: files ∪ directories ∪ symlinks. */
-  def inodes(spark: SparkSession, sfDir: String): DataFrame = {
+  // The namespace is the shared input of every q_ns_* report: materialize
+  // it once per (session, sfDir) — exactly what a production deployment
+  // does with a materialized inode table — instead of re-running the dim
+  // joins per report. Cache is lazy; first report pays the build.
+  private val memo = new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Full inode table: files ∪ directories ∪ symlinks (memoized+cached). */
+  def inodes(spark: SparkSession, sfDir: String): DataFrame =
+    memo.computeIfAbsent((System.identityHashCode(spark), sfDir),
+      _ => build(spark, sfDir).cache())
+
+  private def build(spark: SparkSession, sfDir: String): DataFrame = {
     val region   = Tables.region(spark, sfDir)
     val nation   = Tables.nation(spark, sfDir)
     val customer = Tables.customer(spark, sfDir)
@@ -49,9 +59,11 @@ object Namespace {
         lower(col("n_name")).as("ndir"),
         concat(lit("user_"), (col("c_custkey") % 20).cast("string")).as("owner"),
         concat(lit("grp_"), lower(col("n_name"))).as("grp"))
+      .cache() // tiny (|customer| rows); feeds 5 of the 7 union branches
 
     val ordCust = orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("rdir"), col("ndir"), col("owner"), col("grp"))
+      .cache() // |orders| rows; reused by the files join and the d4 distinct
 
     val files = lineitem
       .join(ordCust, col("l_orderkey") === col("o_orderkey"))

@@ -23,13 +23,7 @@ object TextQueries extends QueryModule {
 
   /** md5 of each word-3gram; the shingle set used by fingerprint/jaccard/
     * minhash. Shuffle-free (per-row map). */
-  private def shingles(text: Column): Column = {
-    val w = words(text)
-    when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2),
-        i => md5(concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
-      .otherwise(array(md5(text)))
-  }
+  private def shingles(text: Column): Column = graft.functions.word_shingles(text)
 
   /** DuckDB twin of [[shingles]] given a `words` list column named `w`. */
   private def shinglesSql(textCol: String): String =
@@ -202,18 +196,21 @@ object TextQueries extends QueryModule {
     * At 100 TB: identical shape, plus a stop-shingle cut (drop shingles
     * with doc-frequency above a cap) to bound the skew of hot shingles. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    // One row per (doc, distinct shingle); n_sh carried alongside so the
+    // pair aggregation needs no extra join against a counts table — the
+    // per-doc count rides with every shingle row (constant per doc).
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
-    val counts = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("sh"))
     val pairs = docs.as("x").join(docs.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(count(lit(1)).as("n_common"),
+           first(col("x.n_sh")).as("na"), first(col("y.n_sh")).as("nb"))
     pairs
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        floor(col("n_common") * 10000.0 / (col("ca.n_sh") + col("cb.n_sh") - col("n_common"))).cast("long").as("jaccard_bp"))
+        floor(col("n_common") * 10000.0 / (col("na") + col("nb") - col("n_common"))).cast("long").as("jaccard_bp"))
       .filter(col("jaccard_bp") >= 100)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -17,9 +17,11 @@ object VectorQueries extends QueryModule {
   /** embedding as array<double>. */
   private def vec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product — same order as DuckDB list_reduce. */
+  /** Sequential-fold dot product — same order as DuckDB list_reduce.
+    * Native codegen'd expression ([[graft.functions.DotProductExpr]]):
+    * no per-pair array allocation on the O(n²) dedup join. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dotProduct(a, b)
 
   private def cosBp(a: Column, b: Column, na: Column, nb: Column): Column =
     floor(dot(a, b) * 10000.0 / (na * nb)).cast("long")
@@ -46,7 +48,7 @@ object VectorQueries extends QueryModule {
     val cands = embs(spark, sfDir)
     val qs = cands.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = cands.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+    val scored = cands.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
@@ -131,13 +133,7 @@ object VectorQueries extends QueryModule {
 
   // ------------------------------------------------------ MinHash / SimHash
 
-  private def shingles(text: Column): Column = {
-    val w = split(text, "\\s+")
-    when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2),
-        i => md5(concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
-      .otherwise(array(md5(text)))
-  }
+  private def shingles(text: Column): Column = graft.functions.word_shingles(text)
 
   /** MinHash + banded LSH near-dup candidates (rows-only): 12 hash
     * functions = xxhash64(seed_i ‖ shingle), signature min per function;
