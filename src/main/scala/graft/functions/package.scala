@@ -21,6 +21,14 @@ package object functions {
       ShiftLeft(Literal(1L), ExpressionUtils.expression(bucket + 19))))
   }
 
+  /** IEC binary formatting: 1536 → "2 KiB" (HFSA IECBinary semantics). */
+  def iec_format(c: Column): Column =
+    ExpressionUtils.column(IecFormatExpr(ExpressionUtils.expression(c.cast("long"))))
+
+  /** IEC binary parsing: "123 KiB" → 125952. */
+  def iec_parse(c: Column): Column =
+    ExpressionUtils.column(IecParseExpr(ExpressionUtils.expression(c)))
+
   /** Integer cents: floor(x*100) as bigint — exact, order-independent sums. */
   def cents(c: Column): Column = floor(c * 100).cast("long")
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Namespace, NamespaceSql}
+import graft.operators.Reports
 import graft.functions.{size_bucket, bucket_upper, SizeBucketSql}
 
 /** HFSA report surface re-expressed as Spark plans over the derived inode
@@ -24,26 +25,6 @@ object NamespaceQueries extends QueryModule {
   private def inodes(spark: SparkSession, sfDir: String): DataFrame =
     Namespace.inodes(spark, sfDir)
 
-  private def files(spark: SparkSession, sfDir: String): DataFrame =
-    Namespace.files(spark, sfDir)
-
-  private def typeCount(t: String): Column =
-    sum(when(col("ftype") === t, 1L).otherwise(0L))
-
-  /** Ancestor directory prefixes of a file path at depth 5:
-    * "/", "/r", "/r/n", "/r/n/user", "/r/n/user/order". The distributed
-    * parent-path rollup key (explode is map-side; partial agg collapses
-    * before the shuffle). */
-  private def ancestors(path: Column): Column = {
-    val p = split(path, "/") // ["", r, n, u, o, file]
-    array(
-      lit("/"),
-      concat(lit("/"), p.getItem(1)),
-      concat(lit("/"), p.getItem(1), lit("/"), p.getItem(2)),
-      concat(lit("/"), p.getItem(1), lit("/"), p.getItem(2), lit("/"), p.getItem(3)),
-      concat(lit("/"), p.getItem(1), lit("/"), p.getItem(2), lit("/"), p.getItem(3),
-             lit("/"), p.getItem(4)))
-  }
 
   /** DuckDB twin of [[ancestors]]. */
   private val ancestorsSql =
@@ -59,15 +40,7 @@ object NamespaceQueries extends QueryModule {
     * #files/Σsize/Σcsize/#blocks (reference tool/.../SummaryReportCommand
     * .java:229-246). */
   def summaryOverall(spark: SparkSession, sfDir: String): DataFrame =
-    inodes(spark, sfDir).agg(
-      countDistinct(col("grp")).as("n_groups"),
-      countDistinct(col("owner")).as("n_users"),
-      typeCount("D").as("n_dirs"),
-      typeCount("S").as("n_symlinks"),
-      typeCount("F").as("n_files"),
-      sum(col("size")).as("sum_size"),
-      sum(col("csize")).as("sum_csize"),
-      sum(col("blocks")).as("sum_blocks"))
+    Reports.summaryOverall(inodes(spark, sfDir))
 
   val summaryOverallSql: String = NamespaceSql.cte + """
     SELECT CAST(count(DISTINCT grp) AS bigint) AS n_groups,
@@ -83,16 +56,7 @@ object NamespaceQueries extends QueryModule {
   /** SummaryReportCommand per-user block, sorted by file size (sort option
     * `fs`, SummaryReportCommand.java:103-117). */
   def summaryByUser(spark: SparkSession, sfDir: String): DataFrame =
-    inodes(spark, sfDir)
-      .groupBy(col("owner"))
-      .agg(
-        typeCount("D").as("n_dirs"),
-        typeCount("S").as("n_symlinks"),
-        typeCount("F").as("n_files"),
-        sum(col("size")).as("sum_size"),
-        sum(col("csize")).as("sum_csize"),
-        sum(col("blocks")).as("sum_blocks"))
-      .orderBy(col("sum_size").desc, col("owner"))
+    Reports.summaryByUser(inodes(spark, sfDir))
 
   val summaryByUserSql: String = NamespaceSql.cte + """
     SELECT owner,
@@ -108,16 +72,7 @@ object NamespaceQueries extends QueryModule {
 
   /** SummaryReportCommand per-group block, sorted by file count (`fc`). */
   def summaryByGroup(spark: SparkSession, sfDir: String): DataFrame =
-    inodes(spark, sfDir)
-      .groupBy(col("grp"))
-      .agg(
-        typeCount("D").as("n_dirs"),
-        typeCount("S").as("n_symlinks"),
-        typeCount("F").as("n_files"),
-        sum(col("size")).as("sum_size"),
-        sum(col("csize")).as("sum_csize"),
-        sum(col("blocks")).as("sum_blocks"))
-      .orderBy(col("n_files").desc, col("grp"))
+    Reports.summaryByGroup(inodes(spark, sfDir))
 
   val summaryByGroupSql: String = NamespaceSql.cte + """
     SELECT grp,
@@ -135,12 +90,7 @@ object NamespaceQueries extends QueryModule {
     * via the codegen'd [[graft.functions.SizeBucketExpr]]. Bucket domain is
     * tiny → partial agg collapses each partition before the shuffle. */
   def sizeHistogram(spark: SparkSession, sfDir: String): DataFrame =
-    files(spark, sfDir)
-      .select(size_bucket(col("size")).as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_files"))
-      .select(col("bucket"), bucket_upper(col("bucket")).as("upper_bytes"), col("n_files"))
-      .orderBy(col("bucket"))
+    Reports.sizeHistogram(inodes(spark, sfDir))
 
   val sizeHistogramSql: String = NamespaceSql.cte + s"""
     SELECT bucket, ${SizeBucketSql.upperBorderSql("bucket")} AS upper_bytes,
@@ -154,13 +104,7 @@ object NamespaceQueries extends QueryModule {
   /** SmallFilesReportCommand per-user block: count + share of all small
     * files in basis points (reference .java:278-295 + printUsersReport). */
   def smallFilesByUser(spark: SparkSession, sfDir: String): DataFrame =
-    files(spark, sfDir)
-      .filter(col("size") < SmallLimit)
-      .groupBy(col("owner"))
-      .agg(count(lit(1)).as("n_small"))
-      .withColumn("pct_bp",
-        floor(col("n_small") * 10000.0 / sum(col("n_small")).over(Window.partitionBy())).cast("long"))
-      .orderBy(col("n_small").desc, col("owner"))
+    Reports.smallFilesByUser(inodes(spark, sfDir), SmallLimit)
 
   val smallFilesByUserSql: String = NamespaceSql.cte + s"""
     SELECT owner, n_small,
@@ -175,13 +119,7 @@ object NamespaceQueries extends QueryModule {
   /** SmallFilesReportCommand directory hotspots: small-file counts rolled
     * up every ancestor directory, top 20. */
   def smallFilesHotspots(spark: SparkSession, sfDir: String): DataFrame =
-    files(spark, sfDir)
-      .filter(col("size") < SmallLimit)
-      .select(explode(ancestors(col("path"))).as("dir"))
-      .groupBy(col("dir"))
-      .agg(count(lit(1)).as("n_small"))
-      .orderBy(col("n_small").desc, col("dir"))
-      .limit(20)
+    Reports.smallFilesHotspots(inodes(spark, sfDir), SmallLimit, topN = 20)
 
   val smallFilesHotspotsSql: String = NamespaceSql.cte + s"""
     SELECT dir, count(*) AS n_small
@@ -200,13 +138,7 @@ object NamespaceQueries extends QueryModule {
     * for one user, files older than the age cutoff
     * (reference .java:185-214), top 20 locations. */
   def userUsage(spark: SparkSession, sfDir: String): DataFrame =
-    files(spark, sfDir)
-      .filter(col("owner") === "user_7" && col("mtime_sec") < lit(962409600L)) // < 2000-07-01
-      .select(explode(ancestors(col("path"))).as("dir"), col("size"))
-      .groupBy(col("dir"))
-      .agg(sum(col("size")).as("sum_size"), count(lit(1)).as("n_files"))
-      .orderBy(col("sum_size").desc, col("dir"))
-      .limit(20)
+    Reports.userUsage(inodes(spark, sfDir), user = "user_7", cutoffSec = 962409600L, topN = 20)
 
   val userUsageSql: String = NamespaceSql.cte + s"""
     SELECT dir, CAST(sum(size) AS bigint) AS sum_size, count(*) AS n_files
@@ -224,11 +156,7 @@ object NamespaceQueries extends QueryModule {
   /** PathReportCommand: inode listing filtered by user regex
     * (reference .java:223-240), ls-style columns, ordered by path. */
   def pathReport(spark: SparkSession, sfDir: String): DataFrame =
-    inodes(spark, sfDir)
-      .filter(col("owner").rlike("^user_1[0-9]$"))
-      .select(col("path"), col("ftype"), col("owner"), col("grp"), col("perm"))
-      .orderBy(col("path"))
-      .limit(5000)
+    Reports.pathReport(inodes(spark, sfDir), "^user_1[0-9]$", maxRows = 5000)
 
   val pathReportSql: String = NamespaceSql.cte + """
     SELECT path, ftype, owner, grp, perm
@@ -241,9 +169,7 @@ object NamespaceQueries extends QueryModule {
     * .java:71-88; id lookup maps to the path key in our model). At scale
     * this is a pushed-down IN filter over a path-sorted table. */
   def inodeLookup(spark: SparkSession, sfDir: String): DataFrame =
-    inodes(spark, sfDir)
-      .filter(col("path").isin("/", "/africa", "/asia"))
-      .orderBy(col("path"))
+    Reports.inodeLookup(inodes(spark, sfDir), Seq("/", "/africa", "/asia"))
 
   val inodeLookupSql: String = NamespaceSql.cte + """
     SELECT * FROM inodes
@@ -255,12 +181,7 @@ object NamespaceQueries extends QueryModule {
   /** Consumed-size accounting by replication factor (FsUtil
     * .getConsumedFileSize, reference lib/.../util/FsUtil.java:131-148). */
   def replicationStats(spark: SparkSession, sfDir: String): DataFrame =
-    files(spark, sfDir)
-      .groupBy(col("repl"))
-      .agg(count(lit(1)).as("n_files"),
-           sum(col("size")).as("sum_size"),
-           sum(col("csize")).as("sum_csize"))
-      .orderBy(col("repl"))
+    Reports.replicationStats(inodes(spark, sfDir))
 
   val replicationStatsSql: String = NamespaceSql.cte + """
     SELECT repl, count(*) AS n_files,
@@ -273,10 +194,7 @@ object NamespaceQueries extends QueryModule {
   /** Age profile: files and bytes by modification year (generalizes the
     * UserUsage age filter into a full distribution). */
   def ageProfile(spark: SparkSession, sfDir: String): DataFrame =
-    files(spark, sfDir)
-      .groupBy(year(timestamp_seconds(col("mtime_sec"))).as("mtime_year"))
-      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("sum_size"))
-      .orderBy(col("mtime_year"))
+    Reports.ageProfile(inodes(spark, sfDir))
 
   val ageProfileSql: String = NamespaceSql.cte + """
     SELECT year(make_timestamp(mtime_sec * 1000000)) AS mtime_year,

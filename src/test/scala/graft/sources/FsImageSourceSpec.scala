@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import graft.operators.Reports
+import org.apache.spark.sql.functions._
+
+/** Validates the from-scratch fsimage parser against the reference's
+  * documented test image content (reference lib/.../core/
+  * FsImageLoaderTest.java:27-62 + loadAndVisit expectations:
+  * 16 files, 14 dirs, Σ size 356417536, 3 users, 3 groups). */
+class FsImageSourceSpec extends SparkSpecBase {
+
+  private val H3 = "/root/reference/lib/src/test/resources/fsi_small_h3_2.img"
+  private val H2 = "/root/reference/lib/src/test/resources/fsi_small_h2x.img"
+
+  private def haveImages = new java.io.File(H3).isFile
+
+  for ((label, img) <- Seq("hadoop3" -> H3, "hadoop2" -> H2)) {
+    test(s"$label image: counts, sizes, owners match the documented content") {
+      assume(haveImages)
+      val df = FsImageSource.inodes(spark, img).cache()
+
+      val byType = df.groupBy("ftype").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType("F") == 16, s"files: $byType")
+      assert(byType("D") == 14, s"dirs: $byType")
+      assert(byType.getOrElse("S", 0L) == 0)
+
+      assert(df.agg(sum(when(col("ftype") === "F", col("size")))).head.getLong(0) == 356417536L)
+
+      val users = df.select("owner").distinct().collect().map(_.getString(0)).toSet
+      assert(users == Set("mm", "root", "foo"))
+      val groups = df.select("grp").distinct().collect().map(_.getString(0)).toSet
+      assert(groups == Set("supergroup", "root", "nobody"))
+
+      // spot-check paths + replication (FsImageLoaderTest.java:220-231)
+      def one(path: String) = df.filter(col("path") === path).collect()
+      assert(one("/test3/foo/bar/test_40MiB.img").head.getAs[Int]("repl") == 1)
+      assert(one("/test3/foo/bar/test_80MiB.img").head.getAs[Int]("repl") == 3)
+      assert(one("/test3/foo/bar/test_4MiB.img").head.getAs[Int]("repl") == 5)
+      assert(one("/datalake/asset2/test_1KiB.img").head.getAs[Long]("size") == 1024L)
+      assert(one("/test3/foo/test_1KiB.img").head.getAs[String]("owner") == "root")
+      assert(one("/test3/test_160MiB.img").head.getAs[String]("owner") == "foo")
+      assert(one("/test3/test_160MiB.img").head.getAs[String]("grp") == "nobody")
+      assert(one("/").head.getAs[String]("perm") == "0755")
+      assert(one("/test_2KiB.img").head.getAs[String]("perm") == "0644")
+      df.unpersist()
+    }
+  }
+
+  test("HFSA reports run unchanged on fsimage data") {
+    assume(haveImages)
+    val df = FsImageSource.inodes(spark, H3)
+
+    val summary = Reports.summaryByUser(df).collect()
+    assert(summary.map(_.getAs[String]("owner")).toSet == Set("mm", "root", "foo"))
+    val mm = summary.find(_.getAs[String]("owner") == "mm").get
+    assert(mm.getAs[Long]("n_files") == 14) // all but the root/foo-owned files
+
+    val hist = Reports.sizeHistogram(df).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("n_files")).toMap
+    // 2×1KiB + 1×2KiB files < 1MiB → bucket 1; 1×1MiB + 5×2MiB in [1,2MiB] → buckets 2-3
+    assert(hist(1) == 3)
+
+    val hot = Reports.smallFilesHotspots(df, limitBytes = 2L * 1024 * 1024, topN = 5).collect()
+    assert(hot.head.getAs[String]("dir") == "/") // root rolls up every small file
+
+    val lookup = Reports.inodeLookup(df, Seq("/datalake", "/test3/foo")).collect()
+    assert(lookup.map(_.getAs[String]("path")).toSeq == Seq("/datalake", "/test3/foo"))
+  }
+}
