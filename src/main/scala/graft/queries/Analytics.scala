@@ -152,6 +152,49 @@ object Analytics extends QueryModule {
     GROUP BY 1, 2
     ORDER BY day, event_type"""
 
+  /** Batch sessionization (gaps-and-islands): session id = running count
+    * of gap-starts per user; one shuffle on user_id feeds both windows and
+    * the final aggregation. Mirror of the streaming
+    * [[graft.streaming.EventsStream.sessionize]]. */
+  def qEventsSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    val gapSec = 21600L // 6 h
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
+      .withColumn("is_start",
+        when(lag(col("t"), 1).over(byTs).isNull ||
+             col("t") - lag(col("t"), 1).over(byTs) > gapSec, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_start")).over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t")).as("start_sec"), max(col("t")).as("end_sec"),
+           count(lit(1)).as("n_events"))
+      .withColumn("duration_sec", col("end_sec") - col("start_sec"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  val qEventsSessionsSql: String = """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS bigint) AS t FROM events
+    ), m AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 21600
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ), s AS (
+      SELECT user_id, t,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, CAST(sid AS bigint) AS sid,
+           min(t) AS start_sec, max(t) AS end_sec,
+           count(*) AS n_events,
+           max(t) - min(t) AS duration_sec
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, sid"""
+
   /** Hierarchical ROLLUP region → nation (null grouping keys coalesced to
     * 'ALL' so both engines order identically). */
   def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -225,6 +268,7 @@ object Analytics extends QueryModule {
     "q5_multijoin"      -> (q5MultiJoin _),
     "q_events_window"   -> (qEventsWindow _),
     "q_events_windowed" -> (qEventsWindowed _),
+    "q_events_sessions" -> (qEventsSessions _),
     "q_rollup_region_nation" -> (qRollup _),
     "q_distinct_users"  -> (qDistinctUsers _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -236,6 +280,7 @@ object Analytics extends QueryModule {
     "q5_multijoin"      -> q5MultiJoinSql,
     "q_events_window"   -> qEventsWindowSql,
     "q_events_windowed" -> qEventsWindowedSql,
+    "q_events_sessions" -> qEventsSessionsSql,
     "q_rollup_region_nation" -> qRollupSql,
     "q_distinct_users"  -> qDistinctUsersSql,
     "q_anti_join"       -> qAntiJoinSql)

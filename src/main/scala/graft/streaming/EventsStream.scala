@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY §2.5): the streaming form of the
   * events analytics. Batch mirror = `q_events_windowed` (same aggregates,
@@ -32,4 +34,57 @@ object EventsStream {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
            max(col("ts")).as("last_seen"))
+
+  case class SessionEvent(user_id: Long, ts: Timestamp)
+  case class OpenSession(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                     n_events: Int, duration_sec: Long)
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState` + event-time timeout): one `OpenSession`
+    * per active user — state size ∝ active users, not events. A session
+    * closes when a later event arrives past the gap, or when the watermark
+    * passes last+gap (timeout path). */
+  def sessionize(events: DataFrame,
+                 gapSec: Long = 1800,
+                 watermark: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def close(userId: Long, s: OpenSession): Session =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n,
+        (s.last - s.start) / 1000)
+
+    def step(userId: Long, rows: Iterator[SessionEvent],
+             state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(userId, _)).iterator
+        state.remove()
+        return out
+      }
+      val sorted = rows.map(_.ts.getTime).toArray.sorted
+      var open = state.getOption
+      val closed = Seq.newBuilder[Session]
+      for (t <- sorted) open match {
+        case Some(s) if t - s.last > gapSec * 1000 =>
+          closed += close(userId, s)
+          open = Some(OpenSession(t, t, 1))
+        case Some(s) =>
+          open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+        case None =>
+          open = Some(OpenSession(t, t, 1))
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapSec * 1000)
+      }
+      closed.result().iterator
+    }
+
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
 }

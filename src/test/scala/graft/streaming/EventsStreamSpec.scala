@@ -49,6 +49,38 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("sessionize closes sessions on gap and on watermark timeout") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Timestamp.valueOf("2024-01-01 08:00:00").getTime
+    def ev(userId: Long, offsetMin: Long) =
+      Ev(new Timestamp(base + offsetMin * 60000), "click", userId, 1.0)
+
+    val input = MemoryStream[Ev]
+    val query = EventsStream.sessionize(input.toDF(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions separated by a 2 h gap, all in one batch
+      input.addData(ev(1, 0), ev(1, 10), ev(1, 20), ev(1, 140), ev(1, 150))
+      query.processAllAvailable()
+      // push the watermark far ahead so the open session times out
+      input.addData(ev(2, 600))
+      query.processAllAvailable()
+      input.addData(ev(2, 1200))
+      query.processAllAvailable()
+
+      val sessions = spark.table("sessions")
+        .orderBy("user_id", "start").as[EventsStream.Session].collect()
+      val u1 = sessions.filter(_.user_id == 1)
+      assert(u1.length == 2)
+      assert(u1(0).n_events == 3 && u1(0).duration_sec == 20 * 60)
+      assert(u1(1).n_events == 2 && u1(1).duration_sec == 10 * 60)
+    } finally query.stop()
+  }
+
   test("late events beyond the watermark are dropped in append mode") {
     val session = spark
     import session.implicits._
