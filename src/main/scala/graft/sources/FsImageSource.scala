@@ -14,8 +14,8 @@ import graft.sources.fsimage.FsImageFormat._
   * .java:286), then parallelized. Scale path (round 2+): the INODE section
   * is a delimited stream — a cheap varint pre-scan yields message offsets
   * for ranged `binaryRecords`-style distributed parsing, and path assembly
-  * becomes an iterative parent join. Uncompressed images only (codec
-  * support pending).
+  * becomes an iterative parent join. Uncompressed and zlib (DefaultCodec)
+  * images supported.
   */
 object FsImageSource {
 
@@ -38,11 +38,11 @@ object FsImageSource {
     val raf = new RandomAccessFile(imagePath, "r")
     try {
       val summary = FsImageFormat.readSummary(raf)
-      require(summary.codec.forall(_.isEmpty),
-        s"compressed fsimage (codec=${summary.codec.get}) not supported yet")
       val secs = summary.sections.map(s => s.name -> s).toMap
       def sec(name: String): Array[Byte] =
-        secs.get(name).map(FsImageFormat.readSection(raf, _)).getOrElse(Array.emptyByteArray)
+        secs.get(name)
+          .map(s => FsImageFormat.maybeDecompress(FsImageFormat.readSection(raf, s), summary.codec))
+          .getOrElse(Array.emptyByteArray)
 
       val strings = FsImageFormat.parseStringTable(sec("STRING_TABLE"))
       val raw = FsImageFormat.parseInodes(sec("INODE")).toVector

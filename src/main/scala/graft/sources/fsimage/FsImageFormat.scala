@@ -146,6 +146,37 @@ object FsImageFormat {
     out
   }
 
+  /** Supported compression codecs (FileSummary.codec). DefaultCodec is a
+    * zlib stream (possibly several concatenated — Hadoop compressor
+    * resets); inflate them all. */
+  val ZlibCodec = "org.apache.hadoop.io.compress.DefaultCodec"
+
+  def maybeDecompress(bytes: Array[Byte], codec: Option[String]): Array[Byte] =
+    codec match {
+      case None | Some("") => bytes
+      case Some(ZlibCodec) =>
+        val out = new java.io.ByteArrayOutputStream(math.max(bytes.length * 4, 1 << 16))
+        val buf = new Array[Byte](1 << 16)
+        var offset = 0
+        while (offset < bytes.length) {
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(bytes, offset, bytes.length - offset)
+          var n = inf.inflate(buf)
+          while (n > 0 || (!inf.finished() && !inf.needsInput())) {
+            out.write(buf, 0, n)
+            n = inf.inflate(buf)
+          }
+          val consumed = (bytes.length - offset) - inf.getRemaining
+          inf.end()
+          if (consumed <= 0) // trailing garbage / padding — stop
+            offset = bytes.length
+          else offset += consumed
+        }
+        out.toByteArray
+      case Some(other) =>
+        throw new UnsupportedOperationException(s"fsimage codec not supported: $other")
+    }
+
   /** STRING_TABLE: header {numEntry=1, maskBits=2} then delimited entries
     * {id=1, str=2}. Hadoop 3 encodes the entry kind in the id's top bits
     * (id >>> 29: 1=user, 2=group); Hadoop 2 uses one flat table. */

@@ -48,6 +48,24 @@ class FsImageSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("compressed (DefaultCodec) 210k-file image loads and reports run") {
+    assume(haveImages)
+    val img = "/root/reference/lib/src/test/resources/fsimage_d800_f210k_compressed.img"
+    val t0 = System.nanoTime()
+    val df = FsImageSource.inodes(spark, img).cache()
+    val byType = df.groupBy("ftype").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    info(f"parse+load took ${(System.nanoTime() - t0) / 1e9}%.2fs: $byType")
+    // generator ground truth (fsimage-generator/README.md): 806 dirs, 209560 files
+    assert(byType("F") == 209560)
+    assert(byType("D") == 807) // 806 + root
+    // every file got a real path under a parent dir
+    assert(df.filter(col("ftype") === "F" && !col("path").startsWith("/")).count() == 0)
+    val summary = Reports.summaryOverall(df).head
+    assert(summary.getAs[Long]("n_files") == 209560)
+    df.unpersist()
+  }
+
   test("HFSA reports run unchanged on fsimage data") {
     assume(haveImages)
     val df = FsImageSource.inodes(spark, H3)
