@@ -107,7 +107,7 @@ object VectorQueries extends QueryModule {
     Seq.fill(n)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-random-projection LSH ANN (rows-only): 8-bit bucket from 8
+  /** Sign-random-projection LSH ANN: 8-bit bucket from 8
     * hyperplane signs; candidates share the query's bucket → equi-join on
     * bucket key instead of the O(n·q) nested loop; exact cosine re-rank
     * inside buckets. The 100 TB path: bucket key is shuffle-partitionable
@@ -131,20 +131,55 @@ object VectorQueries extends QueryModule {
       .orderBy(col("q_id"), col("rnk"), col("cand_id"))
   }
 
+  val annLshSql: String = {
+    val ps = planes(8, 64, seed = 7)
+    val planeRows = ps.zipWithIndex.map { case (p, j) =>
+      s"SELECT $j AS j, [${p.map(_.toString).mkString(", ")}]::DOUBLE[] AS p"
+    }.mkString("\n      UNION ALL ")
+    val dotVP = "list_reduce(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS double) * p[i]), (x, y) -> x + y)"
+    val dotQC = "list_reduce(list_transform(range(1, len(q.v) + 1), i -> CAST(q.v[i] AS double) * CAST(c.v[i] AS double)), (x, y) -> x + y)"
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt(${dotSqlOf("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ), planes AS (
+      $planeRows
+    ), b AS (
+      SELECT vec_id, CAST(sum(CASE WHEN $dotVP >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes
+      GROUP BY vec_id
+    ), eb AS (
+      SELECT e.vec_id, e.v, e.nrm, b.bucket FROM e JOIN b USING (vec_id)
+    ), scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             CAST(floor($dotQC * 10000.0 / (q.nrm * c.nrm)) AS bigint) AS cos_bp
+      FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, cand_id, cos_bp, rnk FROM (
+      SELECT q_id, cand_id, cos_bp,
+             rank() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY q_id, rnk, cand_id"""
+  }
+
   // ------------------------------------------------------ MinHash / SimHash
 
   private def shingles(text: Column): Column = graft.functions.word_shingles(text)
 
-  /** MinHash + banded LSH near-dup candidates (rows-only): 12 hash
-    * functions = xxhash64(seed_i ‖ shingle), signature min per function;
-    * bands of 2 → 6 band keys; candidates = pairs sharing a band key.
+  /** MinHash + banded LSH near-dup candidates: hash family
+    * h_i(sh) = md5("i_" ‖ sh) with the signature min taken in (portable)
+    * lexicographic order; bands of 2 minhashes → band key md5(h_a ‖ h_b);
+    * candidates = pairs sharing a band key. md5 + string-min are
+    * bit-identical in DuckDB, so this sketch op is fully oracle-checked.
     * Candidate generation is an equi-join on (band, band_hash) — the
     * standard shuffle-friendly shape; never all-pairs. */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val numHashes = 12
     val bandSize = 2
     val sigCols = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i")
+      min(md5(concat(lit(s"${i}_"), col("sh")))).as(s"h$i")
     }
     val sigs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
@@ -152,7 +187,7 @@ object VectorQueries extends QueryModule {
       .agg(sigCols.head, sigCols.tail: _*)
     val bands = (0 until numHashes / bandSize).map { b =>
       val cols = (0 until bandSize).map(j => col(s"h${b * bandSize + j}"))
-      struct(lit(b).as("band"), hash(cols: _*).as("bh"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
     }
     val exploded = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -164,25 +199,52 @@ object VectorQueries extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash near-dup (rows-only): 64-bit signature = sign of per-bit
-    * weight sums over token hashes; candidate pairs share one of four
-    * 16-bit chunks (≤ hamming-16 guarantee by pigeonhole needs 4 chunks for
-    * r=3 — used as a recall-oriented blocking key), verified with exact
-    * hamming ≤ 16 via bit_count(xor). All columnar, no UDFs. */
+  val dedupMinhashSql: String = {
+    val shingleCase = """CASE WHEN len(w) >= 3
+        THEN list_transform(range(1, len(w) - 1),
+                            i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        ELSE [md5(text)] END"""
+    val mins = (0 until 12).map(i => s"min(md5('${i}_' || sh)) AS h$i").mkString(",\n             ")
+    val bands = (0 until 6).map(b =>
+      s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sigs")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest($shingleCase) AS sh
+      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+    ), sigs AS (
+      SELECT doc_id,
+             $mins
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      $bands
+    )
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+    ORDER BY doc_a, doc_b"""
+  }
+
+  /** SimHash near-dup: 60-bit signature from md5-derived token hashes
+    * (sign of per-bit ±1 sums); candidates share one of four 15-bit chunks
+    * (pigeonhole blocking), verified with exact hamming ≤ 16 via
+    * bit_count(xor). md5-derived hashes are engine-portable → fully
+    * oracle-checked. All columnar, no UDFs. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
     }
     val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map { b =>
+    val simhash = (0 until 60).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     val sigs = agg.select(col("doc_id"), simhash.as("simhash"))
     val chunks = (0 until 4).map { c =>
-      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))
+      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)).as("ck"))
     }
     val exploded = sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
@@ -196,6 +258,36 @@ object VectorQueries extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  val dedupSimhashSql: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n             ")
+    val simhash = (0 until 60).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val chunks = (0 until 4).map(c =>
+      s"SELECT doc_id, simhash, $c AS chunk, ((simhash >> ${c * 15}) & 32767) AS ck FROM sigs")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
+    ), bits AS (
+      SELECT doc_id,
+             $bitSums
+      FROM toks GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM bits
+    ), chunks AS (
+      $chunks
+    )
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM chunks x JOIN chunks y
+      ON x.chunk = y.chunk AND x.ck = y.ck AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 16
+    ORDER BY doc_a, doc_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_ann_bruteforce"  -> (annBruteForce _),
     "e_ann_lsh"         -> (annLsh _),
@@ -205,5 +297,8 @@ object VectorQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "e_ann_bruteforce"  -> annBruteForceSql,
-    "d_dedup_embedding" -> dedupEmbeddingSql)
+    "d_dedup_embedding" -> dedupEmbeddingSql,
+    "e_ann_lsh"         -> annLshSql,
+    "d_dedup_minhash"   -> dedupMinhashSql,
+    "d_dedup_simhash"   -> dedupSimhashSql)
 }
