@@ -2,6 +2,7 @@ package graft.sources
 
 import java.io.RandomAccessFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.sources.fsimage.FsImageFormat
 import graft.sources.fsimage.FsImageFormat._
 
@@ -31,6 +32,122 @@ object FsImageSource {
     val rows = loadRows(imagePath)
     import spark.implicits._
     spark.createDataset(rows).toDF()
+  }
+
+  /** Scale-path loader: executors parse disjoint ranges of the INODE and
+    * INODE_DIR sections in parallel (message boundaries pre-scanned with a
+    * cheap varint pass); the directory tree — a small fraction of any real
+    * namespace — is assembled once and broadcast, and file paths resolve
+    * via a distributed child→parent join against the broadcast dir map.
+    * On a cluster the broadcast section bytes become ranged reads of the
+    * DFS file; the join/broadcast structure is unchanged.
+    */
+  def inodesDistributed(spark: SparkSession, imagePath: String,
+                        parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val slices = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+
+    val raf = new RandomAccessFile(imagePath, "r")
+    val (inodeBytes, dirBytes) = try {
+      val summary = FsImageFormat.readSummary(raf)
+      val secs = summary.sections.map(s => s.name -> s).toMap
+      def sec(name: String): Array[Byte] =
+        secs.get(name)
+          .map(s => FsImageFormat.maybeDecompress(FsImageFormat.readSection(raf, s), summary.codec))
+          .getOrElse(Array.emptyByteArray)
+      (sec("INODE"), sec("INODE_DIR"))
+    } finally raf.close()
+
+    // string tables are tiny — decode driver-side, capture in closures
+    val strings = {
+      val raf2 = new RandomAccessFile(imagePath, "r")
+      try {
+        val summary = FsImageFormat.readSummary(raf2)
+        val st = summary.sections.find(_.name == "STRING_TABLE")
+          .map(s => FsImageFormat.maybeDecompress(FsImageFormat.readSection(raf2, s), summary.codec))
+          .getOrElse(Array.emptyByteArray)
+        FsImageFormat.parseStringTable(st)
+      } finally raf2.close()
+    }
+
+    // chunk [start,end) ranges at message boundaries
+    def chunk(bytes: Array[Byte], dropHeader: Boolean): Seq[(Int, Int)] = {
+      val offs = FsImageFormat.messageOffsets(bytes)
+      val body = (if (dropHeader && offs.nonEmpty) offs.drop(1) else offs) :+ bytes.length
+      if (body.length <= 1) Seq.empty
+      else {
+        val n = body.length - 1
+        val per = math.max(1, math.ceil(n.toDouble / slices).toInt)
+        (0 until n by per).map(i => (body(i), body(math.min(i + per, n))))
+      }
+    }
+
+    val bcInodes = spark.sparkContext.broadcast(inodeBytes)
+    val bcDirs = spark.sparkContext.broadcast(dirBytes)
+
+    val parsed = spark.sparkContext
+      .parallelize(chunk(inodeBytes, dropHeader = true), slices)
+      .flatMap { case (s, e) => FsImageFormat.parseInodeRange(bcInodes.value, s, e) }
+      .toDS()
+
+    val edges = spark.sparkContext
+      .parallelize(chunk(dirBytes, dropHeader = false), math.max(1, slices / 2))
+      .flatMap { case (s, e) => FsImageFormat.parseDirRange(bcDirs.value, s, e) }
+      .flatMap(d => d.children.map(c => (c, d.parent)))
+      .toDF("child_id", "parent_id")
+
+    // Directory tree: dirs are ~1% of inodes → collect + broadcast the map.
+    val dirRows = parsed.filter(_.inodeType == 2).collect()
+    val dirParents = {
+      val dirIds = dirRows.map(_.id).toSet
+      val m = new java.util.HashMap[Long, Long]()
+      FsImageFormat.parseDirEntries(dirBytes).foreach { e =>
+        e.children.foreach(c => if (dirIds.contains(c)) m.put(c, e.parent))
+      }
+      m
+    }
+    val dirPathMap: Map[Long, String] = {
+      val byId = dirRows.map(d => d.id -> d).toMap
+      val memo = new java.util.HashMap[Long, String]()
+      def pathOf(id: Long): String =
+        if (id == RootInodeId || !byId.contains(id)) "/"
+        else Option(memo.get(id)).getOrElse {
+          val parent = if (dirParents.containsKey(id)) dirParents.get(id).longValue() else RootInodeId
+          val pp = pathOf(parent)
+          val p = (if (pp == "/") "" else pp) + "/" + byId(id).name
+          memo.put(id, p)
+          p
+        }
+      dirRows.map(d => d.id -> pathOf(d.id)).toMap
+    }
+    val bcDirPaths = spark.sparkContext.broadcast(dirPathMap)
+    val typedUsers = strings
+
+    def toInode(i: FsImageFormat.RawInode, path: String): FsInode =
+      FsInode(path, i.name,
+        i.inodeType match { case 1 => "F"; case 2 => "D"; case 3 => "S"; case _ => "?" },
+        typedUsers.user(FsImageFormat.permUserSerial(i.permission)),
+        typedUsers.group(FsImageFormat.permGroupSerial(i.permission)),
+        "%04o".format(FsImageFormat.permMode(i.permission)),
+        i.sizeBytes, i.sizeBytes * math.max(i.replication, 1), i.replication,
+        i.numBlocks.toLong, i.mtime / 1000,
+        if (path == "/") 0 else path.count(_ == '/'), i.id)
+
+    // Files + symlinks: distributed join on the parent edge, then path =
+    // broadcast dir path + name (root-attached when no edge exists).
+    val nonDirs = parsed.filter(_.inodeType != 2)
+      .map(i => (i.id, i))
+      .toDF("id", "inode")
+      .join(edges, col("id") === col("child_id"), "left_outer")
+      .select(col("inode").as("_1"), col("parent_id").as("_2"))
+      .as[(FsImageFormat.RawInode, Option[Long])]
+      .map { case (i, parent) =>
+        val pp = bcDirPaths.value.getOrElse(parent.getOrElse(RootInodeId), "/")
+        toInode(i, (if (pp == "/") "" else pp) + "/" + i.name)
+      }
+
+    val dirDs = spark.createDataset(dirRows.toSeq.map(d => toInode(d, dirPathMap(d.id))))
+    nonDirs.unionByName(dirDs).toDF()
   }
 
   /** Parses the image into namespace rows (driver-side). */

@@ -213,12 +213,34 @@ object FsImageFormat {
     StringTables(users.result(), groups.result(), flat.result(), typed = maskBits > 0)
   }
 
+  /** Scans delimited-message boundaries without parsing bodies — the cheap
+    * pre-pass that lets executors parse disjoint [start,end) ranges of the
+    * INODE/INODE_DIR sections in parallel ([[graft.sources.FsImageSource]]
+    * scale path). Returns message start offsets, header included. */
+  def messageOffsets(bytes: Array[Byte]): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    val r = new Reader(bytes, 0, bytes.length)
+    while (r.hasMore) {
+      out += r.pos
+      val len = r.varint().toInt
+      r.pos += len
+    }
+    out.result()
+  }
+
+  /** Parses every whole delimited INode message in [from, to). */
+  def parseInodeRange(bytes: Array[Byte], from: Int, to: Int): Iterator[RawInode] =
+    delimited(bytes, from, to - from).map(parseOneInode)
+
   /** INODE section: header {lastInodeId=1, numInodes=2} then delimited
     * INode {type=1, id=2, name=3, file=4, directory=5, symlink=6}. */
   def parseInodes(bytes: Array[Byte]): Iterator[RawInode] = {
     val it = delimited(bytes, 0, bytes.length)
     if (it.hasNext) it.next() // header — counts not needed, we stream
-    it.map { m =>
+    it.map(parseOneInode)
+  }
+
+  private def parseOneInode(m: Reader): RawInode = {
       var typ = 0; var id = 0L; var name = ""
       var repl = 0; var mtime = 0L; var atime = 0L; var pbs = 0L
       var perm = 0L; var nBlocks = 0; var size = 0L
@@ -275,12 +297,17 @@ object FsImageFormat {
         }
       }
       RawInode(id, typ, name, repl, mtime, atime, pbs, perm, nBlocks, size, sp, ec, target)
-    }
   }
+
+  /** Parses every whole delimited DirEntry message in [from, to). */
+  def parseDirRange(bytes: Array[Byte], from: Int, to: Int): Iterator[DirEntry] =
+    delimited(bytes, from, to - from).map(parseOneDirEntry)
 
   /** INODE_DIR section: delimited DirEntry {parent=1, children=2 packed}. */
   def parseDirEntries(bytes: Array[Byte]): Iterator[DirEntry] =
-    delimited(bytes, 0, bytes.length).map { m =>
+    delimited(bytes, 0, bytes.length).map(parseOneDirEntry)
+
+  private def parseOneDirEntry(m: Reader): DirEntry = {
       var parent = 0L
       val children = Array.newBuilder[Long]
       m.eachField { (fn, wt, r) =>

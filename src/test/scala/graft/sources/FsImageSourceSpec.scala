@@ -66,6 +66,17 @@ class FsImageSourceSpec extends SparkSpecBase {
     df.unpersist()
   }
 
+  test("distributed ranged parse agrees with the driver loader exactly") {
+    assume(haveImages)
+    val img = "/root/reference/lib/src/test/resources/fsimage_d800_f210k_compressed.img"
+    val a = FsImageSource.inodes(spark, img)
+    val b = FsImageSource.inodesDistributed(spark, img, parallelism = 7)
+    assert(b.count() == a.count())
+    // symmetric difference on the full row set must be empty
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
+
   test("HFSA reports run unchanged on fsimage data") {
     assume(haveImages)
     val df = FsImageSource.inodes(spark, H3)
