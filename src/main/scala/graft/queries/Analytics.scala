@@ -241,6 +241,28 @@ object Analytics extends QueryModule {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** Left-semi join: customers with purchase activity, counted per market
+    * segment. Semi join ships only the distinct key column. */
+  def qSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val buyers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"))
+    cust.join(buyers, col("c_custkey") === col("user_id"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_buyers"),
+           sum(cents(col("c_acctbal"))).as("sum_acctbal_c"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qSemiJoinSql: String = """
+    SELECT c_mktsegment, count(*) AS n_buyers,
+           CAST(sum(CAST(floor(c_acctbal*100) AS bigint)) AS bigint) AS sum_acctbal_c
+    FROM customer
+    WHERE c_custkey IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
   /** Left-anti join: customers with no event activity, counted per nation.
     * Anti join shuffles only the projected key column; dims broadcast. */
   def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
@@ -272,7 +294,8 @@ object Analytics extends QueryModule {
     "q_rollup_region_nation" -> (qRollup _),
     "q_distinct_users"  -> (qDistinctUsers _),
     "q_approx_distinct" -> (qApproxDistinct _),
-    "q_anti_join"       -> (qAntiJoin _))
+    "q_anti_join"       -> (qAntiJoin _),
+    "q_semi_join"       -> (qSemiJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -283,5 +306,6 @@ object Analytics extends QueryModule {
     "q_events_sessions" -> qEventsSessionsSql,
     "q_rollup_region_nation" -> qRollupSql,
     "q_distinct_users"  -> qDistinctUsersSql,
-    "q_anti_join"       -> qAntiJoinSql)
+    "q_anti_join"       -> qAntiJoinSql,
+    "q_semi_join"       -> qSemiJoinSql)
 }

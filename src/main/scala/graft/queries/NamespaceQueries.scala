@@ -176,6 +176,23 @@ object NamespaceQueries extends QueryModule {
     WHERE path IN ('/', '/africa', '/asia')
     ORDER BY path"""
 
+  /** Subtree listing (FsVisitor with a start path /
+    * FsImageData.getChildDirectories): inventory counts under a prefix.
+    * The path predicate is a pushed-down StartsWith on the scan. */
+  def subtree(spark: SparkSession, sfDir: String): DataFrame =
+    inodes(spark, sfDir)
+      .filter(col("path").startsWith("/africa/") || col("path") === "/africa")
+      .groupBy(col("ftype"))
+      .agg(count(lit(1)).as("n"), sum(col("size")).as("sum_size"))
+      .orderBy(col("ftype"))
+
+  val subtreeSql: String = NamespaceSql.cte + """
+    SELECT ftype, count(*) AS n, CAST(sum(size) AS bigint) AS sum_size
+    FROM inodes
+    WHERE path LIKE '/africa/%' OR path = '/africa'
+    GROUP BY ftype
+    ORDER BY ftype"""
+
   // ----------------------------------------------------- replication / age
 
   /** Consumed-size accounting by replication factor (FsUtil
@@ -214,6 +231,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_user_usage"         -> (userUsage _),
     "q_ns_path_report"        -> (pathReport _),
     "q_ns_inode_lookup"       -> (inodeLookup _),
+    "q_ns_subtree"            -> (subtree _),
     "q_ns_replication"        -> (replicationStats _),
     "q_ns_age_profile"        -> (ageProfile _))
 
@@ -227,6 +245,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_user_usage"         -> userUsageSql,
     "q_ns_path_report"        -> pathReportSql,
     "q_ns_inode_lookup"       -> inodeLookupSql,
+    "q_ns_subtree"            -> subtreeSql,
     "q_ns_replication"        -> replicationStatsSql,
     "q_ns_age_profile"        -> ageProfileSql)
 }
