@@ -178,11 +178,15 @@ object VectorQueries extends QueryModule {
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val numHashes = 12
     val bandSize = 2
+    // 12 hash fns from 3 md5 evaluations: the 96 hex chars split into
+    // 8-char chunks — portable (md5 + substring) at 1/4 the hashing cost.
     val sigCols = (0 until numHashes).map { i =>
-      min(md5(concat(lit(s"${i}_"), col("sh")))).as(s"h$i")
+      min(substring(col("hh"), 1 + 8 * i, 8)).as(s"h$i")
     }
     val sigs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+      .withColumn("hh", concat(md5(col("sh")), md5(concat(lit("x_"), col("sh"))),
+                               md5(concat(lit("y_"), col("sh")))))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
     val bands = (0 until numHashes / bandSize).map { b =>
@@ -204,7 +208,7 @@ object VectorQueries extends QueryModule {
         THEN list_transform(range(1, len(w) - 1),
                             i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
         ELSE [md5(text)] END"""
-    val mins = (0 until 12).map(i => s"min(md5('${i}_' || sh)) AS h$i").mkString(",\n             ")
+    val mins = (0 until 12).map(i => s"min(substr(hh, ${1 + 8 * i}, 8)) AS h$i").mkString(",\n             ")
     val bands = (0 until 6).map(b =>
       s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sigs")
       .mkString("\n      UNION ALL ")
@@ -212,10 +216,12 @@ object VectorQueries extends QueryModule {
     WITH sh AS (
       SELECT DISTINCT doc_id, unnest($shingleCase) AS sh
       FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+    ), shh AS (
+      SELECT doc_id, md5(sh) || md5('x_' || sh) || md5('y_' || sh) AS hh FROM sh
     ), sigs AS (
       SELECT doc_id,
              $mins
-      FROM sh GROUP BY doc_id
+      FROM shh GROUP BY doc_id
     ), bands AS (
       $bands
     )
