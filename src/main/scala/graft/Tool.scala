@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Reports
+import graft.sources.{FsImageSource, ReportSink}
+import graft.functions.IECBinaryImpl
+
+/** CLI counterpart of the reference's `hfsa-tool`
+  * (tool/.../HdfsFSImageTool.java): runs HFSA reports against an fsimage.
+  *
+  * {{{
+  * runMain graft.Tool <command> <fsimage> [options]
+  *   commands: summary | smallfiles | userusage | path | inode
+  *   -o txt|csv|json   output format (csv/json write to --out dir)
+  *   -p <path>         subtree to analyze (default /)
+  *   -fun <regex>      filter by user name (path command)
+  *   --fsl <iec>       small-file limit, e.g. 2MiB (smallfiles)
+  *   -l <n>            top-N limit (default 20)
+  *   -a <age>          age filter like 60d / 12h / 1y (userusage)
+  *   -u <user>         user (userusage)
+  *   --out <dir>       output dir for csv/json
+  *   --distributed     use the ranged-parallel fsimage loader
+  * }}}
+  */
+object Tool {
+
+  private val AgePattern = """(\d+)([yYdDhH])""".r
+
+  /** "60d" → ms, mirroring UserUsageReportCommand.AgeConverter. */
+  def parseAge(s: String): Long = s match {
+    case AgePattern(n, u) =>
+      val factor = u.toLowerCase match {
+        case "y" => 365L * 24 * 60 * 60 * 1000
+        case "d" => 24L * 60 * 60 * 1000
+        case "h" => 60L * 60 * 1000
+      }
+      n.toLong * factor
+    case _ => throw new IllegalArgumentException(s"bad age: $s (want e.g. 60d, 12h, 1y)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Tool <command> <fsimage> [options]")
+    val cmd = args(0)
+    val image = args(1)
+    val opts = args.drop(2).sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val flags = args.drop(2).toSet
+
+    val spark = graft.core.GraftSession.get()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val all =
+        if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
+        else FsImageSource.inodes(spark, image)
+      val startPath = opts.getOrElse("-p", "/")
+      val inodes =
+        if (startPath == "/") all
+        else all.filter(org.apache.spark.sql.functions.col("path").startsWith(startPath))
+      val topN = opts.get("-l").map(_.toInt).getOrElse(20)
+
+      val df: DataFrame = cmd match {
+        case "summary" =>
+          Reports.summaryByUser(inodes)
+        case "smallfiles" =>
+          val limit = opts.get("--fsl").map(IECBinaryImpl.parse).getOrElse(2L << 20)
+          Reports.smallFilesHotspots(inodes, limit, topN)
+        case "userusage" =>
+          val user = opts.getOrElse("-u",
+            throw new IllegalArgumentException("userusage needs -u <user>"))
+          val cutoff = opts.get("-a")
+            .map(a => (System.currentTimeMillis() - parseAge(a)) / 1000)
+            .getOrElse(Long.MaxValue)
+          Reports.userUsage(inodes, user, cutoff, topN)
+        case "path" =>
+          Reports.pathReport(inodes, opts.getOrElse("-fun", ".*"), maxRows = 10000)
+        case "inode" =>
+          Reports.inodeLookup(inodes, Seq(opts.getOrElse("-i", "/")))
+        case other =>
+          throw new IllegalArgumentException(s"unknown command: $other")
+      }
+
+      opts.getOrElse("-o", "txt") match {
+        case "txt" => println(ReportSink.text(df, maxRows = math.max(topN, 50)))
+        case "csv" => ReportSink.csv(df, opts.getOrElse("--out", "/tmp/graft_tool_out"))
+        case "json" => ReportSink.json(df, opts.getOrElse("--out", "/tmp/graft_tool_out"))
+        case f => throw new IllegalArgumentException(s"unknown format: $f")
+      }
+    } finally spark.stop()
+  }
+}

@@ -12,6 +12,7 @@ object GraftSession {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
               shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -20,6 +21,9 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // namespace/report caches are hot and short-lived: skip columnar
+      // compression (build-time CPU) — memory is the cheaper currency here
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

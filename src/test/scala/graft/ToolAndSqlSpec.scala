@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.ReportSink
+
+/** SQL-surface (GraftExtensions) + ReportSink + Tool helpers. */
+class ToolAndSqlSpec extends SparkSpecBase {
+
+  test("extension-registered SQL functions work from pure SQL") {
+    val r = spark.sql(
+      """SELECT size_bucket(3145728) AS b,
+               iec_format(2048) AS f,
+               iec_parse('3 MiB') AS p,
+               dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""").head
+    assert(r.getAs[Int]("b") == 3)
+    assert(r.getAs[String]("f") == "2 KiB")
+    assert(r.getAs[Long]("p") == 3L * 1024 * 1024)
+    assert(r.getAs[Double]("d") == 11.0)
+  }
+
+  test("size_bucket usable over a table from SQL") {
+    graft.core.Tables.registerAll(spark, Sf)
+    val n = spark.sql(
+      """SELECT size_bucket(CAST(floor(l_extendedprice * 100) AS bigint)) AS b,
+               count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1""").count()
+    assert(n >= 3)
+  }
+
+  test("ReportSink.text renders a fixed-width table") {
+    import spark.implicits._
+    val txt = ReportSink.text(Seq(("alice", 10L), ("bob", 2L)).toDF("owner", "n"))
+    assert(txt.contains("owner"))
+    assert(txt.split("\n").length == 4) // header, rule, 2 rows
+    assert(txt.contains("alice"))
+  }
+
+  test("Tool.parseAge handles the reference's age grammar") {
+    assert(Tool.parseAge("60d") == 60L * 24 * 60 * 60 * 1000)
+    assert(Tool.parseAge("12h") == 12L * 60 * 60 * 1000)
+    assert(Tool.parseAge("1y") == 365L * 24 * 60 * 60 * 1000)
+    intercept[IllegalArgumentException](Tool.parseAge("5 parsecs"))
+  }
+}
