@@ -166,6 +166,44 @@ object TextQueries extends QueryModule {
     FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
     ORDER BY doc_id"""
 
+  /** TF-IDF-flavored salient terms: top-5 terms per document ranked by an
+    * integer score tf·⌊10^6/df⌋ (pure integer arithmetic → bit-portable;
+    * rarer terms score higher). df computed once per term (shuffle on
+    * term), then joined back — at 100 TB the df table is Zipf-small and
+    * broadcastable. */
+  def docTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * floor(lit(1000000) / col("df")).cast("long")).as("score"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("doc_id"), col("rnk"), col("term"))
+  }
+
+  val docTermsSql: String = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+    )
+    SELECT doc_id, term, tf, df, score, rnk FROM (
+      SELECT doc_id, term, tf, df,
+             tf * CAST(floor(1000000 / df) AS bigint) AS score,
+             rank() OVER (PARTITION BY doc_id ORDER BY tf * CAST(floor(1000000 / df) AS bigint) DESC, term) AS rnk
+      FROM tf JOIN idf USING (term)
+    ) WHERE rnk <= 5
+    ORDER BY doc_id, rnk, term"""
+
   // ------------------------------------------------------------------ dedup
 
   /** Exact dedup on normalized text (lower, strip non-alnum, collapse ws):
@@ -239,6 +277,7 @@ object TextQueries extends QueryModule {
     "t_quality_score" -> (qualityScore _),
     "t_lang_id"       -> (langId _),
     "t_fingerprint"   -> (fingerprint _),
+    "t_doc_terms"     -> (docTerms _),
     "d_dedup_exact"   -> (dedupExact _),
     "d_dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
@@ -247,6 +286,7 @@ object TextQueries extends QueryModule {
     "t_quality_score" -> qualityScoreSql,
     "t_lang_id"       -> langIdSql,
     "t_fingerprint"   -> fingerprintSql,
+    "t_doc_terms"     -> docTermsSql,
     "d_dedup_exact"   -> dedupExactSql,
     "d_dedup_ngram_jaccard" -> dedupNgramJaccardSql)
 }

@@ -35,6 +35,14 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"),
            max(col("ts")).as("last_seen"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same event id within
+    * the watermark horizon — the streaming face of the batch dedup ops
+    * (state = ids seen inside the watermark window, bounded). */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class OpenSession(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,

@@ -49,6 +49,30 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    case class E2(event_id: Long, ts: Timestamp, v: Double)
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val query = EventsStream.dedupedEvents(
+        input.toDF().toDF("event_id", "ts", "v"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, new Timestamp(base), 1.0), (2L, new Timestamp(base + 1000), 2.0))
+      query.processAllAvailable()
+      // re-deliveries of id 1 and 2 plus one new id
+      input.addData((1L, new Timestamp(base + 2000), 1.0), (2L, new Timestamp(base + 500), 2.0),
+                    (3L, new Timestamp(base + 3000), 3.0))
+      query.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("sessionize closes sessions on gap and on watermark timeout") {
     val session = spark
     import session.implicits._
