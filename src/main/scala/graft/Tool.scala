@@ -13,7 +13,8 @@ import graft.functions.IECBinaryImpl
   *   commands: summary | smallfiles | userusage | path | inode
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /)
-  *   -fun <regex>      filter by user name (path command)
+  *   -fun <regex>      filter by user name (summary/path commands)
+  *   -s fs|fc|dc|bc    summary sort: size, file/dir/block count
   *   --fsl <iec>       small-file limit, e.g. 2MiB (smallfiles)
   *   -l <n>            top-N limit (default 20)
   *   -a <age>          age filter like 60d / 12h / 1y (userusage)
@@ -51,15 +52,18 @@ object Tool {
       val all =
         if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
         else FsImageSource.inodes(spark, image)
-      val startPath = opts.getOrElse("-p", "/")
+      import org.apache.spark.sql.functions.col
+      val dirs = opts.getOrElse("-p", "/").split(",").toSeq
       val inodes =
-        if (startPath == "/") all
-        else all.filter(org.apache.spark.sql.functions.col("path").startsWith(startPath))
+        if (dirs == Seq("/")) all
+        else all.filter(dirs.map(d => col("path").startsWith(d) || col("path") === d)
+          .reduce(_ || _))
       val topN = opts.get("-l").map(_.toInt).getOrElse(20)
 
       val df: DataFrame = cmd match {
         case "summary" =>
-          Reports.summaryByUser(inodes)
+          Reports.summaryByUser(inodes, sortBy = opts.getOrElse("-s", "fs"),
+            ownerRegex = opts.get("-fun"))
         case "smallfiles" =>
           val limit = opts.get("--fsl").map(IECBinaryImpl.parse).getOrElse(2L << 20)
           Reports.smallFilesHotspots(inodes, limit, topN)
@@ -73,7 +77,11 @@ object Tool {
         case "path" =>
           Reports.pathReport(inodes, opts.getOrElse("-fun", ".*"), maxRows = 10000)
         case "inode" =>
-          Reports.inodeLookup(inodes, Seq(opts.getOrElse("-i", "/")))
+          val key = opts.getOrElse("-i", "/")
+          key.toLongOption match {
+            case Some(id) => Reports.inodeLookupById(inodes, Seq(id))
+            case None     => Reports.inodeLookup(inodes, Seq(key))
+          }
         case other =>
           throw new IllegalArgumentException(s"unknown command: $other")
       }

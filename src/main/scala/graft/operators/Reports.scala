@@ -45,15 +45,41 @@ object Reports {
     inodes.agg(aggs.head, aggs.tail: _*)
   }
 
-  /** SummaryReportCommand per-user block (sort option `fs`). */
-  def summaryByUser(inodes: DataFrame): DataFrame =
-    inodes.groupBy(col("owner")).agg(typeAggs.head, typeAggs.tail: _*)
-      .orderBy(col("sum_size").desc, col("owner"))
+  /** Sort options mirroring SummaryReportCommand.SortOption
+    * (fs=file size, fc=file count, dc=dir count, bc=block count). */
+  private def sortCol(opt: String): Column = opt match {
+    case "fs" => col("sum_size").desc
+    case "fc" => col("n_files").desc
+    case "dc" => col("n_dirs").desc
+    case "bc" => col("sum_blocks").desc
+    case o    => throw new IllegalArgumentException(s"sort: $o (want fs|fc|dc|bc)")
+  }
 
-  /** SummaryReportCommand per-group block (sort option `fc`). */
-  def summaryByGroup(inodes: DataFrame): DataFrame =
+  /** SummaryReportCommand per-user block with sort option + optional
+    * user-regex filter (`-fun`, HdfsFSImageTool.java:60-62). */
+  def summaryByUser(inodes: DataFrame, sortBy: String = "fs",
+                    ownerRegex: Option[String] = None): DataFrame = {
+    val in = ownerRegex.fold(inodes)(re => inodes.filter(col("owner").rlike(re)))
+    in.groupBy(col("owner")).agg(typeAggs.head, typeAggs.tail: _*)
+      .orderBy(sortCol(sortBy), col("owner"))
+  }
+
+  /** SummaryReportCommand per-group block with sort option. */
+  def summaryByGroup(inodes: DataFrame, sortBy: String = "fc"): DataFrame =
     inodes.groupBy(col("grp")).agg(typeAggs.head, typeAggs.tail: _*)
-      .orderBy(col("n_files").desc, col("grp"))
+      .orderBy(sortCol(sortBy), col("grp"))
+
+  /** Per-user size-bucket histogram — the `File Size Buckets` column of the
+    * reference's summary rows (SummaryReportCommand.doSummary): a sorted
+    * array of (bucket, count). Two-level agg: (owner, bucket) partial →
+    * per-owner collect of an already-tiny bucket table. */
+  def userSizeBuckets(inodes: DataFrame): DataFrame =
+    inodes.filter(col("ftype") === "F")
+      .groupBy(col("owner"), size_bucket(col("size")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("owner"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("n")))).as("buckets"))
+      .orderBy(col("owner"))
 
   /** Exponential file-size histogram (SizeBucket.Bucket2nModel). */
   def sizeHistogram(inodes: DataFrame): DataFrame =
@@ -103,6 +129,11 @@ object Reports {
   /** InodeInfoCommand: point lookup by absolute paths. */
   def inodeLookup(inodes: DataFrame, paths: Seq[String]): DataFrame =
     inodes.filter(col("path").isin(paths: _*)).orderBy(col("path"))
+
+  /** InodeInfoCommand: lookup by inode id (fsimage-sourced tables carry
+    * an `id` column; InodeInfoCommand.java:71-80 accepts both forms). */
+  def inodeLookupById(inodes: DataFrame, ids: Seq[Long]): DataFrame =
+    inodes.filter(col("id").isin(ids: _*)).orderBy(col("id"))
 
   /** Consumed-size accounting by replication factor (FsUtil semantics). */
   def replicationStats(inodes: DataFrame): DataFrame =

@@ -97,4 +97,25 @@ class FsImageSourceSpec extends SparkSpecBase {
     val lookup = Reports.inodeLookup(df, Seq("/datalake", "/test3/foo")).collect()
     assert(lookup.map(_.getAs[String]("path")).toSeq == Seq("/datalake", "/test3/foo"))
   }
+
+  test("summary sort options, user filter, id lookup, per-user buckets") {
+    assume(haveImages)
+    val df = FsImageSource.inodes(spark, H3)
+
+    // block-count sort puts mm (14 blocks) first; regex filter keeps 2 users
+    val byBlocks = Reports.summaryByUser(df, sortBy = "bc").collect()
+    assert(byBlocks.head.getAs[String]("owner") == "mm")
+    val filtered = Reports.summaryByUser(df, ownerRegex = Some("^(mm|foo)$")).collect()
+    assert(filtered.map(_.getAs[String]("owner")).toSet == Set("mm", "foo"))
+
+    // root inode id lookup
+    val root = Reports.inodeLookupById(df, Seq(FsImageSource.RootInodeId)).collect()
+    assert(root.length == 1 && root.head.getAs[String]("path") == "/")
+
+    // per-user bucket histogram: mm has 3 files < 1 MiB? (1KiB×1 + 2KiB×1 → bucket 1)
+    val buckets = Reports.userSizeBuckets(df).collect()
+      .map(r => r.getAs[String]("owner") -> r.getList[Any](1).size()).toMap
+    assert(buckets.keySet == Set("mm", "root", "foo"))
+    assert(buckets("foo") == 1) // one 160 MiB file → a single bucket
+  }
 }
