@@ -135,6 +135,19 @@ object Reports {
   def inodeLookupById(inodes: DataFrame, ids: Seq[Long]): DataFrame =
     inodes.filter(col("id").isin(ids: _*)).orderBy(col("id"))
 
+  /** Children per directory (FsImageData.getNumChildren /
+    * getChildDirectories): parent = path minus last component; one shuffle
+    * on the parent key. */
+  def dirChildCounts(inodes: DataFrame): DataFrame = {
+    val parent = when(col("depth") === 1, "/")
+      .otherwise(regexp_replace(col("path"), "/[^/]+$", ""))
+    inodes.filter(col("depth") > 0)
+      .groupBy(parent.as("dir"))
+      .agg(count(lit(1)).as("n_children"),
+           sum(when(col("ftype") === "D", 1L).otherwise(0L)).as("n_child_dirs"))
+      .orderBy(col("dir"))
+  }
+
   /** Consumed-size accounting by replication factor (FsUtil semantics). */
   def replicationStats(inodes: DataFrame): DataFrame =
     inodes.filter(col("ftype") === "F")

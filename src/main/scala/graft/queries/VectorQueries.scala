@@ -164,6 +164,71 @@ object VectorQueries extends QueryModule {
     ORDER BY q_id, rnk, cand_id"""
   }
 
+  /** IVF-flavored ANN: coarse quantizer = 16 sampled centroids (vec_id<16 —
+    * deterministic, no Lloyd iterations, so the oracle can re-derive it);
+    * every vector is assigned to its nearest centroid (argmin over a
+    * broadcast centroid table), queries probe their 2 nearest cells and
+    * re-rank exactly inside them. At 100 TB the cell id becomes the
+    * partition/bucket key and each query touches nprobe/ncells of the data.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    // nearest cell per vector: rank 1 by cosine (ties → lower cell id)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+      .withColumn("crnk", rank().over(wAssign))
+    val cellOf = assigned.filter(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // queries probe their 2 nearest cells
+    val probes = assigned.filter(col("vec_id") < 10 && col("crnk") <= 2)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
+    cellOf.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+      .withColumn("rnk", rank().over(wTop))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"), col("cand_id"))
+  }
+
+  val annIvfSql: String = {
+    val dotVC = "list_reduce(list_transform(range(1, len(e.v) + 1), i -> CAST(e.v[i] AS double) * CAST(c.cv[i] AS double)), (x, y) -> x + y)"
+    val dotQC = "list_reduce(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS double) * CAST(t.v[i] AS double)), (x, y) -> x + y)"
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt(${dotSqlOf("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 16
+    ), assigned AS (
+      SELECT e.vec_id, e.v, e.nrm, c.cell,
+             rank() OVER (PARTITION BY e.vec_id
+                          ORDER BY $dotVC / (e.nrm * c.cn) DESC, c.cell) AS crnk
+      FROM e CROSS JOIN cents c
+    ), cellof AS (
+      SELECT vec_id, v, nrm, cell FROM assigned WHERE crnk = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell
+      FROM assigned WHERE vec_id < 10 AND crnk <= 2
+    ), scored AS (
+      SELECT q.q_id, t.vec_id AS cand_id,
+             CAST(floor($dotQC * 10000.0 / (q.qn * t.nrm)) AS bigint) AS cos_bp
+      FROM cellof t JOIN probes q ON t.cell = q.cell AND t.vec_id <> q.q_id
+    )
+    SELECT q_id, cand_id, cos_bp, rnk FROM (
+      SELECT q_id, cand_id, cos_bp,
+             rank() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY q_id, rnk, cand_id"""
+  }
+
   // ------------------------------------------------------ MinHash / SimHash
 
   private def shingles(text: Column): Column = graft.functions.word_shingles(text)
@@ -297,6 +362,7 @@ object VectorQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_ann_bruteforce"  -> (annBruteForce _),
     "e_ann_lsh"         -> (annLsh _),
+    "e_ann_ivf"         -> (annIvf _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_dedup_minhash"   -> (dedupMinhash _),
     "d_dedup_simhash"   -> (dedupSimhash _))
@@ -305,6 +371,7 @@ object VectorQueries extends QueryModule {
     "e_ann_bruteforce"  -> annBruteForceSql,
     "d_dedup_embedding" -> dedupEmbeddingSql,
     "e_ann_lsh"         -> annLshSql,
+    "e_ann_ivf"         -> annIvfSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_dedup_simhash"   -> dedupSimhashSql)
 }

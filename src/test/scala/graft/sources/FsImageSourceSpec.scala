@@ -98,6 +98,18 @@ class FsImageSourceSpec extends SparkSpecBase {
     assert(lookup.map(_.getAs[String]("path")).toSeq == Seq("/datalake", "/test3/foo"))
   }
 
+  test("dir child counts match FsImageData.getNumChildren expectations") {
+    assume(haveImages)
+    // reference FsImageLoaderTest.java:233-236
+    val counts = Reports.dirChildCounts(FsImageSource.inodes(spark, H3)).collect()
+      .map(r => r.getAs[String]("dir") -> r.getAs[Long]("n_children")).toMap
+    assert(counts("/datalake") == 3)
+    assert(counts("/test3") == 3)
+    assert(counts("/test3/foo") == 3)
+    assert(counts("/test3/foo/bar") == 6)
+    assert(counts("/") == 6) // user test1 test2 test3 datalake test_2KiB.img
+  }
+
   test("summary sort options, user filter, id lookup, per-user buckets") {
     assume(haveImages)
     val df = FsImageSource.inodes(spark, H3)
