@@ -77,6 +77,33 @@ class FsImageSourceSpec extends SparkSpecBase {
     assert(b.exceptAll(a).count() == 0)
   }
 
+  test("synthetic 500k-inode image: distributed parse, counts, reports") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_img").toFile
+    val img = new java.io.File(dir, "big.img").getPath
+    val nDirs = 2000
+    val nFiles = 500000
+    val expectedSum = graft.sources.fsimage.TestImageGen.write(img, nDirs, nFiles)
+
+    val t0 = System.nanoTime()
+    val driver = FsImageSource.inodes(spark, img)
+    val nD = driver.count()
+    val tDriver = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val dist = FsImageSource.inodesDistributed(spark, img).cache()
+    val nX = dist.count()
+    val tDist = (System.nanoTime() - t1) / 1e9
+    info(f"500k inodes: driver=$tDriver%.2fs distributed=$tDist%.2fs")
+    assert(nD == 1 + nDirs + nFiles)
+    assert(nX == nD)
+
+    assert(dist.agg(sum(when(col("ftype") === "F", col("size")))).head.getLong(0) == expectedSum)
+    val summary = graft.operators.Reports.summaryByUser(dist).collect()
+    assert(summary.length == 20)
+    assert(summary.map(_.getAs[Long]("n_files")).sum == nFiles)
+    dist.unpersist()
+    new java.io.File(img).delete()
+  }
+
   test("HFSA reports run unchanged on fsimage data") {
     assume(haveImages)
     val df = FsImageSource.inodes(spark, H3)
