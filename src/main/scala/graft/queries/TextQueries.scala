@@ -237,10 +237,14 @@ object TextQueries extends QueryModule {
     // One row per (doc, distinct shingle); n_sh carried alongside so the
     // pair aggregation needs no extra join against a counts table — the
     // per-doc count rides with every shingle row (constant per doc).
+    // localCheckpoint: materialize the shingle table once — both sides of
+    // the self-join (and the broadcast build) reuse it instead of
+    // re-deriving 3-gram md5 arrays per side.
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("sh"))
+      .localCheckpoint()
     val pairs = docs.as("x").join(docs.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
