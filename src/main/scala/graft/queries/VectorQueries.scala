@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 
 /** Similarity search + sketch-based near-dup over `embeddings`/`documents`
-  * (SURVEY §2.4). Dot products run as codegen'd higher-order functions
-  * (`zip_with` + `aggregate`) — sequential fold, so DuckDB's `list_reduce`
-  * reproduces the exact IEEE doubles and brute-force cosine IS
-  * oracle-checkable. Sketch ops (LSH / MinHash / SimHash) use engine hashes
-  * → rows-only.
+  * (SURVEY §2.4). Dot products run through the codegen'd
+  * [[graft.functions.DotProductExpr]] — a sequential fold, so DuckDB's
+  * `list_reduce` reproduces the exact IEEE doubles and every cosine op is
+  * oracle-checked. Sketch ops (LSH / IVF / MinHash / SimHash) use
+  * md5-derived hash families and literal seeded hyperplanes, so they are
+  * oracle-checked too.
   */
 object VectorQueries extends QueryModule {
 
@@ -260,6 +261,7 @@ object VectorQueries extends QueryModule {
     }
     val exploded = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .localCheckpoint() // signature table built once, reused by both join sides
     exploded.as("x").join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -319,6 +321,7 @@ object VectorQueries extends QueryModule {
     }
     val exploded = sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+      .localCheckpoint() // signature table built once, reused by both join sides
     exploded.as("x").join(exploded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
         col("x.doc_id") < col("y.doc_id"))
