@@ -83,8 +83,27 @@ object Multimodal {
     FROM documents
     ORDER BY doc_id"""
 
-  /** Feature extraction through the stubbed codec (rows-only — engine-side
-    * mapPartitions, not SQL-expressible). */
+  /** DuckDB re-derivation of the stub decode's byte math (hex-pair bytes,
+    * tiled to n = min(w·h, 4096)) — even the mapPartitions path is
+    * oracle-checked because the fake codec is deterministic byte
+    * arithmetic. */
+  val featureQuerySql: String = """
+    WITH m AS (
+      SELECT doc_id, encode(text) AS payload,
+             LEAST((64 + doc_id % 64) * (64 + doc_id % 48), 4096) AS n
+      FROM documents
+    ), b AS (
+      SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS len, n FROM m
+    )
+    SELECT doc_id, CAST(len AS bigint) AS n_bytes,
+           CAST(floor((CAST(list_reduce(list_transform(range(0, n),
+                  i -> CAST('0x' || substr(hx, ((i % len) * 2) + 1, 2) AS BIGINT)),
+                  (x, y) -> x + y) AS double) / n) * 100.0) AS bigint) AS mean_byte_c
+    FROM b
+    ORDER BY doc_id"""
+
+  /** Feature extraction through the stubbed codec (mapPartitions batch
+    * path; output oracle-checked via [[featureQuerySql]]). */
   def featureQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     extractFeatures(mediaTable(spark, sfDir))

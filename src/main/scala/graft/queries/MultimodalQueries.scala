@@ -10,5 +10,6 @@ object MultimodalQueries extends QueryModule {
     "m_multimodal_features" -> (Multimodal.featureQuery _))
 
   val oracles: Map[String, String] = Map(
-    "m_multimodal_meta" -> Multimodal.metaQuerySql)
+    "m_multimodal_meta"     -> Multimodal.metaQuerySql,
+    "m_multimodal_features" -> Multimodal.featureQuerySql)
 }
