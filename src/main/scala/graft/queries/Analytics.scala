@@ -269,6 +269,63 @@ object Analytics extends QueryModule {
     GROUP BY ROLLUP (r_name, n_name)
     ORDER BY region, nation"""
 
+  /** TPC-H Q17-flavored: revenue from small-quantity lineitems, where
+    * "small" is relative to the part's own average quantity (correlated
+    * aggregate → join against a per-key aggregate). avg computed as
+    * sum/count in both engines so doubles are bit-identical. */
+  def q17SmallQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val part = Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#1")
+    val avgq = li.groupBy(col("l_partkey").as("ap_key"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(avgq, col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val q17SmallQtySql: String = """
+    SELECT CAST(sum(CAST(floor(l_extendedprice*100) AS bigint)) AS bigint) AS sum_base_c,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN (SELECT l_partkey AS ap_key, sum(l_quantity) / count(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_key
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < avg_qty * 0.5"""
+
+  /** TPC-H Q2-flavored: the suppliers achieving the minimum price per part
+    * (correlated min → groupBy-join; supplier dim broadcast). */
+  def q2MinCost(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), cents(col("l_extendedprice")).as("price_c"))
+    val minP = li.groupBy(col("l_partkey").as("mp_key"))
+      .agg(min(col("price_c")).as("min_price_c"))
+    val supp = Tables.supplier(spark, sfDir)
+    li.join(minP, col("l_partkey") === col("mp_key") && col("price_c") === col("min_price_c"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("s_name"), col("min_price_c"))
+      .distinct()
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+      .limit(200)
+  }
+
+  val q2MinCostSql: String = """
+    SELECT DISTINCT l_partkey, l_suppkey, s_name,
+           CAST(min_price_c AS bigint) AS min_price_c
+    FROM (
+      SELECT l_partkey, l_suppkey,
+             CAST(floor(l_extendedprice*100) AS bigint) AS price_c,
+             min(CAST(floor(l_extendedprice*100) AS bigint))
+               OVER (PARTITION BY l_partkey) AS min_price_c
+      FROM lineitem
+    )
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE price_c = min_price_c
+    ORDER BY l_partkey, l_suppkey
+    LIMIT 200"""
+
   /** Exact distinct counting per group (the approx-HLL variant is the
     * rows-only `q_approx_distinct`). */
   def qDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
@@ -340,6 +397,8 @@ object Analytics extends QueryModule {
     "q_events_windowed" -> (qEventsWindowed _),
     "q_events_sessions" -> (qEventsSessions _),
     "q_asof_join"       -> (qAsofJoin _),
+    "q17_small_qty"     -> (q17SmallQty _),
+    "q2_min_cost"       -> (q2MinCost _),
     "q_rollup_region_nation" -> (qRollup _),
     "q_distinct_users"  -> (qDistinctUsers _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -354,6 +413,8 @@ object Analytics extends QueryModule {
     "q_events_windowed" -> qEventsWindowedSql,
     "q_events_sessions" -> qEventsSessionsSql,
     "q_asof_join"       -> qAsofJoinSql,
+    "q17_small_qty"     -> q17SmallQtySql,
+    "q2_min_cost"       -> q2MinCostSql,
     "q_rollup_region_nation" -> qRollupSql,
     "q_distinct_users"  -> qDistinctUsersSql,
     "q_anti_join"       -> qAntiJoinSql,
