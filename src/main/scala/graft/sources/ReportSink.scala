@@ -21,6 +21,22 @@ object ReportSink {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned parquet — the 100 TB output posture: readers
+    * of `WHERE owner = …` / date-ranged queries prune whole directories. */
+  def parquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table (saveAsTable — bucketing needs a catalog):
+    * co-locates join/agg keys so downstream joins on `bucketCols` skip the
+    * shuffle entirely. */
+  def parquetBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** Fixed-width text table of the first `maxRows` rows — the tool's
     * `-o txt` report body. Driver-side by design (human console output);
     * `maxRows` bounds the collect. */

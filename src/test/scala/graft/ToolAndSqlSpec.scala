@@ -34,6 +34,16 @@ class ToolAndSqlSpec extends SparkSpecBase {
     assert(txt.contains("alice"))
   }
 
+  test("partitioned parquet writes hive-style directories") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile.getPath
+    ReportSink.parquetPartitioned(
+      Seq(("a", 1L), ("b", 2L)).toDF("owner", "n"), dir, Seq("owner"))
+    val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("owner="))
+    assert(parts.toSet == Set("owner=a", "owner=b"))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("Tool.parseAge handles the reference's age grammar") {
     assert(Tool.parseAge("60d") == 60L * 24 * 60 * 60 * 1000)
     assert(Tool.parseAge("12h") == 12L * 60 * 60 * 1000)
