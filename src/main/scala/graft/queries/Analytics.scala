@@ -326,6 +326,25 @@ object Analytics extends QueryModule {
     ORDER BY l_partkey, l_suppkey
     LIMIT 200"""
 
+  /** Semi-structured JSON column: extract `props.k`, aggregate by decile.
+    * get_json_object is codegen'd; at scale prefer from_json with an
+    * explicit schema once the shape is known. */
+  def qJsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("event_type"))
+      .groupBy((col("k") % 10).as("k_mod10"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("k_mod10"))
+
+  val qJsonPropsSql: String = """
+    SELECT k % 10 AS k_mod10, count(*) AS n,
+           CAST(sum(k) AS bigint) AS sum_k,
+           count(DISTINCT event_type) AS n_types
+    FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, event_type FROM events)
+    GROUP BY 1
+    ORDER BY k_mod10"""
+
   /** Exact distinct counting per group (the approx-HLL variant is the
     * rows-only `q_approx_distinct`). */
   def qDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
@@ -399,6 +418,7 @@ object Analytics extends QueryModule {
     "q_asof_join"       -> (qAsofJoin _),
     "q17_small_qty"     -> (q17SmallQty _),
     "q2_min_cost"       -> (q2MinCost _),
+    "q_json_props"      -> (qJsonProps _),
     "q_rollup_region_nation" -> (qRollup _),
     "q_distinct_users"  -> (qDistinctUsers _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -415,6 +435,7 @@ object Analytics extends QueryModule {
     "q_asof_join"       -> qAsofJoinSql,
     "q17_small_qty"     -> q17SmallQtySql,
     "q2_min_cost"       -> q2MinCostSql,
+    "q_json_props"      -> qJsonPropsSql,
     "q_rollup_region_nation" -> qRollupSql,
     "q_distinct_users"  -> qDistinctUsersSql,
     "q_anti_join"       -> qAntiJoinSql,

@@ -105,6 +105,31 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("checkpointed parquet file sink commits exactly-once batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toFile.getPath
+    val input = MemoryStream[Ev]
+    val query = EventsStream.dedupedEvents(
+        input.toDF().withColumnRenamed("user_id", "event_id"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    try {
+      input.addData((1 to 50).map(i => Ev(new Timestamp(base + i * 1000), "click", i, i * 1.0)): _*)
+      query.processAllAvailable()
+      input.addData((40 to 90).map(i => Ev(new Timestamp(base + i * 1000), "view", i, i * 1.0)): _*)
+      query.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/data")
+      assert(out.count() == 90) // 50 + 51 minus 11 duplicate ids (40..50)
+      assert(out.select("event_id").distinct().count() == 90)
+    } finally query.stop()
+  }
+
   test("late events beyond the watermark are dropped in append mode") {
     val session = spark
     import session.implicits._
