@@ -35,12 +35,15 @@ object Namespace {
   // it once per (session, sfDir) — exactly what a production deployment
   // does with a materialized inode table — instead of re-running the dim
   // joins per report. Cache is lazy; first report pays the build.
-  private val memo = new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private val memo = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   /** Full inode table: files ∪ directories ∪ symlinks (memoized+cached). */
   def inodes(spark: SparkSession, sfDir: String): DataFrame =
-    memo.computeIfAbsent((System.identityHashCode(spark), sfDir),
+    memo.computeIfAbsent((sessionKey(spark), sfDir),
       _ => build(spark, sfDir).cache())
+
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.graftshim.sessionKey(spark)
 
   private def build(spark: SparkSession, sfDir: String): DataFrame = {
     val region   = Tables.region(spark, sfDir)

@@ -10,4 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftshim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Stable per-session key (private[sql] in the classic session). */
+  def sessionKey(s: SparkSession): String = s match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other                   => System.identityHashCode(other).toString
+  }
 }
