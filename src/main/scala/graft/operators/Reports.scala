@@ -157,6 +157,28 @@ object Reports {
            sum(col("csize")).as("sum_csize"))
       .orderBy(col("repl"))
 
+  /** Namespace snapshot diff — what changed between two fsimage loads
+    * (the namenode-operations question HFSA users answer by hand):
+    * added / removed / modified inodes keyed by path. Two shuffles on
+    * path (the full-outer join); at 100 TB both sides bucket by path. */
+  def namespaceDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.select(col("path"), col("ftype").as("b_ftype"),
+      col("size").as("b_size"), col("owner").as("b_owner"), col("mtime_sec").as("b_mtime"))
+    val a = after.select(col("path"), col("ftype").as("a_ftype"),
+      col("size").as("a_size"), col("owner").as("a_owner"), col("mtime_sec").as("a_mtime"))
+    b.join(a, Seq("path"), "full_outer")
+      .withColumn("change",
+        when(col("b_ftype").isNull, "added")
+          .when(col("a_ftype").isNull, "removed")
+          .when(col("b_size") =!= col("a_size") || col("b_owner") =!= col("a_owner") ||
+                col("b_mtime") =!= col("a_mtime"), "modified")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(col("path"), col("change"),
+        col("b_size"), col("a_size"), col("b_owner"), col("a_owner"))
+      .orderBy(col("change"), col("path"))
+  }
+
   /** Age profile: files/bytes by modification year. */
   def ageProfile(inodes: DataFrame): DataFrame =
     inodes.filter(col("ftype") === "F")

@@ -137,6 +137,22 @@ class FsImageSourceSpec extends SparkSpecBase {
     assert(counts("/") == 6) // user test1 test2 test3 datalake test_2KiB.img
   }
 
+  test("namespace diff between two generated snapshots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_diff").toFile
+    val img1 = new java.io.File(dir, "a.img").getPath
+    val img2 = new java.io.File(dir, "b.img").getPath
+    graft.sources.fsimage.TestImageGen.write(img1, nDirs = 10, nFiles = 100)
+    graft.sources.fsimage.TestImageGen.write(img2, nDirs = 10, nFiles = 120)
+
+    val diff = Reports.namespaceDiff(
+      FsImageSource.inodes(spark, img1), FsImageSource.inodes(spark, img2))
+    val byChange = diff.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange("added") == 20) // f_100..f_119
+    assert(!byChange.contains("removed"))
+    new java.io.File(img1).delete(); new java.io.File(img2).delete()
+  }
+
   test("summary sort options, user filter, id lookup, per-user buckets") {
     assume(haveImages)
     val df = FsImageSource.inodes(spark, H3)
