@@ -7,23 +7,37 @@ import graft.sources.fsimage.FsImageFormat
 import graft.sources.fsimage.FsImageFormat._
 
 /** HDFS fsimage → DataFrame source (SURVEY §2.1). Produces the same inode
-  * schema as [[graft.core.Namespace]], so every report in
-  * [[graft.operators.Reports]] runs unchanged on real namenode metadata.
+  * schema as [[graft.core.Namespace]] (plus fsimage-only columns: id,
+  * atime_sec, storage_policy, ec_policy, symlink_target, n_acl, acl), so
+  * every report in [[graft.operators.Reports]] runs unchanged on real
+  * namenode metadata.
   *
-  * Round-1 scope: sections are parsed on the driver (the reference's
-  * FsImageLoader is also fully in-memory — lib/.../core/FsImageLoader
-  * .java:286), then parallelized. Scale path (round 2+): the INODE section
-  * is a delimited stream — a cheap varint pre-scan yields message offsets
-  * for ranged `binaryRecords`-style distributed parsing, and path assembly
-  * becomes an iterative parent join. Uncompressed and zlib (DefaultCodec)
-  * images supported.
+  * Two loaders:
+  *  - [[inodes]]: driver-side parse (the reference's posture — its
+  *    FsImageLoader is fully in-memory, lib/.../core/FsImageLoader.java:286).
+  *    Right for ad-hoc images up to a few million inodes.
+  *  - [[inodesDistributed]]: the scale path. The driver never materializes
+  *    a section: it streams the INODE/INODE_DIR sections once to find
+  *    message-aligned chunk boundaries (O(buffer) memory,
+  *    [[FsImageFormat.scanRanges]]), then ships only (start,end) offset
+  *    pairs; each executor reads its own byte range of the image via the
+  *    Hadoop FileSystem API ([[FsImageFormat.readRange]] — works for both
+  *    file:// and DFS paths). Only the directory tree (~1% of inodes) and
+  *    the string table are collected/broadcast. Zlib images are not
+  *    splittable, so their sections are inflated once, streaming, to a
+  *    side file that the ranged reads then target — on a cluster, point
+  *    the side file at shared storage (or store scale images uncompressed,
+  *    which is also the Hadoop default for large fsimages).
   */
 object FsImageSource {
 
   final case class FsInode(path: String, name: String, ftype: String,
                            owner: String, grp: String, perm: String,
                            size: Long, csize: Long, repl: Int, blocks: Long,
-                           mtime_sec: Long, depth: Int, id: Long)
+                           mtime_sec: Long, depth: Int, id: Long,
+                           atime_sec: Long, storage_policy: Int,
+                           ec_policy: String, symlink_target: String,
+                           n_acl: Int, acl: Seq[String])
 
   /** Hadoop's fixed root inode id (INodeId.ROOT_INODE_ID). */
   val RootInodeId = 16385L
@@ -34,119 +48,148 @@ object FsImageSource {
     spark.createDataset(rows).toDF()
   }
 
-  /** Scale-path loader: executors parse disjoint ranges of the INODE and
-    * INODE_DIR sections in parallel (message boundaries pre-scanned with a
-    * cheap varint pass); the directory tree — a small fraction of any real
-    * namespace — is assembled once and broadcast, and file paths resolve
-    * via a distributed child→parent join against the broadcast dir map.
-    * On a cluster the broadcast section bytes become ranged reads of the
-    * DFS file; the join/broadcast structure is unchanged.
-    */
-  def inodesDistributed(spark: SparkSession, imagePath: String,
-                        parallelism: Int = 0): DataFrame = {
-    import spark.implicits._
-    val slices = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+  private def toInode(i: RawInode, path: String, strings: StringTables): FsInode =
+    FsInode(path, i.name,
+      i.inodeType match { case 1 => "F"; case 2 => "D"; case 3 => "S"; case _ => "?" },
+      strings.user(FsImageFormat.permUserSerial(i.permission)),
+      strings.group(FsImageFormat.permGroupSerial(i.permission)),
+      "%04o".format(FsImageFormat.permMode(i.permission)),
+      i.sizeBytes, i.consumedBytes, i.replication,
+      i.numBlocks.toLong, i.mtime / 1000,
+      if (path == "/") 0 else path.count(_ == '/'), i.id,
+      i.atime / 1000, i.storagePolicy, FsImageFormat.ecPolicyName(i.ecPolicy),
+      i.symlinkTarget,
+      i.aclRaw.length, i.aclRaw.toSeq.map(v => FsImageFormat.aclEntryString(v, strings)))
 
-    val raf = new RandomAccessFile(imagePath, "r")
-    val (inodeBytes, dirBytes) = try {
-      val summary = FsImageFormat.readSummary(raf)
-      val secs = summary.sections.map(s => s.name -> s).toMap
-      def sec(name: String): Array[Byte] =
-        secs.get(name)
+  /** Builds dir id → absolute path from the collected dir inodes plus the
+    * dir→parent edges (memoized upward walk, O(#dirs)). */
+  private def dirPaths(dirRows: Array[RawInode],
+                       parentOf: java.util.HashMap[Long, Long]): Map[Long, String] = {
+    val byId = dirRows.map(d => d.id -> d).toMap
+    val memo = new java.util.HashMap[Long, String]()
+    def pathOf(id: Long): String =
+      if (id == RootInodeId || !byId.contains(id)) "/"
+      else Option(memo.get(id)).getOrElse {
+        val parent = if (parentOf.containsKey(id)) parentOf.get(id).longValue() else RootInodeId
+        val pp = pathOf(parent)
+        val p = (if (pp == "/") "" else pp) + "/" + byId(id).name
+        memo.put(id, p)
+        p
+      }
+    dirRows.map(d => d.id -> pathOf(d.id)).toMap
+  }
+
+  /** Scale-path loader — see the object scaladoc for the design. Driver
+    * memory is O(#dirs + string table + scan buffer), never O(section). */
+  def inodesDistributed(spark: SparkSession, imagePath: String,
+                        parallelism: Int = 0,
+                        targetChunkBytes: Long = 32L << 20): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+
+    val summary = FsImageFormat.readSummary(imagePath)
+    val secs = summary.sections.map(s => s.name -> s).toMap
+
+    // String table: tiny (distinct users/groups/ACL names) — in-memory.
+    val strings = {
+      val raf = new RandomAccessFile(imagePath, "r")
+      try {
+        val st = secs.get("STRING_TABLE")
           .map(s => FsImageFormat.maybeDecompress(FsImageFormat.readSection(raf, s), summary.codec))
           .getOrElse(Array.emptyByteArray)
-      (sec("INODE"), sec("INODE_DIR"))
-    } finally raf.close()
-
-    // string tables are tiny — decode driver-side, capture in closures
-    val strings = {
-      val raf2 = new RandomAccessFile(imagePath, "r")
-      try {
-        val summary = FsImageFormat.readSummary(raf2)
-        val st = summary.sections.find(_.name == "STRING_TABLE")
-          .map(s => FsImageFormat.maybeDecompress(FsImageFormat.readSection(raf2, s), summary.codec))
-          .getOrElse(Array.emptyByteArray)
         FsImageFormat.parseStringTable(st)
-      } finally raf2.close()
+      } finally raf.close()
     }
 
-    // chunk [start,end) ranges at message boundaries
-    def chunk(bytes: Array[Byte], dropHeader: Boolean): Seq[(Int, Int)] = {
-      val offs = FsImageFormat.messageOffsets(bytes)
-      val body = (if (dropHeader && offs.nonEmpty) offs.drop(1) else offs) :+ bytes.length
-      if (body.length <= 1) Seq.empty
-      else {
-        val n = body.length - 1
-        val per = math.max(1, math.ceil(n.toDouble / slices).toInt)
-        (0 until n by per).map(i => (body(i), body(math.min(i + per, n))))
+    // Ranged-readable view of the INODE / INODE_DIR sections: the image
+    // itself when uncompressed; a streamed-inflated side file per section
+    // otherwise (zlib is not splittable — the one-time inflation is
+    // sequential O(buffer)-memory I/O, and everything downstream stays
+    // ranged + parallel). On a cluster the side file must land on storage
+    // the executors share; large production fsimages are typically stored
+    // uncompressed anyway.
+    def sectionView(name: String): (String, Section) = summary.codec match {
+      case None | Some("") =>
+        (imagePath, secs.getOrElse(name, Section(name, 0, 0)))
+      case codec =>
+        secs.get(name) match {
+          case None => (imagePath, Section(name, 0, 0))
+          case Some(s) =>
+            val src = new java.io.File(imagePath)
+            val side = new java.io.File(src.getParentFile, s".${src.getName}.graft-$name")
+            if (!side.isFile || side.lastModified() < src.lastModified()) {
+              val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(side))
+              val buf = new Array[Byte](1 << 16)
+              val in = FsImageFormat.sectionRawStream(imagePath, s, codec)
+              try {
+                var n = in.read(buf)
+                while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+              } finally { in.close(); out.close() }
+            }
+            (side.getPath, Section(name, side.length(), 0L))
+        }
+    }
+    val (inodePath, inodeSec) = sectionView("INODE")
+    val (dirPath, dirSec) = sectionView("INODE_DIR")
+
+    // Driver pre-pass: stream each section once for message-aligned chunk
+    // ranges (absolute offsets into the view file).
+    def ranges(path: String, sec: Section, dropHeader: Boolean): Array[(Long, Long)] = {
+      if (sec.length == 0) return Array.empty
+      val chunk =
+        if (parallelism > 0) math.max(1L << 16, sec.length / parallelism)
+        else targetChunkBytes
+      val in = FsImageFormat.sectionRawStream(path, sec, None)
+      try FsImageFormat.scanRanges(in, dropHeader, chunk).map {
+        case (from, to) => (sec.offset + from, sec.offset + to)
+      } finally in.close()
+    }
+    val inodeRanges = ranges(inodePath, inodeSec, dropHeader = true)
+    val dirRanges = ranges(dirPath, dirSec, dropHeader = false)
+
+    val ip = inodePath; val dp = dirPath // plain strings for the closures
+    def parsedInodes = sc.parallelize(inodeRanges.toSeq, math.max(1, inodeRanges.length))
+      .flatMap { case (from, to) =>
+        FsImageFormat.parseInodeRange(FsImageFormat.readRange(ip, from, (to - from).toInt), 0, (to - from).toInt)
       }
-    }
+    def dirEntries = sc.parallelize(dirRanges.toSeq, math.max(1, dirRanges.length))
+      .flatMap { case (from, to) =>
+        FsImageFormat.parseDirRange(FsImageFormat.readRange(dp, from, (to - from).toInt), 0, (to - from).toInt)
+      }
 
-    val bcInodes = spark.sparkContext.broadcast(inodeBytes)
-    val bcDirs = spark.sparkContext.broadcast(dirBytes)
-
-    val parsed = spark.sparkContext
-      .parallelize(chunk(inodeBytes, dropHeader = true), slices)
-      .flatMap { case (s, e) => FsImageFormat.parseInodeRange(bcInodes.value, s, e) }
-      .toDS()
-
-    val edges = spark.sparkContext
-      .parallelize(chunk(dirBytes, dropHeader = false), math.max(1, slices / 2))
-      .flatMap { case (s, e) => FsImageFormat.parseDirRange(bcDirs.value, s, e) }
-      .flatMap(d => d.children.map(c => (c, d.parent)))
-      .toDF("child_id", "parent_id")
-
-    // Directory tree: dirs are ~1% of inodes → collect + broadcast the map.
-    val dirRows = parsed.filter(_.inodeType == 2).collect()
-    val dirParents = {
-      val dirIds = dirRows.map(_.id).toSet
+    // Directory tree: dirs are ~1% of inodes → collect + broadcast.
+    val dirRows = parsedInodes.filter(_.inodeType == 2).collect()
+    val dirIds = dirRows.map(_.id).toSet
+    val bcDirIds = sc.broadcast(dirIds)
+    val dirParentOf = {
       val m = new java.util.HashMap[Long, Long]()
-      FsImageFormat.parseDirEntries(dirBytes).foreach { e =>
-        e.children.foreach(c => if (dirIds.contains(c)) m.put(c, e.parent))
-      }
+      dirEntries
+        .flatMap(e => e.children.filter(bcDirIds.value.contains).map(c => (c, e.parent)))
+        .collect()
+        .foreach { case (c, p) => m.put(c, p) }
       m
     }
-    val dirPathMap: Map[Long, String] = {
-      val byId = dirRows.map(d => d.id -> d).toMap
-      val memo = new java.util.HashMap[Long, String]()
-      def pathOf(id: Long): String =
-        if (id == RootInodeId || !byId.contains(id)) "/"
-        else Option(memo.get(id)).getOrElse {
-          val parent = if (dirParents.containsKey(id)) dirParents.get(id).longValue() else RootInodeId
-          val pp = pathOf(parent)
-          val p = (if (pp == "/") "" else pp) + "/" + byId(id).name
-          memo.put(id, p)
-          p
-        }
-      dirRows.map(d => d.id -> pathOf(d.id)).toMap
-    }
-    val bcDirPaths = spark.sparkContext.broadcast(dirPathMap)
-    val typedUsers = strings
-
-    def toInode(i: FsImageFormat.RawInode, path: String): FsInode =
-      FsInode(path, i.name,
-        i.inodeType match { case 1 => "F"; case 2 => "D"; case 3 => "S"; case _ => "?" },
-        typedUsers.user(FsImageFormat.permUserSerial(i.permission)),
-        typedUsers.group(FsImageFormat.permGroupSerial(i.permission)),
-        "%04o".format(FsImageFormat.permMode(i.permission)),
-        i.sizeBytes, i.sizeBytes * math.max(i.replication, 1), i.replication,
-        i.numBlocks.toLong, i.mtime / 1000,
-        if (path == "/") 0 else path.count(_ == '/'), i.id)
+    val bcDirPaths = sc.broadcast(dirPaths(dirRows, dirParentOf))
+    val bcStrings = sc.broadcast(strings)
 
     // Files + symlinks: distributed join on the parent edge, then path =
     // broadcast dir path + name (root-attached when no edge exists).
-    val nonDirs = parsed.filter(_.inodeType != 2)
+    val edges = dirEntries
+      .flatMap(d => d.children.map(c => (c, d.parent)))
+      .toDF("child_id", "parent_id")
+    val nonDirs = parsedInodes.filter(_.inodeType != 2)
       .map(i => (i.id, i))
       .toDF("id", "inode")
       .join(edges, col("id") === col("child_id"), "left_outer")
       .select(col("inode").as("_1"), col("parent_id").as("_2"))
-      .as[(FsImageFormat.RawInode, Option[Long])]
+      .as[(RawInode, Option[Long])]
       .map { case (i, parent) =>
         val pp = bcDirPaths.value.getOrElse(parent.getOrElse(RootInodeId), "/")
-        toInode(i, (if (pp == "/") "" else pp) + "/" + i.name)
+        toInode(i, (if (pp == "/") "" else pp) + "/" + i.name, bcStrings.value)
       }
 
-    val dirDs = spark.createDataset(dirRows.toSeq.map(d => toInode(d, dirPathMap(d.id))))
+    val dirPathMap = bcDirPaths.value
+    val dirDs = spark.createDataset(dirRows.toSeq.map(d => toInode(d, dirPathMap(d.id), strings)))
     nonDirs.unionByName(dirDs).toDF()
   }
 
@@ -182,29 +225,7 @@ object FsImageSource {
           p
         }
 
-      raw.map { i =>
-        val path = pathOf(i.id)
-        val ftype = i.inodeType match {
-          case 1 => "F"
-          case 2 => "D"
-          case 3 => "S"
-          case _ => "?"
-        }
-        FsInode(
-          path = path,
-          name = i.name,
-          ftype = ftype,
-          owner = strings.user(FsImageFormat.permUserSerial(i.permission)),
-          grp = strings.group(FsImageFormat.permGroupSerial(i.permission)),
-          perm = "%04o".format(FsImageFormat.permMode(i.permission)),
-          size = i.sizeBytes,
-          csize = i.sizeBytes * math.max(i.replication, 1),
-          repl = i.replication,
-          blocks = i.numBlocks.toLong,
-          mtime_sec = i.mtime / 1000,
-          depth = if (path == "/") 0 else path.count(_ == '/'),
-          id = i.id)
-      }
+      raw.map(i => toInode(i, pathOf(i.id), strings))
     } finally raf.close()
   }
 }

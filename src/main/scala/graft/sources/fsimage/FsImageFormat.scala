@@ -1,7 +1,8 @@
 package graft.sources.fsimage
 
-import java.io.RandomAccessFile
+import java.io.{InputStream, RandomAccessFile}
 import java.nio.ByteBuffer
+import scala.collection.mutable.ArrayBuffer
 
 /** Minimal protobuf wire-format reader for HDFS fsimage files — built from
   * the public fsimage.proto / hdfs.proto layout (Apache Hadoop) and
@@ -12,6 +13,12 @@ import java.nio.ByteBuffer
   * File layout: "HDFSIMG1" magic; sections back-to-back; FileSummary
   * (varint-delimited protobuf) at the tail, followed by its 4-byte
   * big-endian length as the file's last bytes.
+  *
+  * Scale posture: nothing here requires materializing a section. The
+  * streaming pieces ([[scanRanges]], [[sectionRawStream]],
+  * [[ZlibConcatInputStream]]) let a driver pre-scan message boundaries in
+  * O(buffer) memory, and [[readRange]] lets each executor pull only its own
+  * byte range of the (uncompressed view of the) image.
   */
 object FsImageFormat {
 
@@ -19,15 +26,21 @@ object FsImageFormat {
   final case class FileSummary(ondiskVersion: Int, layoutVersion: Int,
                                codec: Option[String], sections: Seq[Section])
 
-  /** Raw inode record (union of the three inode types' fields). */
+  /** Raw inode record (union of the three inode types' fields).
+    * `consumedBytes` carries the reference's consumed-size semantics
+    * (FsUtil.java:122-135): Σblock×replication for replicated files, the
+    * cells/rows/parity formula for erasure-coded ones. `aclRaw` holds the
+    * undecoded fixed32 ACL entries (decode with [[aclEntryString]] once a
+    * string table is at hand). */
   final case class RawInode(
       id: Long, inodeType: Int, name: String,
       // files
       replication: Int, mtime: Long, atime: Long, preferredBlockSize: Long,
-      permission: Long, numBlocks: Int, sizeBytes: Long,
+      permission: Long, numBlocks: Int, sizeBytes: Long, consumedBytes: Long,
       storagePolicy: Int, ecPolicy: Int,
       // symlink
-      symlinkTarget: String)
+      symlinkTarget: String,
+      aclRaw: Array[Int])
 
   final case class DirEntry(parent: Long, children: Array[Long])
 
@@ -39,6 +52,59 @@ object FsImageFormat {
     def group(serial: Long): String =
       if (typed) groups.getOrElse(serial, s"group#$serial")
       else flat.getOrElse(serial, s"group#$serial")
+  }
+
+  // ------------------------------------------------------------ EC policies
+
+  /** Built-in HDFS erasure-coding policies (public constants from Hadoop's
+    * SystemErasureCodingPolicies; all cells are 1 MiB). The reference
+    * resolves these via `SystemErasureCodingPolicies.getByID`
+    * (lib/.../util/FsUtil.java:125). */
+  final case class EcPolicy(id: Int, name: String, dataUnits: Int,
+                            parityUnits: Int, cellSize: Long)
+
+  val EcPoliciesById: Map[Int, EcPolicy] = Seq(
+    EcPolicy(1, "RS-6-3-1024k", 6, 3, 1L << 20),
+    EcPolicy(2, "RS-3-2-1024k", 3, 2, 1L << 20),
+    EcPolicy(3, "RS-LEGACY-6-3-1024k", 6, 3, 1L << 20),
+    EcPolicy(4, "XOR-2-1-1024k", 2, 1, 1L << 20),
+    EcPolicy(5, "RS-10-4-1024k", 10, 4, 1L << 20)
+  ).map(p => p.id -> p).toMap
+
+  def ecPolicyName(id: Int): String =
+    if (id == 0) "" else EcPoliciesById.get(id).map(_.name).getOrElse(s"ec#$id")
+
+  /** Consumed size of one block under an EC policy: the data bytes plus a
+    * full row of parity cells per started row of data cells — the exact
+    * formula of reference FsUtil.getConsumedFileSize (FsUtil.java:126-130).
+    */
+  def ecBlockConsumed(blockBytes: Long, p: EcPolicy): Long = {
+    val cells = math.ceil(blockBytes.toDouble / p.cellSize) // count of cells
+    val rows = math.ceil(cells / p.dataUnits).toLong        // rows of cell groups
+    blockBytes + rows * p.parityUnits * p.cellSize
+  }
+
+  // ------------------------------------------------------------ ACL decode
+
+  /** On-disk ACL entry layout (public constants from Hadoop's
+    * FSImageFormatPBINode: perm bits 0-2, type bits 3-4, scope bit 5, name
+    * string-id bits 6-29; name id 0 = unnamed entry). The reference decodes
+    * these with `FSImageFormatPBINode.Loader.loadAclEntries`
+    * (lib/.../core/FsImageData.java:208-226). */
+  private val FsActionSymbols = Array("---", "--x", "-w-", "-wx", "r--", "r-x", "rw-", "rwx")
+  private val AclTypes = Array("user", "group", "mask", "other")
+
+  /** Decodes one fixed32 ACL entry to Hadoop's `AclEntry.toString` form,
+    * e.g. `user:bob:rwx`, `default:group::r-x`. ACL names live in the
+    * user namespace of the string table (SerialNumberManager.USER). */
+  def aclEntryString(v: Int, strings: StringTables): String = {
+    val perm = v & 7
+    val typ = (v >>> 3) & 3
+    val scope = (v >>> 5) & 1
+    val nid = (v >>> 6) & ((1 << 24) - 1)
+    val name = if (nid == 0) "" else strings.user(nid.toLong)
+    val prefix = if (scope == 1) "default:" else ""
+    s"$prefix${AclTypes(typ)}:$name:${FsActionSymbols(perm)}"
   }
 
   // --------------------------------------------------------------- wire fmt
@@ -139,6 +205,11 @@ object FsImageFormat {
     FileSummary(ondisk, layout, codec, sections.result())
   }
 
+  def readSummary(path: String): FileSummary = {
+    val raf = new RandomAccessFile(path, "r")
+    try readSummary(raf) finally raf.close()
+  }
+
   def readSection(raf: RandomAccessFile, s: Section): Array[Byte] = {
     val out = new Array[Byte](s.length.toInt)
     raf.seek(s.offset)
@@ -156,26 +227,160 @@ object FsImageFormat {
       case None | Some("") => bytes
       case Some(ZlibCodec) =>
         val out = new java.io.ByteArrayOutputStream(math.max(bytes.length * 4, 1 << 16))
+        val in = new ZlibConcatInputStream(new java.io.ByteArrayInputStream(bytes))
         val buf = new Array[Byte](1 << 16)
-        var offset = 0
-        while (offset < bytes.length) {
-          val inf = new java.util.zip.Inflater()
-          inf.setInput(bytes, offset, bytes.length - offset)
-          var n = inf.inflate(buf)
-          while (n > 0 || (!inf.finished() && !inf.needsInput())) {
-            out.write(buf, 0, n)
-            n = inf.inflate(buf)
-          }
-          val consumed = (bytes.length - offset) - inf.getRemaining
-          inf.end()
-          if (consumed <= 0) // trailing garbage / padding — stop
-            offset = bytes.length
-          else offset += consumed
-        }
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close()
         out.toByteArray
       case Some(other) =>
         throw new UnsupportedOperationException(s"fsimage codec not supported: $other")
     }
+
+  // ----------------------------------------------------- streaming plumbing
+
+  /** Inflates a series of concatenated zlib streams (Hadoop's DefaultCodec
+    * resets the compressor per buffer, producing back-to-back deflate
+    * streams) with O(buffer) memory. */
+  final class ZlibConcatInputStream(in: InputStream) extends InputStream {
+    private val inBuf = new Array[Byte](1 << 16)
+    private var inLen = 0
+    private var inEof = false
+    private var inf = new java.util.zip.Inflater()
+    private val one = new Array[Byte](1)
+
+    override def read(): Int = {
+      val n = read(one, 0, 1)
+      if (n < 0) -1 else one(0) & 0xFF
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        val n = inf.inflate(b, off, len)
+        if (n > 0) return n
+        if (inf.finished()) {
+          val rem = inf.getRemaining
+          inf.end()
+          inf = new java.util.zip.Inflater()
+          if (rem > 0) inf.setInput(inBuf, inLen - rem, rem)
+          else {
+            fill()
+            if (inLen == 0) return -1
+          }
+        } else if (inf.needsInput()) {
+          fill()
+          if (inLen == 0) return -1 // truncated input
+        } else {
+          return -1
+        }
+      }
+      -1
+    }
+
+    private def fill(): Unit = {
+      if (!inEof) {
+        inLen = in.read(inBuf)
+        if (inLen < 0) { inEof = true; inLen = 0 }
+        else inf.setInput(inBuf, 0, inLen)
+      } else inLen = 0
+    }
+
+    override def close(): Unit = { inf.end(); in.close() }
+  }
+
+  /** InputStream over at most `limit` bytes of `in`. */
+  final class BoundedInputStream(in: InputStream, limit: Long) extends InputStream {
+    private var left = limit
+    private val one = new Array[Byte](1)
+    override def read(): Int = { val n = read(one, 0, 1); if (n < 0) -1 else one(0) & 0xFF }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (left <= 0) return -1
+      val n = in.read(b, off, math.min(len.toLong, left).toInt)
+      if (n > 0) left -= n
+      n
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** Streaming view of one section's uncompressed bytes — O(buffer) memory
+    * regardless of section size. */
+  def sectionRawStream(path: String, s: Section, codec: Option[String]): InputStream = {
+    val fin = new java.io.FileInputStream(path)
+    fin.getChannel.position(s.offset)
+    val bounded = new BoundedInputStream(fin, s.length)
+    codec match {
+      case None | Some("")   => bounded
+      case Some(ZlibCodec)   => new ZlibConcatInputStream(bounded)
+      case Some(other)       =>
+        bounded.close()
+        throw new UnsupportedOperationException(s"fsimage codec not supported: $other")
+    }
+  }
+
+  /** One streaming pass over a delimited section: returns message-aligned
+    * chunk ranges of ~targetChunkBytes each, as offsets RELATIVE to the
+    * (uncompressed) section start. Memory is O(read buffer) — this is the
+    * driver's only look at the section; the bytes themselves are read again
+    * only by the executor that owns each range. */
+  def scanRanges(in: InputStream, dropHeader: Boolean,
+                 targetChunkBytes: Long): Array[(Long, Long)] = {
+    val buf = new Array[Byte](1 << 16)
+    var bLen = 0; var bOff = 0
+    var pos = 0L
+    def readByte(): Int = {
+      if (bOff >= bLen) { bLen = in.read(buf); bOff = 0; if (bLen <= 0) return -1 }
+      val r = buf(bOff) & 0xFF; bOff += 1; pos += 1; r
+    }
+    def skipN(n: Long): Unit = {
+      var leftToSkip = n
+      while (leftToSkip > 0) {
+        if (bOff >= bLen) {
+          bLen = in.read(buf); bOff = 0
+          if (bLen <= 0) throw new java.io.EOFException(s"truncated section at $pos")
+        }
+        val take = math.min(leftToSkip, (bLen - bOff).toLong).toInt
+        bOff += take; pos += take; leftToSkip -= take
+      }
+    }
+    val ranges = ArrayBuffer[(Long, Long)]()
+    var chunkStart = -1L
+    var isFirst = true
+    var b = readByte()
+    while (b >= 0) {
+      val msgStart = pos - 1
+      var len = (b & 0x7F).toLong; var shift = 7
+      while ((b & 0x80) != 0) {
+        b = readByte()
+        len |= (b & 0x7FL) << shift; shift += 7
+      }
+      skipN(len)
+      if (!(isFirst && dropHeader)) {
+        if (chunkStart < 0) chunkStart = msgStart
+        if (pos - chunkStart >= targetChunkBytes) {
+          ranges += ((chunkStart, pos)); chunkStart = -1
+        }
+      }
+      isFirst = false
+      b = readByte()
+    }
+    if (chunkStart >= 0) ranges += ((chunkStart, pos))
+    ranges.toArray
+  }
+
+  /** Executor-side ranged read through the Hadoop FileSystem API, so the
+    * same code path serves local files (tests) and DFS paths (clusters). */
+  def readRange(path: String, from: Long, len: Int): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try {
+      in.seek(from)
+      val out = new Array[Byte](len)
+      in.readFully(out)
+      out
+    } finally in.close()
+  }
 
   /** STRING_TABLE: header {numEntry=1, maskBits=2} then delimited entries
     * {id=1, str=2}. Hadoop 3 encodes the entry kind in the id's top bits
@@ -213,10 +418,8 @@ object FsImageFormat {
     StringTables(users.result(), groups.result(), flat.result(), typed = maskBits > 0)
   }
 
-  /** Scans delimited-message boundaries without parsing bodies — the cheap
-    * pre-pass that lets executors parse disjoint [start,end) ranges of the
-    * INODE/INODE_DIR sections in parallel ([[graft.sources.FsImageSource]]
-    * scale path). Returns message start offsets, header included. */
+  /** Scans delimited-message boundaries without parsing bodies (in-memory
+    * variant of [[scanRanges]], used by tests and the driver loader). */
   def messageOffsets(bytes: Array[Byte]): Array[Int] = {
     val out = Array.newBuilder[Int]
     val r = new Reader(bytes, 0, bytes.length)
@@ -240,11 +443,28 @@ object FsImageFormat {
     it.map(parseOneInode)
   }
 
+  private val NoAcl = Array.empty[Int]
+
+  /** AclFeatureProto {entries=2: packed fixed32} (INodeFile field 8,
+    * INodeDirectory field 5). */
+  private def parseAclFeature(m: Reader, out: ArrayBuffer[Int]): Unit =
+    m.eachField { (fn, wt, r) =>
+      (fn, wt) match {
+        case (2, 2) => // packed fixed32s
+          val p = r.subMessage()
+          while (p.hasMore) out += p.fixed32().toInt
+        case (2, 5) => out += r.fixed32().toInt
+        case _      => r.skip(wt)
+      }
+    }
+
   private def parseOneInode(m: Reader): RawInode = {
       var typ = 0; var id = 0L; var name = ""
       var repl = 0; var mtime = 0L; var atime = 0L; var pbs = 0L
       var perm = 0L; var nBlocks = 0; var size = 0L
       var sp = 0; var ec = 0; var target = ""
+      var blockSizes: ArrayBuffer[Long] = null
+      var acl: ArrayBuffer[Int] = null
       m.eachField { (fn, wt, r) =>
         (fn, wt) match {
           case (1, 0) => typ = r.varint().toInt
@@ -262,23 +482,33 @@ object FsImageFormat {
                 case (6, 2)  => // BlockProto {blockId=1, genStamp=2, numBytes=3}
                   val b = rr.subMessage()
                   nBlocks += 1
+                  var bytes = 0L
                   b.eachField { (bf, bw, br) =>
                     (bf, bw) match {
-                      case (3, 0) => size += br.varint()
+                      case (3, 0) => bytes = br.varint()
                       case _      => br.skip(bw)
                     }
                   }
+                  size += bytes
+                  if (blockSizes == null) blockSizes = new ArrayBuffer[Long](4)
+                  blockSizes += bytes
+                case (8, 2)  =>
+                  if (acl == null) acl = new ArrayBuffer[Int](4)
+                  parseAclFeature(rr.subMessage(), acl)
                 case (10, 0) => sp = rr.varint().toInt
                 case (12, 0) => ec = rr.varint().toInt
                 case _       => rr.skip(fw)
               }
             }
-          case (5, 2) => // INodeDirectory {modificationTime=1, ..., permission=4}
+          case (5, 2) => // INodeDirectory {modificationTime=1, ..., permission=4, acl=5}
             val d = r.subMessage()
             d.eachField { (df, dw, rr) =>
               (df, dw) match {
                 case (1, 0) => mtime = rr.varint()
                 case (4, 1) => perm = rr.fixed64()
+                case (5, 2) =>
+                  if (acl == null) acl = new ArrayBuffer[Int](4)
+                  parseAclFeature(rr.subMessage(), acl)
                 case _      => rr.skip(dw)
               }
             }
@@ -296,7 +526,20 @@ object FsImageFormat {
           case _ => r.skip(wt)
         }
       }
-      RawInode(id, typ, name, repl, mtime, atime, pbs, perm, nBlocks, size, sp, ec, target)
+      // Consumed size — reference FsUtil.getConsumedFileSize semantics
+      // (FsUtil.java:122-135): EC files use the cells/rows/parity formula
+      // per block; replicated files use Σblock × replication.
+      val consumed =
+        if (typ != 1) 0L
+        else EcPoliciesById.get(ec) match {
+          case Some(p) if ec > 0 =>
+            var c = 0L
+            if (blockSizes != null) blockSizes.foreach(b => c += ecBlockConsumed(b, p))
+            c
+          case _ => size * repl
+        }
+      RawInode(id, typ, name, repl, mtime, atime, pbs, perm, nBlocks, size,
+        consumed, sp, ec, target, if (acl == null) NoAcl else acl.toArray)
   }
 
   /** Parses every whole delimited DirEntry message in [from, to). */

@@ -1,0 +1,189 @@
+package graft.sources.fsimage
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream}
+
+/** Synthetic fsimage writer — the engine's counterpart of the reference's
+  * `fsimage-generator` module (reference fsimage-generator/README.md): it
+  * emits the same wire format the parser reads (magic, INODE / INODE_DIR /
+  * STRING_TABLE sections, tail FileSummary + 4-byte length), determinstic
+  * content keyed only by the requested counts.
+  *
+  * Beyond the reference's generator it can emit erasure-coded files
+  * (`ecEvery`), ACL features on files and dirs (`aclEvery`), symlinks,
+  * access times and storage-policy ids — the features the parser and the
+  * EC/ACL specs need ground truth for.
+  */
+object ImageGen {
+
+  final case class GenSpec(nDirs: Int, nFiles: Int,
+                           ecEvery: Int = 0,    // every k-th file is RS-6-3-1024k
+                           aclEvery: Int = 0,   // every k-th file carries 2 ACL entries
+                           nSymlinks: Int = 0,
+                           withAtime: Boolean = false)
+
+  /** Ground truth the generator guarantees, for specs to assert against. */
+  final case class GenSummary(sumFileSize: Long, sumConsumed: Long,
+                              nEcFiles: Int, nAclFiles: Int, nSymlinks: Int)
+
+  private val RootId = 16385L
+  /** Serial of the ACL-named user added to the string table. */
+  private val AclUserSerial = 21L
+  val AclUserName = "acl_named_user"
+
+  private class W {
+    val out = new ByteArrayOutputStream()
+    def varint(v0: Long): W = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt); this
+    }
+    def tag(field: Int, wt: Int): W = varint((field << 3) | wt)
+    def fixed64(v: Long): W = {
+      (0 until 8).foreach(i => out.write(((v >>> (8 * i)) & 0xFF).toInt)); this
+    }
+    def fixed32(v: Int): W = {
+      (0 until 4).foreach(i => out.write(((v >>> (8 * i)) & 0xFF).toInt)); this
+    }
+    def bytes(field: Int, b: Array[Byte]): W = { tag(field, 2); varint(b.length); out.write(b); this }
+    def str(field: Int, s: String): W = bytes(field, s.getBytes("UTF-8"))
+    def msg(field: Int)(f: W => Unit): W = { val i = new W; f(i); bytes(field, i.out.toByteArray) }
+    def delimited(f: W => Unit): W = {
+      val i = new W; f(i)
+      varint(i.out.toByteArray.length); out.write(i.out.toByteArray); this
+    }
+  }
+
+  /** Encodes one ACL entry in the fsimage fixed32 layout (perm bits 0-2,
+    * type bits 3-4, scope bit 5, name id bits 6-29). */
+  def aclEntry(perm: Int, typ: Int, scope: Int, nameSerial: Int): Int =
+    (nameSerial << 6) | (scope << 5) | (typ << 3) | perm
+
+  /** Back-compat entry point: plain replicated-file tree. Returns Σ size. */
+  def write(path: String, nDirs: Int, nFiles: Int): Long =
+    write(path, GenSpec(nDirs, nFiles)).sumFileSize
+
+  def write(path: String, spec: GenSpec): GenSummary = {
+    import spec._
+    val ec = FsImageFormat.EcPoliciesById(1) // RS-6-3-1024k
+    val dirIds = (0 until nDirs).map(i => RootId + 1 + i)
+    val fileIds = (0 until nFiles).map(i => RootId + 1 + nDirs + i)
+    val linkIds = (0 until nSymlinks).map(i => RootId + 1 + nDirs + nFiles + i)
+
+    def perm(user: Long, group: Long, mode: Int): Long =
+      (user << 40) | (group << 16) | mode
+
+    // entries: named user rwx (access) + default group r-x
+    val aclEntries = Seq(
+      aclEntry(perm = 7, typ = 0, scope = 0, nameSerial = AclUserSerial.toInt),
+      aclEntry(perm = 5, typ = 1, scope = 1, nameSerial = 0))
+
+    val inodes = new W
+    inodes.delimited { h =>
+      h.tag(1, 0).varint(RootId + nDirs + nFiles + nSymlinks)
+      h.tag(2, 0).varint(1 + nDirs + nFiles + nSymlinks)
+    }
+    inodes.delimited { m =>
+      m.tag(1, 0).varint(2); m.tag(2, 0).varint(RootId); m.str(3, "")
+      m.msg(5)(d => { d.tag(1, 0).varint(1700000000000L); d.tag(4, 1).fixed64(perm(1, 1, 0x1ED)) })
+    }
+    dirIds.zipWithIndex.foreach { case (id, i) =>
+      inodes.delimited { m =>
+        m.tag(1, 0).varint(2); m.tag(2, 0).varint(id); m.str(3, s"dir_$i")
+        m.msg(5) { d =>
+          d.tag(1, 0).varint(1700000000000L + i)
+          d.tag(4, 1).fixed64(perm(1 + i % 20, 1 + i % 10, 0x1ED))
+          // first dir gets the ACL feature too (INodeDirectory field 5)
+          if (aclEvery > 0 && i == 0)
+            d.msg(5)(a => a.msg(2)(p => aclEntries.foreach(e => p.fixed32(e))))
+        }
+      }
+    }
+    var sumSize = 0L
+    var sumConsumed = 0L
+    var nEc = 0
+    var nAcl = 0
+    fileIds.zipWithIndex.foreach { case (id, i) =>
+      val size = 1024L * (1 + i % 3000)
+      val isEc = ecEvery > 0 && i % ecEvery == 0
+      val hasAcl = aclEvery > 0 && i % aclEvery == 0
+      val repl = 1 + i % 3
+      sumSize += size
+      sumConsumed += (if (isEc) FsImageFormat.ecBlockConsumed(size, ec) else size * repl)
+      if (isEc) nEc += 1
+      if (hasAcl) nAcl += 1
+      inodes.delimited { m =>
+        m.tag(1, 0).varint(1); m.tag(2, 0).varint(id); m.str(3, s"f_$i.dat")
+        m.msg(4) { f =>
+          if (!isEc) f.tag(1, 0).varint(repl) // EC files carry no replication
+          f.tag(2, 0).varint(1700000000000L + i)
+          if (withAtime) f.tag(3, 0).varint(1710000000000L + i * 1000L)
+          f.tag(5, 1).fixed64(perm(1 + i % 20, 1 + i % 10, 0x1A4))
+          f.msg(6)(b => { b.tag(1, 0).varint(id); b.tag(2, 0).varint(1); b.tag(3, 0).varint(size) })
+          if (hasAcl) f.msg(8)(a => a.msg(2)(p => aclEntries.foreach(e => p.fixed32(e))))
+          if (withAtime) f.tag(10, 0).varint(5 + i % 2) // storage policy id
+          if (isEc) f.tag(12, 0).varint(ec.id)
+        }
+      }
+    }
+    linkIds.zipWithIndex.foreach { case (id, i) =>
+      inodes.delimited { m =>
+        m.tag(1, 0).varint(3); m.tag(2, 0).varint(id); m.str(3, s"link_$i")
+        m.msg(6) { s =>
+          s.tag(1, 1).fixed64(perm(1 + i % 20, 1 + i % 10, 0x1FF))
+          s.str(2, s"/dir_${i % math.max(nDirs, 1)}/f_$i.dat")
+          s.tag(3, 0).varint(1700000000000L + i * 1000L)
+          s.tag(4, 0).varint(1710000000000L + i * 1000L)
+        }
+      }
+    }
+
+    val dirSection = new W
+    // root's children: all dirs + all symlinks
+    dirSection.delimited { m =>
+      m.tag(1, 0).varint(RootId)
+      m.msg(2)(p => { dirIds.foreach(p.varint); linkIds.foreach(p.varint) })
+    }
+    // files round-robin under dirs
+    if (nDirs > 0) {
+      val byDir = fileIds.zipWithIndex.groupBy(_._2 % nDirs)
+      byDir.toSeq.sortBy(_._1).foreach { case (d, fs) =>
+        dirSection.delimited { m =>
+          m.tag(1, 0).varint(dirIds(d))
+          m.msg(2)(p => fs.foreach(f => p.varint(f._1)))
+        }
+      }
+    }
+
+    val strings = new W
+    strings.delimited { h => h.tag(1, 0).varint(31); h.tag(2, 0).varint(3) }
+    (1 to 20).foreach(i => strings.delimited { e => e.tag(1, 0).varint((1L << 29) | i); e.str(2, s"user$i") })
+    strings.delimited { e => e.tag(1, 0).varint((1L << 29) | AclUserSerial); e.str(2, AclUserName) }
+    (1 to 10).foreach(i => strings.delimited { e => e.tag(1, 0).varint((2L << 29) | i); e.str(2, s"grp$i") })
+
+    val fos = new FileOutputStream(path)
+    val dos = new DataOutputStream(fos)
+    dos.write("HDFSIMG1".getBytes("ASCII"))
+    var offset = 8L
+    val sections = Seq("INODE" -> inodes, "INODE_DIR" -> dirSection, "STRING_TABLE" -> strings)
+    val located = sections.map { case (name, w) =>
+      val b = w.out.toByteArray
+      dos.write(b)
+      val s = (name, b.length.toLong, offset)
+      offset += b.length
+      s
+    }
+    val summary = new W
+    summary.delimited { fsm =>
+      fsm.tag(1, 0).varint(1)
+      fsm.tag(2, 0).varint(0xFFFFFFBFL) // layout -65 as uint
+      located.foreach { case (name, len, off) =>
+        fsm.msg(4)(sec => { sec.str(1, name); sec.tag(2, 0).varint(len); sec.tag(3, 0).varint(off) })
+      }
+    }
+    val sb = summary.out.toByteArray
+    dos.write(sb)
+    dos.writeInt(sb.length)
+    dos.close()
+    GenSummary(sumSize, sumConsumed, nEc, nAcl, nSymlinks)
+  }
+}

@@ -77,22 +77,23 @@ class FsImageSourceSpec extends SparkSpecBase {
     assert(b.exceptAll(a).count() == 0)
   }
 
-  test("synthetic 500k-inode image: distributed parse, counts, reports") {
+  test("synthetic 1M-inode image: ranged distributed parse, counts, reports") {
     val dir = java.nio.file.Files.createTempDirectory("graft_img").toFile
     val img = new java.io.File(dir, "big.img").getPath
-    val nDirs = 2000
-    val nFiles = 500000
-    val expectedSum = graft.sources.fsimage.TestImageGen.write(img, nDirs, nFiles)
+    val nDirs = 4000
+    val nFiles = 1000000
+    val expectedSum = graft.sources.fsimage.ImageGen.write(img, nDirs, nFiles)
 
     val t0 = System.nanoTime()
     val driver = FsImageSource.inodes(spark, img)
     val nD = driver.count()
     val tDriver = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val dist = FsImageSource.inodesDistributed(spark, img).cache()
+    // small target chunk so the ranged path genuinely runs multi-split
+    val dist = FsImageSource.inodesDistributed(spark, img, targetChunkBytes = 4L << 20).cache()
     val nX = dist.count()
     val tDist = (System.nanoTime() - t1) / 1e9
-    info(f"500k inodes: driver=$tDriver%.2fs distributed=$tDist%.2fs")
+    info(f"1M inodes: driver=$tDriver%.2fs distributed=$tDist%.2fs")
     assert(nD == 1 + nDirs + nFiles)
     assert(nX == nD)
 
@@ -101,6 +102,80 @@ class FsImageSourceSpec extends SparkSpecBase {
     assert(summary.length == 20)
     assert(summary.map(_.getAs[Long]("n_files")).sum == nFiles)
     dist.unpersist()
+    new java.io.File(img).delete()
+  }
+
+  test("EC consumed size matches the reference formula byte-exactly") {
+    import graft.sources.fsimage.{FsImageFormat, ImageGen}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ec").toFile
+    val img = new java.io.File(dir, "ec.img").getPath
+    // every 3rd file RS-6-3-1024k; sizes span 1 KiB .. ~3000 KiB so some
+    // blocks need >1 cell and exercise the rows term
+    val gen = graft.sources.fsimage.ImageGen.write(img,
+      ImageGen.GenSpec(nDirs = 5, nFiles = 2000, ecEvery = 3))
+    assert(gen.nEcFiles == 667)
+
+    val df = FsImageSource.inodes(spark, img).cache()
+    // total consumed must equal the generator's independently computed sum
+    assert(df.agg(sum(when(col("ftype") === "F", col("csize")))).head.getLong(0) == gen.sumConsumed)
+    // EC files: repl=0 but csize > size (parity overhead), policy surfaced
+    val ecRows = df.filter(col("ec_policy") === "RS-6-3-1024k")
+    assert(ecRows.count() == 667)
+    assert(ecRows.filter(col("repl") =!= 0).count() == 0)
+    assert(ecRows.filter(col("csize") <= col("size")).count() == 0)
+    // spot-check one: f_0.dat size 1024 → 1 cell → 1 row → 1024 + 3·1 MiB
+    val f0 = df.filter(col("name") === "f_0.dat").head
+    assert(f0.getAs[Long]("csize") == 1024L + 3L * (1L << 20))
+    // formula unit check vs FsUtil.java:126-130 for a multi-row block
+    val p = FsImageFormat.EcPoliciesById(1)
+    val b = 7L * (1L << 20) // 7 cells over 6 data units → 2 rows
+    assert(FsImageFormat.ecBlockConsumed(b, p) == b + 2L * 3 * (1L << 20))
+    // distributed loader agrees
+    val dist = FsImageSource.inodesDistributed(spark, img, parallelism = 5)
+    assert(dist.exceptAll(df).count() == 0 && df.exceptAll(dist).count() == 0)
+    df.unpersist()
+    new java.io.File(img).delete()
+  }
+
+  test("ACL entries decode (named user, default scope) on files and dirs") {
+    import graft.sources.fsimage.ImageGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_acl").toFile
+    val img = new java.io.File(dir, "acl.img").getPath
+    ImageGen.write(img, ImageGen.GenSpec(nDirs = 4, nFiles = 100, aclEvery = 10))
+
+    val df = FsImageSource.inodes(spark, img).cache()
+    val withAcl = df.filter(col("n_acl") > 0)
+    assert(withAcl.filter(col("ftype") === "F").count() == 10)
+    assert(withAcl.filter(col("ftype") === "D").count() == 1) // dir_0
+    val f0 = df.filter(col("name") === "f_0.dat").head
+    assert(f0.getAs[scala.collection.Seq[String]]("acl").toSeq ==
+      Seq(s"user:${ImageGen.AclUserName}:rwx", "default:group::r-x"))
+    // inodes without the feature stay empty
+    assert(df.filter(col("n_acl") === 0 && size(col("acl")) =!= 0).count() == 0)
+    df.unpersist()
+    new java.io.File(img).delete()
+  }
+
+  test("symlink target, atime and storage policy are surfaced") {
+    import graft.sources.fsimage.ImageGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_sym").toFile
+    val img = new java.io.File(dir, "sym.img").getPath
+    ImageGen.write(img, ImageGen.GenSpec(nDirs = 3, nFiles = 30,
+      nSymlinks = 5, withAtime = true))
+
+    val df = FsImageSource.inodes(spark, img).cache()
+    val links = df.filter(col("ftype") === "S").collect()
+    assert(links.length == 5)
+    val l0 = links.find(_.getAs[String]("name") == "link_0").get
+    assert(l0.getAs[String]("symlink_target") == "/dir_0/f_0.dat")
+    assert(l0.getAs[String]("path") == "/link_0")
+    assert(l0.getAs[Long]("atime_sec") == 1710000000L)
+    val f1 = df.filter(col("name") === "f_1.dat").head
+    assert(f1.getAs[Long]("atime_sec") == 1710000001L) // +1s for f_1
+    assert(f1.getAs[Int]("storage_policy") == 6) // 5 + 1%2
+    // non-symlinks carry an empty target
+    assert(df.filter(col("ftype") =!= "S" && col("symlink_target") =!= "").count() == 0)
+    df.unpersist()
     new java.io.File(img).delete()
   }
 
@@ -141,8 +216,8 @@ class FsImageSourceSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_diff").toFile
     val img1 = new java.io.File(dir, "a.img").getPath
     val img2 = new java.io.File(dir, "b.img").getPath
-    graft.sources.fsimage.TestImageGen.write(img1, nDirs = 10, nFiles = 100)
-    graft.sources.fsimage.TestImageGen.write(img2, nDirs = 10, nFiles = 120)
+    graft.sources.fsimage.ImageGen.write(img1, nDirs = 10, nFiles = 100)
+    graft.sources.fsimage.ImageGen.write(img2, nDirs = 10, nFiles = 120)
 
     val diff = Reports.namespaceDiff(
       FsImageSource.inodes(spark, img1), FsImageSource.inodes(spark, img2))
