@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.NamespaceQueries,
     graft.queries.TextQueries,
     graft.queries.VectorQueries,
-    graft.queries.MultimodalQueries)
+    graft.queries.MultimodalQueries,
+    graft.queries.FsImageQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -35,12 +35,24 @@ object Namespace {
   // it once per (session, sfDir) — exactly what a production deployment
   // does with a materialized inode table — instead of re-running the dim
   // joins per report. Cache is lazy; first report pays the build.
-  private val memo = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  // LRU-bounded so long-lived sessions cycling through many sfDirs don't
+  // accumulate cached plans: the evicted entry is unpersisted.
+  private val MaxMemo = 8
+  private val memo =
+    new java.util.LinkedHashMap[(String, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), DataFrame]): Boolean =
+        size > MaxMemo && {
+          try e.getValue.unpersist(false) catch { case _: Throwable => () }
+          true
+        }
+    }
 
   /** Full inode table: files ∪ directories ∪ symlinks (memoized+cached). */
-  def inodes(spark: SparkSession, sfDir: String): DataFrame =
+  def inodes(spark: SparkSession, sfDir: String): DataFrame = memo.synchronized {
     memo.computeIfAbsent((sessionKey(spark), sfDir),
       _ => build(spark, sfDir).cache())
+  }
 
   private def sessionKey(spark: SparkSession): String =
     org.apache.spark.sql.graftshim.sessionKey(spark)

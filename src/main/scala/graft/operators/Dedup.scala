@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shingle-based near-dup candidate generation as a reusable operator
+  * (SURVEY §2.4) — the equi-join-on-shingle shape with the stop-shingle
+  * cut that makes it safe on web-scale corpora. */
+object Dedup {
+
+  /** Default doc-frequency cap: a shingle shared by more documents than
+    * this is boilerplate ("click here to read more") — each such shingle
+    * key produces df² join rows, so one hot shingle in 1% of a 10⁹-doc
+    * corpus would otherwise dominate the whole job. Cutting it changes
+    * candidate recall only for near-universal shingles, which carry no
+    * dedup signal anyway (standard practice in MinHash/Jaccard pipelines).
+    */
+  val DefaultMaxShingleDf = 500L
+
+  /** N-gram Jaccard near-dup pairs over (doc_id, text): explode distinct
+    * word-3-gram shingles → drop shingles with doc-frequency above
+    * `maxShingleDf` → equi-join on shingle (never O(n²)) → pair-count →
+    * Jaccard in basis points (denominator uses the UNCUT per-doc shingle
+    * counts, so the cap only affects candidate generation).
+    *
+    * Shuffle shape: one exchange on `sh` feeds the df window AND both join
+    * sides (reused exchange); one exchange on the (doc_a, doc_b) pair agg.
+    */
+  def ngramJaccardPairs(documents: DataFrame, minJaccardBp: Long,
+                        maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+    // One row per (doc, distinct shingle); n_sh carried alongside so the
+    // pair aggregation needs no extra join against a counts table.
+    // localCheckpoint: materialize the shingle table once — the df window
+    // and both join sides reuse it instead of re-deriving 3-gram md5
+    // arrays per side.
+    val docs = documents
+      .select(col("doc_id"), array_distinct(graft.functions.word_shingles(col("text"))).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("sh"))
+      .localCheckpoint()
+    val kept = docs
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"),
+           first(col("x.n_sh")).as("na"), first(col("y.n_sh")).as("nb"))
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("n_common") * 10000.0 / (col("na") + col("nb") - col("n_common"))).cast("long").as("jaccard_bp"))
+      .filter(col("jaccard_bp") >= minJaccardBp)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Refuses to build a plan whose cost is quadratic in `df` beyond
+    * `defaultMax` rows (override with spark conf `confKey`) — the guard on
+    * the brute-force dedup/ANN baselines so the O(n²) path can't be
+    * invoked on cluster-scale inputs by accident. The check reads at most
+    * max+1 rows. */
+  def guardQuadratic(df: DataFrame, what: String, alternative: String,
+                     confKey: String, defaultMax: Long): DataFrame = {
+    val max = df.sparkSession.conf.getOption(confKey).map(_.toLong).getOrElse(defaultMax)
+    val n = df.limit(math.min(max + 1, Int.MaxValue.toLong).toInt).count()
+    require(n <= max,
+      s"$what: input exceeds $max rows — the quadratic baseline is refused at this size; " +
+      s"use $alternative, or raise $confKey")
+    df
+  }
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.FsImageSource
+import graft.sources.fsimage.ImageGen
+
+/** Driver-oracle coverage for the fsimage source (SURVEY §2.1): a
+  * deterministic generated image is parsed end-to-end (EC consumed-size
+  * formula, ACL decode, symlinks, atime/storage-policy all exercised), the
+  * parsed rows are exported to parquet, and the DuckDB oracle re-derives
+  * the same aggregate from that export. The specs in FsImageSourceSpec pin
+  * the parser to the generator's independently-computed ground truth; this
+  * query additionally runs it through the driver's correctness gate. */
+object FsImageQueries extends QueryModule {
+
+  /** Absolute paths — the oracle SQL runs in DuckDB outside the JVM. */
+  private val BaseDir = "/root/repo/target/fsimage-oracle"
+  private val ImagePath = s"$BaseDir/sample.img"
+  private val ExportDir = s"$BaseDir/inodes"
+
+  private val Gen = ImageGen.GenSpec(nDirs = 50, nFiles = 5000,
+    ecEvery = 4, aclEvery = 7, nSymlinks = 10, withAtime = true)
+
+  private def ensureImage(): Unit = synchronized {
+    val f = new java.io.File(ImagePath)
+    if (!f.isFile) {
+      f.getParentFile.mkdirs()
+      ImageGen.write(ImagePath, Gen)
+    }
+  }
+
+  /** Whole-image accounting over the parsed inode table: type counts,
+    * size/consumed/blocks sums (consumed covers the EC parity formula),
+    * ACL entry count, EC file count, distinct owners. */
+  def fsimageSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureImage()
+    val df = FsImageSource.inodes(spark, ImagePath)
+    df.write.mode("overwrite").parquet(ExportDir)
+    df.agg(
+      sum(when(col("ftype") === "F", 1L).otherwise(0L)).as("n_files"),
+      sum(when(col("ftype") === "D", 1L).otherwise(0L)).as("n_dirs"),
+      sum(when(col("ftype") === "S", 1L).otherwise(0L)).as("n_symlinks"),
+      sum(col("size")).as("sum_size"),
+      sum(col("csize")).as("sum_csize"),
+      sum(col("blocks")).as("sum_blocks"),
+      sum(col("n_acl").cast("long")).as("n_acl_entries"),
+      sum(when(col("ec_policy") =!= "", 1L).otherwise(0L)).as("n_ec_files"),
+      countDistinct(col("owner")).as("n_users"))
+  }
+
+  val fsimageSummarySql: String = s"""
+    SELECT CAST(sum(CASE WHEN ftype='F' THEN 1 ELSE 0 END) AS bigint) AS n_files,
+           CAST(sum(CASE WHEN ftype='D' THEN 1 ELSE 0 END) AS bigint) AS n_dirs,
+           CAST(sum(CASE WHEN ftype='S' THEN 1 ELSE 0 END) AS bigint) AS n_symlinks,
+           CAST(sum(size) AS bigint) AS sum_size,
+           CAST(sum(csize) AS bigint) AS sum_csize,
+           CAST(sum(blocks) AS bigint) AS sum_blocks,
+           CAST(sum(n_acl) AS bigint) AS n_acl_entries,
+           CAST(sum(CASE WHEN ec_policy <> '' THEN 1 ELSE 0 END) AS bigint) AS n_ec_files,
+           CAST(count(DISTINCT owner) AS bigint) AS n_users
+    FROM read_parquet('$ExportDir/*.parquet')"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fsimage_summary" -> (fsimageSummary _))
+
+  val oracles: Map[String, String] = Map(
+    "q_fsimage_summary" -> fsimageSummarySql)
+}

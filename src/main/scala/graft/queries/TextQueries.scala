@@ -229,40 +229,24 @@ object TextQueries extends QueryModule {
     )
     ORDER BY doc_id"""
 
-  /** N-gram Jaccard near-dup pairs: explode distinct shingles → equi-join
-    * on shingle (never O(n²)) → pair-count → Jaccard in basis points.
-    * At 100 TB: identical shape, plus a stop-shingle cut (drop shingles
-    * with doc-frequency above a cap) to bound the skew of hot shingles. */
-  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    // One row per (doc, distinct shingle); n_sh carried alongside so the
-    // pair aggregation needs no extra join against a counts table — the
-    // per-doc count rides with every shingle row (constant per doc).
-    // localCheckpoint: materialize the shingle table once — both sides of
-    // the self-join (and the broadcast build) reuse it instead of
-    // re-deriving 3-gram md5 arrays per side.
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("shs"))
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
-        explode(col("shs")).as("sh"))
-      .localCheckpoint()
-    val pairs = docs.as("x").join(docs.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"),
-           first(col("x.n_sh")).as("na"), first(col("y.n_sh")).as("nb"))
-    pairs
-      .select(col("doc_a"), col("doc_b"),
-        floor(col("n_common") * 10000.0 / (col("na") + col("nb") - col("n_common"))).cast("long").as("jaccard_bp"))
-      .filter(col("jaccard_bp") >= 100)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  /** N-gram Jaccard near-dup pairs — [[graft.operators.Dedup
+    * .ngramJaccardPairs]]: equi-join on shingle (never O(n²)) with the
+    * stop-shingle doc-frequency cap that bounds hot-shingle skew; Jaccard
+    * in basis points. The oracle applies the identical cap. */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sfDir), minJaccardBp = 100)
 
   val dedupNgramJaccardSql: String = s"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh
       FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
     ), counts AS (
-      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0
+      ) WHERE df <= ${graft.operators.Dedup.DefaultMaxShingleDf}
     ), pairs AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
       FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id

@@ -33,6 +33,16 @@ object VectorQueries extends QueryModule {
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** Size caps for the quadratic baselines ([[graft.operators.Dedup
+    * .guardQuadratic]]): beyond these the brute-force paths refuse and
+    * point at the bucketed variant, so the O(n²) plan can't reach a
+    * cluster-scale input by accident. Raise via spark conf when the
+    * quadratic cost is a deliberate choice. */
+  val DedupBruteConf = "graft.dedup.maxBruteRows"
+  val AnnBruteConf = "graft.ann.maxBruteRows"
+  val DedupBruteDefault = 100000L  // ~5·10⁹ pairs — already generous
+  val AnnBruteDefault = 5000000L   // n·q with q broadcast; linear in n
+
   private val dotSql =
     "list_reduce(list_transform(range(1, len(%s) + 1), i -> CAST(%s[i] AS double) * CAST(%s[i] AS double)), (x, y) -> x + y)"
 
@@ -46,7 +56,8 @@ object VectorQueries extends QueryModule {
     * rank on a tiny intermediate. This is the exact-recall baseline the
     * LSH variant is measured against. */
   def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
-    val cands = embs(spark, sfDir)
+    val cands = graft.operators.Dedup.guardQuadratic(embs(spark, sfDir),
+      "annBruteForce", "annLsh / annIvf", AnnBruteConf, AnnBruteDefault)
     val qs = cands.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = cands.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("q_id"))
@@ -78,7 +89,8 @@ object VectorQueries extends QueryModule {
   /** Embedding-cosine near-dup pairs (cos ≥ 0.30). Brute-force pair join —
     * the exactness baseline; the scale path is [[annLsh]]'s bucketing. */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embs(spark, sfDir)
+    val e = graft.operators.Dedup.guardQuadratic(embs(spark, sfDir),
+      "dedupEmbedding", "annLsh buckets / dedupMinhash", DedupBruteConf, DedupBruteDefault)
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
