@@ -21,6 +21,14 @@ object Bench {
     graft.core.Tables.documents(spark, sfDir).count()
     graft.core.Namespace.inodes(spark, sfDir).count()
 
+    // Caches created by the warmup (the shared namespace) stay for the
+    // whole run; anything a query persists for itself (localCheckpoint'd
+    // sketch tables etc.) is dropped right after its runs — otherwise 40+
+    // queries accumulate GBs of dead blocks and GC pauses land on
+    // whichever query runs next (the roaming multi-second outliers seen
+    // in earlier rounds).
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+
     // Two timed runs per query, min reported: strips one-off JIT/IO noise
     // (run-to-run variance on shared hosts is ±30% otherwise).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -29,7 +37,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val t = math.min(once(), once())
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep(id) }
+        .foreach { case (_, rdd) => rdd.unpersist(false) }
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

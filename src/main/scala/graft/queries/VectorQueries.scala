@@ -320,12 +320,15 @@ object VectorQueries extends QueryModule {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    // per-bit ones-counts (branch-free arithmetic, cheaper codegen than a
+    // CASE per bit); sign of the ±1 sum ⟺ 2·ones > n_tokens
     val bitSums = (0 until 60).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"o$b")
     }
-    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val aggs = count(lit(1)).as("n_tok") +: bitSums
+    val agg = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val simhash = (0 until 60).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+      when(col(s"o$b") * 2 > col("n_tok"), lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     val sigs = agg.select(col("doc_id"), simhash.as("simhash"))
     val chunks = (0 until 4).map { c =>
@@ -334,12 +337,21 @@ object VectorQueries extends QueryModule {
     val exploded = sigs.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
       .localCheckpoint() // signature table built once, reused by both join sides
+    // A pair sharing m chunks would surface m times; keep only the row
+    // whose join chunk is the SMALLEST shared chunk — a branch-free
+    // map-side filter on the two signatures that replaces a full
+    // distinct() shuffle of the candidate set (millions of rows on
+    // near-dup-heavy corpora).
+    def chunkEq(j: Int): Column =
+      shiftright(col("x.simhash"), j * 15).bitwiseAND(lit(0x7FFFL)) ===
+      shiftright(col("y.simhash"), j * 15).bitwiseAND(lit(0x7FFFL))
+    val earlierShared = (0 until 3).map(j => lit(j) < col("x.chunk") && chunkEq(j)).reduce(_ || _)
     exploded.as("x").join(exploded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
         col("x.doc_id") < col("y.doc_id"))
+      .filter(!earlierShared)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 16)
       .orderBy(col("doc_a"), col("doc_b"))
   }
