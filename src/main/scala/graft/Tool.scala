@@ -10,7 +10,7 @@ import graft.functions.IECBinaryImpl
   *
   * {{{
   * runMain graft.Tool <command> <fsimage> [options]
-  *   commands: summary | smallfiles | userusage | path | inode
+  *   commands: summary | smallfiles | userusage | path | inode | acl
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /)
   *   -fun <regex>      filter by user name (summary/path commands)
@@ -82,6 +82,8 @@ object Tool {
             case Some(id) => Reports.inodeLookupById(inodes, Seq(id))
             case None     => Reports.inodeLookup(inodes, Seq(key))
           }
+        case "acl" =>
+          Reports.aclStatus(inodes, opts.getOrElse("-i", "/").split(",").toSeq)
         case other =>
           throw new IllegalArgumentException(s"unknown command: $other")
       }

@@ -135,6 +135,17 @@ object Reports {
   def inodeLookupById(inodes: DataFrame, ids: Seq[Long]): DataFrame =
     inodes.filter(col("id").isin(ids: _*)).orderBy(col("id"))
 
+  /** FsImageData.getAclStatus equivalent (reference FsImageData
+    * .java:208-226): owner / group / permission / sticky bit + decoded ACL
+    * entry strings for the given paths. Requires an fsimage-sourced table
+    * (n_acl / acl columns). */
+  def aclStatus(inodes: DataFrame, paths: Seq[String]): DataFrame =
+    inodes.filter(col("path").isin(paths: _*))
+      .select(col("path"), col("owner"), col("grp"), col("perm"),
+        (substring(col("perm"), 1, 1).cast("int") % 2 === 1).as("sticky"),
+        col("n_acl"), col("acl"))
+      .orderBy(col("path"))
+
   /** Children per directory (FsImageData.getNumChildren /
     * getChildDirectories): parent = path minus last component; one shuffle
     * on the parent key. */

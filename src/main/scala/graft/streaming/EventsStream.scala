@@ -43,6 +43,26 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join (impression→click
+    * attribution shape): each click joins the same user's impressions from
+    * the preceding `joinWindowSec`. Both sides carry watermarks and the
+    * join condition bounds event time on both ends, so the join state
+    * Spark keeps per side is bounded by watermark + window — the 100 TB/day
+    * posture (state ∝ in-flight window, not stream history). */
+  def intervalJoin(impressions: DataFrame, clicks: DataFrame,
+                   watermark: String = "1 hour",
+                   joinWindowSec: Long = 1800): DataFrame = {
+    val imp = impressions
+      .select(col("user_id"), col("ts").as("imp_ts"), col("value").as("imp_value"))
+      .withWatermark("imp_ts", watermark)
+    val clk = clicks
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    imp.join(clk, Seq("user_id")).where(
+      col("click_ts") >= col("imp_ts") &&
+      col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"))
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class OpenSession(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,

@@ -152,6 +152,12 @@ class FsImageSourceSpec extends SparkSpecBase {
       Seq(s"user:${ImageGen.AclUserName}:rwx", "default:group::r-x"))
     // inodes without the feature stay empty
     assert(df.filter(col("n_acl") === 0 && size(col("acl")) =!= 0).count() == 0)
+
+    // getAclStatus equivalent: owner/group/perm/sticky + entries by path
+    val st = Reports.aclStatus(df, Seq("/dir_0", "/dir_0/f_0.dat")).collect()
+    assert(st.map(_.getAs[String]("path")).toSeq == Seq("/dir_0", "/dir_0/f_0.dat"))
+    assert(st.forall(_.getAs[Int]("n_acl") == 2))
+    assert(st.forall(!_.getAs[Boolean]("sticky")))
     df.unpersist()
     new java.io.File(img).delete()
   }

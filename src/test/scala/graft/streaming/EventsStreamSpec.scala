@@ -105,6 +105,44 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(userId: Long, offsetMin: Long, v: Double) =
+      Ev(new Timestamp(base + offsetMin * 60000), "x", userId, v)
+
+    val imps = MemoryStream[Ev]
+    val clks = MemoryStream[Ev]
+    val query = EventsStream.intervalJoin(imps.toDF(), clks.toDF(),
+        joinWindowSec = 1800)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // user 1: impression at t0 — clicks at +10min (join) and +40min (no)
+      // user 2: impression at +5min — click at +20min (join)
+      imps.addData(ev(1, 0, 100), ev(2, 5, 200))
+      clks.addData(ev(1, 10, 1), ev(1, 40, 2), ev(2, 20, 3))
+      query.processAllAvailable()
+      // advance both watermarks so results flush in append mode
+      imps.addData(ev(9, 600, 0)); clks.addData(ev(9, 600, 0))
+      query.processAllAvailable()
+
+      val got = spark.table("attrib")
+        .select("user_id", "imp_value", "click_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .toSet
+      // batch twin: plain join with the same interval predicate
+      assert(got.contains((1L, 100.0, 1.0)))
+      assert(got.contains((2L, 200.0, 3.0)))
+      assert(!got.exists { case (u, _, c) => u == 1L && c == 2.0 })
+      // user-9 watermark-driver events join themselves (same ts) — ignore
+      assert(got.filterNot(_._1 == 9L).size == 2)
+    } finally query.stop()
+  }
+
   test("checkpointed parquet file sink commits exactly-once batches") {
     val session = spark
     import session.implicits._
