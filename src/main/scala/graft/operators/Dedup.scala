@@ -56,6 +56,55 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over an undirected candidate-pair list — the
+    * step that turns near-dup PAIRS into dedup GROUPS (pick one canonical
+    * per group, drop the rest). Iterative min-label propagation: every
+    * vertex starts labeled with its own id; each round a vertex takes the
+    * min of its own and its neighbors' labels; converges in O(component
+    * diameter) rounds — near-dup components are shallow (dup clusters are
+    * near-cliques), so 2-4 rounds in practice even at corpus scale.
+    *
+    * Scale shape: each round is one equi-join edges⋈labels on the vertex
+    * id plus a groupBy(src) min — all shuffles on the same key, no
+    * driver-side data. `localCheckpoint` per round truncates the lineage
+    * (iterative plans otherwise grow exponentially); the convergence check
+    * is a count of changed labels, not a collect.
+    *
+    * @param pairs    (doc_a, doc_b) undirected edges, doc_a < doc_b
+    * @param vertices (doc_id) universe incl. singletons
+    * @return (doc_id, cluster_id) where cluster_id = min doc_id reachable
+    */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+                          maxIters: Int = 50): DataFrame = {
+    // materialize the (possibly expensive) pair plan ONCE — the union
+    // below scans it twice, and every propagation round scans the result
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val sym = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // only edge-touched vertices can ever change label — iterate over that
+    // subset (a sliver of a mostly-singleton corpus) and attach the
+    // untouched majority once at the end
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          col("cluster_id").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("cluster_id") < col("prev")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
+      iter += 1
+    }
+    vertices.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Refuses to build a plan whose cost is quadratic in `df` beyond
     * `defaultMax` rows (override with spark conf `confKey`) — the guard on
     * the brute-force dedup/ANN baselines so the O(n²) path can't be

@@ -408,6 +408,52 @@ object Analytics extends QueryModule {
     GROUP BY n_name
     ORDER BY n_name"""
 
+  /** Group-wise top-3 lineitems per supplier through the bounded-buffer
+    * [[graft.operators.TopK]] aggregator: map-side buffers keep ≤ k rows
+    * per group, so the shuffle is O(groups·k) instead of O(rows) — the
+    * scale-out form of "top hotspots per tenant". Tie-free because the
+    * synthetic item_id is unique; equals row_number semantics. */
+  def qTopkGroupwise(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"),
+        cents(col("l_extendedprice")).as("price_c"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("item_id"))
+    graft.operators.TopK.topK(li, "l_suppkey", "price_c", "item_id", k = 3)
+      .orderBy(col("l_suppkey"), col("rnk"))
+  }
+
+  val qTopkGroupwiseSql: String = """
+    SELECT l_suppkey, rnk, item_id, price_c FROM (
+      SELECT l_suppkey,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY price_c DESC, item_id) AS rnk,
+             item_id, price_c
+      FROM (SELECT CAST(l_suppkey AS bigint) AS l_suppkey,
+                   CAST(floor(l_extendedprice * 100) AS bigint) AS price_c,
+                   CAST(l_orderkey * 10 + l_linenumber AS bigint) AS item_id
+            FROM lineitem)
+    ) WHERE rnk <= 3
+    ORDER BY l_suppkey, rnk"""
+
+  /** Skew-salted two-stage aggregation over events ([[graft.operators
+    * .Salted]]): stage 1 shuffles on (event_type, salt) so a hot event
+    * type spreads over 16 reducers, stage 2 merges the tiny partial
+    * table. Result provably identical to the plain groupBy (the oracle IS
+    * the plain groupBy). */
+  def qSaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("value_c"))
+    graft.operators.Salted.groupSum(ev, Seq("event_type"), Seq("value_c"))
+      .orderBy(col("event_type"))
+  }
+
+  val qSaltedAggSql: String = """
+    SELECT event_type, count(*) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS bigint)) AS bigint) AS sum_value_c
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -423,7 +469,9 @@ object Analytics extends QueryModule {
     "q_distinct_users"  -> (qDistinctUsers _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_anti_join"       -> (qAntiJoin _),
-    "q_semi_join"       -> (qSemiJoin _))
+    "q_semi_join"       -> (qSemiJoin _),
+    "q_topk_groupwise"  -> (qTopkGroupwise _),
+    "q_salted_agg"      -> (qSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -439,5 +487,7 @@ object Analytics extends QueryModule {
     "q_rollup_region_nation" -> qRollupSql,
     "q_distinct_users"  -> qDistinctUsersSql,
     "q_anti_join"       -> qAntiJoinSql,
-    "q_semi_join"       -> qSemiJoinSql)
+    "q_semi_join"       -> qSemiJoinSql,
+    "q_topk_groupwise"  -> qTopkGroupwiseSql,
+    "q_salted_agg"      -> qSaltedAggSql)
 }

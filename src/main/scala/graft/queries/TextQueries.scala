@@ -260,14 +260,159 @@ object TextQueries extends QueryModule {
     WHERE floor(n_common * 10000.0 / (ca.n_sh + cb.n_sh - n_common)) >= 100
     ORDER BY doc_a, doc_b"""
 
+  /** Near-dup clusters: Jaccard pairs (≥ 0.20) → [[graft.operators.Dedup
+    * .connectedComponents]] min-label propagation → one canonical doc per
+    * cluster. This is the step that turns candidate pairs into an actual
+    * dedup decision (keep canonical, drop the rest) — the shape a corpus
+    * cleaning pipeline materializes at 100 TB. Singletons keep their own
+    * id as cluster_id. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = graft.operators.Dedup
+      .ngramJaccardPairs(docs, minJaccardBp = 2000)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = graft.operators.Dedup
+      .connectedComponents(pairs, docs.select(col("doc_id")))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same Jaccard pair CTE + recursive min-reachable-id closure
+    * (components are tiny near-cliques, so the transitive closure stays
+    * linear-ish at oracle scale). */
+  val dedupClustersSql: String = s"""
+    WITH RECURSIVE sh0 AS (
+      SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh
+      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+    ), counts AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id
+    ), shk AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0
+      ) WHERE df <= ${graft.operators.Dedup.DefaultMaxShingleDf}
+    ), pairs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      FROM shk x JOIN shk y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ), edges0 AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN counts ca ON doc_a = ca.doc_id
+      JOIN counts cb ON doc_b = cb.doc_id
+      WHERE floor(n_common * 10000.0 / (ca.n_sh + cb.n_sh - n_common)) >= 2000
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges0
+      UNION ALL SELECT doc_b, doc_a FROM edges0
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ), lab AS (
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS bigint) AS cluster_size,
+           CAST(doc_id = cluster_id AS int) AS is_canonical
+    FROM lab
+    ORDER BY doc_id"""
+
+  // -------------------------------------------------------------- repetition
+
+  /** Repetition-based quality filter (the Gopher/C4-style rule adapted to
+    * line-less docs): fraction of repeated word instances and the share of
+    * the most frequent word-2-gram, both in basis points. Per-row
+    * higher-order array functions — shuffle-free, codegen'd, the 100 TB
+    * shape for per-document filters. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    val n = size(w)
+    val grams = zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val ng = size(grams)
+    val maxGram = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        n.cast("long").as("n_words"),
+        floor((n - size(array_distinct(w))) * 10000.0 / n).cast("long").as("rep_word_bp"),
+        when(ng > 0, floor(maxGram * 10000.0 / ng)).otherwise(0L).cast("long").as("top_gram_bp"))
+      .withColumn("is_repetitive",
+        (col("rep_word_bp") >= 8000 || col("top_gram_bp") >= 1500).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String = """
+    SELECT doc_id, n_words,
+           CAST(floor((n_words - n_dist) * 10000.0 / n_words) AS bigint) AS rep_word_bp,
+           CAST(CASE WHEN ng > 0 THEN floor(maxg * 10000.0 / ng) ELSE 0 END AS bigint) AS top_gram_bp,
+           CAST((floor((n_words - n_dist) * 10000.0 / n_words) >= 8000
+                 OR CASE WHEN ng > 0 THEN floor(maxg * 10000.0 / ng) ELSE 0 END >= 1500) AS int) AS is_repetitive
+    FROM (
+      SELECT doc_id,
+             CAST(len(w) AS bigint) AS n_words,
+             len(list_distinct(w)) AS n_dist,
+             len(g) AS ng,
+             list_max(list_transform(list_distinct(g), x -> len(list_filter(g, y -> y = x)))) AS maxg
+      FROM (
+        SELECT doc_id, w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+      )
+    )
+    ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- sampling
+
+  /** Per-language sampling rates in basis points: downsample the dominant
+    * language, keep the rest — the standard corpus-rebalancing move. */
+  val SampleRatesBp: Seq[(String, Long)] =
+    Seq("en" -> 2500L, "de" -> 7500L, "es" -> 7500L, "fr" -> 7500L, "zh" -> 5000L)
+
+  /** Deterministic stratified sampling: keep a doc iff
+    * md5("smp_" ‖ doc_id) (first 6 hex digits → [0,10000) bp) falls under
+    * its language's rate. Hash-based → reproducible across runs/engines,
+    * shuffle-free (a scan + filter — no sample() nondeterminism, no
+    * reservoir state), and the sampled fraction concentrates tightly at
+    * any corpus size. */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashBp = floor(
+      conv(substring(md5(concat(lit("smp_"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long") * 10000.0 / lit(16777216L)).cast("long")
+    val rate = SampleRatesBp.foldRight(lit(10000L): Column) {
+      case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), hashBp.as("hash_bp"), rate.cast("long").as("rate_bp"))
+      .filter(col("hash_bp") < col("rate_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleStratifiedSql: String = {
+    val rateCase = SampleRatesBp
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 10000 END")
+    s"""
+    SELECT doc_id, lang, hash_bp, rate_bp FROM (
+      SELECT doc_id, lang,
+             CAST(floor(CAST('0x' || substr(md5('smp_' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) * 10000.0 / 16777216) AS bigint) AS hash_bp,
+             CAST($rateCase AS bigint) AS rate_bp
+      FROM documents
+    ) WHERE hash_bp < rate_bp
+    ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count"   -> (tokenCount _),
     "t_quality_score" -> (qualityScore _),
     "t_lang_id"       -> (langId _),
     "t_fingerprint"   -> (fingerprint _),
     "t_doc_terms"     -> (docTerms _),
+    "t_repetition"    -> (repetition _),
+    "t_sample_stratified" -> (sampleStratified _),
     "d_dedup_exact"   -> (dedupExact _),
-    "d_dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+    "d_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "d_dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "t_token_count"   -> tokenCountSql,
@@ -275,6 +420,9 @@ object TextQueries extends QueryModule {
     "t_lang_id"       -> langIdSql,
     "t_fingerprint"   -> fingerprintSql,
     "t_doc_terms"     -> docTermsSql,
+    "t_repetition"    -> repetitionSql,
+    "t_sample_stratified" -> sampleStratifiedSql,
     "d_dedup_exact"   -> dedupExactSql,
-    "d_dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+    "d_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "d_dedup_clusters" -> dedupClustersSql)
 }

@@ -40,6 +40,19 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.head.getAs[Long]("jaccard_bp") == 6000L)
   }
 
+  test("connected components label chains, cliques and singletons") {
+    import spark.implicits._
+    // component A: chain 1-2-3-4 (diameter 3 → exercises multi-round
+    // propagation); component B: clique 10-11-12; 20 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val got = Dedup.connectedComponents(pairs, vertices)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
   test("quadratic guard refuses oversized inputs and respects the conf") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
