@@ -38,6 +38,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val t = math.min(once(), once())
+      System.err.println(f"[bench] $name%-28s $t%8.3f s")
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => keep(id) }
         .foreach { case (_, rdd) => rdd.unpersist(false) }

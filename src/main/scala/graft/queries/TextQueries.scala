@@ -362,6 +362,75 @@ object TextQueries extends QueryModule {
     )
     ORDER BY doc_id"""
 
+  // ------------------------------------------------------------- vocabulary
+
+  /** Vocabulary induction: top-100 terms by document frequency (then total
+    * frequency, then term — fully deterministic cut). Shape: one shuffle
+    * on term with partial aggregation; the top-100 runs as
+    * TakeOrderedAndProject, never a global sort — at 100 TB the term table
+    * is Zipf-small and the limit is pushed into the reducers. */
+  def vocab(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tf").desc, col("term"))
+      .limit(100)
+
+  val vocabSql: String = """
+    SELECT term, tf, df FROM (
+      SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents)
+      GROUP BY term
+    )
+    ORDER BY df DESC, tf DESC, term
+    LIMIT 100"""
+
+  // --------------------------------------------------------- decontamination
+
+  /** Train/eval contamination check — the pipeline step that keeps
+    * benchmark text out of training data: treat source `src0` as the eval
+    * set, every other source as training; flag (eval, train) pairs where
+    * the training doc contains ≥ 30 % of the eval doc's distinct shingles.
+    * Equi-join on shingle (the eval side is tiny at scale → broadcast);
+    * containment (not Jaccard) because a long training doc that swallows
+    * a short eval doc whole must flag regardless of its own length. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), array_distinct(shingles(col("text"))).as("shs"))
+      .select(col("doc_id"), col("source"),
+        size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("sh"))
+    val ev = base.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"), col("n_sh"), col("sh"))
+    val tr = base.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), col("sh"))
+    tr.join(broadcast(ev), "sh")
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_common"), first(col("n_sh")).as("n_sh"))
+      .select(col("eval_id"), col("train_id"),
+        floor(col("n_common") * 10000.0 / col("n_sh")).cast("long").as("containment_bp"))
+      .filter(col("containment_bp") >= 3000)
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  val decontaminateSql: String = s"""
+    WITH base AS (
+      SELECT doc_id, source, len(shs) AS n_sh, unnest(shs) AS sh FROM (
+        SELECT doc_id, source, list_distinct(${shinglesSql("text")}) AS shs
+        FROM (SELECT doc_id, source, text, string_split_regex(text, '\\s+') AS w FROM documents)
+      )
+    ), ev AS (
+      SELECT doc_id AS eval_id, n_sh, sh FROM base WHERE source = 'src0'
+    ), tr AS (
+      SELECT doc_id AS train_id, sh FROM base WHERE source <> 'src0'
+    )
+    SELECT eval_id, train_id,
+           CAST(floor(count(*) * 10000.0 / any_value(n_sh)) AS bigint) AS containment_bp
+    FROM tr JOIN ev USING (sh)
+    GROUP BY eval_id, train_id
+    HAVING floor(count(*) * 10000.0 / any_value(n_sh)) >= 3000
+    ORDER BY eval_id, train_id"""
+
   // ---------------------------------------------------------------- sampling
 
   /** Per-language sampling rates in basis points: downsample the dominant
@@ -410,6 +479,8 @@ object TextQueries extends QueryModule {
     "t_doc_terms"     -> (docTerms _),
     "t_repetition"    -> (repetition _),
     "t_sample_stratified" -> (sampleStratified _),
+    "t_vocab"         -> (vocab _),
+    "t_decontaminate" -> (decontaminate _),
     "d_dedup_exact"   -> (dedupExact _),
     "d_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "d_dedup_clusters" -> (dedupClusters _))
@@ -422,6 +493,8 @@ object TextQueries extends QueryModule {
     "t_doc_terms"     -> docTermsSql,
     "t_repetition"    -> repetitionSql,
     "t_sample_stratified" -> sampleStratifiedSql,
+    "t_vocab"         -> vocabSql,
+    "t_decontaminate" -> decontaminateSql,
     "d_dedup_exact"   -> dedupExactSql,
     "d_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "d_dedup_clusters" -> dedupClustersSql)

@@ -242,6 +242,81 @@ object VectorQueries extends QueryModule {
     ORDER BY q_id, rnk, cand_id"""
   }
 
+  // ------------------------------------------------- label centroids / k-NN
+
+  /** Per-label centroid components — the statistic behind classifier-style
+    * quality filtering and k-means seeding. Elements are quantized per-row
+    * to integer millionths BEFORE summing (bigint sums are
+    * order-independent → oracle-exact); centroid component = floor(mean).
+    * Shape: posexplode is a per-row map; one shuffle on (label, pos) with
+    * partial aggregation — at 100 TB each partition collapses to
+    * |labels|·dim rows before the exchange. */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+      .select(col("label").cast("long").as("label"), col("pos"),
+        col("n_vecs"), floor(col("sum_q") * 1.0 / col("n_vecs")).cast("long").as("c_q"))
+      .orderBy(col("label"), col("pos"))
+
+  val labelCentroidsSql: String = """
+    SELECT CAST(label AS bigint) AS label, pos, n_vecs,
+           CAST(floor(sum_q * 1.0 / n_vecs) AS bigint) AS c_q
+    FROM (
+      SELECT label, pos, count(*) AS n_vecs, CAST(sum(q) AS bigint) AS sum_q
+      FROM (
+        SELECT label,
+               CAST(unnest(range(1, len(embedding) + 1)) AS bigint) AS pos,
+               unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint))) AS q
+        FROM embeddings
+      )
+      GROUP BY label, pos
+    )
+    ORDER BY label, pos"""
+
+  /** k-NN majority-vote labeling over the LSH candidate path ([[annLsh]]'s
+    * bucket shape — the scale route): each query's 5 bucket-mates vote
+    * with their labels; prediction = most votes, ties to the smaller
+    * label. The "label new data by its neighbors" pipeline op. */
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = annLsh(spark, sfDir)
+      .join(labels.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "true_label"), "q_id")
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"),
+        col("true_label"), (col("label") === col("true_label")).cast("int").as("is_match"))
+      .orderBy(col("q_id"))
+  }
+
+  val knnClassifySql: String = s"""
+    WITH ann AS (
+      SELECT * FROM ($annLshSql)
+    ), votes AS (
+      SELECT ann.q_id, CAST(e.label AS bigint) AS label, count(*) AS votes
+      FROM ann JOIN embeddings e ON ann.cand_id = e.vec_id
+      GROUP BY ann.q_id, e.label
+    )
+    SELECT v.q_id, v.label AS pred_label, v.votes,
+           CAST(t.label AS bigint) AS true_label,
+           CAST(v.label = CAST(t.label AS bigint) AS int) AS is_match
+    FROM (
+      SELECT q_id, label, votes,
+             row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rnk
+      FROM votes
+    ) v JOIN embeddings t ON v.q_id = t.vec_id
+    WHERE rnk = 1
+    ORDER BY q_id"""
+
   // ------------------------------------------------------ MinHash / SimHash
 
   private def shingles(text: Column): Column = graft.functions.word_shingles(text)
@@ -392,7 +467,9 @@ object VectorQueries extends QueryModule {
     "e_ann_ivf"         -> (annIvf _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_dedup_minhash"   -> (dedupMinhash _),
-    "d_dedup_simhash"   -> (dedupSimhash _))
+    "d_dedup_simhash"   -> (dedupSimhash _),
+    "e_label_centroids" -> (labelCentroids _),
+    "e_knn_classify"    -> (knnClassify _))
 
   val oracles: Map[String, String] = Map(
     "e_ann_bruteforce"  -> annBruteForceSql,
@@ -400,5 +477,7 @@ object VectorQueries extends QueryModule {
     "e_ann_lsh"         -> annLshSql,
     "e_ann_ivf"         -> annIvfSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
-    "d_dedup_simhash"   -> dedupSimhashSql)
+    "d_dedup_simhash"   -> dedupSimhashSql,
+    "e_label_centroids" -> labelCentroidsSql,
+    "e_knn_classify"    -> knnClassifySql)
 }
