@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -454,6 +455,65 @@ object Analytics extends QueryModule {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  /** Exact discrete percentiles (p25/p50/p95 of value cents per event
+    * type) — defined explicitly as the element at row_number ==
+    * ceil(p·n), which makes the result bit-identical across engines (no
+    * interpolation-formula ambiguity). One shuffle + per-group sort — the
+    * canonical exact-percentile cost; approx_percentile is the sketch
+    * alternative when a bounded error is acceptable. */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val wn = Window.partitionBy(col("event_type"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("v")))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("event_type"))
+      .agg(pick(0.25).as("p25_c"), pick(0.5).as("p50_c"), pick(0.95).as("p95_c"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("event_type"))
+  }
+
+  val qPercentilesSql: String = """
+    SELECT event_type,
+           max(CASE WHEN rn = CAST(ceil(0.25 * n) AS bigint) THEN v END) AS p25_c,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS bigint) THEN v END) AS p50_c,
+           max(CASE WHEN rn = CAST(ceil(0.95 * n) AS bigint) THEN v END) AS p95_c,
+           count(*) AS n_rows
+    FROM (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM (SELECT event_type, CAST(floor(value * 100) AS bigint) AS v FROM events)
+    )
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  /** Pivot: daily event counts spread over the (explicitly listed) event
+    * types. With the value list given, Spark plans a single partial-agg
+    * pass — no extra distinct-values job, one shuffle on the date key. */
+  def qPivotEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  val qPivotEventsSql: String = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS bigint) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bigint) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS bigint) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bigint) AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -471,7 +531,9 @@ object Analytics extends QueryModule {
     "q_anti_join"       -> (qAntiJoin _),
     "q_semi_join"       -> (qSemiJoin _),
     "q_topk_groupwise"  -> (qTopkGroupwise _),
-    "q_salted_agg"      -> (qSaltedAgg _))
+    "q_salted_agg"      -> (qSaltedAgg _),
+    "q_percentiles"     -> (qPercentiles _),
+    "q_pivot_events"    -> (qPivotEvents _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -489,5 +551,7 @@ object Analytics extends QueryModule {
     "q_anti_join"       -> qAntiJoinSql,
     "q_semi_join"       -> qSemiJoinSql,
     "q_topk_groupwise"  -> qTopkGroupwiseSql,
-    "q_salted_agg"      -> qSaltedAggSql)
+    "q_salted_agg"      -> qSaltedAggSql,
+    "q_percentiles"     -> qPercentilesSql,
+    "q_pivot_events"    -> qPivotEventsSql)
 }
