@@ -111,4 +111,31 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"), floor(col("mean_byte") * 100).cast("long").as("mean_byte_c"))
       .orderBy(col("doc_id"))
   }
+
+  /** Frame sampling: treat the payload as fixed-size 16-byte "frames" and
+    * keep every 4th frame, at most 8 per doc — the video-pipeline shape
+    * (decode only sampled frames, never the whole clip). All columnar:
+    * sequence + explode is a per-row map, the binary slice stays inside
+    * codegen, and the payload column is read once. Frame fingerprint =
+    * upper-hex of the slice (deterministic → oracle-checked). */
+  def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("payload"), col("n_bytes"),
+        explode(sequence(lit(0), lit(7))).as("frame_no"))
+      .withColumn("start", col("frame_no") * 64)
+      .filter(col("start") + 16 <= col("n_bytes"))
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        hex(expr("substring(payload, cast(start + 1 as int), 16)")).as("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  val frameSampleSql: String = """
+    SELECT doc_id, frame_no, substr(hx, start * 2 + 1, 32) AS frame_hex
+    FROM (
+      SELECT doc_id, unnest(range(0, 8)) AS frame_no,
+             unnest(range(0, 8)) * 64 AS start,
+             hex(encode(text)) AS hx, octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    WHERE start + 16 <= n_bytes
+    ORDER BY doc_id, frame_no"""
 }

@@ -514,6 +514,48 @@ object Analytics extends QueryModule {
     GROUP BY 1
     ORDER BY day"""
 
+  /** KMV (k-minimum-values) distinct-count sketch, k = 64: estimate =
+    * (k-1)·2⁴⁸ div h_k where h_k is the k-th smallest 48-bit md5-derived
+    * hash of the distinct keys; fewer than k distincts → the sketch holds
+    * them all and the estimate is exact. Unlike engine HLL
+    * (q_approx_distinct, rows-only), every step is integer/md5 arithmetic
+    * → the oracle re-derives the identical estimate. Scale shape: the k
+    * smallest run as TakeOrdered (O(k) state per partition — the same
+    * bound a KMV aggregator would keep). */
+  def qKmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 64
+    val h = Tables.events(spark, sfDir).select(col("user_id")).distinct()
+      .select(conv(substring(md5(concat(lit("kmv_"), col("user_id").cast("string"))), 1, 12), 16, 10)
+        .cast("long").as("h"))
+    val kmin = h.orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("h_k"))
+    val exact = h.agg(count(lit(1)).as("n_exact"))
+    kmin.crossJoin(exact)
+      .select(lit(k.toLong).as("k"), col("n_exact"),
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(expr(s"${(k - 1).toLong * (1L << 48)} div h_k")).as("n_est"))
+      .withColumn("err_bp",
+        floor(abs(col("n_est") - col("n_exact")) * 10000.0 / col("n_exact")).cast("long"))
+  }
+
+  val qKmvDistinctSql: String = s"""
+    WITH d AS (
+      SELECT DISTINCT user_id FROM events
+    ), hh AS (
+      SELECT CAST('0x' || substr(md5('kmv_' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+      FROM d
+    ), kmin AS (
+      SELECT count(*) AS n_seen, max(h) AS h_k FROM (SELECT h FROM hh ORDER BY h LIMIT 64)
+    )
+    SELECT CAST(64 AS bigint) AS k,
+           (SELECT count(*) FROM d) AS n_exact,
+           CASE WHEN n_seen < 64 THEN n_seen
+                ELSE ${63L * (1L << 48)} // h_k END AS n_est,
+           CAST(floor(abs((CASE WHEN n_seen < 64 THEN n_seen
+                ELSE ${63L * (1L << 48)} // h_k END) - (SELECT count(*) FROM d)) * 10000.0
+                / (SELECT count(*) FROM d)) AS bigint) AS err_bp
+    FROM kmin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -533,7 +575,8 @@ object Analytics extends QueryModule {
     "q_topk_groupwise"  -> (qTopkGroupwise _),
     "q_salted_agg"      -> (qSaltedAgg _),
     "q_percentiles"     -> (qPercentiles _),
-    "q_pivot_events"    -> (qPivotEvents _))
+    "q_pivot_events"    -> (qPivotEvents _),
+    "q_kmv_distinct"    -> (qKmvDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -553,5 +596,6 @@ object Analytics extends QueryModule {
     "q_topk_groupwise"  -> qTopkGroupwiseSql,
     "q_salted_agg"      -> qSaltedAggSql,
     "q_percentiles"     -> qPercentilesSql,
-    "q_pivot_events"    -> qPivotEventsSql)
+    "q_pivot_events"    -> qPivotEventsSql,
+    "q_kmv_distinct"    -> qKmvDistinctSql)
 }

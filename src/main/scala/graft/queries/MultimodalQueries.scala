@@ -7,9 +7,11 @@ import graft.multimodal.Multimodal
 object MultimodalQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_multimodal_meta"     -> (Multimodal.metaQuery _),
-    "m_multimodal_features" -> (Multimodal.featureQuery _))
+    "m_multimodal_features" -> (Multimodal.featureQuery _),
+    "m_multimodal_frames"   -> (Multimodal.frameSampleQuery _))
 
   val oracles: Map[String, String] = Map(
     "m_multimodal_meta"     -> Multimodal.metaQuerySql,
-    "m_multimodal_features" -> Multimodal.featureQuerySql)
+    "m_multimodal_features" -> Multimodal.featureQuerySql,
+    "m_multimodal_frames"   -> Multimodal.frameSampleSql)
 }

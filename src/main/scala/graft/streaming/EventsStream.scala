@@ -63,6 +63,14 @@ object EventsStream {
       col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"))
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension table (user → segment). The static side is planned per
+    * micro-batch as an ordinary batch join — broadcast when small — and
+    * needs no watermark or state; the streaming side never buffers. The
+    * 100 TB/day posture for attaching slowly-changing dims to a firehose. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
+
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class OpenSession(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,

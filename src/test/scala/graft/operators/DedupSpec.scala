@@ -53,6 +53,18 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("connected components converge on a deep chain (diameter 19)") {
+    import spark.implicits._
+    // worst case for min-label propagation: one long path — label 0 must
+    // walk the full diameter; verifies multi-round convergence + the
+    // lineage truncation holds up over many iterations
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val vertices = (0L to 20L).toDF("doc_id") // 20 is a singleton
+    val got = Dedup.connectedComponents(pairs, vertices)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 19L).forall(got(_) == 0L) && got(20L) == 20L)
+  }
+
   test("quadratic guard refuses oversized inputs and respects the conf") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")

@@ -143,6 +143,31 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("stream-static enrichment matches the batch join") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Seq(Ev(new Timestamp(base), "x", 1L, 1.0),
+      Ev(new Timestamp(base + 1000), "y", 2L, 2.0),
+      Ev(new Timestamp(base + 2000), "z", 3L, 3.0)) // 3 has no dim row
+
+    val in = MemoryStream[Ev]
+    val query = EventsStream.enriched(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("user_id", "segment")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+    } finally query.stop()
+  }
+
   test("checkpointed parquet file sink commits exactly-once batches") {
     val session = spark
     import session.implicits._
