@@ -556,6 +556,64 @@ object Analytics extends QueryModule {
                 / (SELECT count(*) FROM d)) AS bigint) AS err_bp
     FROM kmin"""
 
+  /** Cube over (region, event-less nation pair): all four grouping sets in
+    * one pass (Expand + single aggregation shuffle — Spark never rescans
+    * the input per set). Rollup's sibling; `q_rollup_region_nation` covers
+    * the hierarchy case. */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), (col("c_custkey") % 2 === 0).cast("int").as("even_key"))
+      .agg(count(lit(1)).as("n_customers"), sum(cents(col("c_acctbal"))).as("sum_acctbal_c"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("even_key").cast("string"), lit("ALL")).as("even_key"),
+              col("n_customers"), col("sum_acctbal_c"))
+      .orderBy(col("region"), col("even_key"))
+
+  val qCubeSql: String = """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(CAST(even_key AS VARCHAR), 'ALL') AS even_key,
+           count(*) AS n_customers,
+           CAST(sum(CAST(floor(c_acctbal*100) AS bigint)) AS bigint) AS sum_acctbal_c
+    FROM (
+      SELECT r_name, CAST(c_custkey % 2 = 0 AS int) AS even_key, c_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    )
+    GROUP BY CUBE (r_name, even_key)
+    ORDER BY region, even_key"""
+
+  /** Range-frame window: per-user trailing-1-hour event count + value sum
+    * (moving aggregates over event TIME, not row position — the frame is
+    * `RANGE 3600 PRECEDING` on epoch seconds, so ties and gaps behave
+    * identically in any engine). One shuffle on user_id, per-user sort. */
+  def qMovingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("ts_sec"), cents(col("value")).as("v"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("v")).over(w))
+      .orderBy(col("event_id"))
+  }
+
+  val qMovingWindowSql: String = """
+    SELECT event_id, user_id, ts_sec, v,
+           count(*) OVER w AS n_1h,
+           CAST(sum(v) OVER w AS bigint) AS sum_1h
+    FROM (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS bigint) AS ts_sec,
+             CAST(floor(value * 100) AS bigint) AS v
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -576,7 +634,9 @@ object Analytics extends QueryModule {
     "q_salted_agg"      -> (qSaltedAgg _),
     "q_percentiles"     -> (qPercentiles _),
     "q_pivot_events"    -> (qPivotEvents _),
-    "q_kmv_distinct"    -> (qKmvDistinct _))
+    "q_kmv_distinct"    -> (qKmvDistinct _),
+    "q_cube"            -> (qCube _),
+    "q_moving_window"   -> (qMovingWindow _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -597,5 +657,7 @@ object Analytics extends QueryModule {
     "q_salted_agg"      -> qSaltedAggSql,
     "q_percentiles"     -> qPercentilesSql,
     "q_pivot_events"    -> qPivotEventsSql,
-    "q_kmv_distinct"    -> qKmvDistinctSql)
+    "q_kmv_distinct"    -> qKmvDistinctSql,
+    "q_cube"            -> qCubeSql,
+    "q_moving_window"   -> qMovingWindowSql)
 }
