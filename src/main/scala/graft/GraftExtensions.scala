@@ -36,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two double arrays"),
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+
+    // size_bucket(size) = b  →  size range predicate (parquet-pushable)
+    ext.injectOptimizerRule(_ => graft.plans.SizeBucketPushdown)
   }
 }
