@@ -386,6 +386,53 @@ object TextQueries extends QueryModule {
     ORDER BY df DESC, tf DESC, term
     LIMIT 100"""
 
+  // ------------------------------------------------------------ LM surprisal
+
+  /** Unigram-LM surprisal scoring — the KenLM-flavored quality filter:
+    * train a unigram model on the corpus itself (term frequencies), score
+    * each doc by its mean per-token surprisal; high-surprisal docs are
+    * out-of-distribution (gibberish, wrong language, encoding junk).
+    * Surprisal is EXACT integer math: ⌊log2(total_tokens / tf(term))⌋
+    * computed as length(binary(x)) − 1, so the oracle reproduces it
+    * bit-for-bit (no float log). Shape: one shuffle builds the tf table
+    * (Zipf-small → broadcastable at any corpus size), one join back, one
+    * per-doc aggregation. */
+  def lmSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+    val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    val scored = terms.join(broadcast(tf.crossJoin(total)), "term")
+      .select(col("doc_id"),
+        (length(conv(expr("total div tf"), 10, 2)) - 1).cast("long").as("surprisal"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surprisal")).as("sum_surprisal"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("sum_surprisal") * 100.0 / col("n_tokens")).cast("long").as("mean_surprisal_c"))
+      .withColumn("is_outlier", (col("mean_surprisal_c") >= 900).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmSurprisalSql: String = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, count(*) AS tf FROM terms GROUP BY term
+    ), tot AS (
+      SELECT CAST(sum(tf) AS bigint) AS total FROM tf
+    ), scored AS (
+      SELECT doc_id,
+             CAST(length(to_base(total // tf, 2)) - 1 AS bigint) AS surprisal
+      FROM terms JOIN tf USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(floor(sum(surprisal) * 100.0 / count(*)) AS bigint) AS mean_surprisal_c,
+           CAST(floor(sum(surprisal) * 100.0 / count(*)) >= 900 AS int) AS is_outlier
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   // --------------------------------------------------------- decontamination
 
   /** Train/eval contamination check — the pipeline step that keeps
@@ -481,6 +528,7 @@ object TextQueries extends QueryModule {
     "t_sample_stratified" -> (sampleStratified _),
     "t_vocab"         -> (vocab _),
     "t_decontaminate" -> (decontaminate _),
+    "t_lm_surprisal"  -> (lmSurprisal _),
     "d_dedup_exact"   -> (dedupExact _),
     "d_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "d_dedup_clusters" -> (dedupClusters _))
@@ -495,6 +543,7 @@ object TextQueries extends QueryModule {
     "t_sample_stratified" -> sampleStratifiedSql,
     "t_vocab"         -> vocabSql,
     "t_decontaminate" -> decontaminateSql,
+    "t_lm_surprisal"  -> lmSurprisalSql,
     "d_dedup_exact"   -> dedupExactSql,
     "d_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "d_dedup_clusters" -> dedupClustersSql)
