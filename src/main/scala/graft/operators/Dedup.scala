@@ -101,6 +101,12 @@ object Dedup {
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
+    // partially-propagated labels would silently split one component into
+    // several "canonical" docs — refuse instead
+    require(changed == 0,
+      s"connectedComponents: not converged after $maxIters rounds " +
+      s"($changed labels still changing) — raise maxIters (component " +
+      "diameter exceeds it)")
     vertices.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }

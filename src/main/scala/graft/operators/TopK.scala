@@ -78,6 +78,7 @@ object TopK {
     * the k best rows per group. */
   def topK(df: DataFrame, groupCol: String, valueCol: String, idCol: String,
            k: Int): DataFrame = {
+    require(k >= 1, s"topK: k must be >= 1 (got $k)")
     val spark = df.sparkSession
     import spark.implicits._
     val agg = new TopKAgg(k, implicitly[Encoder[Buf]],

@@ -25,7 +25,10 @@ import graft.functions.{SizeBucketExpr, SizeBucketImpl}
 object SizeBucketPushdown extends Rule[LogicalPlan] {
 
   private def range(c: Expression, b: Int): Expression = b match {
-    case x if x < 0 || x > 45 => Literal.FalseLiteral
+    // bucket() never exceeds 44 (size = Long.MaxValue → 45 - nlz = 44), so
+    // b = 45 must stay never-true — 1L << 63 would wrap negative and turn
+    // the predicate always-true
+    case x if x < 0 || x > 44 => Literal.FalseLiteral
     case 0 => LessThanOrEqual(c, Literal(0L))
     case 1 => And(GreaterThan(c, Literal(0L)),
                   LessThan(c, Literal(SizeBucketImpl.MiB)))

@@ -14,8 +14,11 @@ import graft.sources.fsimage.ImageGen
   * query additionally runs it through the driver's correctness gate. */
 object FsImageQueries extends QueryModule {
 
-  /** Absolute paths — the oracle SQL runs in DuckDB outside the JVM. */
-  private val BaseDir = "/root/repo/target/fsimage-oracle"
+  /** Absolute paths — the oracle SQL runs in DuckDB outside the JVM, so
+    * resolve against the working directory (the repo root under sbt)
+    * rather than hardcoding a checkout location. */
+  private val BaseDir =
+    new java.io.File("target/fsimage-oracle").getAbsolutePath
   private val ImagePath = s"$BaseDir/sample.img"
   private val ExportDir = s"$BaseDir/inodes"
 

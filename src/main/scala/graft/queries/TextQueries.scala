@@ -331,8 +331,18 @@ object TextQueries extends QueryModule {
     val grams = zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
       (a, b) => concat(a, lit(" "), b))
     val ng = size(grams)
-    val maxGram = array_max(transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g))))
+    // max multiplicity = longest equal-run in the sorted array — O(g log g)
+    // per row (a filter-per-distinct-gram scan would be O(g²), minutes on
+    // the long documents a repetition filter exists to catch)
+    val maxGram = aggregate(
+      array_sort(grams),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val newRun = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc.getField("best"), newRun).as("best"))
+      },
+      acc => acc.getField("best"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         n.cast("long").as("n_words"),

@@ -118,13 +118,20 @@ object FsImageSource {
             val src = new java.io.File(imagePath)
             val side = new java.io.File(src.getParentFile, s".${src.getName}.graft-$name")
             if (!side.isFile || side.lastModified() < src.lastModified()) {
-              val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(side))
+              // inflate to a temp file, then atomic-rename into place: a
+              // crashed or concurrent inflation must never leave a partial
+              // side file that mtime-checks as valid on the next run
+              val tmp = java.io.File.createTempFile(side.getName, ".tmp", src.getParentFile)
+              val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
               val buf = new Array[Byte](1 << 16)
               val in = FsImageFormat.sectionRawStream(imagePath, s, codec)
               try {
                 var n = in.read(buf)
                 while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
               } finally { in.close(); out.close() }
+              java.nio.file.Files.move(tmp.toPath, side.toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             }
             (side.getPath, Section(name, side.length(), 0L))
         }
@@ -148,13 +155,21 @@ object FsImageSource {
     val dirRanges = ranges(dirPath, dirSec, dropHeader = false)
 
     val ip = inodePath; val dp = dirPath // plain strings for the closures
+    // ship the driver's Hadoop conf so executor-side FileSystem resolution
+    // keeps credentials / fs impls (a default Configuration would not)
+    val hconf = sc.broadcast {
+      val it = sc.hadoopConfiguration.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
     def parsedInodes = sc.parallelize(inodeRanges.toSeq, math.max(1, inodeRanges.length))
       .flatMap { case (from, to) =>
-        FsImageFormat.parseInodeRange(FsImageFormat.readRange(ip, from, (to - from).toInt), 0, (to - from).toInt)
+        FsImageFormat.parseInodeRange(FsImageFormat.readRange(ip, from, (to - from).toInt, hconf.value), 0, (to - from).toInt)
       }
     def dirEntries = sc.parallelize(dirRanges.toSeq, math.max(1, dirRanges.length))
       .flatMap { case (from, to) =>
-        FsImageFormat.parseDirRange(FsImageFormat.readRange(dp, from, (to - from).toInt), 0, (to - from).toInt)
+        FsImageFormat.parseDirRange(FsImageFormat.readRange(dp, from, (to - from).toInt, hconf.value), 0, (to - from).toInt)
       }
 
     // Directory tree: dirs are ~1% of inodes → collect + broadcast.

@@ -247,6 +247,7 @@ object FsImageFormat {
     private var inLen = 0
     private var inEof = false
     private var inf = new java.util.zip.Inflater()
+    private var firstStream = true
     private val one = new Array[Byte](1)
 
     override def read(): Int = {
@@ -257,12 +258,23 @@ object FsImageFormat {
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       if (len == 0) return 0
       while (true) {
-        val n = inf.inflate(b, off, len)
+        val n =
+          try inf.inflate(b, off, len)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              // bytes after the last complete stream that don't start a new
+              // zlib stream are trailing padding — tolerated (images in the
+              // wild carry it); corruption inside the first/current stream
+              // still raises
+              if (!firstStream && inf.getBytesWritten == 0) return -1
+              throw new java.io.IOException("corrupt zlib section", e)
+          }
         if (n > 0) return n
         if (inf.finished()) {
           val rem = inf.getRemaining
           inf.end()
           inf = new java.util.zip.Inflater()
+          firstStream = false
           if (rem > 0) inf.setInput(inBuf, inLen - rem, rem)
           else {
             fill()
@@ -352,6 +364,8 @@ object FsImageFormat {
       var len = (b & 0x7F).toLong; var shift = 7
       while ((b & 0x80) != 0) {
         b = readByte()
+        if (b < 0) throw new java.io.EOFException(
+          s"truncated varint at $pos") // EOF mid-varint must not spin
         len |= (b & 0x7FL) << shift; shift += 7
       }
       skipN(len)
@@ -369,10 +383,21 @@ object FsImageFormat {
   }
 
   /** Executor-side ranged read through the Hadoop FileSystem API, so the
-    * same code path serves local files (tests) and DFS paths (clusters). */
-  def readRange(path: String, from: Long, len: Int): Array[Byte] = {
+    * same code path serves local files (tests) and DFS paths (clusters).
+    * `confEntries` carries the driver's Hadoop configuration (spark.hadoop.*
+    * credentials, fs impls, kerberos) — a fresh default Configuration on an
+    * executor would drop all of it and fail auth on real DFS paths. */
+  def readRange(path: String, from: Long, len: Int,
+                confEntries: Iterable[(String, String)] = Nil): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val conf =
+      if (confEntries.isEmpty) new org.apache.hadoop.conf.Configuration()
+      else {
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {
       in.seek(from)

@@ -65,11 +65,12 @@ object EventsStream {
 
   /** Stream-static enrichment: join the event stream against a static
     * dimension table (user → segment). The static side is planned per
-    * micro-batch as an ordinary batch join — broadcast when small — and
-    * needs no watermark or state; the streaming side never buffers. The
-    * 100 TB/day posture for attaching slowly-changing dims to a firehose. */
+    * micro-batch as an ordinary batch join — Spark broadcasts it when it
+    * fits `autoBroadcastJoinThreshold` and shuffle-joins otherwise (no
+    * forced hint: a 100 M-user dim must not be collected to the driver) —
+    * and needs no watermark or state; the streaming side never buffers. */
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
-    events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
+    events.join(userDim, Seq("user_id"), "left")
 
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class OpenSession(start: Long, last: Long, n: Int)

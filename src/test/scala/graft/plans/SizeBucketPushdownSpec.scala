@@ -29,6 +29,10 @@ class SizeBucketPushdownSpec extends SparkSpecBase {
     val expected = sizes.filter(s => SizeBucketImpl.bucket(s) == 5).toSet
     assert(got == expected && expected == Set(1L << 23, (1L << 24) - 1))
 
+    // bucket 45 is unreachable (max real bucket is 44) — must stay empty,
+    // not rewrite to size >= (1L << 63) == Long.MinValue (always true)
+    assert(spark.read.parquet(dir).filter(expr("size_bucket(size) = 45")).count() == 0)
+
     // edge buckets keep exact semantics too
     for (b <- Seq(0, 1, 2, 3)) {
       val rows = spark.read.parquet(dir)
