@@ -39,6 +39,51 @@ object Tool {
     case _ => throw new IllegalArgumentException(s"bad age: $s (want e.g. 60d, 12h, 1y)")
   }
 
+  /** Command dispatch (separated from main so specs can drive every
+    * command end-to-end against a generated image without stopping the
+    * shared session). */
+  def run(spark: org.apache.spark.sql.SparkSession, cmd: String, image: String,
+          opts: Map[String, String], flags: Set[String]): DataFrame = {
+    val all =
+      if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
+      else FsImageSource.inodes(spark, image)
+    import org.apache.spark.sql.functions.col
+    val dirs = opts.getOrElse("-p", "/").split(",").toSeq
+    val inodes =
+      if (dirs == Seq("/")) all
+      else all.filter(dirs.map(d => col("path").startsWith(d) || col("path") === d)
+        .reduce(_ || _))
+    val topN = opts.get("-l").map(_.toInt).getOrElse(20)
+
+    cmd match {
+      case "summary" =>
+        Reports.summaryByUser(inodes, sortBy = opts.getOrElse("-s", "fs"),
+          ownerRegex = opts.get("-fun"))
+      case "smallfiles" =>
+        val limit = opts.get("--fsl").map(IECBinaryImpl.parse).getOrElse(2L << 20)
+        Reports.smallFilesHotspots(inodes, limit, topN)
+      case "userusage" =>
+        val user = opts.getOrElse("-u",
+          throw new IllegalArgumentException("userusage needs -u <user>"))
+        val cutoff = opts.get("-a")
+          .map(a => (System.currentTimeMillis() - parseAge(a)) / 1000)
+          .getOrElse(Long.MaxValue)
+        Reports.userUsage(inodes, user, cutoff, topN)
+      case "path" =>
+        Reports.pathReport(inodes, opts.getOrElse("-fun", ".*"), maxRows = 10000)
+      case "inode" =>
+        val key = opts.getOrElse("-i", "/")
+        key.toLongOption match {
+          case Some(id) => Reports.inodeLookupById(inodes, Seq(id))
+          case None     => Reports.inodeLookup(inodes, Seq(key))
+        }
+      case "acl" =>
+        Reports.aclStatus(inodes, opts.getOrElse("-i", "/").split(",").toSeq)
+      case other =>
+        throw new IllegalArgumentException(s"unknown command: $other")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Tool <command> <fsimage> [options]")
     val cmd = args(0)
@@ -49,44 +94,8 @@ object Tool {
     val spark = graft.core.GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val all =
-        if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
-        else FsImageSource.inodes(spark, image)
-      import org.apache.spark.sql.functions.col
-      val dirs = opts.getOrElse("-p", "/").split(",").toSeq
-      val inodes =
-        if (dirs == Seq("/")) all
-        else all.filter(dirs.map(d => col("path").startsWith(d) || col("path") === d)
-          .reduce(_ || _))
+      val df = run(spark, cmd, image, opts, flags)
       val topN = opts.get("-l").map(_.toInt).getOrElse(20)
-
-      val df: DataFrame = cmd match {
-        case "summary" =>
-          Reports.summaryByUser(inodes, sortBy = opts.getOrElse("-s", "fs"),
-            ownerRegex = opts.get("-fun"))
-        case "smallfiles" =>
-          val limit = opts.get("--fsl").map(IECBinaryImpl.parse).getOrElse(2L << 20)
-          Reports.smallFilesHotspots(inodes, limit, topN)
-        case "userusage" =>
-          val user = opts.getOrElse("-u",
-            throw new IllegalArgumentException("userusage needs -u <user>"))
-          val cutoff = opts.get("-a")
-            .map(a => (System.currentTimeMillis() - parseAge(a)) / 1000)
-            .getOrElse(Long.MaxValue)
-          Reports.userUsage(inodes, user, cutoff, topN)
-        case "path" =>
-          Reports.pathReport(inodes, opts.getOrElse("-fun", ".*"), maxRows = 10000)
-        case "inode" =>
-          val key = opts.getOrElse("-i", "/")
-          key.toLongOption match {
-            case Some(id) => Reports.inodeLookupById(inodes, Seq(id))
-            case None     => Reports.inodeLookup(inodes, Seq(key))
-          }
-        case "acl" =>
-          Reports.aclStatus(inodes, opts.getOrElse("-i", "/").split(",").toSeq)
-        case other =>
-          throw new IllegalArgumentException(s"unknown command: $other")
-      }
 
       opts.getOrElse("-o", "txt") match {
         case "txt" => println(ReportSink.text(df, maxRows = math.max(topN, 50)))

@@ -44,6 +44,28 @@ class ToolAndSqlSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("every Tool command runs end-to-end against a generated image") {
+    import graft.sources.fsimage.ImageGen
+    val img = java.nio.file.Files.createTempFile("tool_img", ".img").toString
+    ImageGen.write(img, ImageGen.GenSpec(nDirs = 4, nFiles = 200,
+      ecEvery = 3, aclEvery = 5, nSymlinks = 2))
+    try {
+      def run(cmd: String, opts: (String, String)*) =
+        Tool.run(spark, cmd, img, opts.toMap, Set.empty)
+      assert(run("summary").count() > 0)
+      assert(run("smallfiles").count() > 0)
+      assert(run("userusage", "-u" -> "user_0").count() >= 0)
+      assert(run("path").count() > 0)
+      assert(run("inode", "-i" -> "/dir_0").count() == 1)
+      val acl = run("acl", "-i" -> "/dir_0").collect()
+      assert(acl.length == 1 && acl.head.getAs[Int]("n_acl") >= 0)
+      // subtree option restricts the inode set
+      assert(run("path", "-p" -> "/dir_0").count() <
+             run("path").count())
+      intercept[IllegalArgumentException](run("no_such_command"))
+    } finally new java.io.File(img).delete()
+  }
+
   test("Tool.parseAge handles the reference's age grammar") {
     assert(Tool.parseAge("60d") == 60L * 24 * 60 * 60 * 1000)
     assert(Tool.parseAge("12h") == 12L * 60 * 60 * 1000)
