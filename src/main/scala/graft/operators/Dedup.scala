@@ -87,15 +87,24 @@ object Dedup {
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
+    // one min-label hop (string-key joins so the analyzer disambiguates
+    // the repeated sym lineage when hops are chained)
+    def hop(l: DataFrame): DataFrame = {
+      val nbrMin = sym.toDF("nbr", "doc_id").join(l, "doc_id")
+        .groupBy(col("nbr")).agg(min(col("cluster_id")).as("nbr_min"))
+        .withColumnRenamed("nbr", "doc_id")
+      l.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+    }
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(labels("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-          col("cluster_id").as("prev"))
+      // two hops per materialized round: same total join work, half the
+      // checkpoint/count actions — the fixed per-job cost dominates on
+      // shallow components
+      val next = hop(hop(labels))
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .localCheckpoint()
       changed = next.filter(col("cluster_id") < col("prev")).count()
       labels = next.select(col("doc_id"), col("cluster_id"))
