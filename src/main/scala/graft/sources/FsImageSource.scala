@@ -61,22 +61,55 @@ object FsImageSource {
       i.symlinkTarget,
       i.aclRaw.length, i.aclRaw.toSeq.map(v => FsImageFormat.aclEntryString(v, strings)))
 
+  /** Iterative memoized upward path walk, O(n) total — iterative (not
+    * recursive) so pathological directory depths can't overflow the stack,
+    * with a cycle guard so a corrupt image's parent loop raises a
+    * diagnosable error instead of recursing forever. */
+  private def pathResolver(byId: Map[Long, RawInode],
+                           parentOf: Long => Option[Long]): Long => String = {
+    val memo = new java.util.HashMap[Long, String]()
+    (start: Long) => {
+      if (start == RootInodeId || !byId.contains(start)) "/"
+      else {
+        val cached = memo.get(start)
+        if (cached != null) cached
+        else {
+          val seen = new java.util.HashSet[java.lang.Long]()
+          var chain = List.empty[Long] // head = nearest-root unresolved id
+          var id = start
+          var base: String = null
+          while (base == null) {
+            if (id == RootInodeId || !byId.contains(id)) base = "/"
+            else {
+              val c = memo.get(id)
+              if (c != null) base = c
+              else {
+                if (!seen.add(id)) throw new IllegalStateException(
+                  s"fsimage directory tree has a parent cycle at inode $id")
+                chain ::= id
+                id = parentOf(id).getOrElse(RootInodeId)
+              }
+            }
+          }
+          var p = base
+          chain.foreach { cid =>
+            p = (if (p == "/") "" else p) + "/" + byId(cid).name
+            memo.put(cid, p)
+          }
+          p
+        }
+      }
+    }
+  }
+
   /** Builds dir id → absolute path from the collected dir inodes plus the
-    * dir→parent edges (memoized upward walk, O(#dirs)). */
+    * dir→parent edges. */
   private def dirPaths(dirRows: Array[RawInode],
                        parentOf: java.util.HashMap[Long, Long]): Map[Long, String] = {
     val byId = dirRows.map(d => d.id -> d).toMap
-    val memo = new java.util.HashMap[Long, String]()
-    def pathOf(id: Long): String =
-      if (id == RootInodeId || !byId.contains(id)) "/"
-      else Option(memo.get(id)).getOrElse {
-        val parent = if (parentOf.containsKey(id)) parentOf.get(id).longValue() else RootInodeId
-        val pp = pathOf(parent)
-        val p = (if (pp == "/") "" else pp) + "/" + byId(id).name
-        memo.put(id, p)
-        p
-      }
-    dirRows.map(d => d.id -> pathOf(d.id)).toMap
+    val resolve = pathResolver(byId,
+      id => if (parentOf.containsKey(id)) Some(parentOf.get(id).longValue()) else None)
+    dirRows.map(d => d.id -> resolve(d.id)).toMap
   }
 
   /** Scale-path loader — see the object scaladoc for the design. Driver
@@ -87,18 +120,21 @@ object FsImageSource {
     import spark.implicits._
     val sc = spark.sparkContext
 
-    val summary = FsImageFormat.readSummary(imagePath)
+    // All driver-side I/O goes through the Hadoop FileSystem API with the
+    // session's configuration — the SAME resolution the executors use in
+    // readRange, so one path string works whether the image is local or on
+    // a DFS (a java.io reader here would break every hdfs:// path).
+    val hadoopConf = sc.hadoopConfiguration
+    val summary = FsImageFormat.readSummary(imagePath, hadoopConf)
     val secs = summary.sections.map(s => s.name -> s).toMap
 
     // String table: tiny (distinct users/groups/ACL names) — in-memory.
     val strings = {
-      val raf = new RandomAccessFile(imagePath, "r")
-      try {
-        val st = secs.get("STRING_TABLE")
-          .map(s => FsImageFormat.maybeDecompress(FsImageFormat.readSection(raf, s), summary.codec))
-          .getOrElse(Array.emptyByteArray)
-        FsImageFormat.parseStringTable(st)
-      } finally raf.close()
+      val st = secs.get("STRING_TABLE")
+        .map(s => FsImageFormat.maybeDecompress(
+          FsImageFormat.readSection(imagePath, s, hadoopConf), summary.codec))
+        .getOrElse(Array.emptyByteArray)
+      FsImageFormat.parseStringTable(st)
     }
 
     // Ranged-readable view of the INODE / INODE_DIR sections: the image
@@ -115,25 +151,42 @@ object FsImageSource {
         secs.get(name) match {
           case None => (imagePath, Section(name, 0, 0))
           case Some(s) =>
-            val src = new java.io.File(imagePath)
-            val side = new java.io.File(src.getParentFile, s".${src.getName}.graft-$name")
-            if (!side.isFile || side.lastModified() < src.lastModified()) {
-              // inflate to a temp file, then atomic-rename into place: a
-              // crashed or concurrent inflation must never leave a partial
-              // side file that mtime-checks as valid on the next run
-              val tmp = java.io.File.createTempFile(side.getName, ".tmp", src.getParentFile)
-              val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
-              val buf = new Array[Byte](1 << 16)
-              val in = FsImageFormat.sectionRawStream(imagePath, s, codec)
+            // side file lives NEXT TO THE IMAGE via the same FileSystem —
+            // on a DFS that is shared storage the executors can range-read
+            val img = new org.apache.hadoop.fs.Path(imagePath)
+            val fs = img.getFileSystem(hadoopConf)
+            val side = new org.apache.hadoop.fs.Path(
+              img.getParent, s".${img.getName}.graft-$name")
+            val srcMtime = fs.getFileStatus(img).getModificationTime
+            val valid = fs.exists(side) &&
+              fs.getFileStatus(side).getModificationTime >= srcMtime
+            if (!valid) {
+              // inflate to a temp path, then rename into place: a crashed
+              // or concurrent inflation must never leave a partial side
+              // file that mtime-checks as valid on the next run
+              val tmp = new org.apache.hadoop.fs.Path(img.getParent,
+                s"${side.getName}.tmp-${java.util.UUID.randomUUID}")
+              val out = fs.create(tmp, true)
+              val in = FsImageFormat.sectionRawStream(imagePath, s, codec, hadoopConf)
               try {
+                val buf = new Array[Byte](1 << 16)
                 var n = in.read(buf)
                 while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-              } finally { in.close(); out.close() }
-              java.nio.file.Files.move(tmp.toPath, side.toPath,
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              } catch {
+                case e: Throwable =>
+                  try { in.close(); out.close(); fs.delete(tmp, false) } catch { case _: Throwable => () }
+                  throw e
+              }
+              in.close(); out.close()
+              fs.delete(side, false) // rename-over-existing is not portable
+              if (!fs.rename(tmp, side)) {
+                fs.delete(tmp, false)
+                // a concurrent loader may have won the rename — accept its file
+                if (!fs.exists(side)) throw new java.io.IOException(
+                  s"could not move inflated section into place: $side")
+              }
             }
-            (side.getPath, Section(name, side.length(), 0L))
+            (side.toString, Section(name, fs.getFileStatus(side).getLen, 0L))
         }
     }
     val (inodePath, inodeSec) = sectionView("INODE")
@@ -143,10 +196,14 @@ object FsImageSource {
     // ranges (absolute offsets into the view file).
     def ranges(path: String, sec: Section, dropHeader: Boolean): Array[(Long, Long)] = {
       if (sec.length == 0) return Array.empty
-      val chunk =
+      val requested =
         if (parallelism > 0) math.max(1L << 16, sec.length / parallelism)
         else targetChunkBytes
-      val in = FsImageFormat.sectionRawStream(path, sec, None)
+      // clamp: range byte counts travel through Int (readRange buffers) —
+      // an unclamped multi-GiB chunk would wrap .toInt and silently drop
+      // the tail of each range
+      val chunk = math.min(requested, 1L << 30)
+      val in = FsImageFormat.sectionRawStream(path, sec, None, hadoopConf)
       try FsImageFormat.scanRanges(in, dropHeader, chunk).map {
         case (from, to) => (sec.offset + from, sec.offset + to)
       } finally in.close()
@@ -163,14 +220,22 @@ object FsImageSource {
       while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
       b.result()
     }
-    def parsedInodes = sc.parallelize(inodeRanges.toSeq, math.max(1, inodeRanges.length))
+    // persisted: each RDD feeds two jobs (dir collect + final DataFrame) —
+    // without persist the dominant cost (ranged I/O + protobuf parse of
+    // both sections) would run twice per load
+    import org.apache.spark.storage.StorageLevel
+    val parsedInodes = sc.parallelize(inodeRanges.toSeq, math.max(1, inodeRanges.length))
       .flatMap { case (from, to) =>
-        FsImageFormat.parseInodeRange(FsImageFormat.readRange(ip, from, (to - from).toInt, hconf.value), 0, (to - from).toInt)
+        val n = java.lang.Math.toIntExact(to - from)
+        FsImageFormat.parseInodeRange(FsImageFormat.readRange(ip, from, n, hconf.value), 0, n)
       }
-    def dirEntries = sc.parallelize(dirRanges.toSeq, math.max(1, dirRanges.length))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val dirEntries = sc.parallelize(dirRanges.toSeq, math.max(1, dirRanges.length))
       .flatMap { case (from, to) =>
-        FsImageFormat.parseDirRange(FsImageFormat.readRange(dp, from, (to - from).toInt, hconf.value), 0, (to - from).toInt)
+        val n = java.lang.Math.toIntExact(to - from)
+        FsImageFormat.parseDirRange(FsImageFormat.readRange(dp, from, n, hconf.value), 0, n)
       }
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
     // Directory tree: dirs are ~1% of inodes → collect + broadcast.
     val dirRows = parsedInodes.filter(_.inodeType == 2).collect()
@@ -227,19 +292,8 @@ object FsImageSource {
       dirEntries.foreach(e => e.children.foreach(c => parentOf.put(c, e.parent)))
       val byId = raw.map(i => i.id -> i).toMap
 
-      // Memoized upward path walk — O(n) total.
-      val pathMemo = new java.util.HashMap[Long, String]()
-      def pathOf(id: Long): String =
-        if (id == RootInodeId || !byId.contains(id)) "/"
-        else Option(pathMemo.get(id)).getOrElse {
-          val inode = byId(id)
-          val parent = if (parentOf.containsKey(id)) parentOf.get(id).longValue() else RootInodeId
-          val pp = pathOf(parent)
-          val p = (if (pp == "/") "" else pp) + "/" + inode.name
-          pathMemo.put(id, p)
-          p
-        }
-
+      val pathOf = pathResolver(byId,
+        id => if (parentOf.containsKey(id)) Some(parentOf.get(id).longValue()) else None)
       raw.map(i => toInode(i, pathOf(i.id), strings))
     } finally raf.close()
   }

@@ -177,6 +177,28 @@ object FsImageFormat {
     val blob = new Array[Byte](summaryLen)
     raf.seek(fileLen - 4 - summaryLen)
     raf.readFully(blob)
+    parseSummaryBlob(blob)
+  }
+
+  /** Hadoop-FS variant — resolves the path exactly like the executor-side
+    * [[readRange]] does, so the distributed loader works on DFS paths (the
+    * java.io readers only see the driver's local filesystem). */
+  def readSummary(path: String, conf: org.apache.hadoop.conf.Configuration): FileSummary = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      in.seek(fileLen - 4)
+      val summaryLen = in.readInt()
+      val blob = new Array[Byte](summaryLen)
+      in.seek(fileLen - 4 - summaryLen)
+      in.readFully(blob)
+      parseSummaryBlob(blob)
+    } finally in.close()
+  }
+
+  private def parseSummaryBlob(blob: Array[Byte]): FileSummary = {
     val outer = new Reader(blob, 0, blob.length)
     val msg = outer.subMessage() // writeDelimitedTo → varint length prefix
     var ondisk = 0; var layout = 0
@@ -215,6 +237,21 @@ object FsImageFormat {
     raf.seek(s.offset)
     raf.readFully(out)
     out
+  }
+
+  /** Hadoop-FS variant of [[readSection]] (driver side of the distributed
+    * loader — same path resolution as the executors'). */
+  def readSection(path: String, s: Section,
+                  conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      in.seek(s.offset)
+      val out = new Array[Byte](java.lang.Math.toIntExact(s.length))
+      in.readFully(out)
+      out
+    } finally in.close()
   }
 
   /** Supported compression codecs (FileSummary.codec). DefaultCodec is a
@@ -282,7 +319,10 @@ object FsImageFormat {
           }
         } else if (inf.needsInput()) {
           fill()
-          if (inLen == 0) return -1 // truncated input
+          if (inLen == 0) throw new java.io.EOFException(
+            // EOF inside a stream = truncated section; a silent short read
+            // would undercount inodes with no error
+            "zlib stream truncated (compressed section ends mid-stream)")
         } else {
           return -1
         }
@@ -320,7 +360,20 @@ object FsImageFormat {
   def sectionRawStream(path: String, s: Section, codec: Option[String]): InputStream = {
     val fin = new java.io.FileInputStream(path)
     fin.getChannel.position(s.offset)
-    val bounded = new BoundedInputStream(fin, s.length)
+    wrapSection(new BoundedInputStream(fin, s.length), codec)
+  }
+
+  /** Hadoop-FS variant of [[sectionRawStream]] — used by the distributed
+    * loader so driver pre-scans resolve the path like executors do. */
+  def sectionRawStream(path: String, s: Section, codec: Option[String],
+                       conf: org.apache.hadoop.conf.Configuration): InputStream = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    in.seek(s.offset)
+    wrapSection(new BoundedInputStream(in, s.length), codec)
+  }
+
+  private def wrapSection(bounded: InputStream, codec: Option[String]): InputStream =
     codec match {
       case None | Some("")   => bounded
       case Some(ZlibCodec)   => new ZlibConcatInputStream(bounded)
@@ -328,7 +381,6 @@ object FsImageFormat {
         bounded.close()
         throw new UnsupportedOperationException(s"fsimage codec not supported: $other")
     }
-  }
 
   /** One streaming pass over a delimited section: returns message-aligned
     * chunk ranges of ~targetChunkBytes each, as offsets RELATIVE to the
@@ -389,6 +441,7 @@ object FsImageFormat {
     * executor would drop all of it and fail auth on real DFS paths. */
   def readRange(path: String, from: Long, len: Int,
                 confEntries: Iterable[(String, String)] = Nil): Array[Byte] = {
+    require(len >= 0, s"readRange: negative length $len (chunk > 2 GiB overflowed an Int?)")
     val p = new org.apache.hadoop.fs.Path(path)
     val conf =
       if (confEntries.isEmpty) new org.apache.hadoop.conf.Configuration()
@@ -432,8 +485,13 @@ object FsImageFormat {
         }
       }
       if (maskBits > 0) {
-        val serial = id & ((1L << 29) - 1)
-        (id >>> 29) match {
+        // maskBits counts the TOP bits holding the entry kind (Hadoop 3
+        // writes 3 → kind = id >>> 29); honor the header instead of
+        // hardcoding 29 so images from a SerialNumberManager with a
+        // different bit allocation still decode the right serials
+        val shift = 32 - maskBits
+        val serial = id & ((1L << shift) - 1)
+        (id >>> shift) match {
           case 1 => users += serial -> str
           case 2 => groups += serial -> str
           case _ => () // xattr namespace entries — not needed
@@ -556,13 +614,17 @@ object FsImageFormat {
       // per block; replicated files use Σblock × replication.
       val consumed =
         if (typ != 1) 0L
-        else EcPoliciesById.get(ec) match {
-          case Some(p) if ec > 0 =>
+        else if (ec > 0) EcPoliciesById.get(ec) match {
+          case Some(p) =>
             var c = 0L
             if (blockSizes != null) blockSizes.foreach(b => c += ecBlockConsumed(b, p))
             c
-          case _ => size * repl
+          // custom/unknown EC policy (ids >= 64 are legal): parity overhead
+          // unknown — report the data bytes, never size * repl (EC files
+          // carry repl = 0, which would silently zero the column)
+          case None => size
         }
+        else size * repl
       RawInode(id, typ, name, repl, mtime, atime, pbs, perm, nBlocks, size,
         consumed, sp, ec, target, if (acl == null) NoAcl else acl.toArray)
   }
