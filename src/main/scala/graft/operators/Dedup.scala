@@ -27,8 +27,13 @@ object Dedup {
     * Shuffle shape: one exchange on `sh` feeds the df window AND both join
     * sides (reused exchange); one exchange on the (doc_a, doc_b) pair agg.
     */
+  /** @param sorted order the result by (doc_a, doc_b) — the oracle-facing
+    *               contract; pass false when feeding another operator
+    *               (e.g. clustering), which would otherwise materialize a
+    *               pointless global sort of the pair table */
   def ngramJaccardPairs(documents: DataFrame, minJaccardBp: Long,
-                        maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+                        maxShingleDf: Long = DefaultMaxShingleDf,
+                        sorted: Boolean = true): DataFrame = {
     // One row per (doc, distinct shingle); n_sh carried alongside so the
     // pair aggregation needs no extra join against a counts table.
     // localCheckpoint: materialize the shingle table once — the df window
@@ -49,11 +54,11 @@ object Dedup {
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"),
            first(col("x.n_sh")).as("na"), first(col("y.n_sh")).as("nb"))
-    pairs
+    val scored = pairs
       .select(col("doc_a"), col("doc_b"),
         floor(col("n_common") * 10000.0 / (col("na") + col("nb") - col("n_common"))).cast("long").as("jaccard_bp"))
       .filter(col("jaccard_bp") >= minJaccardBp)
-      .orderBy(col("doc_a"), col("doc_b"))
+    if (sorted) scored.orderBy(col("doc_a"), col("doc_b")) else scored
   }
 
   /** Connected components over an undirected candidate-pair list — the
@@ -68,7 +73,10 @@ object Dedup {
     * id plus a groupBy(src) min — all shuffles on the same key, no
     * driver-side data. `localCheckpoint` per round truncates the lineage
     * (iterative plans otherwise grow exponentially); the convergence check
-    * is a count of changed labels, not a collect.
+    * is a count of changed labels, not a collect. Each round's checkpoint
+    * of the (small, edge-vertices-only) label table stays in block storage
+    * until the job ends — bounded by rounds × |edge vertices|, negligible
+    * next to the pair table itself.
     *
     * @param pairs    (doc_a, doc_b) undirected edges, doc_a < doc_b
     * @param vertices (doc_id) universe incl. singletons
@@ -89,13 +97,15 @@ object Dedup {
       .localCheckpoint()
     // one min-label hop (string-key joins so the analyzer disambiguates
     // the repeated sym lineage when hops are chained)
+    // inner join is exact here: the label domain IS sym's vertex set and
+    // every such vertex has >= 1 neighbor (singletons never enter the loop)
     def hop(l: DataFrame): DataFrame = {
       val nbrMin = sym.toDF("nbr", "doc_id").join(l, "doc_id")
         .groupBy(col("nbr")).agg(min(col("cluster_id")).as("nbr_min"))
         .withColumnRenamed("nbr", "doc_id")
-      l.join(nbrMin, Seq("doc_id"), "left")
+      l.join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
     }
     var changed = 1L
     var iter = 0

@@ -142,7 +142,11 @@ object Reports {
   def aclStatus(inodes: DataFrame, paths: Seq[String]): DataFrame =
     inodes.filter(col("path").isin(paths: _*))
       .select(col("path"), col("owner"), col("grp"), col("perm"),
-        (substring(col("perm"), 1, 1).cast("int") % 2 === 1).as("sticky"),
+        // sticky = the special-bits digit, i.e. the first of the LAST four
+        // octal digits (a corrupt image can set mode bits above 12 bits,
+        // making the string longer than 4 chars — the first char would
+        // then be the wrong digit)
+        (substring(col("perm"), -4, 1).cast("int") % 2 === 1).as("sticky"),
         col("n_acl"), col("acl"))
       .orderBy(col("path"))
 

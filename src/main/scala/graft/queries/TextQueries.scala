@@ -269,7 +269,7 @@ object TextQueries extends QueryModule {
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val pairs = graft.operators.Dedup
-      .ngramJaccardPairs(docs, minJaccardBp = 2000)
+      .ngramJaccardPairs(docs, minJaccardBp = 2000, sorted = false)
       .select(col("doc_a"), col("doc_b"))
     val labels = graft.operators.Dedup
       .connectedComponents(pairs, docs.select(col("doc_id")))
@@ -408,8 +408,12 @@ object TextQueries extends QueryModule {
     * (Zipf-small → broadcastable at any corpus size), one join back, one
     * per-doc aggregation. */
   def lmSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    // terms feeds BOTH the tf aggregation and the probe side of the join —
+    // materialize once (exchange reuse does not dedupe the two branches,
+    // same reasoning as ngramJaccardPairs' checkpointed shingle table)
     val terms = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .localCheckpoint()
     val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
     val total = tf.agg(sum(col("tf")).as("total"))
     val scored = terms.join(broadcast(tf.crossJoin(total)), "term")
