@@ -614,6 +614,51 @@ object Analytics extends QueryModule {
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     ORDER BY event_id"""
 
+  /** Time-series resample + forward-fill: put each user's daily totals on
+    * a dense 1-day grid (sequence + explode — per-row, no driver loop) and
+    * fill gaps with the last seen value (running `last(ignoreNulls)` — one
+    * shuffle on user_id, per-user sort). The gap-filling shape feature
+    * pipelines need before windowed aggregates. Users capped (< 50) to
+    * keep the dense grid output bounded in the harness. */
+  def qResampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), to_date(col("ts")).as("day"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("day")).agg(sum(col("v")).as("day_sum"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("day_sum"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("day_sum").isNull.cast("int"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("filled"), col("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val qResampleFfillSql: String = """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS bigint)) AS bigint) AS day_sum
+      FROM events WHERE user_id < 50
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+                                         CAST(max(day) AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM daily GROUP BY user_id
+    )
+    SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(last_value(d.day_sum IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS filled,
+           CAST(d.day_sum IS NULL AS int) AS is_gap
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    ORDER BY user_id, day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -636,7 +681,8 @@ object Analytics extends QueryModule {
     "q_pivot_events"    -> (qPivotEvents _),
     "q_kmv_distinct"    -> (qKmvDistinct _),
     "q_cube"            -> (qCube _),
-    "q_moving_window"   -> (qMovingWindow _))
+    "q_moving_window"   -> (qMovingWindow _),
+    "q_resample_ffill"  -> (qResampleFfill _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -659,5 +705,6 @@ object Analytics extends QueryModule {
     "q_pivot_events"    -> qPivotEventsSql,
     "q_kmv_distinct"    -> qKmvDistinctSql,
     "q_cube"            -> qCubeSql,
-    "q_moving_window"   -> qMovingWindowSql)
+    "q_moving_window"   -> qMovingWindowSql,
+    "q_resample_ffill"  -> qResampleFfillSql)
 }
