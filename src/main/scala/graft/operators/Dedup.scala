@@ -144,4 +144,35 @@ object Dedup {
       s"use $alternative, or raise $confKey")
     df
   }
+
+  /** Segment-level (line-level) dedup over (doc_id, text): split each doc
+    * into consecutive `segWords`-word segments, keep only the globally
+    * FIRST occurrence of each distinct segment (ordered by doc_id, then
+    * position within the doc) — the C4/CCNet move that strips repeated
+    * boilerplate lines a whole-document hash never catches.
+    *
+    * Shuffle shape: segment explode is a per-row map; the keeper choice is
+    * one groupBy(seg_hash) min (map-side combinable); marking occurrences
+    * is an equi-join back on seg_hash (a segment in f docs joins f rows to
+    * 1 keeper row — linear in f, never f²). No windows over hot keys: the
+    * (doc_id, seg_idx) pair packs into one long so `min` picks the earliest
+    * occurrence without a per-key sort.
+    *
+    * @return one row per (doc_id, seg_idx, seg, kept) occurrence
+    */
+  def segmentDedup(documents: DataFrame, segWords: Int = 8): DataFrame = {
+    val segs = documents
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(w) + ${segWords - 1}) div $segWords - 1),
+                      i -> array_join(slice(w, i * $segWords + 1, $segWords), ' '))"""))
+        .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"),
+        md5(col("seg")).as("seg_hash"))
+      .withColumn("occ", col("doc_id") * 1000000L + col("seg_idx"))
+    val keeper = segs.groupBy(col("seg_hash")).agg(min(col("occ")).as("keep_occ"))
+    segs.join(keeper, Seq("seg_hash"))
+      .select(col("doc_id"), col("seg_idx"), col("seg"),
+        (col("occ") === col("keep_occ")).cast("int").as("kept"))
+  }
 }

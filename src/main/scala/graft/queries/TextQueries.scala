@@ -492,6 +492,151 @@ object TextQueries extends QueryModule {
     HAVING floor(count(*) * 10000.0 / any_value(n_sh)) >= 3000
     ORDER BY eval_id, train_id"""
 
+  // --------------------------------------------------------- sequence packing
+
+  /** Context-window packing: lay the corpus out as one contiguous token
+    * stream (doc_id order) and assign every doc its starting window of
+    * size 256 — the step that turns a cleaned corpus into fixed-length
+    * training sequences. The global cumulative offset comes from
+    * [[graft.operators.PrefixSum.exclusive]] (two linear scans + one
+    * range exchange), NOT from a single-partition window — this is the
+    * shape that survives 100 TB. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 256
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.exclusive(toks, "doc_id", "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        col("prefix_excl").as("start_off"),
+        expr(s"prefix_excl div $W").as("window_id"),
+        (col("prefix_excl") % W).as("window_off"),
+        expr(s"(prefix_excl + n_tokens - 1) div $W - prefix_excl div $W + 1").as("n_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packSequencesSql: String = """
+    SELECT doc_id, n_tokens, start_off,
+           CAST(start_off // 256 AS bigint) AS window_id,
+           CAST(start_off % 256 AS bigint) AS window_off,
+           CAST((start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS bigint) AS n_windows
+    FROM (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS start_off
+      FROM (SELECT doc_id,
+                   CAST(len(string_split_regex(text, '\s+')) AS bigint) AS n_tokens
+            FROM documents)
+    )
+    ORDER BY doc_id"""
+
+  // -------------------------------------------------------------- PII scrub
+
+  /** PII scrub ([[graft.operators.PiiScrub]]) over a deterministic
+    * "contact note" derived from `customer` (the synthetic corpus carries
+    * no natural PII, so the note embeds an email, a phone and digit runs
+    * built from customer columns — the SAME derivation in the oracle, like
+    * the namespace view). Per-row regexp map, shuffle-free. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("c_acctbal") * 100).cast("long")
+    val note = concat(
+      lit("Reach "), col("c_name"),
+      lit(" (cust"), col("c_custkey").cast("string"),
+      lit("@example.com, +1-"),
+      lpad((col("c_custkey") * 7919 % 1000).cast("string"), 3, "0"),
+      lit("-"),
+      lpad((abs(cents) % 10000).cast("string"), 4, "0"),
+      lit(") seg "), col("c_mktsegment"),
+      lit(" bal "), cents.cast("string"))
+    val noted = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("cust_id"), note.as("note"))
+    graft.operators.PiiScrub.scrub(noted, "note")
+      .select(col("cust_id"), col("n_emails"), col("n_phones"), col("n_nums"),
+        col("scrubbed"))
+      .orderBy(col("cust_id"))
+  }
+
+  val piiScrubSql: String = """
+    WITH noted AS (
+      SELECT c_custkey AS cust_id,
+             'Reach ' || c_name || ' (cust' || CAST(c_custkey AS VARCHAR)
+               || '@example.com, +1-'
+               || lpad(CAST(c_custkey * 7919 % 1000 AS VARCHAR), 3, '0')
+               || '-'
+               || lpad(CAST(abs(CAST(floor(c_acctbal * 100) AS bigint)) % 10000 AS VARCHAR), 4, '0')
+               || ') seg ' || c_mktsegment
+               || ' bal ' || CAST(CAST(floor(c_acctbal * 100) AS bigint) AS VARCHAR)
+               AS note
+      FROM customer
+    ), masked AS (
+      SELECT cust_id, note,
+             regexp_replace(note, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS s1
+      FROM noted
+    ), masked2 AS (
+      SELECT cust_id, note, s1,
+             regexp_replace(s1, '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g') AS s2
+      FROM masked
+    )
+    SELECT cust_id,
+           CAST(len(regexp_extract_all(note, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS bigint) AS n_emails,
+           CAST(len(regexp_extract_all(s1, '\+\d{1,3}-\d{3}-\d{4}')) AS bigint) AS n_phones,
+           CAST(len(regexp_extract_all(s2, '\d{4,}')) AS bigint) AS n_nums,
+           regexp_replace(s2, '\d{4,}', '<NUM>', 'g') AS scrubbed
+    FROM masked2
+    ORDER BY cust_id"""
+
+  // ---------------------------------------------------------- segment dedup
+
+  /** Segment-level dedup ([[graft.operators.Dedup.segmentDedup]], 8-word
+    * segments): per doc, how many segments survive keeping only the
+    * globally-first occurrence of each distinct segment, plus the
+    * reconstructed deduplicated text (kept segments in original order).
+    * One shuffle on seg_hash + one on doc_id; the reconstruction is a
+    * per-doc collect_list/array_sort — bounded by the doc's own length. */
+  def dedupSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val marked = graft.operators.Dedup.segmentDedup(Tables.documents(spark, sfDir))
+    marked.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept") === 1,
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ").as("dedup_text"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        floor(col("n_kept") * 10000.0 / col("n_segs")).cast("long").as("kept_bp"),
+        col("dedup_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSegmentsSql: String = """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+    ), seg0 AS (
+      SELECT doc_id, w, unnest(range(0, (len(w) + 7) // 8)) AS seg_idx FROM base
+    ), segs AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(w[seg_idx*8+1 : seg_idx*8+8], ' ') AS seg,
+             doc_id * 1000000 + seg_idx AS occ
+      FROM seg0
+    ), keeper AS (
+      SELECT md5(seg) AS seg_hash, min(occ) AS keep_occ
+      FROM segs GROUP BY 1
+    ), marked AS (
+      SELECT doc_id, seg_idx, seg,
+             CAST(occ = keep_occ AS int) AS kept
+      FROM segs JOIN keeper ON md5(seg) = seg_hash
+    )
+    SELECT doc_id,
+           CAST(count(*) AS bigint) AS n_segs,
+           CAST(sum(kept) AS bigint) AS n_kept,
+           CAST(floor(sum(kept) * 10000.0 / count(*)) AS bigint) AS kept_bp,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept = 1), '') AS dedup_text
+    FROM marked
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- sampling
 
   /** Per-language sampling rates in basis points: downsample the dominant
@@ -545,7 +690,10 @@ object TextQueries extends QueryModule {
     "t_lm_surprisal"  -> (lmSurprisal _),
     "d_dedup_exact"   -> (dedupExact _),
     "d_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "d_dedup_clusters" -> (dedupClusters _))
+    "d_dedup_clusters" -> (dedupClusters _),
+    "d_dedup_segments" -> (dedupSegments _),
+    "t_pii_scrub"     -> (piiScrub _),
+    "t_pack_sequences" -> (packSequences _))
 
   val oracles: Map[String, String] = Map(
     "t_token_count"   -> tokenCountSql,
@@ -560,5 +708,8 @@ object TextQueries extends QueryModule {
     "t_lm_surprisal"  -> lmSurprisalSql,
     "d_dedup_exact"   -> dedupExactSql,
     "d_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "d_dedup_clusters" -> dedupClustersSql)
+    "d_dedup_clusters" -> dedupClustersSql,
+    "d_dedup_segments" -> dedupSegmentsSql,
+    "t_pii_scrub"     -> piiScrubSql,
+    "t_pack_sequences" -> packSequencesSql)
 }

@@ -65,6 +65,37 @@ class DedupSpec extends SparkSpecBase {
     assert((0L to 19L).forall(got(_) == 0L) && got(20L) == 20L)
   }
 
+  test("segment dedup keeps only the globally-first occurrence of a segment") {
+    import spark.implicits._
+    // 2-word segments: doc 0 = [a b][c d], doc 1 repeats [a b] then a
+    // unique segment and a trailing partial; doc 2 repeats doc 0 entirely
+    // AND repeats its own first segment internally
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b x y z"),
+      (2L, "a b a b c d")).toDF("doc_id", "text")
+    val marked = Dedup.segmentDedup(docs, segWords = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    assert(marked == Map(
+      (0L, 0L) -> 1, (0L, 1L) -> 1,              // first occurrences win
+      (1L, 0L) -> 0,                             // "a b" already seen in doc 0
+      (1L, 1L) -> 1, (1L, 2L) -> 1,              // "x y", partial "z" unique
+      (2L, 0L) -> 0, (2L, 1L) -> 0, (2L, 2L) -> 0)) // all repeats, incl. internal
+  }
+
+  test("segment dedup is the identity on a corpus with no repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "one two three four five"),
+      (1L, "six seven eight")).toDF("doc_id", "text")
+    val marked = Dedup.segmentDedup(docs, segWords = 3)
+    assert(marked.filter(col("kept") === 0).count() == 0)
+    // segment counts: ceil(5/3)=2 and ceil(3/3)=1
+    val counts = marked.groupBy("doc_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == Map(0L -> 2L, 1L -> 1L))
+  }
+
   test("quadratic guard refuses oversized inputs and respects the conf") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
