@@ -31,7 +31,11 @@ object Bench {
 
     // Two timed runs per query, min reported: strips one-off JIT/IO noise
     // (run-to-run variance on shared hosts is ±30% otherwise).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local iteration).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_(name)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -96,16 +96,20 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
     // one min-label hop (string-key joins so the analyzer disambiguates
-    // the repeated sym lineage when hops are chained)
+    // the repeated sym lineage when hops are chained); any column besides
+    // (doc_id, cluster_id) — e.g. the round's starting label — rides along,
+    // so the convergence check needs no extra join against the old labels
     // inner join is exact here: the label domain IS sym's vertex set and
     // every such vertex has >= 1 neighbor (singletons never enter the loop)
     def hop(l: DataFrame): DataFrame = {
-      val nbrMin = sym.toDF("nbr", "doc_id").join(l, "doc_id")
+      val nbrMin = sym.toDF("nbr", "doc_id")
+        .join(l.select(col("doc_id"), col("cluster_id")), "doc_id")
         .groupBy(col("nbr")).agg(min(col("cluster_id")).as("nbr_min"))
         .withColumnRenamed("nbr", "doc_id")
+      val carried = l.columns.filter(c => c != "doc_id" && c != "cluster_id").map(col)
       l.join(nbrMin, Seq("doc_id"))
-        .select(col("doc_id"),
-          least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+        .select(col("doc_id") +: carried :+
+          least(col("cluster_id"), col("nbr_min")).as("cluster_id"): _*)
     }
     var changed = 1L
     var iter = 0
@@ -113,8 +117,7 @@ object Dedup {
       // two hops per materialized round: same total join work, half the
       // checkpoint/count actions — the fixed per-job cost dominates on
       // shallow components
-      val next = hop(hop(labels))
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+      val next = hop(hop(labels.withColumn("prev", col("cluster_id"))))
         .localCheckpoint()
       changed = next.filter(col("cluster_id") < col("prev")).count()
       labels = next.select(col("doc_id"), col("cluster_id"))
