@@ -100,11 +100,25 @@ object Reports {
       .orderBy(col("n_small").desc, col("owner"))
 
   /** SmallFilesReportCommand directory hotspots: ancestor rollup, top-N. */
+  /** Parent directory of an inode ("/" for root-level inodes). */
+  private def parentDir: Column = substring(col("path"), lit(1),
+    greatest(length(col("path")) - length(col("name")) - 1, lit(1)))
+
+  /** A directory plus all its proper ancestors. `array_distinct` collapses
+    * the one duplicate the root case produces (ancestors("/") == ["/"]). */
+  private def selfAndAncestors(dir: Column): Column =
+    array_distinct(concat(ancestors(dir), array(dir)))
+
   def smallFilesHotspots(inodes: DataFrame, limitBytes: Long, topN: Int): DataFrame =
     inodes.filter(col("ftype") === "F" && col("size") < limitBytes)
-      .select(explode(ancestors(col("path"))).as("dir"))
+      // pre-aggregate per parent dir BEFORE the ancestor explode: files in
+      // one dir share the exact ancestor chain, so the explode input
+      // shrinks from #files to #distinct dirs (exact regrouping)
+      .groupBy(parentDir.as("pdir"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(explode(selfAndAncestors(col("pdir"))).as("dir"), col("cnt"))
       .groupBy(col("dir"))
-      .agg(count(lit(1)).as("n_small"))
+      .agg(sum(col("cnt")).as("n_small"))
       .orderBy(col("n_small").desc, col("dir"))
       .limit(topN)
 
@@ -113,9 +127,12 @@ object Reports {
   def userUsage(inodes: DataFrame, user: String, cutoffSec: Long, topN: Int): DataFrame =
     inodes.filter(col("ftype") === "F" && col("owner") === user &&
         col("mtime_sec") < cutoffSec)
-      .select(explode(ancestors(col("path"))).as("dir"), col("size"))
+      .groupBy(parentDir.as("pdir"))
+      .agg(sum(col("size")).as("psum"), count(lit(1)).as("pcnt"))
+      .select(explode(selfAndAncestors(col("pdir"))).as("dir"),
+        col("psum"), col("pcnt"))
       .groupBy(col("dir"))
-      .agg(sum(col("size")).as("sum_size"), count(lit(1)).as("n_files"))
+      .agg(sum(col("psum")).as("sum_size"), sum(col("pcnt")).as("n_files"))
       .orderBy(col("sum_size").desc, col("dir"))
       .limit(topN)
 
