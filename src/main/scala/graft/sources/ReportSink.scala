@@ -37,6 +37,42 @@ object ReportSink {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Size-targeted parquet — the compaction posture for corpus-scale
+    * outputs: a 100 TB result written as whatever the shuffle produced is
+    * either thousands of KB-sized files (metadata pressure on every
+    * downstream scan) or a few unsplittable monsters. Writes a
+    * `sampleRows`-row probe file and measures its REAL encoded size (no
+    * in-memory-bytes guessing), then repartitions to
+    * ceil(totalRows / rowsPerFile) output files. The probe slightly
+    * overestimates bytes/row (footer + dictionary amortize over a small
+    * file), which errs toward files under the target — the safe side.
+    * `maxRecordsPerFile` backstops skewed rows so no file can blow far
+    * past the target even if the probe undershoots. */
+  def parquetSized(df: DataFrame, path: String,
+                   targetFileBytes: Long = 512L << 20,
+                   sampleRows: Int = 10000): Unit = {
+    val spark = df.sparkSession
+    val cached = df.localCheckpoint() // count + probe + write read one materialization
+    try {
+      val total = cached.count()
+      if (total == 0L) { cached.write.mode("overwrite").parquet(path); return }
+      val probePath = new org.apache.hadoop.fs.Path(path + "._probe")
+      val fs = probePath.getFileSystem(spark.sessionState.newHadoopConf())
+      val sampled = math.min(total, sampleRows.toLong)
+      cached.limit(sampleRows).coalesce(1).write.mode("overwrite").parquet(probePath.toString)
+      val probeBytes =
+        try fs.listStatus(probePath).filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+        finally fs.delete(probePath, true)
+      val bytesPerRow = math.max(1.0, probeBytes.toDouble / sampled)
+      val rowsPerFile = math.max(1L, (targetFileBytes / bytesPerRow).toLong)
+      val nFiles = ((total + rowsPerFile - 1) / rowsPerFile).max(1L).min(Int.MaxValue.toLong).toInt
+      cached.repartition(nFiles)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rowsPerFile * 2)
+        .parquet(path)
+    } finally cached.unpersist()
+  }
+
   /** Fixed-width text table of the first `maxRows` rows — the tool's
     * `-o txt` report body. Driver-side by design (human console output);
     * `maxRows` bounds the collect. */

@@ -44,6 +44,29 @@ class ToolAndSqlSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("sized parquet splits output near the target file size") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized").toFile.getPath + "/out"
+    // ~200 KB of payload: 2000 rows × ~100 B strings (incompressible-ish)
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 2000)
+      .map(i => (i.toLong, rnd.alphanumeric.take(100).mkString)).toDF("id", "payload")
+    ReportSink.parquetSized(df, dir, targetFileBytes = 64L << 10, sampleRows = 500)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2, s"expected a multi-file split, got ${files.length}")
+    assert(files.forall(_.length < (64L << 10) * 2), "file far beyond target")
+    assert(spark.read.parquet(dir).count() == 2000)
+    assert(!new java.io.File(dir + "._probe").exists, "probe not cleaned up")
+    // a huge target collapses the same data to a single file
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sized1").toFile.getPath + "/out"
+    ReportSink.parquetSized(df, dir2, targetFileBytes = 1L << 30)
+    assert(new java.io.File(dir2).listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    // empty input still writes a readable (schema-only) result
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_sized0").toFile.getPath + "/out"
+    ReportSink.parquetSized(df.limit(0), dir3)
+    assert(spark.read.parquet(dir3).count() == 0)
+  }
+
   test("every Tool command runs end-to-end against a generated image") {
     import graft.sources.fsimage.ImageGen
     val img = java.nio.file.Files.createTempFile("tool_img", ".img").toString
