@@ -28,4 +28,31 @@ object Salted {
       .groupBy(keys.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
   }
+
+  /** Skew-mitigating inner equi-join for when AQE can't help (both sides
+    * too large to broadcast, one sort-merge reducer drowning in a handful
+    * of hot keys): each LEFT row of a hot key gets a random salt in
+    * [0, replicas); the RIGHT side's hot-key rows are replicated once per
+    * salt value (explode — right side's hot slice must be the smaller
+    * one, the usual fact⋈dim skew). Non-hot keys join unsalted, so the
+    * only cost is `replicas`× duplication of the right side's hot rows.
+    * Result is row-identical to `left.join(right, keys)` for any salt.
+    *
+    * @param hotKeys the skewed key values (from a cheap pre-count or
+    *                known domain knowledge); keep it small — it travels
+    *                as a literal filter
+    */
+  def skewJoin(left: DataFrame, right: DataFrame, key: String,
+               hotKeys: Seq[Any], replicas: Int = 16): DataFrame = {
+    require(replicas > 0)
+    val hot = col(key).isin(hotKeys: _*)
+    val lSalt = when(hot,
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(replicas)))
+      .otherwise(lit(0)).cast("int").as("_salt")
+    val rSalt = explode(when(hot, sequence(lit(0), lit(replicas - 1)))
+      .otherwise(array(lit(0)))).as("_salt")
+    val l = left.withColumn("_salt", lSalt)
+    val r = right.select(col("*"), rSalt)
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
 }

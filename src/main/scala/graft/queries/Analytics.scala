@@ -659,6 +659,34 @@ object Analytics extends QueryModule {
     FROM grid g LEFT JOIN daily d USING (user_id, day)
     ORDER BY user_id, day"""
 
+  /** Skew-salted inner join ([[graft.operators.Salted.skewJoin]]): events
+    * fan-out-joined to a small per-type weight dim with the hottest key
+    * salted over 8 replicas, then re-aggregated. The oracle is the PLAIN
+    * join — salting must be invisible in the result. */
+  def qSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("v"))
+    val dim = ev.select(col("event_type")).distinct()
+      .select(col("event_type"), explode(array(lit(1L), lit(2L))).as("weight"))
+    graft.operators.Salted.skewJoin(ev, dim, "event_type", Seq("click"), replicas = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v") * col("weight")).as("wsum"))
+      .orderBy(col("event_type"))
+  }
+
+  val qSkewJoinSql: String = """
+    WITH ev AS (
+      SELECT event_type, CAST(floor(value * 100) AS bigint) AS v FROM events
+    ), dim AS (
+      SELECT event_type, unnest([1, 2]) AS weight
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT event_type, CAST(count(*) AS bigint) AS n_rows,
+           CAST(sum(v * weight) AS bigint) AS wsum
+    FROM ev JOIN dim USING (event_type)
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -682,7 +710,8 @@ object Analytics extends QueryModule {
     "q_kmv_distinct"    -> (qKmvDistinct _),
     "q_cube"            -> (qCube _),
     "q_moving_window"   -> (qMovingWindow _),
-    "q_resample_ffill"  -> (qResampleFfill _))
+    "q_resample_ffill"  -> (qResampleFfill _),
+    "q_skew_join"       -> (qSkewJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -706,5 +735,6 @@ object Analytics extends QueryModule {
     "q_kmv_distinct"    -> qKmvDistinctSql,
     "q_cube"            -> qCubeSql,
     "q_moving_window"   -> qMovingWindowSql,
-    "q_resample_ffill"  -> qResampleFfillSql)
+    "q_resample_ffill"  -> qResampleFfillSql,
+    "q_skew_join"       -> qSkewJoinSql)
 }
