@@ -32,7 +32,9 @@ object Bench {
     // Two timed runs per query, min reported: strips one-off JIT/IO noise
     // (run-to-run variance on shared hosts is ±30% otherwise).
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local iteration).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_(name)) }
       .map { case (name, fn) =>

@@ -155,11 +155,11 @@ object Dedup {
     * boilerplate lines a whole-document hash never catches.
     *
     * Shuffle shape: segment explode is a per-row map; the keeper choice is
-    * one groupBy(seg_hash) min (map-side combinable); marking occurrences
-    * is an equi-join back on seg_hash (a segment in f docs joins f rows to
-    * 1 keeper row — linear in f, never f²). No windows over hot keys: the
-    * (doc_id, seg_idx) pair packs into one long so `min` picks the earliest
-    * occurrence without a per-key sort.
+    * one groupBy(seg_hash) min over the (doc_id, seg_idx) struct —
+    * lexicographic, map-side combinable, and safe for any doc_id/segment
+    * count (no packed-integer overflow); marking occurrences is an
+    * equi-join back on seg_hash (a segment in f docs joins f rows to 1
+    * keeper row — linear in f, never f²). No windows over hot keys.
     *
     * @return one row per (doc_id, seg_idx, seg, kept) occurrence
     */
@@ -172,10 +172,11 @@ object Dedup {
         .as(Seq("seg_idx", "seg")))
       .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"),
         md5(col("seg")).as("seg_hash"))
-      .withColumn("occ", col("doc_id") * 1000000L + col("seg_idx"))
-    val keeper = segs.groupBy(col("seg_hash")).agg(min(col("occ")).as("keep_occ"))
+    val keeper = segs.groupBy(col("seg_hash"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keep"))
     segs.join(keeper, Seq("seg_hash"))
       .select(col("doc_id"), col("seg_idx"), col("seg"),
-        (col("occ") === col("keep_occ")).cast("int").as("kept"))
+        (col("doc_id") === col("keep.doc_id") &&
+          col("seg_idx") === col("keep.seg_idx")).cast("int").as("kept"))
   }
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object PiiScrub {
 
-  val EmailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailPattern: String = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhonePattern: String = "\\+\\d{1,3}-\\d{3}-\\d{4}"
   val NumberPattern: String = "\\d{4,}"
 

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object PrefixSum {
 
-  /** @param df       input with a unique numeric `keyCol` and numeric `valueCol`
+  /** @param df       input with a unique INTEGRAL `keyCol` and non-null
+    *                  integral `valueCol` (fractional keys would collapse
+    *                  under the long cast and break row identity)
     * @param keyCol   defines the global order (and identifies rows)
     * @param valueCol summed value
     * @return (keyCol, valueCol, prefix_excl) — prefix_excl = sum of
@@ -28,6 +30,12 @@ object PrefixSum {
     */
   def exclusive(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val spark = df.sparkSession
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    Seq(keyCol, valueCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"PrefixSum.exclusive: column '$c' must be integral, got $dt")
+    }
     val sorted = df
       .select(col(keyCol).cast("long").as(keyCol), col(valueCol).cast("long").as(valueCol))
       .repartitionByRange(col(keyCol))

@@ -99,7 +99,6 @@ object Reports {
         floor(col("n_small") * 10000.0 / sum(col("n_small")).over(Window.partitionBy())).cast("long"))
       .orderBy(col("n_small").desc, col("owner"))
 
-  /** SmallFilesReportCommand directory hotspots: ancestor rollup, top-N. */
   /** Parent directory of an inode ("/" for root-level inodes). */
   private def parentDir: Column = substring(col("path"), lit(1),
     greatest(length(col("path")) - length(col("name")) - 1, lit(1)))
@@ -109,6 +108,7 @@ object Reports {
   private def selfAndAncestors(dir: Column): Column =
     array_distinct(concat(ancestors(dir), array(dir)))
 
+  /** SmallFilesReportCommand directory hotspots: ancestor rollup, top-N. */
   def smallFilesHotspots(inodes: DataFrame, limitBytes: Long, topN: Int): DataFrame =
     inodes.filter(col("ftype") === "F" && col("size") < limitBytes)
       // pre-aggregate per parent dir BEFORE the ancestor explode: files in

@@ -537,7 +537,7 @@ object TextQueries extends QueryModule {
     * built from customer columns — the SAME derivation in the oracle, like
     * the namespace view). Per-row regexp map, shuffle-free. */
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = floor(col("c_acctbal") * 100).cast("long")
+    val cents = graft.functions.cents(col("c_acctbal"))
     val note = concat(
       lit("Reach "), col("c_name"),
       lit(" (cust"), col("c_custkey").cast("string"),
@@ -569,7 +569,7 @@ object TextQueries extends QueryModule {
       FROM customer
     ), masked AS (
       SELECT cust_id, note,
-             regexp_replace(note, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS s1
+             regexp_replace(note, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS s1
       FROM noted
     ), masked2 AS (
       SELECT cust_id, note, s1,
@@ -577,7 +577,7 @@ object TextQueries extends QueryModule {
       FROM masked
     )
     SELECT cust_id,
-           CAST(len(regexp_extract_all(note, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS bigint) AS n_emails,
+           CAST(len(regexp_extract_all(note, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS bigint) AS n_emails,
            CAST(len(regexp_extract_all(s1, '\+\d{1,3}-\d{3}-\d{4}')) AS bigint) AS n_phones,
            CAST(len(regexp_extract_all(s2, '\d{4,}')) AS bigint) AS n_nums,
            regexp_replace(s2, '\d{4,}', '<NUM>', 'g') AS scrubbed
@@ -617,15 +617,14 @@ object TextQueries extends QueryModule {
       SELECT doc_id, w, unnest(range(0, (len(w) + 7) // 8)) AS seg_idx FROM base
     ), segs AS (
       SELECT doc_id, seg_idx,
-             array_to_string(w[seg_idx*8+1 : seg_idx*8+8], ' ') AS seg,
-             doc_id * 1000000 + seg_idx AS occ
+             array_to_string(w[seg_idx*8+1 : seg_idx*8+8], ' ') AS seg
       FROM seg0
     ), keeper AS (
-      SELECT md5(seg) AS seg_hash, min(occ) AS keep_occ
+      SELECT md5(seg) AS seg_hash, min({'d': doc_id, 'i': seg_idx}) AS keep
       FROM segs GROUP BY 1
     ), marked AS (
       SELECT doc_id, seg_idx, seg,
-             CAST(occ = keep_occ AS int) AS kept
+             CAST(doc_id = keep.d AND seg_idx = keep.i AS int) AS kept
       FROM segs JOIN keeper ON md5(seg) = seg_hash
     )
     SELECT doc_id,

@@ -40,14 +40,14 @@ object ReportSink {
   /** Size-targeted parquet — the compaction posture for corpus-scale
     * outputs: a 100 TB result written as whatever the shuffle produced is
     * either thousands of KB-sized files (metadata pressure on every
-    * downstream scan) or a few unsplittable monsters. Writes a
-    * `sampleRows`-row probe file and measures its REAL encoded size (no
-    * in-memory-bytes guessing), then repartitions to
-    * ceil(totalRows / rowsPerFile) output files. The probe slightly
-    * overestimates bytes/row (footer + dictionary amortize over a small
-    * file), which errs toward files under the target — the safe side.
-    * `maxRecordsPerFile` backstops skewed rows so no file can blow far
-    * past the target even if the probe undershoots. */
+    * downstream scan) or a few unsplittable monsters. Writes a ~`sampleRows`
+    * seeded RANDOM-sample probe file (not the head — leading rows can be
+    * systematically narrower than average) and measures its REAL encoded
+    * size, then repartitions to ceil(totalRows / rowsPerFile) output files.
+    * The probe slightly overestimates bytes/row (footer + dictionary
+    * amortize over a small file), which errs toward files under the
+    * target — the safe side. `maxRecordsPerFile` is a second bound for
+    * writers that reuse `rowsPerFile` on differently-partitioned data. */
   def parquetSized(df: DataFrame, path: String,
                    targetFileBytes: Long = 512L << 20,
                    sampleRows: Int = 10000): Unit = {
@@ -58,8 +58,11 @@ object ReportSink {
       if (total == 0L) { cached.write.mode("overwrite").parquet(path); return }
       val probePath = new org.apache.hadoop.fs.Path(path + "._probe")
       val fs = probePath.getFileSystem(spark.sessionState.newHadoopConf())
-      val sampled = math.min(total, sampleRows.toLong)
-      cached.limit(sampleRows).coalesce(1).write.mode("overwrite").parquet(probePath.toString)
+      val probe = if (total <= sampleRows) cached
+        else cached.sample(withReplacement = false, sampleRows.toDouble / total, seed = 42)
+      probe.coalesce(1).write.mode("overwrite").parquet(probePath.toString)
+      // seeded sample over a checkpointed plan → the same rows both times
+      val sampled = math.max(1L, probe.count())
       val probeBytes =
         try fs.listStatus(probePath).filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
         finally fs.delete(probePath, true)

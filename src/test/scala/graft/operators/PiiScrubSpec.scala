@@ -32,6 +32,12 @@ class PiiScrubSpec extends SparkSpecBase {
     assert(s == "<EMAIL> pin 123 code <NUM>")
   }
 
+  test("mixed-case emails are masked whole") {
+    val (e, p, n, s) = scrubOne("contact John.Doe@Gmail.COM today")
+    assert((e, p, n) == (1L, 0L, 0L))
+    assert(s == "contact <EMAIL> today")
+  }
+
   test("clean text passes through unchanged") {
     val (e, p, n, s) = scrubOne("no sensitive content here at all")
     assert((e, p, n) == (0L, 0L, 0L))
