@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.LongType
-import graft.functions.{DotProductExpr, IecFormatExpr, IecParseExpr, SizeBucketExpr}
+import graft.functions.{DotProductExpr, IecFormatExpr, IecParseExpr, NormalizeNfcExpr, SizeBucketExpr}
 
 /** SparkSessionExtensions wiring (SURVEY §4): registers graft's native
   * expressions as SQL functions so the engine's surface is reachable from
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("iec_parse"),
       info("iec_parse", "iec_parse(str) - bytes from IEC binary string"),
       (args: Seq[Expression]) => IecParseExpr(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonicalization"),
+      (args: Seq[Expression]) => NormalizeNfcExpr(args.head)))
 
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two double arrays"),

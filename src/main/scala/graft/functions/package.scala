@@ -32,6 +32,9 @@ package object functions {
   /** Integer cents: floor(x*100) as bigint — exact, order-independent sums. */
   def cents(c: Column): Column = floor(c * 100).cast("long")
 
+  /** Unicode NFC canonicalization (DuckDB `nfc_normalize` twin). */
+  def nfc_normalize(c: Column): Column = NormalizeNfcExpr(c)
+
   /** md5'd word-3gram shingles. Built from zipped slices — the whitespace
     * split stays OUTSIDE the lambda, so codegen subexpression elimination
     * evaluates the regex split O(1) times per document instead of 3× per

@@ -687,6 +687,60 @@ object Analytics extends QueryModule {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  /** Column profiling ([[graft.operators.Profile]]) over `documents`:
+    * one single-pass wide aggregate, stack-pivoted on the driver-side
+    * single row. */
+  def qProfile(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Profile.profile(
+      Tables.documents(spark, sfDir), Seq("doc_id", "lang", "source", "n_chars"))
+
+  val qProfileSql: String = {
+    val per = Seq("doc_id", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS bigint) AS n_rows,
+             CAST(sum(CAST($c IS NULL AS int)) AS bigint) AS n_nulls,
+             CAST(count(DISTINCT $c) AS bigint) AS n_distinct,
+             CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+          FROM documents"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"$per\n    ORDER BY col_name"
+  }
+
+  /** Exact-integer anomaly flagging over events: per (user, type) mean ±3σ
+    * outliers via the cross-multiplied form (v·n − S)² > 9·(n·Q − S²) —
+    * no division, no sqrt, no floats, so Spark and the oracle agree
+    * bit-for-bit. One shuffle for the stats, one equi-join back. Bounds:
+    * cents ≤ ~6e4 and per-group n ≤ ~1e4 keep every term under 2⁶³. */
+  def qEventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("v"))
+    val stats = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+    ev.join(stats, Seq("user_id", "event_type"))
+      .filter(col("n") >= 3 &&
+        (col("v") * col("n") - col("s")) * (col("v") * col("n") - col("s")) >
+          lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("v").as("v_cents"), col("n").as("n_grp"))
+      .orderBy(col("event_id"))
+  }
+
+  val qEventsAnomalySql: String = """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS bigint) AS v
+      FROM events
+    ), stats AS (
+      SELECT user_id, event_type, CAST(count(*) AS bigint) AS n,
+             CAST(sum(v) AS bigint) AS s, CAST(sum(v * v) AS bigint) AS q
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT event_id, user_id, event_type, v AS v_cents, n AS n_grp
+    FROM ev JOIN stats USING (user_id, event_type)
+    WHERE n >= 3 AND (v * n - s) * (v * n - s) > 9 * (n * q - s * s)
+    ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -711,7 +765,9 @@ object Analytics extends QueryModule {
     "q_cube"            -> (qCube _),
     "q_moving_window"   -> (qMovingWindow _),
     "q_resample_ffill"  -> (qResampleFfill _),
-    "q_skew_join"       -> (qSkewJoin _))
+    "q_skew_join"       -> (qSkewJoin _),
+    "q_profile"         -> (qProfile _),
+    "q_events_anomaly"  -> (qEventsAnomaly _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -736,5 +792,7 @@ object Analytics extends QueryModule {
     "q_cube"            -> qCubeSql,
     "q_moving_window"   -> qMovingWindowSql,
     "q_resample_ffill"  -> qResampleFfillSql,
-    "q_skew_join"       -> qSkewJoinSql)
+    "q_skew_join"       -> qSkewJoinSql,
+    "q_profile"         -> qProfileSql,
+    "q_events_anomaly"  -> qEventsAnomalySql)
 }

@@ -529,6 +529,41 @@ object TextQueries extends QueryModule {
     )
     ORDER BY doc_id"""
 
+  // ---------------------------------------------------------- normalization
+
+  /** Unicode NFC canonicalization ([[graft.functions.nfc_normalize]], a
+    * codegen'd Catalyst expression): odd docs get a DECOMPOSED "é"
+    * (e + U+0301) appended, even docs the precomposed U+00E9 — after NFC
+    * both forms hash identically, which is exactly why pipelines normalize
+    * before dedup. Per-row map, shuffle-free. */
+  def normalizeText(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = concat(col("text"), lit(" caf"),
+      when(col("doc_id") % 2 === 1, lit("e\u0301")).otherwise(lit("\u00e9")))
+    val norm = graft.functions.nfc_normalize(raw)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        length(raw).cast("long").as("raw_len"),
+        length(norm).cast("long").as("norm_len"),
+        md5(norm).as("norm_md5"),
+        (norm =!= raw).cast("int").as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val normalizeTextSql: String = """
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' caf' ||
+               CASE WHEN doc_id % 2 = 1 THEN 'e' || chr(769) ELSE chr(233) END AS r
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(r) AS bigint) AS raw_len,
+           CAST(length(nfc_normalize(r)) AS bigint) AS norm_len,
+           md5(nfc_normalize(r)) AS norm_md5,
+           CAST(nfc_normalize(r) <> r AS int) AS changed
+    FROM raw
+    ORDER BY doc_id"""
+
   // -------------------------------------------------------------- PII scrub
 
   /** PII scrub ([[graft.operators.PiiScrub]]) over a deterministic
@@ -692,7 +727,8 @@ object TextQueries extends QueryModule {
     "d_dedup_clusters" -> (dedupClusters _),
     "d_dedup_segments" -> (dedupSegments _),
     "t_pii_scrub"     -> (piiScrub _),
-    "t_pack_sequences" -> (packSequences _))
+    "t_pack_sequences" -> (packSequences _),
+    "t_normalize"     -> (normalizeText _))
 
   val oracles: Map[String, String] = Map(
     "t_token_count"   -> tokenCountSql,
@@ -710,5 +746,6 @@ object TextQueries extends QueryModule {
     "d_dedup_clusters" -> dedupClustersSql,
     "d_dedup_segments" -> dedupSegmentsSql,
     "t_pii_scrub"     -> piiScrubSql,
-    "t_pack_sequences" -> packSequencesSql)
+    "t_pack_sequences" -> packSequencesSql,
+    "t_normalize"     -> normalizeTextSql)
 }
