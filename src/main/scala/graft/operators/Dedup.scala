@@ -133,6 +133,30 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Keep-one materializer — the step after [[connectedComponents]] that a
+    * real pipeline actually runs: per near-dup cluster keep the single best
+    * document by (score desc, doc_id asc) and drop the rest (pipelines keep
+    * the longest / highest-quality duplicate, not the smallest id).
+    *
+    * Scale shape: one equi-join labels⋈scores on doc_id followed by one
+    * groupBy(cluster_id) — the argmax is `min(struct(-score, doc_id))`
+    * (deterministic tie-break; structs aren't hash-aggregable so this is a
+    * SortAggregate, the same documented trade as segmentDedup's keeper).
+    * Output rows = #clusters (singletons survive as their own cluster).
+    *
+    * @param labels (doc_id, cluster_id) from [[connectedComponents]]
+    * @param scored (doc_id, score) — score must be a numeric column
+    * @return (doc_id, cluster_id, cluster_size, score) of survivors
+    */
+  def keepBest(labels: DataFrame, scored: DataFrame): DataFrame =
+    labels.join(scored, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(struct((-col("score")).as("neg"), col("doc_id").as("doc_id"))).as("k"),
+        count(lit(1)).cast("long").as("cluster_size"))
+      .select(col("k.doc_id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), (-col("k.neg")).as("score"))
+
   /** Refuses to build a plan whose cost is quadratic in `df` beyond
     * `defaultMax` rows (override with spark conf `confKey`) — the guard on
     * the brute-force dedup/ANN baselines so the O(n²) path can't be

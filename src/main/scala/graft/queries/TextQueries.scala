@@ -280,10 +280,11 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: same Jaccard pair CTE + recursive min-reachable-id closure
-    * (components are tiny near-cliques, so the transitive closure stays
-    * linear-ish at oracle scale). */
-  val dedupClustersSql: String = s"""
+  /** Shared oracle CTE chain: Jaccard pairs + recursive min-reachable-id
+    * closure → `lab(doc_id, cluster_id)` (components are tiny near-cliques,
+    * so the transitive closure stays linear-ish at oracle scale). Used by
+    * both the cluster listing and the keep-one materializer oracles. */
+  private val clusterLabCtes: String = s"""
     WITH RECURSIVE sh0 AS (
       SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh
       FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
@@ -311,11 +312,45 @@ object TextQueries extends QueryModule {
       SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
     ), lab AS (
       SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-    )
+    )"""
+
+  val dedupClustersSql: String = clusterLabCtes + """
     SELECT doc_id, cluster_id,
            CAST(count(*) OVER (PARTITION BY cluster_id) AS bigint) AS cluster_size,
            CAST(doc_id = cluster_id AS int) AS is_canonical
     FROM lab
+    ORDER BY doc_id"""
+
+  /** Keep-one near-dup materializer ([[graft.operators.Dedup.keepBest]]):
+    * the surviving corpus after dropping all but the best (longest, then
+    * smallest-id) document of each near-dup cluster. One row per survivor. */
+  def dedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = graft.operators.Dedup
+      .ngramJaccardPairs(docs, minJaccardBp = 2000, sorted = false)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = graft.operators.Dedup
+      .connectedComponents(pairs, docs.select(col("doc_id")))
+    graft.operators.Dedup
+      .keepBest(labels, docs.select(col("doc_id"), col("n_chars").as("score")))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("score").cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupKeepSql: String = clusterLabCtes + """
+    , scored AS (
+      SELECT l.doc_id, l.cluster_id, d.n_chars
+      FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+    )
+    SELECT k.d AS doc_id, cluster_id,
+           CAST(cluster_size AS bigint) AS cluster_size,
+           CAST(-k.s AS bigint) AS n_chars
+    FROM (
+      SELECT cluster_id, min({'s': -n_chars, 'd': doc_id}) AS k,
+             count(*) AS cluster_size
+      FROM scored GROUP BY cluster_id
+    )
     ORDER BY doc_id"""
 
   // -------------------------------------------------------------- repetition
@@ -725,6 +760,7 @@ object TextQueries extends QueryModule {
     "d_dedup_exact"   -> (dedupExact _),
     "d_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "d_dedup_clusters" -> (dedupClusters _),
+    "d_dedup_keep"    -> (dedupKeep _),
     "d_dedup_segments" -> (dedupSegments _),
     "t_pii_scrub"     -> (piiScrub _),
     "t_pack_sequences" -> (packSequences _),
@@ -744,6 +780,7 @@ object TextQueries extends QueryModule {
     "d_dedup_exact"   -> dedupExactSql,
     "d_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "d_dedup_clusters" -> dedupClustersSql,
+    "d_dedup_keep"    -> dedupKeepSql,
     "d_dedup_segments" -> dedupSegmentsSql,
     "t_pii_scrub"     -> piiScrubSql,
     "t_pack_sequences" -> packSequencesSql,
