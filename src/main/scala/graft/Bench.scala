@@ -50,9 +50,13 @@ object Bench {
         .foreach { case (_, rdd) => rdd.unpersist(false) }
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the JSON line compact: the driver captures
+    // only a bounded stdout tail, and full-precision doubles over 65+
+    // queries overflowed it in round 2 (BENCH_r02 arrived truncated).
+    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = ms3(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
