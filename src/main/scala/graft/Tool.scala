@@ -10,7 +10,7 @@ import graft.functions.IECBinaryImpl
   *
   * {{{
   * runMain graft.Tool <command> <fsimage> [options]
-  *   commands: summary | smallfiles | userusage | path | inode | acl
+  *   commands: summary | smallfiles | userusage | path | inode | acl | xattr
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /)
   *   -fun <regex>      filter by user name (summary/path commands)
@@ -79,6 +79,8 @@ object Tool {
         }
       case "acl" =>
         Reports.aclStatus(inodes, opts.getOrElse("-i", "/").split(",").toSeq)
+      case "xattr" =>
+        Reports.xattrStatus(inodes, opts.getOrElse("-i", "/").split(",").toSeq)
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other")
     }

@@ -167,6 +167,15 @@ object Reports {
         col("n_acl"), col("acl"))
       .orderBy(col("path"))
 
+  /** getfattr equivalent: decoded `namespace.name=<hex value>` XAttr
+    * entries for the given paths. Requires an fsimage-sourced table
+    * (n_xattr / xattrs columns). */
+  def xattrStatus(inodes: DataFrame, paths: Seq[String]): DataFrame =
+    inodes.filter(col("path").isin(paths: _*))
+      .select(col("path"), col("owner"), col("grp"),
+        col("n_xattr"), col("xattrs"))
+      .orderBy(col("path"))
+
   /** Children per directory (FsImageData.getNumChildren /
     * getChildDirectories): parent = path minus last component; one shuffle
     * on the parent key. */

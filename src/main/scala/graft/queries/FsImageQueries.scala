@@ -19,11 +19,12 @@ object FsImageQueries extends QueryModule {
     * rather than hardcoding a checkout location. */
   private val BaseDir =
     new java.io.File("target/fsimage-oracle").getAbsolutePath
-  private val ImagePath = s"$BaseDir/sample.img"
-  private val ExportDir = s"$BaseDir/inodes"
-
   private val Gen = ImageGen.GenSpec(nDirs = 50, nFiles = 5000,
-    ecEvery = 4, aclEvery = 7, nSymlinks = 10, withAtime = true)
+    ecEvery = 4, aclEvery = 7, xattrEvery = 5, nSymlinks = 10,
+    withAtime = true)
+  // image file keyed by the spec: changing Gen invalidates the cached file
+  private val ImagePath = s"$BaseDir/sample-${Gen.hashCode.toHexString}.img"
+  private val ExportDir = s"$BaseDir/inodes"
 
   private def ensureImage(): Unit = synchronized {
     val f = new java.io.File(ImagePath)
@@ -35,7 +36,7 @@ object FsImageQueries extends QueryModule {
 
   /** Whole-image accounting over the parsed inode table: type counts,
     * size/consumed/blocks sums (consumed covers the EC parity formula),
-    * ACL entry count, EC file count, distinct owners. */
+    * ACL + XAttr entry counts, EC file count, distinct owners. */
   def fsimageSummary(spark: SparkSession, sfDir: String): DataFrame = {
     ensureImage()
     val df = FsImageSource.inodes(spark, ImagePath)
@@ -48,6 +49,7 @@ object FsImageQueries extends QueryModule {
       sum(col("csize")).as("sum_csize"),
       sum(col("blocks")).as("sum_blocks"),
       sum(col("n_acl").cast("long")).as("n_acl_entries"),
+      sum(col("n_xattr").cast("long")).as("n_xattr_entries"),
       sum(when(col("ec_policy") =!= "", 1L).otherwise(0L)).as("n_ec_files"),
       countDistinct(col("owner")).as("n_users"))
   }
@@ -60,6 +62,7 @@ object FsImageQueries extends QueryModule {
            CAST(sum(csize) AS bigint) AS sum_csize,
            CAST(sum(blocks) AS bigint) AS sum_blocks,
            CAST(sum(n_acl) AS bigint) AS n_acl_entries,
+           CAST(sum(n_xattr) AS bigint) AS n_xattr_entries,
            CAST(sum(CASE WHEN ec_policy <> '' THEN 1 ELSE 0 END) AS bigint) AS n_ec_files,
            CAST(count(DISTINCT owner) AS bigint) AS n_users
     FROM read_parquet('$ExportDir/*.parquet')"""

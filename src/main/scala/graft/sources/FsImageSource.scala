@@ -8,9 +8,9 @@ import graft.sources.fsimage.FsImageFormat._
 
 /** HDFS fsimage → DataFrame source (SURVEY §2.1). Produces the same inode
   * schema as [[graft.core.Namespace]] (plus fsimage-only columns: id,
-  * atime_sec, storage_policy, ec_policy, symlink_target, n_acl, acl), so
-  * every report in [[graft.operators.Reports]] runs unchanged on real
-  * namenode metadata.
+  * atime_sec, storage_policy, ec_policy, symlink_target, n_acl, acl,
+  * n_xattr, xattrs), so every report in [[graft.operators.Reports]] runs
+  * unchanged on real namenode metadata.
   *
   * Two loaders:
   *  - [[inodes]]: driver-side parse (the reference's posture — its
@@ -37,7 +37,8 @@ object FsImageSource {
                            mtime_sec: Long, depth: Int, id: Long,
                            atime_sec: Long, storage_policy: Int,
                            ec_policy: String, symlink_target: String,
-                           n_acl: Int, acl: Seq[String])
+                           n_acl: Int, acl: Seq[String],
+                           n_xattr: Int, xattrs: Seq[String])
 
   /** Hadoop's fixed root inode id (INodeId.ROOT_INODE_ID). */
   val RootInodeId = 16385L
@@ -59,7 +60,10 @@ object FsImageSource {
       if (path == "/") 0 else path.count(_ == '/'), i.id,
       i.atime / 1000, i.storagePolicy, FsImageFormat.ecPolicyName(i.ecPolicy),
       i.symlinkTarget,
-      i.aclRaw.length, i.aclRaw.toSeq.map(v => FsImageFormat.aclEntryString(v, strings)))
+      i.aclRaw.length, i.aclRaw.toSeq.map(v => FsImageFormat.aclEntryString(v, strings)),
+      i.xattrNames.length,
+      i.xattrNames.indices.map(k =>
+        FsImageFormat.xattrString(i.xattrNames(k), i.xattrValues(k), strings)))
 
   /** Iterative memoized upward path walk, O(n) total — iterative (not
     * recursive) so pathological directory depths can't overflow the stack,

@@ -31,7 +31,9 @@ object FsImageFormat {
     * (FsUtil.java:122-135): Σblock×replication for replicated files, the
     * cells/rows/parity formula for erasure-coded ones. `aclRaw` holds the
     * undecoded fixed32 ACL entries (decode with [[aclEntryString]] once a
-    * string table is at hand). */
+    * string table is at hand); `xattrNames`/`xattrValues` likewise hold the
+    * undecoded per-entry fixed32 name bits and value bytes (decode with
+    * [[xattrString]]). */
   final case class RawInode(
       id: Long, inodeType: Int, name: String,
       // files
@@ -40,11 +42,13 @@ object FsImageFormat {
       storagePolicy: Int, ecPolicy: Int,
       // symlink
       symlinkTarget: String,
-      aclRaw: Array[Int])
+      aclRaw: Array[Int],
+      xattrNames: Array[Int], xattrValues: Array[Array[Byte]])
 
   final case class DirEntry(parent: Long, children: Array[Long])
 
   final case class StringTables(users: Map[Long, String], groups: Map[Long, String],
+                                xattrs: Map[Long, String],
                                 flat: Map[Long, String], typed: Boolean) {
     def user(serial: Long): String =
       if (typed) users.getOrElse(serial, s"user#$serial")
@@ -52,6 +56,9 @@ object FsImageFormat {
     def group(serial: Long): String =
       if (typed) groups.getOrElse(serial, s"group#$serial")
       else flat.getOrElse(serial, s"group#$serial")
+    def xattrName(serial: Long): String =
+      if (typed) xattrs.getOrElse(serial, s"xattr#$serial")
+      else flat.getOrElse(serial, s"xattr#$serial")
   }
 
   // ------------------------------------------------------------ EC policies
@@ -105,6 +112,26 @@ object FsImageFormat {
     val name = if (nid == 0) "" else strings.user(nid.toLong)
     val prefix = if (scope == 1) "default:" else ""
     s"$prefix${AclTypes(typ)}:$name:${FsActionSymbols(perm)}"
+  }
+
+  // ----------------------------------------------------------- XAttr decode
+
+  /** On-disk XAttr name layout (public constants from Hadoop's XAttrFormat /
+    * FSImageFormatPBINode): namespace bits 30-31 plus an extension bit at
+    * bit 5 (namespaces beyond the original four, i.e. RAW), name string-id
+    * bits 6-29. Values are raw bytes. */
+  private val XAttrNamespaces = Array("user", "trusted", "security", "system", "raw")
+
+  /** Decodes one XAttr entry to getfattr-style `namespace.name=<hex value>`
+    * (values are arbitrary bytes, so they render as lowercase hex; an
+    * absent/empty value renders as an empty string after `=`). */
+  def xattrString(nameBits: Int, value: Array[Byte], strings: StringTables): String = {
+    val ns = ((nameBits >>> 30) & 3) | (((nameBits >>> 5) & 1) << 2)
+    val nid = (nameBits >>> 6) & ((1 << 24) - 1)
+    val nsName =
+      if (ns < XAttrNamespaces.length) XAttrNamespaces(ns) else s"ns#$ns"
+    val hex = value.map(b => f"${b & 0xFF}%02x").mkString
+    s"$nsName.${strings.xattrName(nid.toLong)}=$hex"
   }
 
   // --------------------------------------------------------------- wire fmt
@@ -474,6 +501,7 @@ object FsImageFormat {
     }
     val users = Map.newBuilder[Long, String]
     val groups = Map.newBuilder[Long, String]
+    val xattrs = Map.newBuilder[Long, String]
     val flat = Map.newBuilder[Long, String]
     it.foreach { m =>
       var id = 0L; var str = ""
@@ -494,11 +522,13 @@ object FsImageFormat {
         (id >>> shift) match {
           case 1 => users += serial -> str
           case 2 => groups += serial -> str
-          case _ => () // xattr namespace entries — not needed
+          case 3 => xattrs += serial -> str // SerialNumberManager.XATTR
+          case _ => ()
         }
       } else flat += id -> str
     }
-    StringTables(users.result(), groups.result(), flat.result(), typed = maskBits > 0)
+    StringTables(users.result(), groups.result(), xattrs.result(), flat.result(),
+      typed = maskBits > 0)
   }
 
   /** Scans delimited-message boundaries without parsing bodies (in-memory
@@ -527,6 +557,31 @@ object FsImageFormat {
   }
 
   private val NoAcl = Array.empty[Int]
+  private val NoXAttrNames = Array.empty[Int]
+  private val NoXAttrValues = Array.empty[Array[Byte]]
+
+  /** XAttrFeatureProto {xAttrs=1: repeated XAttrCompactProto {name=1
+    * fixed32, value=2 bytes}} (INodeFile field 9, INodeDirectory field 6). */
+  private def parseXAttrFeature(m: Reader, names: ArrayBuffer[Int],
+                                values: ArrayBuffer[Array[Byte]]): Unit =
+    m.eachField { (fn, wt, r) =>
+      (fn, wt) match {
+        case (1, 2) =>
+          val e = r.subMessage()
+          var nb = 0
+          var v: Array[Byte] = Array.emptyByteArray
+          e.eachField { (f, w, rr) =>
+            (f, w) match {
+              case (1, 5) => nb = rr.fixed32().toInt
+              case (2, 2) => v = rr.bytes(rr.varint().toInt)
+              case _      => rr.skip(w)
+            }
+          }
+          names += nb
+          values += v
+        case _ => r.skip(wt)
+      }
+    }
 
   /** AclFeatureProto {entries=2: packed fixed32} (INodeFile field 8,
     * INodeDirectory field 5). */
@@ -548,6 +603,12 @@ object FsImageFormat {
       var sp = 0; var ec = 0; var target = ""
       var blockSizes: ArrayBuffer[Long] = null
       var acl: ArrayBuffer[Int] = null
+      var xaN: ArrayBuffer[Int] = null
+      var xaV: ArrayBuffer[Array[Byte]] = null
+      def xattrBufs(): (ArrayBuffer[Int], ArrayBuffer[Array[Byte]]) = {
+        if (xaN == null) { xaN = new ArrayBuffer[Int](2); xaV = new ArrayBuffer[Array[Byte]](2) }
+        (xaN, xaV)
+      }
       m.eachField { (fn, wt, r) =>
         (fn, wt) match {
           case (1, 0) => typ = r.varint().toInt
@@ -578,12 +639,15 @@ object FsImageFormat {
                 case (8, 2)  =>
                   if (acl == null) acl = new ArrayBuffer[Int](4)
                   parseAclFeature(rr.subMessage(), acl)
+                case (9, 2)  =>
+                  val (n, v) = xattrBufs()
+                  parseXAttrFeature(rr.subMessage(), n, v)
                 case (10, 0) => sp = rr.varint().toInt
                 case (12, 0) => ec = rr.varint().toInt
                 case _       => rr.skip(fw)
               }
             }
-          case (5, 2) => // INodeDirectory {modificationTime=1, ..., permission=4, acl=5}
+          case (5, 2) => // INodeDirectory {modificationTime=1, ..., permission=4, acl=5, xAttrs=6}
             val d = r.subMessage()
             d.eachField { (df, dw, rr) =>
               (df, dw) match {
@@ -592,6 +656,9 @@ object FsImageFormat {
                 case (5, 2) =>
                   if (acl == null) acl = new ArrayBuffer[Int](4)
                   parseAclFeature(rr.subMessage(), acl)
+                case (6, 2) =>
+                  val (n, v) = xattrBufs()
+                  parseXAttrFeature(rr.subMessage(), n, v)
                 case _      => rr.skip(dw)
               }
             }
@@ -626,7 +693,9 @@ object FsImageFormat {
         }
         else size * repl
       RawInode(id, typ, name, repl, mtime, atime, pbs, perm, nBlocks, size,
-        consumed, sp, ec, target, if (acl == null) NoAcl else acl.toArray)
+        consumed, sp, ec, target, if (acl == null) NoAcl else acl.toArray,
+        if (xaN == null) NoXAttrNames else xaN.toArray,
+        if (xaV == null) NoXAttrValues else xaV.toArray)
   }
 
   /** Parses every whole delimited DirEntry message in [from, to). */

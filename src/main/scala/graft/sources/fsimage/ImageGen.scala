@@ -9,26 +9,31 @@ import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream}
   * content keyed only by the requested counts.
   *
   * Beyond the reference's generator it can emit erasure-coded files
-  * (`ecEvery`), ACL features on files and dirs (`aclEvery`), symlinks,
+  * (`ecEvery`), ACL features on files and dirs (`aclEvery`), XAttr
+  * features incl. string-table name entries (`xattrEvery`), symlinks,
   * access times and storage-policy ids — the features the parser and the
-  * EC/ACL specs need ground truth for.
+  * EC/ACL/XAttr specs need ground truth for.
   */
 object ImageGen {
 
   final case class GenSpec(nDirs: Int, nFiles: Int,
                            ecEvery: Int = 0,    // every k-th file is RS-6-3-1024k
                            aclEvery: Int = 0,   // every k-th file carries 2 ACL entries
+                           xattrEvery: Int = 0, // every k-th file carries 2 XAttr entries
                            nSymlinks: Int = 0,
                            withAtime: Boolean = false)
 
   /** Ground truth the generator guarantees, for specs to assert against. */
   final case class GenSummary(sumFileSize: Long, sumConsumed: Long,
-                              nEcFiles: Int, nAclFiles: Int, nSymlinks: Int)
+                              nEcFiles: Int, nAclFiles: Int, nSymlinks: Int,
+                              nXattrFiles: Int)
 
   private val RootId = 16385L
   /** Serial of the ACL-named user added to the string table. */
   private val AclUserSerial = 21L
   val AclUserName = "acl_named_user"
+  /** XAttr name serials added to the string table (kind 3 entries). */
+  val XAttrNameSerials: Seq[(Long, String)] = Seq(1L -> "policy", 2L -> "origin")
 
   private class W {
     val out = new ByteArrayOutputStream()
@@ -58,6 +63,11 @@ object ImageGen {
   def aclEntry(perm: Int, typ: Int, scope: Int, nameSerial: Int): Int =
     (nameSerial << 6) | (scope << 5) | (typ << 3) | perm
 
+  /** Encodes one XAttr name in the fsimage fixed32 layout (namespace bits
+    * 30-31 + ext bit 5, name string-id bits 6-29 — Hadoop XAttrFormat). */
+  def xattrName(namespace: Int, nameSerial: Int): Int =
+    ((namespace & 3) << 30) | (((namespace >> 2) & 1) << 5) | (nameSerial << 6)
+
   /** Back-compat entry point: plain replicated-file tree. Returns Σ size. */
   def write(path: String, nDirs: Int, nFiles: Int): Long =
     write(path, GenSpec(nDirs, nFiles)).sumFileSize
@@ -77,6 +87,19 @@ object ImageGen {
       aclEntry(perm = 7, typ = 0, scope = 0, nameSerial = AclUserSerial.toInt),
       aclEntry(perm = 5, typ = 1, scope = 1, nameSerial = 0))
 
+    // xattr entries: user.policy=<per-file bytes> + raw.origin=<empty> —
+    // the raw namespace exercises the extension bit of the name layout
+    def xattrPairs(i: Int): Seq[(Int, Array[Byte])] = Seq(
+      xattrName(namespace = 0, nameSerial = 1) -> s"v$i".getBytes("UTF-8"),
+      xattrName(namespace = 4, nameSerial = 2) -> Array.emptyByteArray)
+    def writeXattrs(w: W, field: Int, i: Int): Unit =
+      w.msg(field)(x => xattrPairs(i).foreach { case (nb, v) =>
+        x.msg(1) { e =>
+          e.tag(1, 5).fixed32(nb)
+          if (v.nonEmpty) e.bytes(2, v)
+        }
+      })
+
     val inodes = new W
     inodes.delimited { h =>
       h.tag(1, 0).varint(RootId + nDirs + nFiles + nSymlinks)
@@ -95,6 +118,8 @@ object ImageGen {
           // first dir gets the ACL feature too (INodeDirectory field 5)
           if (aclEvery > 0 && i == 0)
             d.msg(5)(a => a.msg(2)(p => aclEntries.foreach(e => p.fixed32(e))))
+          // ...and the first dir gets XAttrs (INodeDirectory field 6)
+          if (xattrEvery > 0 && i == 0) writeXattrs(d, 6, i)
         }
       }
     }
@@ -102,15 +127,18 @@ object ImageGen {
     var sumConsumed = 0L
     var nEc = 0
     var nAcl = 0
+    var nXattr = 0
     fileIds.zipWithIndex.foreach { case (id, i) =>
       val size = 1024L * (1 + i % 3000)
       val isEc = ecEvery > 0 && i % ecEvery == 0
       val hasAcl = aclEvery > 0 && i % aclEvery == 0
+      val hasXattr = xattrEvery > 0 && i % xattrEvery == 0
       val repl = 1 + i % 3
       sumSize += size
       sumConsumed += (if (isEc) FsImageFormat.ecBlockConsumed(size, ec) else size * repl)
       if (isEc) nEc += 1
       if (hasAcl) nAcl += 1
+      if (hasXattr) nXattr += 1
       inodes.delimited { m =>
         m.tag(1, 0).varint(1); m.tag(2, 0).varint(id); m.str(3, s"f_$i.dat")
         m.msg(4) { f =>
@@ -120,6 +148,7 @@ object ImageGen {
           f.tag(5, 1).fixed64(perm(1 + i % 20, 1 + i % 10, 0x1A4))
           f.msg(6)(b => { b.tag(1, 0).varint(id); b.tag(2, 0).varint(1); b.tag(3, 0).varint(size) })
           if (hasAcl) f.msg(8)(a => a.msg(2)(p => aclEntries.foreach(e => p.fixed32(e))))
+          if (hasXattr) writeXattrs(f, 9, i)
           if (withAtime) f.tag(10, 0).varint(5 + i % 2) // storage policy id
           if (isEc) f.tag(12, 0).varint(ec.id)
         }
@@ -155,10 +184,13 @@ object ImageGen {
     }
 
     val strings = new W
-    strings.delimited { h => h.tag(1, 0).varint(31); h.tag(2, 0).varint(3) }
+    strings.delimited { h => h.tag(1, 0).varint(33); h.tag(2, 0).varint(3) }
     (1 to 20).foreach(i => strings.delimited { e => e.tag(1, 0).varint((1L << 29) | i); e.str(2, s"user$i") })
     strings.delimited { e => e.tag(1, 0).varint((1L << 29) | AclUserSerial); e.str(2, AclUserName) }
     (1 to 10).foreach(i => strings.delimited { e => e.tag(1, 0).varint((2L << 29) | i); e.str(2, s"grp$i") })
+    XAttrNameSerials.foreach { case (s, n) =>
+      strings.delimited { e => e.tag(1, 0).varint((3L << 29) | s); e.str(2, n) }
+    }
 
     val fos = new FileOutputStream(path)
     val dos = new DataOutputStream(fos)
@@ -184,6 +216,6 @@ object ImageGen {
     dos.write(sb)
     dos.writeInt(sb.length)
     dos.close()
-    GenSummary(sumSize, sumConsumed, nEc, nAcl, nSymlinks)
+    GenSummary(sumSize, sumConsumed, nEc, nAcl, nSymlinks, nXattr)
   }
 }

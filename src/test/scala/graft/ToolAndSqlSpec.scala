@@ -71,7 +71,7 @@ class ToolAndSqlSpec extends SparkSpecBase {
     import graft.sources.fsimage.ImageGen
     val img = java.nio.file.Files.createTempFile("tool_img", ".img").toString
     ImageGen.write(img, ImageGen.GenSpec(nDirs = 4, nFiles = 200,
-      ecEvery = 3, aclEvery = 5, nSymlinks = 2))
+      ecEvery = 3, aclEvery = 5, xattrEvery = 5, nSymlinks = 2))
     try {
       def run(cmd: String, opts: (String, String)*) =
         Tool.run(spark, cmd, img, opts.toMap, Set.empty)
@@ -82,6 +82,8 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(run("inode", "-i" -> "/dir_0").count() == 1)
       val acl = run("acl", "-i" -> "/dir_0").collect()
       assert(acl.length == 1 && acl.head.getAs[Int]("n_acl") >= 0)
+      val xa = run("xattr", "-i" -> "/dir_0/f_0.dat").collect()
+      assert(xa.length == 1 && xa.head.getAs[Int]("n_xattr") == 2)
       // subtree option restricts the inode set
       assert(run("path", "-p" -> "/dir_0").count() <
              run("path").count())

@@ -162,6 +162,39 @@ class FsImageSourceSpec extends SparkSpecBase {
     new java.io.File(img).delete()
   }
 
+  test("XAttr entries decode (user + raw namespaces) on files and dirs") {
+    import graft.sources.fsimage.ImageGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_xattr").toFile
+    val img = new java.io.File(dir, "xattr.img").getPath
+    val gen = ImageGen.write(img, ImageGen.GenSpec(nDirs = 4, nFiles = 100, xattrEvery = 10))
+    assert(gen.nXattrFiles == 10)
+
+    val df = FsImageSource.inodes(spark, img).cache()
+    val withX = df.filter(col("n_xattr") > 0)
+    assert(withX.filter(col("ftype") === "F").count() == 10)
+    assert(withX.filter(col("ftype") === "D").count() == 1) // dir_0
+    // f_0: user.policy carries "v0" (hex 7630); raw.origin exercises the
+    // namespace extension bit and an absent value
+    val f0 = df.filter(col("name") === "f_0.dat").head
+    assert(f0.getAs[scala.collection.Seq[String]]("xattrs").toSeq ==
+      Seq("user.policy=7630", "raw.origin="))
+    val f20 = df.filter(col("name") === "f_20.dat").head
+    assert(f20.getAs[scala.collection.Seq[String]]("xattrs").head == "user.policy=763230") // "v20"
+    // inodes without the feature stay empty
+    assert(df.filter(col("n_xattr") === 0 && size(col("xattrs")) =!= 0).count() == 0)
+
+    // getfattr equivalent by path
+    val st = Reports.xattrStatus(df, Seq("/dir_0", "/dir_0/f_0.dat")).collect()
+    assert(st.map(_.getAs[String]("path")).toSeq == Seq("/dir_0", "/dir_0/f_0.dat"))
+    assert(st.forall(_.getAs[Int]("n_xattr") == 2))
+
+    // distributed loader carries the new columns identically
+    val dist = FsImageSource.inodesDistributed(spark, img, parallelism = 3)
+    assert(dist.exceptAll(df).count() == 0 && df.exceptAll(dist).count() == 0)
+    df.unpersist()
+    new java.io.File(img).delete()
+  }
+
   test("symlink target, atime and storage policy are surfaced") {
     import graft.sources.fsimage.ImageGen
     val dir = java.nio.file.Files.createTempDirectory("graft_sym").toFile
