@@ -167,6 +167,39 @@ object Dedup {
       .select(col("k.doc_id").as("doc_id"), col("cluster_id"),
         col("cluster_size"), (-col("k.neg")).as("score"))
 
+  /** Bloom-filter membership gate — the incremental-dedup shape at 100 TB:
+    * an arriving batch is checked against an EXISTING corpus without
+    * joining the corpus itself. The filter is built once over the corpus
+    * and is BOUNDED: at most `numBits` distinct set-bit positions survive
+    * the distinct, no matter how many corpus rows fed it (that bound is
+    * the whole point — ship the filter, not the data). The batch probes it
+    * with `numHashes` md5-derived positions per key: a join against a
+    * ≤numBits-row side, which AQE broadcasts — the corpus is never
+    * shuffled per arriving batch. False positives are possible (the
+    * classic Bloom trade, tune `numBits`), false negatives are not; the
+    * md5 hash family is bit-identical in DuckDB, so even the false
+    * positives are deterministic and oracle-checkable.
+    *
+    * @param corpus one column `fp` (the dedup key, e.g. md5(text))
+    * @param batch  (id, fp) rows to gate
+    * @return (id, fp, n_hit, bloom_dup) — bloom_dup=1 iff all probes hit
+    */
+  def bloomGate(corpus: DataFrame, batch: DataFrame,
+                numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 4,
+      s"bloomGate: numHashes must be in [1,4] (8 md5 hex chars per probe), got $numHashes")
+    def positions(fp: Column): Column = array((0 until numHashes).map(i =>
+      conv(substring(fp, 1 + 8 * i, 8), 16, 10).cast("long") % numBits): _*)
+    val bits = corpus.select(explode(positions(col("fp"))).as("pos")).distinct()
+    val hits = batch.select(col("id"), explode(positions(col("fp"))).as("pos"))
+      .join(bits, Seq("pos"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+    batch.join(hits, Seq("id"), "left")
+      .select(col("id"), col("fp"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) === numHashes).cast("int").as("bloom_dup"))
+  }
+
   /** Refuses to build a plan whose cost is quadratic in `df` beyond
     * `defaultMax` rows (override with spark conf `confKey`) — the guard on
     * the brute-force dedup/ANN baselines so the O(n²) path can't be

@@ -527,6 +527,49 @@ object TextQueries extends QueryModule {
     HAVING floor(count(*) * 10000.0 / any_value(n_sh)) >= 3000
     ORDER BY eval_id, train_id"""
 
+  // ------------------------------------------------------------- bloom dedup
+
+  /** Incremental (batch-vs-corpus) dedup through [[graft.operators.Dedup
+    * .bloomGate]]: src0 plays the arriving batch, the rest of the corpus
+    * the existing data. An exact distinct-fp membership column rides along,
+    * so the result also quantifies the filter's false positives — exactly
+    * reproducible here because the md5 hash family is engine-portable. */
+  def dedupBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val corpus = docs.filter(col("source") =!= "src0").select(col("fp"))
+    val batch = docs.filter(col("source") === "src0")
+      .select(col("doc_id").as("id"), col("fp"))
+    val gated = graft.operators.Dedup.bloomGate(corpus, batch)
+    val exact = corpus.distinct().withColumn("exact_dup", lit(1))
+    gated.join(exact, Seq("fp"), "left")
+      .select(col("id").as("doc_id"), col("n_hit"),
+        col("bloom_dup"), coalesce(col("exact_dup"), lit(0)).as("exact_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupBloomSql: String = """
+    WITH docs AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+    corpus AS (SELECT fp FROM docs WHERE source <> 'src0'),
+    batch AS (SELECT doc_id AS id, fp FROM docs WHERE source = 'src0'),
+    hs AS (SELECT unnest([0,1,2,3]) AS i),
+    bits AS (
+      SELECT DISTINCT (CAST('0x' || substr(fp, 1 + 8*i, 8) AS BIGINT) % 65536) AS pos
+      FROM corpus CROSS JOIN hs
+    ), bpos AS (
+      SELECT id, (CAST('0x' || substr(fp, 1 + 8*i, 8) AS BIGINT) % 65536) AS pos
+      FROM batch CROSS JOIN hs
+    ), hits AS (
+      SELECT id, count(*) AS n_hit FROM bpos
+      WHERE pos IN (SELECT pos FROM bits) GROUP BY id
+    )
+    SELECT b.id AS doc_id,
+           CAST(coalesce(h.n_hit, 0) AS bigint) AS n_hit,
+           CAST(coalesce(h.n_hit, 0) = 4 AS int) AS bloom_dup,
+           CAST(b.fp IN (SELECT fp FROM corpus) AS int) AS exact_dup
+    FROM batch b LEFT JOIN hits h USING (id)
+    ORDER BY doc_id"""
+
   // --------------------------------------------------------- sequence packing
 
   /** Context-window packing: lay the corpus out as one contiguous token
@@ -762,6 +805,7 @@ object TextQueries extends QueryModule {
     "d_dedup_clusters" -> (dedupClusters _),
     "d_dedup_keep"    -> (dedupKeep _),
     "d_dedup_segments" -> (dedupSegments _),
+    "d_dedup_bloom"   -> (dedupBloom _),
     "t_pii_scrub"     -> (piiScrub _),
     "t_pack_sequences" -> (packSequences _),
     "t_normalize"     -> (normalizeText _))
@@ -782,6 +826,7 @@ object TextQueries extends QueryModule {
     "d_dedup_clusters" -> dedupClustersSql,
     "d_dedup_keep"    -> dedupKeepSql,
     "d_dedup_segments" -> dedupSegmentsSql,
+    "d_dedup_bloom"   -> dedupBloomSql,
     "t_pii_scrub"     -> piiScrubSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_normalize"     -> normalizeTextSql)

@@ -96,6 +96,36 @@ class DedupSpec extends SparkSpecBase {
     assert(counts == Map(0L -> 2L, 1L -> 1L))
   }
 
+  test("bloom gate: no false negatives, bounded bits, deterministic FPs") {
+    import spark.implicits._
+    val corpus = (0 until 400).map(i => s"corpus doc $i").toDF("txt")
+      .select(md5(col("txt")).as("fp"))
+    // batch: 50 keys already in the corpus + 150 fresh ones
+    val batch = ((0 until 50).map(i => (i.toLong, s"corpus doc $i")) ++
+        (0 until 150).map(i => (1000L + i, s"fresh doc $i")))
+      .toDF("id", "txt")
+      .select(col("id"), md5(col("txt")).as("fp"))
+
+    val gated = Dedup.bloomGate(corpus, batch).cache()
+    // Bloom guarantee: every true member is flagged
+    assert(gated.filter(col("id") < 50 && col("bloom_dup") =!= 1).count() == 0)
+    // with 1600 set bits of 65536, fresh keys overwhelmingly pass
+    assert(gated.filter(col("id") >= 1000 && col("bloom_dup") === 0).count() > 100)
+    // deterministic: same inputs → identical rows
+    val again = Dedup.bloomGate(corpus, batch)
+    assert(gated.exceptAll(again).count() == 0 && again.exceptAll(gated).count() == 0)
+    gated.unpersist()
+
+    // a tiny filter saturates: the bit table stays bounded by numBits and
+    // everything reads as a (false) positive — the documented trade
+    val tiny = Dedup.bloomGate(corpus, batch, numBits = 8, numHashes = 2)
+    assert(tiny.filter(col("bloom_dup") =!= 1).count() == 0)
+
+    intercept[IllegalArgumentException] {
+      Dedup.bloomGate(corpus, batch, numHashes = 5)
+    }
+  }
+
   test("quadratic guard refuses oversized inputs and respects the conf") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
