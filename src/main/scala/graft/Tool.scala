@@ -10,7 +10,8 @@ import graft.functions.IECBinaryImpl
   *
   * {{{
   * runMain graft.Tool <command> <fsimage> [options]
-  *   commands: summary | smallfiles | userusage | path | inode | acl | xattr
+  *   commands: summary | smallfiles | userusage | path | inode | acl |
+  *             xattr | sections | snapshots
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /)
   *   -fun <regex>      filter by user name (summary/path commands)
@@ -44,6 +45,12 @@ object Tool {
     * shared session). */
   def run(spark: org.apache.spark.sql.SparkSession, cmd: String, image: String,
           opts: Map[String, String], flags: Set[String]): DataFrame = {
+    // summary-only commands — never parse the inode sections
+    cmd match {
+      case "sections"  => return FsImageSource.sections(spark, image)
+      case "snapshots" => return FsImageSource.snapshots(spark, image)
+      case _           => ()
+    }
     val all =
       if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
       else FsImageSource.inodes(spark, image)

@@ -49,6 +49,43 @@ object FsImageSource {
     spark.createDataset(rows).toDF()
   }
 
+  final case class FsSection(name: String, length: Long, offset: Long,
+                             codec: String, layout_version: Int)
+
+  /** FileSummary section inventory — what an image actually contains
+    * (INODE, INODE_DIR, STRING_TABLE, SNAPSHOT, SNAPSHOT_DIFF, XATTR-era
+    * sections, …), with on-disk lengths. The admin's first look at an
+    * unknown image: which features are present and what dominates its
+    * size. Driver-side only — the summary is a few hundred bytes. */
+  def sections(spark: SparkSession, imagePath: String): DataFrame = {
+    val s = FsImageFormat.readSummary(imagePath,
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    spark.createDataset(s.sections.map(x =>
+      FsSection(x.name, x.length, x.offset, s.codec.getOrElse(""),
+        s.layoutVersion))).toDF()
+  }
+
+  final case class FsSnapshot(snapshot_id: Int, name: String, root_id: Long)
+
+  /** SNAPSHOT section inventory: one row per snapshot (id, name, the
+    * snapshotted directory's inode id — join on inodes.id for the path).
+    * Empty when the image has no SNAPSHOT section. */
+  def snapshots(spark: SparkSession, imagePath: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val summary = FsImageFormat.readSummary(imagePath, conf)
+    import spark.implicits._
+    val rows = summary.sections.find(_.name == "SNAPSHOT") match {
+      case None => Seq.empty[FsSnapshot]
+      case Some(sec) =>
+        val bytes = FsImageFormat.maybeDecompress(
+          FsImageFormat.readSection(imagePath, sec, conf), summary.codec)
+        FsImageFormat.parseSnapshots(bytes).snapshots
+          .map(s => FsSnapshot(s.snapshotId, s.name, s.rootId))
+    }
+    spark.createDataset(rows).toDF()
+  }
+
   private def toInode(i: RawInode, path: String, strings: StringTables): FsInode =
     FsInode(path, i.name,
       i.inodeType match { case 1 => "F"; case 2 => "D"; case 3 => "S"; case _ => "?" },

@@ -722,6 +722,46 @@ object FsImageFormat {
       DirEntry(parent, children.result())
     }
 
+  // ------------------------------------------------------------- snapshots
+
+  final case class SnapshotInfo(snapshotId: Int, name: String, rootId: Long)
+  final case class SnapshotSection(snapshotCounter: Int,
+                                   snapshottableDirs: Array[Long],
+                                   snapshots: Seq[SnapshotInfo])
+
+  /** SNAPSHOT section (public fsimage.proto SnapshotSection): a delimited
+    * header {snapshotCounter=1, snapshottableDir=2 packed, numSnapshots=3}
+    * followed by one delimited Snapshot {snapshotId=1, root=2: INode} per
+    * snapshot — the root is a frozen copy of the snapshotted directory
+    * whose `name` is the snapshot's name. */
+  def parseSnapshots(bytes: Array[Byte]): SnapshotSection = {
+    val it = delimited(bytes, 0, bytes.length)
+    var counter = 0
+    val dirs = Array.newBuilder[Long]
+    if (it.hasNext) it.next().eachField { (fn, wt, r) =>
+      (fn, wt) match {
+        case (1, 0) => counter = r.varint().toInt
+        case (2, 2) => val p = r.subMessage(); while (p.hasMore) dirs += p.varint()
+        case (2, 0) => dirs += r.varint()
+        case _      => r.skip(wt)
+      }
+    }
+    val snaps = it.map { m =>
+      var sid = 0
+      var root: RawInode = null
+      m.eachField { (fn, wt, r) =>
+        (fn, wt) match {
+          case (1, 0) => sid = r.varint().toInt
+          case (2, 2) => root = parseOneInode(r.subMessage())
+          case _      => r.skip(wt)
+        }
+      }
+      SnapshotInfo(sid, if (root == null) "" else root.name,
+        if (root == null) 0L else root.id)
+    }.toVector
+    SnapshotSection(counter, dirs.result(), snaps)
+  }
+
   /** Permission fixed64 layout (Hadoop PermissionStatusFormat):
     * user serial «40 | group serial «16 | mode (16 bits). */
   def permMode(perm: Long): Int = (perm & 0xFFFF).toInt

@@ -21,6 +21,7 @@ object ImageGen {
                            aclEvery: Int = 0,   // every k-th file carries 2 ACL entries
                            xattrEvery: Int = 0, // every k-th file carries 2 XAttr entries
                            nSymlinks: Int = 0,
+                           nSnapshots: Int = 0, // snapshots of dir_0 (SNAPSHOT section)
                            withAtime: Boolean = false)
 
   /** Ground truth the generator guarantees, for specs to assert against. */
@@ -192,11 +193,33 @@ object ImageGen {
       strings.delimited { e => e.tag(1, 0).varint((3L << 29) | s); e.str(2, n) }
     }
 
+    // SNAPSHOT section: header {snapshotCounter, snapshottableDir packed,
+    // numSnapshots} + one Snapshot{id, root INode} per snapshot of dir_0;
+    // the root carries the snapshot's name (Hadoop freezes the dir there)
+    val snapSection = new W
+    if (nSnapshots > 0 && nDirs > 0) {
+      snapSection.delimited { h =>
+        h.tag(1, 0).varint(nSnapshots)
+        h.msg(2)(p => p.varint(dirIds.head))
+        h.tag(3, 0).varint(nSnapshots)
+      }
+      (0 until nSnapshots).foreach { i =>
+        snapSection.delimited { s =>
+          s.tag(1, 0).varint(i)
+          s.msg(2) { m =>
+            m.tag(1, 0).varint(2); m.tag(2, 0).varint(dirIds.head); m.str(3, s"snap_$i")
+            m.msg(5)(d => { d.tag(1, 0).varint(1700000000000L); d.tag(4, 1).fixed64(perm(1, 1, 0x1ED)) })
+          }
+        }
+      }
+    }
+
     val fos = new FileOutputStream(path)
     val dos = new DataOutputStream(fos)
     dos.write("HDFSIMG1".getBytes("ASCII"))
     var offset = 8L
-    val sections = Seq("INODE" -> inodes, "INODE_DIR" -> dirSection, "STRING_TABLE" -> strings)
+    val sections = Seq("INODE" -> inodes, "INODE_DIR" -> dirSection, "STRING_TABLE" -> strings) ++
+      (if (nSnapshots > 0 && nDirs > 0) Seq("SNAPSHOT" -> snapSection) else Nil)
     val located = sections.map { case (name, w) =>
       val b = w.out.toByteArray
       dos.write(b)

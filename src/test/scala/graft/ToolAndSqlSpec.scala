@@ -84,6 +84,8 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(acl.length == 1 && acl.head.getAs[Int]("n_acl") >= 0)
       val xa = run("xattr", "-i" -> "/dir_0/f_0.dat").collect()
       assert(xa.length == 1 && xa.head.getAs[Int]("n_xattr") == 2)
+      assert(run("sections").count() >= 3)
+      assert(run("snapshots").count() == 0) // image carries no SNAPSHOT section
       // subtree option restricts the inode set
       assert(run("path", "-p" -> "/dir_0").count() <
              run("path").count())

@@ -218,6 +218,38 @@ class FsImageSourceSpec extends SparkSpecBase {
     new java.io.File(img).delete()
   }
 
+  test("section inventory and SNAPSHOT section parse") {
+    import graft.sources.fsimage.ImageGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toFile
+    val img = new java.io.File(dir, "snap.img").getPath
+    ImageGen.write(img, ImageGen.GenSpec(nDirs = 3, nFiles = 20, nSnapshots = 3))
+
+    val secs = FsImageSource.sections(spark, img).collect()
+    assert(secs.map(_.getAs[String]("name")).toSeq ==
+      Seq("INODE", "INODE_DIR", "STRING_TABLE", "SNAPSHOT"))
+    assert(secs.forall(_.getAs[Long]("length") > 0))
+    // offsets are contiguous from the 8-byte magic
+    assert(secs.head.getAs[Long]("offset") == 8L)
+
+    val snaps = FsImageSource.snapshots(spark, img).collect()
+    assert(snaps.map(r => (r.getAs[Int]("snapshot_id"), r.getAs[String]("name"))).toSeq ==
+      (0 until 3).map(i => (i, s"snap_$i")))
+    // every snapshot root points at dir_0's inode — resolvable via the
+    // inode table (the documented join)
+    val dir0 = FsImageSource.inodes(spark, img)
+      .filter(col("name") === "dir_0").head.getAs[Long]("id")
+    assert(snaps.forall(_.getAs[Long]("root_id") == dir0))
+
+    // an image without the section yields an empty frame, same schema
+    val img2 = new java.io.File(dir, "nosnap.img").getPath
+    ImageGen.write(img2, ImageGen.GenSpec(nDirs = 2, nFiles = 5))
+    val none = FsImageSource.snapshots(spark, img2)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("snapshot_id", "name", "root_id"))
+    new java.io.File(img).delete()
+    new java.io.File(img2).delete()
+  }
+
   test("HFSA reports run unchanged on fsimage data") {
     assume(haveImages)
     val df = FsImageSource.inodes(spark, H3)
