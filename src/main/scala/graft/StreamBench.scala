@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventsStream
+
+/** Streaming throughput bench (SURVEY §2.5): replays the events table
+  * through the Structured Streaming operators in micro-batches and reports
+  * end-to-end rows/sec per operator as ONE JSON line — the streaming
+  * counterpart of [[Bench]].
+  *
+  * The feed side is a driver-held MemoryStream by design (the production
+  * source would be Kafka/files; what's measured here is the OPERATOR path:
+  * watermark tracking, state store updates, sink commit). Each operator
+  * processes the full event stream split into `chunks` micro-batches, so
+  * per-batch planning overhead is part of the measurement — as it is in
+  * production micro-batch streaming.
+  *
+  * `runMain graft.StreamBench [sfDir]` (env: SPARK_GRAFT_SF_DIR,
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_STREAM_CHUNKS).
+  */
+object StreamBench {
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+
+  /** Runs every streaming operator over `sfDir`'s events; returns
+    * op → (seconds, input rows). */
+  def run(spark: SparkSession, sfDir: String, chunks: Int = 10): Map[String, (Double, Long)] = {
+    import spark.implicits._
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts")) // arrival roughly follows event time, as in production
+      .as[Ev].collect()
+    val slices = {
+      val per = math.max(1, rows.length / chunks)
+      rows.grouped(per).toSeq
+    }
+
+    def bench(name: String, outputMode: String)
+             (mk: DataFrame => DataFrame): (String, (Double, Long)) = {
+      val input = MemoryStream[Ev](spark)
+      // every addData call becomes one micro-batch block; feed BEFORE the
+      // query starts so AvailableNow's end-offset snapshot covers them all
+      slices.foreach(s => input.addData(s.toSeq))
+      val t0 = System.nanoTime()
+      val q = mk(input.toDF()).writeStream
+        .format("noop")
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow()) // drain-all-then-stop
+        .queryName(s"bench_$name")
+        .start()
+      q.awaitTermination()
+      val t = (System.nanoTime() - t0) / 1e9
+      val processed = q.recentProgress.map(_.numInputRows).sum
+      require(processed == rows.length,
+        s"stream bench $name processed $processed of ${rows.length} rows")
+      System.err.println(f"[stream-bench] $name%-18s $t%8.3f s  ${rows.length / t}%11.0f rows/s")
+      name -> ((t, rows.length.toLong))
+    }
+
+    Map(
+      bench("windowed_counts", "update")(EventsStream.windowedCounts(_)),
+      bench("user_activity", "update")(EventsStream.userActivity(_)),
+      bench("dedup", "append")(EventsStream.dedupedEvents(_)),
+      bench("sessionize", "append")(EventsStream.sessionize(_).toDF()),
+      bench("enriched", "append") { df =>
+        val dim = spark.range(0, 1000)
+          .select(col("id").as("user_id"), (col("id") % 7).as("segment"))
+        EventsStream.enriched(df, dim)
+      })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "10").toInt
+    val spark = graft.core.GraftSession.builder(master = s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = run(spark, sfDir, chunks)
+    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val ops = results.toSeq.sortBy(_._1).map { case (k, (t, n)) =>
+      s""""$k":{"sec":${ms3(t)},"rows_per_sec":${math.round(n / t)}}"""
+    }.mkString("{", ",", "}")
+    val total = ms3(results.values.map(_._1).sum)
+    println(s"""{"metric":"stream_total","value":$total,"unit":"sec","ops":$ops,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
