@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the clustering
+  * step behind corpus bucketing, IVF index building and diversity
+  * sampling. Everything is integer math so the whole iteration trajectory
+  * is bit-identical in DuckDB (SURVEY §6): elements quantize to integer
+  * millionths, distances are exact bigint sums of squares, and centroid
+  * updates are `floor(sum/n)` of exact bigint sums.
+  *
+  * Scale shape per iteration: centroids are a k·dim-row DataFrame (never
+  * driver state) broadcast into the distance join; the assignment is one
+  * partial-aggregable groupBy(vec_id, k) + an argmin groupBy(vec_id); the
+  * centroid update is one groupBy(k, pos) over the assigned table —
+  * shuffle keys stay (vec_id) / (k, pos), both fine at 10⁹ vectors.
+  * `localCheckpoint` truncates the per-iteration lineage (same posture as
+  * [[Dedup.connectedComponents]]).
+  *
+  * Determinism: seeds are the k smallest vec_ids; cluster ids ARE the seed
+  * vec_ids; distance ties break to the smaller cluster id; a cluster that
+  * loses all members vanishes (documented — later assignments only target
+  * surviving clusters, identically in the oracle).
+  */
+object KMeans {
+
+  /** @param embeddings (vec_id, embedding: array<float>)
+    * @return (vec_id, cluster, dist) after `iters` centroid updates and a
+    *         final assignment; dist = exact squared L2 in millionths²
+    */
+  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("q"))
+      .localCheckpoint() // scanned by every iteration — materialize once
+    val seeds = embeddings.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+    var cents = vecs.join(broadcast(seeds), "vec_id")
+      .select(col("vec_id").as("k"), col("pos"), col("q").as("c"))
+
+    def assign(c: DataFrame): DataFrame =
+      vecs.join(broadcast(c), Seq("pos"))
+        .groupBy(col("vec_id"), col("k"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("k"))).as("m"))
+        .select(col("vec_id"), col("m.k").as("k"), col("m.dist").as("dist"))
+
+    (0 until iters).foreach { _ =>
+      val a = assign(cents)
+      cents = a.join(vecs, "vec_id")
+        .groupBy(col("k"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+        .select(col("k"), col("pos"),
+          floor(col("s") * 1.0 / col("n")).cast("long").as("c"))
+        .localCheckpoint()
+    }
+    assign(cents).select(col("vec_id"), col("k").as("cluster"), col("dist"))
+  }
+}

@@ -461,7 +461,67 @@ object VectorQueries extends QueryModule {
     ORDER BY doc_a, doc_b"""
   }
 
+  // ----------------------------------------------------------------- k-means
+
+  private val KmeansK = 8
+  private val KmeansIters = 2
+
+  /** Distributed Lloyd's k-means ([[graft.operators.KMeans]]): cluster the
+    * embedding corpus with integer-exact math — quantized elements, bigint
+    * squared-L2, floor(sum/n) centroid updates — so the oracle replays the
+    * IDENTICAL trajectory (seeds = k smallest vec_ids, ties to the smaller
+    * cluster id). The curation move behind IVF cells and diversity
+    * bucketing. */
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.KMeans
+      .fit(Tables.embeddings(spark, sfDir), KmeansK, KmeansIters)
+      .orderBy(col("vec_id"))
+
+  val kmeansSql: String = {
+    // the same iteration unrolled as a CTE chain: a_i assigns against c_{i-1},
+    // c_i re-averages; the final SELECT is the (iters+1)-th assignment
+    def assignCte(i: Int, cents: String) = s"""a$i AS (
+      SELECT vec_id, k, dist FROM (
+        SELECT vec_id, k, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM (SELECT v.vec_id, c.k, CAST(sum((v.q - c.c) * (v.q - c.c)) AS bigint) AS dist
+              FROM q v JOIN $cents c ON v.pos = c.pos
+              GROUP BY v.vec_id, c.k)
+      ) WHERE rn = 1
+    )"""
+    def centCte(i: Int) = s"""c$i AS (
+      SELECT a.k, v.pos, CAST(floor(sum(v.q) * 1.0 / count(*)) AS bigint) AS c
+      FROM a$i a JOIN q v ON a.vec_id = v.vec_id
+      GROUP BY a.k, v.pos
+    )"""
+    val chain = (1 to KmeansIters).map(i =>
+      assignCte(i, s"c${i - 1}") + ", " + centCte(i)).mkString(", ")
+    s"""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(unnest(range(1, len(embedding) + 1)) AS bigint) AS pos,
+             unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint))) AS q
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KmeansK
+    ), c0 AS (
+      SELECT v.vec_id AS k, v.pos, v.q AS c FROM q v
+      WHERE v.vec_id IN (SELECT vec_id FROM seeds)
+    ), $chain,
+    fin AS (
+      SELECT vec_id, k, dist FROM (
+        SELECT vec_id, k, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM (SELECT v.vec_id, c.k, CAST(sum((v.q - c.c) * (v.q - c.c)) AS bigint) AS dist
+              FROM q v JOIN c$KmeansIters c ON v.pos = c.pos
+              GROUP BY v.vec_id, c.k)
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, k AS cluster, dist FROM fin ORDER BY vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_kmeans"          -> (kmeans _),
     "e_ann_bruteforce"  -> (annBruteForce _),
     "e_ann_lsh"         -> (annLsh _),
     "e_ann_ivf"         -> (annIvf _),
@@ -472,6 +532,7 @@ object VectorQueries extends QueryModule {
     "e_knn_classify"    -> (knnClassify _))
 
   val oracles: Map[String, String] = Map(
+    "e_kmeans"          -> kmeansSql,
     "e_ann_bruteforce"  -> annBruteForceSql,
     "d_dedup_embedding" -> dedupEmbeddingSql,
     "e_ann_lsh"         -> annLshSql,
