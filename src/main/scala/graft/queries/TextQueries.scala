@@ -32,6 +32,13 @@ object TextQueries extends QueryModule {
                             i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
         ELSE [md5($textCol)] END"""
 
+  /** DuckDB twin of [[graft.functions.word_shingle_keys]] (60-bit longs). */
+  private def shingleKeysSql(textCol: String): String =
+    s"""CASE WHEN len(w) >= 3
+        THEN list_transform(range(1, len(w) - 1),
+          i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))
+        ELSE [CAST('0x' || substr(md5($textCol), 1, 15) AS BIGINT)] END"""
+
   // ------------------------------------------------------------- tokenizing
 
   /** Token counting: whitespace tokens, word-regex tokens, and a BPE-ish
@@ -239,7 +246,7 @@ object TextQueries extends QueryModule {
 
   val dedupNgramJaccardSql: String = s"""
     WITH sh0 AS (
-      SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh
+      SELECT DISTINCT doc_id, unnest(${shingleKeysSql("text")}) AS sh
       FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
     ), counts AS (
       SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id
@@ -286,7 +293,7 @@ object TextQueries extends QueryModule {
     * both the cluster listing and the keep-one materializer oracles. */
   private val clusterLabCtes: String = s"""
     WITH RECURSIVE sh0 AS (
-      SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh
+      SELECT DISTINCT doc_id, unnest(${shingleKeysSql("text")}) AS sh
       FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
     ), counts AS (
       SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id
@@ -492,10 +499,15 @@ object TextQueries extends QueryModule {
     * containment (not Jaccard) because a long training doc that swallows
     * a short eval doc whole must flag regardless of its own length. */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    // long shingle keys + one materialization: the eval and train branches
+    // both derive from this table, and without the checkpoint each branch
+    // re-runs the whole shingle/md5 explode over the corpus
     val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), array_distinct(shingles(col("text"))).as("shs"))
+      .select(col("doc_id"), col("source"),
+        array_distinct(graft.functions.word_shingle_keys(col("text"))).as("shs"))
       .select(col("doc_id"), col("source"),
         size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("sh"))
+      .localCheckpoint()
     val ev = base.filter(col("source") === "src0")
       .select(col("doc_id").as("eval_id"), col("n_sh"), col("sh"))
     val tr = base.filter(col("source") =!= "src0")
@@ -512,7 +524,7 @@ object TextQueries extends QueryModule {
   val decontaminateSql: String = s"""
     WITH base AS (
       SELECT doc_id, source, len(shs) AS n_sh, unnest(shs) AS sh FROM (
-        SELECT doc_id, source, list_distinct(${shinglesSql("text")}) AS shs
+        SELECT doc_id, source, list_distinct(${shingleKeysSql("text")}) AS shs
         FROM (SELECT doc_id, source, text, string_split_regex(text, '\\s+') AS w FROM documents)
       )
     ), ev AS (

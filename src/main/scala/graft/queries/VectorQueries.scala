@@ -319,32 +319,33 @@ object VectorQueries extends QueryModule {
 
   // ------------------------------------------------------ MinHash / SimHash
 
-  private def shingles(text: Column): Column = graft.functions.word_shingles(text)
-
-  /** MinHash + banded LSH near-dup candidates: hash family
-    * h_i(sh) = md5("i_" ‖ sh) with the signature min taken in (portable)
-    * lexicographic order; bands of 2 minhashes → band key md5(h_a ‖ h_b);
-    * candidates = pairs sharing a band key. md5 + string-min are
-    * bit-identical in DuckDB, so this sketch op is fully oracle-checked.
-    * Candidate generation is an equi-join on (band, band_hash) — the
-    * standard shuffle-friendly shape; never all-pairs. */
+  /** MinHash + banded LSH near-dup candidates: hash family h_i(sh) =
+    * 32-bit slices of md5(sh) ‖ md5("x_"‖sh) ‖ md5("y_"‖sh) (12 hash fns
+    * from 3 md5 evaluations over the RAW 3-gram), signature = per-fn min as
+    * a long; bands of 2 minhashes → 60-bit band key from md5(h_a‖"_"‖h_b);
+    * candidates = pairs sharing a band key. md5, substring, and hex→long
+    * parsing are bit-identical in DuckDB, so this sketch op is fully
+    * oracle-checked. Candidate generation is an equi-join on
+    * (band, band_hash) — the standard shuffle-friendly shape; never
+    * all-pairs, and every shuffled/joined key is an 8-byte long, not a
+    * 32-char hex string. */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val numHashes = 12
     val bandSize = 2
-    // 12 hash fns from 3 md5 evaluations: the 96 hex chars split into
-    // 8-char chunks — portable (md5 + substring) at 1/4 the hashing cost.
     val sigCols = (0 until numHashes).map { i =>
-      min(substring(col("hh"), 1 + 8 * i, 8)).as(s"h$i")
+      min(conv(substring(col("hh"), 1 + 8 * i, 8), 16, 10).cast("long")).as(s"h$i")
     }
     val sigs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.word_shingles_raw(col("text")))).as("sh"))
       .withColumn("hh", concat(md5(col("sh")), md5(concat(lit("x_"), col("sh"))),
                                md5(concat(lit("y_"), col("sh")))))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
     val bands = (0 until numHashes / bandSize).map { b =>
-      val cols = (0 until bandSize).map(j => col(s"h${b * bandSize + j}"))
-      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
+      val cols = (0 until bandSize).map(j => col(s"h${b * bandSize + j}").cast("string"))
+      struct(lit(b).as("band"),
+        conv(substring(md5(concat_ws("_", cols: _*)), 1, 15), 16, 10).cast("long").as("bh"))
     }
     val exploded = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -360,11 +361,12 @@ object VectorQueries extends QueryModule {
   val dedupMinhashSql: String = {
     val shingleCase = """CASE WHEN len(w) >= 3
         THEN list_transform(range(1, len(w) - 1),
-                            i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        ELSE [md5(text)] END"""
-    val mins = (0 until 12).map(i => s"min(substr(hh, ${1 + 8 * i}, 8)) AS h$i").mkString(",\n             ")
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        ELSE [text] END"""
+    val mins = (0 until 12).map(i =>
+      s"min(CAST('0x' || substr(hh, ${1 + 8 * i}, 8) AS BIGINT)) AS h$i").mkString(",\n             ")
     val bands = (0 until 6).map(b =>
-      s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sigs")
+      s"SELECT doc_id, $b AS band, CAST('0x' || substr(md5(CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR)), 1, 15) AS BIGINT) AS bh FROM sigs")
       .mkString("\n      UNION ALL ")
     s"""
     WITH sh AS (
