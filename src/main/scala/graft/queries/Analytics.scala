@@ -741,7 +741,66 @@ object Analytics extends QueryModule {
     WHERE n >= 3 AND (v * n - s) * (v * n - s) > 9 * (n * q - s * s)
     ORDER BY event_id"""
 
+  /** Log-bucket sketch percentiles — the SCALE twin of [[qPercentiles]]:
+    * instead of a per-group sort of every row, each row maps to bucket
+    * ⌊log2(v+1)⌋ (exact integer math: length(bin(v+1))−1, no float log),
+    * the per-(group, bucket) counts collapse in the partial agg (≤ ~40
+    * buckets per group regardless of row count, same trick as the size
+    * histogram), and the percentile is read off the cumulative histogram
+    * as the bucket's upper value — a ≤2× overestimate by construction.
+    * This is the mergeable-sketch shape that replaces the exact window
+    * sort at 100 TB; the estimate and everything about it is
+    * deterministic, so the oracle matches bit-for-bit. */
+  def qPercentilesApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = when(col("v") < 0, lit(-1))
+      .otherwise(length(conv(col("v") + 1, 10, 2)) - 1)
+    val est = when(col("bucket") < 0, lit(-1L))
+      .otherwise(expr("shiftleft(1L, bucket + 1)") - 2)
+    val byType = Window.partitionBy(col("event_type"))
+    val cumW = byType.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(p: Double) =
+      min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"), col("est")))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .select(col("event_type"), bucket.as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("est", est)
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .groupBy(col("event_type"))
+      .agg(pick(0.5).as("p50_est_c"), pick(0.95).as("p95_est_c"),
+        count(lit(1)).as("n_buckets"), max(col("n")).as("n_rows"))
+      .orderBy(col("event_type"))
+  }
+
+  val qPercentilesApproxSql: String = """
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN v < 0 THEN -1 ELSE length(to_base(v + 1, 2)) - 1 END AS bucket
+      FROM (SELECT event_type, CAST(floor(value * 100) AS bigint) AS v FROM events)
+    ), hist AS (
+      SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY event_type, bucket
+    ), cum AS (
+      SELECT event_type, bucket, cnt,
+             CASE WHEN bucket < 0 THEN -1 ELSE (CAST(1 AS bigint) << (bucket + 1)) - 2 END AS est,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    SELECT event_type,
+           min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS bigint) THEN est END) AS p50_est_c,
+           min(CASE WHEN cum >= CAST(ceil(0.95 * n) AS bigint) THEN est END) AS p95_est_c,
+           count(*) AS n_buckets,
+           CAST(max(n) AS bigint) AS n_rows
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles_approx" -> (qPercentilesApprox _),
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
     "q5_multijoin"      -> (q5MultiJoin _),
@@ -770,6 +829,7 @@ object Analytics extends QueryModule {
     "q_events_anomaly"  -> (qEventsAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q_percentiles_approx" -> qPercentilesApproxSql,
     "q1_agg"            -> q1AggSql,
     "q3_join_topk"      -> q3JoinTopKSql,
     "q5_multijoin"      -> q5MultiJoinSql,

@@ -801,7 +801,231 @@ object TextQueries extends QueryModule {
     ORDER BY doc_id"""
   }
 
+  // ----------------------------------------------------------- RAG chunking
+
+  private val ChunkWords = 64
+  private val ChunkStride = 48
+
+  /** RAG-style chunking: overlapping fixed-size word windows (64 words,
+    * stride 48 → 16-word overlap) — the step that turns cleaned documents
+    * into retrieval units. Chunk count = ceil(max(n-W,0)/S)+1, so every
+    * doc yields ≥1 chunk and the final window may run short. Pure per-row
+    * map (sequence + slice inside one projection) — shuffle-free; at
+    * 100 TB this is a scan that writes ~n/S× the rows, no exchange. */
+  def chunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val (w, s) = (ChunkWords, ChunkStride)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (greatest(size(w) - $w, 0) + ${s - 1}) div $s),
+                      i -> slice(w, i * $s + 1, $w))"""))
+        .as(Seq("chunk_idx", "cw")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("cw")).cast("long").as("n_words"),
+        array_join(col("cw"), " ").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkSql: String = {
+    val (w, s) = (ChunkWords, ChunkStride)
+    s"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ), e AS (
+      SELECT doc_id,
+             unnest(range(0, (greatest(len(w) - $w, 0) + ${s - 1}) // $s + 1)) AS chunk_idx,
+             w
+      FROM d
+    )
+    SELECT doc_id, CAST(chunk_idx AS bigint) AS chunk_idx,
+           CAST(len(list_slice(w, chunk_idx * $s + 1, chunk_idx * $s + $w)) AS bigint) AS n_words,
+           array_to_string(list_slice(w, chunk_idx * $s + 1, chunk_idx * $s + $w), ' ') AS chunk
+    FROM e
+    ORDER BY doc_id, chunk_idx"""
+  }
+
+  // ------------------------------------------------------------ BM25 search
+
+  private val Bm25Query = Seq("spark", "join", "window")
+
+  /** BM25 top-k retrieval (k1=1.2, b=0.75) for a fixed query term set —
+    * the search half of a corpus pipeline (find documents about X).
+    * Scoring is per-matched-term in integer MICRO units: the idf is
+    * floored to a bigint first (floor(1e6·(N−df+0.5)/(df+0.5)) — the
+    * Robertson idf without the log, same ranking monotonicity), each
+    * term's contribution is floored to micro units, and the doc score is
+    * an exact bigint sum — order-independent, so the oracle matches
+    * bit-for-bit. Scalar double steps (the tf saturation denominator) are
+    * identical expression trees in both engines (SURVEY §6).
+    *
+    * Shape: token explode → filter to the query terms BEFORE any shuffle
+    * (the scan prunes everything else), tf groupBy on the filtered sliver,
+    * df + corpus stats are broadcast; top-10 is TakeOrdered. The only
+    * full-corpus shuffle is the doc-length table — shared with every
+    * other token statistic in the pipeline. */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    // the token explode feeds dl (all terms) and tf (query sliver) —
+    // materialize once, same reasoning as lmSurprisal's terms table
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .localCheckpoint()
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = terms.filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = floor(lit(1000000.0) * (col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))).cast("long")
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val contrib = floor(col("idf").cast("double") * col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+      .cast("long")
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(tot))
+      .join(dl, "doc_id")
+      .withColumn("idf", idf)
+      .select(col("doc_id"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("c")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val bm25SearchSql: String = {
+    val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id
+    ), tot AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS bigint) AS total_tokens FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms
+      WHERE term IN ($inList) GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               CAST(CAST(floor(1000000.0 * (n_docs - df + 0.5) / (df + 0.5)) AS bigint) AS double)
+               * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS double)
+                    / (CAST(total_tokens AS double) / CAST(n_docs AS double)))))
+             ) AS bigint) AS c
+      FROM tf JOIN df USING (term) CROSS JOIN tot JOIN dl ON tf.doc_id = dl.doc_id
+    )
+    SELECT doc_id, count(*) AS n_matched, CAST(sum(c) AS bigint) AS score_micro
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 10"""
+  }
+
+  // -------------------------------------------------------- mixture weights
+
+  /** Training-mixture reweighting: allocate a token budget across
+    * languages by temperature sampling (τ = 0.5 — the multilingual
+    * rebalancing move: w_lang ∝ √tokens upweights low-resource languages)
+    * and proportionally within a language across sources. All integer
+    * math: √ via floor(sqrt(x)) (exactly-rounded IEEE both engines),
+    * shares in basis points via bigint division — oracle-exact.
+    *
+    * Shape: ONE data-sized shuffle (the (lang, source) aggregation);
+    * everything after runs on the ~|langs×sources| result, with the
+    * lang-level and global totals as broadcast-sized windows. */
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"), size(words(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      // tiny after the agg, but it feeds two consumers (the lang rollup and
+      // the final join) — materialize so the corpus is scanned once
+      .localCheckpoint()
+    val byLang = bySrc.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("w", floor(sqrt(col("lang_tokens"))).cast("long"))
+    val tot = byLang.agg(sum(col("w")).as("total_w"),
+      sum(col("lang_tokens")).as("total_tokens"))
+    bySrc.join(broadcast(byLang), "lang").crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        expr("10000 * w div total_w * n_tokens div lang_tokens").as("target_bp"),
+        expr("10000 * n_tokens div total_tokens").as("natural_bp"))
+      .withColumn("boost_bp", expr("10000 * target_bp div natural_bp"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val mixWeightsSql: String = """
+    WITH by_src AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(text, '\s+'))) AS bigint) AS n_tokens
+      FROM documents GROUP BY lang, source
+    ), by_lang AS (
+      SELECT lang, CAST(sum(n_tokens) AS bigint) AS lang_tokens,
+             CAST(floor(sqrt(CAST(sum(n_tokens) AS bigint))) AS bigint) AS w
+      FROM by_src GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(w) AS bigint) AS total_w,
+             CAST(sum(lang_tokens) AS bigint) AS total_tokens
+      FROM by_lang
+    )
+    SELECT s.lang, s.source, s.n_docs, s.n_tokens,
+           (10000 * w // total_w * n_tokens // lang_tokens) AS target_bp,
+           (10000 * n_tokens // total_tokens) AS natural_bp,
+           (10000 * (10000 * w // total_w * n_tokens // lang_tokens)
+                  // (10000 * n_tokens // total_tokens)) AS boost_bp
+    FROM by_src s JOIN by_lang l USING (lang) CROSS JOIN tot
+    ORDER BY lang, source"""
+
+  // --------------------------------------------------------------- OOV rate
+
+  /** Vocabulary coverage / OOV rate: per-document fraction of tokens not
+    * in the induced top-100 vocabulary ([[vocab]]'s deterministic cut) —
+    * the tokenizer-coverage check run before committing to a vocab. The
+    * vocab is Zipf-small by construction → broadcast; per-doc counting is
+    * one shuffle on doc_id over the token table. */
+  def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .localCheckpoint() // feeds the vocab cut AND the per-doc counting
+    val voc = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tf").desc, col("term"))
+      .limit(100)
+      .select(col("term"), lit(1).as("in_vocab"))
+    terms.join(broadcast(voc), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("10000 * n_oov div n_tokens").as("oov_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oovRateSql: String = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents
+    ), voc AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM terms GROUP BY term
+      )
+      ORDER BY df DESC, tf DESC, term
+      LIMIT 100
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN term IN (SELECT term FROM voc) THEN 0 ELSE 1 END) AS bigint) AS n_oov,
+           (10000 * CAST(sum(CASE WHEN term IN (SELECT term FROM voc) THEN 0 ELSE 1 END) AS bigint)
+             // count(*)) AS oov_bp
+    FROM terms
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_chunk"         -> (chunk _),
+    "t_bm25_search"   -> (bm25Search _),
+    "t_mix_weights"   -> (mixWeights _),
+    "t_oov_rate"      -> (oovRate _),
     "t_token_count"   -> (tokenCount _),
     "t_quality_score" -> (qualityScore _),
     "t_lang_id"       -> (langId _),
@@ -823,6 +1047,10 @@ object TextQueries extends QueryModule {
     "t_normalize"     -> (normalizeText _))
 
   val oracles: Map[String, String] = Map(
+    "t_chunk"         -> chunkSql,
+    "t_bm25_search"   -> bm25SearchSql,
+    "t_mix_weights"   -> mixWeightsSql,
+    "t_oov_rate"      -> oovRateSql,
     "t_token_count"   -> tokenCountSql,
     "t_quality_score" -> qualityScoreSql,
     "t_lang_id"       -> langIdSql,

@@ -522,7 +522,59 @@ object VectorQueries extends QueryModule {
     SELECT vec_id, k AS cluster, dist FROM fin ORDER BY vec_id"""
   }
 
+  // ------------------------------------------------------- int8 quantization
+
+  /** Per-vector symmetric int8 quantization — the storage/serving posture
+    * for embeddings at 100 TB (4× smaller than float32, 8× than float64):
+    * scale = max|x|/127, q_i = round-half-up(x_i·127/max|x|). Emits exact
+    * integer diagnostics per vector (saturation count, zero count, L1
+    * mass) instead of the int8 array itself so the oracle hash-checks the
+    * quantization bit-for-bit (round-half-up = floor(x+0.5) is
+    * engine-portable; Spark/DuckDB `round` half-away ties are not relied
+    * on). Shuffle-free per-row map; the sort is the oracle-facing ORDER BY.
+    */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+        vec(col("embedding")).as("v"))
+      // m staged as its own column: inside the quantization lambda it must
+      // be an attribute read, not a re-evaluated array_max per element
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", transform(col("v"), x =>
+        when(col("m") === 0.0, lit(0L))
+          .otherwise(floor(x * lit(127.0) / col("m") + lit(0.5)).cast("long"))))
+      .select(col("vec_id"), col("dim"),
+        floor(col("m") * lit(1000000.0)).cast("long").as("maxabs_micro"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+        size(filter(col("q"), x => abs(x) === 127L)).cast("long").as("n_sat"),
+        size(filter(col("q"), x => x === 0L)).cast("long").as("n_zero"))
+      .orderBy(col("vec_id"))
+  }
+
+  val quantizeInt8Sql: String = """
+    WITH base AS (
+      SELECT vec_id, len(embedding) AS dim,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS double)))) AS m,
+             embedding
+      FROM embeddings
+    ), qq AS (
+      SELECT vec_id, dim, m,
+             list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+               ELSE CAST(floor(CAST(x AS double) * 127.0 / m + 0.5) AS bigint) END) AS q
+      FROM base
+    )
+    SELECT vec_id, CAST(dim AS bigint) AS dim,
+           CAST(floor(m * 1000000.0) AS bigint) AS maxabs_micro,
+           CAST(list_sum(q) AS bigint) AS q_sum,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS bigint) AS q_l1,
+           CAST(len(list_filter(q, x -> abs(x) = 127)) AS bigint) AS n_sat,
+           CAST(len(list_filter(q, x -> x = 0)) AS bigint) AS n_zero
+    FROM qq
+    ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_quantize_int8"   -> (quantizeInt8 _),
     "e_kmeans"          -> (kmeans _),
     "e_ann_bruteforce"  -> (annBruteForce _),
     "e_ann_lsh"         -> (annLsh _),
@@ -534,6 +586,7 @@ object VectorQueries extends QueryModule {
     "e_knn_classify"    -> (knnClassify _))
 
   val oracles: Map[String, String] = Map(
+    "e_quantize_int8"   -> quantizeInt8Sql,
     "e_kmeans"          -> kmeansSql,
     "e_ann_bruteforce"  -> annBruteForceSql,
     "d_dedup_embedding" -> dedupEmbeddingSql,
