@@ -858,21 +858,21 @@ object TextQueries extends QueryModule {
     * bit-for-bit. Scalar double steps (the tf saturation denominator) are
     * identical expression trees in both engines (SURVEY §6).
     *
-    * Shape: token explode → filter to the query terms BEFORE any shuffle
-    * (the scan prunes everything else), tf groupBy on the filtered sliver,
-    * df + corpus stats are broadcast; top-10 is TakeOrdered. The only
-    * full-corpus shuffle is the doc-length table — shared with every
-    * other token statistic in the pipeline. */
+    * Shape: the query-term filter runs on the token ARRAY before anything
+    * explodes — only matching occurrences ever become rows, so the sole
+    * data-sized shuffle is the (doc, query-term) sliver; doc length rides
+    * along from size(w) (never a full-corpus token explode or a dl join);
+    * corpus stats are one single-row projection-only aggregate; df + stats
+    * broadcast; top-10 is TakeOrdered. */
   def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
-    // the token explode feeds dl (all terms) and tf (query sliver) —
-    // materialize once, same reasoning as lmSurprisal's terms table
-    val terms = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
-      .localCheckpoint()
-    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    val tf = terms.filter(col("term").isin(Bm25Query: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tot = Tables.documents(spark, sfDir)
+      .select(size(words(lower(col("text")))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(lower(col("text"))).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(filter(col("w"), t => t.isin(Bm25Query: _*))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = floor(lit(1000000.0) * (col("n_docs") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5))).cast("long")
@@ -882,7 +882,6 @@ object TextQueries extends QueryModule {
       .cast("long")
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(tot))
-      .join(dl, "doc_id")
       .withColumn("idf", idf)
       .select(col("doc_id"), contrib.as("c"))
       .groupBy(col("doc_id"))
@@ -894,15 +893,16 @@ object TextQueries extends QueryModule {
   val bm25SearchSql: String = {
     val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
     s"""
-    WITH terms AS (
-      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents
-    ), dl AS (
-      SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id
-    ), tot AS (
-      SELECT count(*) AS n_docs, CAST(sum(dl) AS bigint) AS total_tokens FROM dl
+    WITH tot AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS bigint) AS total_tokens
+      FROM documents
     ), tf AS (
-      SELECT doc_id, term, count(*) AS tf FROM terms
-      WHERE term IN ($inList) GROUP BY doc_id, term
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, len(w) AS dl,
+               unnest(list_filter(w, t -> t IN ($inList))) AS term
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents)
+      ) GROUP BY doc_id, dl, term
     ), df AS (
       SELECT term, count(*) AS df FROM tf GROUP BY term
     ), scored AS (
@@ -910,10 +910,10 @@ object TextQueries extends QueryModule {
              CAST(floor(
                CAST(CAST(floor(1000000.0 * (n_docs - df + 0.5) / (df + 0.5)) AS bigint) AS double)
                * tf * 2.2
-               / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS double)
+               / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS double)
                     / (CAST(total_tokens AS double) / CAST(n_docs AS double)))))
              ) AS bigint) AS c
-      FROM tf JOIN df USING (term) CROSS JOIN tot JOIN dl ON tf.doc_id = dl.doc_id
+      FROM tf JOIN df USING (term) CROSS JOIN tot
     )
     SELECT doc_id, count(*) AS n_matched, CAST(sum(c) AS bigint) AS score_micro
     FROM scored
