@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{graftshim => ExpressionUtils}
+import org.apache.spark.sql.catalyst.expressions.{Literal, ShiftLeft}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -184,12 +186,24 @@ object Dedup {
     * @param batch  (id, fp) rows to gate
     * @return (id, fp, n_hit, bloom_dup) — bloom_dup=1 iff all probes hit
     */
+  /** md5-derived probe positions (numHashes 32-bit slices of fp, mod
+    * numBits) — the hash family shared by [[bloomGate]] / [[bloomMask]] /
+    * [[bloomHit]]; bit-identical in DuckDB. */
+  private def bloomPositions(fp: Column, numBits: Int, numHashes: Int): Column = {
+    require(numHashes >= 1 && numHashes <= 4,
+      s"bloom: numHashes must be in [1,4] (8 md5 hex chars per probe), got $numHashes")
+    array((0 until numHashes).map(i =>
+      conv(substring(fp, 1 + 8 * i, 8), 16, 10).cast("long") % numBits): _*)
+  }
+
+  /** 1L << bits for a COLUMN shift amount (functions.shiftleft only
+    * accepts a literal). */
+  private def shl1(bits: Column): Column =
+    ExpressionUtils.column(ShiftLeft(Literal(1L), ExpressionUtils.expression(bits)))
+
   def bloomGate(corpus: DataFrame, batch: DataFrame,
                 numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
-    require(numHashes >= 1 && numHashes <= 4,
-      s"bloomGate: numHashes must be in [1,4] (8 md5 hex chars per probe), got $numHashes")
-    def positions(fp: Column): Column = array((0 until numHashes).map(i =>
-      conv(substring(fp, 1 + 8 * i, 8), 16, 10).cast("long") % numBits): _*)
+    def positions(fp: Column): Column = bloomPositions(fp, numBits, numHashes)
     val bits = corpus.select(explode(positions(col("fp"))).as("pos")).distinct()
     val hits = batch.select(col("id"), explode(positions(col("fp"))).as("pos"))
       .join(bits, Seq("pos"), "left_semi")
@@ -199,6 +213,32 @@ object Dedup {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)) === numHashes).cast("int").as("bloom_dup"))
   }
+
+  /** The corpus Bloom filter folded into an actual bitmask: ONE row whose
+    * `mask` column is a map<word → 64-bit long> (≤ numBits/64 entries,
+    * ≈8 KiB at the default 2^16 bits) — the shippable form of the filter.
+    * Broadcast it to gate an arriving stream per micro-batch with zero
+    * state and zero shuffle ([[graft.streaming.EventsStream.bloomGated]]),
+    * or persist it as the incremental-dedup checkpoint between pipeline
+    * runs. Same md5 hash family as [[bloomGate]], so the two agree
+    * bit-for-bit (false positives included). */
+  def bloomMask(corpus: DataFrame, numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame =
+    corpus.select(explode(bloomPositions(col("fp"), numBits, numHashes)).as("pos"))
+      .select(expr("CAST(pos DIV 64 AS INT)").as("word"),
+        shl1(expr("CAST(pos % 64 AS INT)")).as("bit"))
+      .groupBy(col("word")).agg(bit_or(col("bit")).as("bits"))
+      .agg(map_from_arrays(collect_list(col("word")), collect_list(col("bits"))).as("mask"))
+
+  /** True iff every probe bit of `fp` is set in `mask` (a [[bloomMask]]
+    * map column) — the per-row, join-free membership test. */
+  def bloomHit(fp: Column, mask: Column,
+               numBits: Int = 1 << 16, numHashes: Int = 4): Column =
+    (0 until numHashes).map { i =>
+      val pos = conv(substring(fp, 1 + 8 * i, 8), 16, 10).cast("long") % numBits
+      val word = floor(pos / 64).cast("int")
+      val bit = (pos % 64).cast("int")
+      coalesce(element_at(mask, word), lit(0L)).bitwiseAND(shl1(bit)) =!= 0L
+    }.reduce(_ && _)
 
   /** Refuses to build a plan whose cost is quadratic in `df` beyond
     * `defaultMax` rows (override with spark conf `confKey`) — the guard on

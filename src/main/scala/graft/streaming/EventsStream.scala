@@ -72,6 +72,23 @@ object EventsStream {
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(userDim, Seq("user_id"), "left")
 
+  /** Stream-vs-corpus Bloom gate — incremental-ingest dedup: flag arriving
+    * rows whose fingerprint is (probably) already in a static corpus. The
+    * corpus travels as [[graft.operators.Dedup.bloomMask]]'s single-row
+    * bitmask (≈8 KiB at the default 2^16 bits), joined per micro-batch on
+    * a constant key (broadcast); membership is per-row bit arithmetic —
+    * no state, no shuffle, and the corpus itself is never scanned per
+    * batch. False positives possible (the classic Bloom trade, tune
+    * numBits), false negatives impossible. Rows must carry an `fp` column
+    * (e.g. md5 of the dedup key). */
+  def bloomGated(stream: DataFrame, mask: DataFrame,
+                 numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame =
+    stream.withColumn("_one", lit(1))
+      .join(mask.withColumn("_one", lit(1)), "_one")
+      .withColumn("bloom_dup", graft.operators.Dedup
+        .bloomHit(col("fp"), col("mask"), numBits, numHashes).cast("int"))
+      .drop("_one", "mask")
+
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class OpenSession(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,

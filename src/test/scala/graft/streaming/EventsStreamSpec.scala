@@ -193,6 +193,40 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("stream bloom gate agrees with the batch bloom gate row-for-row") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = (0 until 300).map(i => s"corpus doc $i").toDF("txt")
+      .select(md5(col("txt")).as("fp"))
+    val mask = graft.operators.Dedup.bloomMask(corpus)
+    // 30 re-deliveries of corpus keys + 70 fresh keys
+    val rows = (0 until 30).map(i => (i.toLong, s"corpus doc $i")) ++
+      (0 until 70).map(i => (1000L + i, s"fresh doc $i"))
+
+    val input = MemoryStream[(Long, String)]
+    val query = EventsStream.bloomGated(
+        input.toDF().toDF("id", "txt").withColumn("fp", md5(col("txt"))), mask)
+      .writeStream.format("memory").queryName("bloom_gated")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("bloom_gated").select("id", "bloom_dup")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(got.size == 100)
+      // Bloom guarantee: every true member flags
+      assert((0 until 30).forall(i => got(i.toLong) == 1))
+      // and the mask agrees with the bounded-join batch gate on EVERY row
+      // (same hash family → identical false positives)
+      val batch = graft.operators.Dedup.bloomGate(corpus,
+          rows.toDF("id", "txt").select(col("id"), md5(col("txt")).as("fp")))
+        .collect().map(r => (r.getLong(0), r.getAs[Int]("bloom_dup"))).toMap
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("late events beyond the watermark are dropped in append mode") {
     val session = spark
     import session.implicits._
