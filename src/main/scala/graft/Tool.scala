@@ -11,7 +11,7 @@ import graft.functions.IECBinaryImpl
   * {{{
   * runMain graft.Tool <command> <fsimage> [options]
   *   commands: summary | smallfiles | userusage | path | inode | acl |
-  *             xattr | sections | snapshots
+  *             xattr | sections | snapshots | refs
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /)
   *   -fun <regex>      filter by user name (summary/path commands)
@@ -49,6 +49,7 @@ object Tool {
     cmd match {
       case "sections"  => return FsImageSource.sections(spark, image)
       case "snapshots" => return FsImageSource.snapshots(spark, image)
+      case "refs"      => return FsImageSource.inodeReferences(spark, image)
       case _           => ()
     }
     val all =

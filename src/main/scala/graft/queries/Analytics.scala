@@ -741,6 +741,36 @@ object Analytics extends QueryModule {
     WHERE n >= 3 AND (v * n - s) * (v * n - s) > 9 * (n * q - s * s)
     ORDER BY event_id"""
 
+  /** TPC-H Q4 shape (order-priority checking): per priority, count the
+    * orders in a half-year window with at least one lineitem shipped more
+    * than 75 days after the order date — an EXISTS over the fact table.
+    * Plans as a LEFT SEMI join on the order key with the date predicate as
+    * the residual condition: one pass over each side, no duplicate-order
+    * inflation, grouped on a 5-value key with partial combine. */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 75 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4OrderPrioritySql: String = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 75 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   /** Log-bucket sketch percentiles — the SCALE twin of [[qPercentiles]]:
     * instead of a per-group sort of every row, each row maps to bucket
     * ⌊log2(v+1)⌋ (exact integer math: length(bin(v+1))−1, no float log),
@@ -800,6 +830,7 @@ object Analytics extends QueryModule {
     ORDER BY event_type"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -829,6 +860,7 @@ object Analytics extends QueryModule {
     "q_events_anomaly"  -> (qEventsAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "q4_order_priority" -> q4OrderPrioritySql,
     "q_percentiles_approx" -> qPercentilesApproxSql,
     "q1_agg"            -> q1AggSql,
     "q3_join_topk"      -> q3JoinTopKSql,

@@ -86,6 +86,30 @@ object FsImageSource {
     spark.createDataset(rows).toDF()
   }
 
+  final case class FsInodeRef(referred_id: Long, name: String,
+                              dst_snapshot_id: Int, last_snapshot_id: Int)
+
+  /** INODE_REFERENCE section: one row per snapshot-rename indirection
+    * node (referred inode id, recorded name, dst/last snapshot ids — -1
+    * when absent). Join referred_id on inodes.id for the live inode; a
+    * row with last_snapshot_id ≥ 0 means the old name survives only
+    * inside that snapshot. Empty when the image has no renames across
+    * snapshot boundaries. */
+  def inodeReferences(spark: SparkSession, imagePath: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val summary = FsImageFormat.readSummary(imagePath, conf)
+    import spark.implicits._
+    val rows = summary.sections.find(_.name == "INODE_REFERENCE") match {
+      case None => Seq.empty[FsInodeRef]
+      case Some(sec) =>
+        val bytes = FsImageFormat.maybeDecompress(
+          FsImageFormat.readSection(imagePath, sec, conf), summary.codec)
+        FsImageFormat.parseInodeReferences(bytes)
+          .map(r => FsInodeRef(r.referredId, r.name, r.dstSnapshotId, r.lastSnapshotId))
+    }
+    spark.createDataset(rows).toDF()
+  }
+
   private def toInode(i: RawInode, path: String, strings: StringTables): FsInode =
     FsInode(path, i.name,
       i.inodeType match { case 1 => "F"; case 2 => "D"; case 3 => "S"; case _ => "?" },

@@ -762,6 +762,32 @@ object FsImageFormat {
     SnapshotSection(counter, dirs.result(), snaps)
   }
 
+  // ------------------------------------------------------- inode references
+
+  final case class InodeReference(referredId: Long, name: String,
+                                  dstSnapshotId: Int, lastSnapshotId: Int)
+
+  /** INODE_REFERENCE section (public fsimage.proto INodeReferenceSection):
+    * delimited INodeReference {referredId=1, name=2 bytes, dstSnapshotId=3,
+    * lastSnapshotId=4} — the indirection nodes Hadoop records when an
+    * inode is renamed across a snapshot boundary, keeping it reachable
+    * under both the snapshot path (with-name, lastSnapshotId set) and the
+    * live destination path (dst-reference, dstSnapshotId set). */
+  def parseInodeReferences(bytes: Array[Byte]): Seq[InodeReference] =
+    delimited(bytes, 0, bytes.length).map { m =>
+      var rid = 0L; var name = ""; var dst = -1; var last = -1
+      m.eachField { (fn, wt, r) =>
+        (fn, wt) match {
+          case (1, 0) => rid = r.varint()
+          case (2, 2) => name = new String(r.bytes(r.varint().toInt), "UTF-8")
+          case (3, 0) => dst = r.varint().toInt
+          case (4, 0) => last = r.varint().toInt
+          case _      => r.skip(wt)
+        }
+      }
+      InodeReference(rid, name, dst, last)
+    }.toVector
+
   /** Permission fixed64 layout (Hadoop PermissionStatusFormat):
     * user serial «40 | group serial «16 | mode (16 bits). */
   def permMode(perm: Long): Int = (perm & 0xFFFF).toInt

@@ -22,6 +22,7 @@ object ImageGen {
                            xattrEvery: Int = 0, // every k-th file carries 2 XAttr entries
                            nSymlinks: Int = 0,
                            nSnapshots: Int = 0, // snapshots of dir_0 (SNAPSHOT section)
+                           nRefs: Int = 0,      // snapshot-rename INODE_REFERENCE rows
                            withAtime: Boolean = false)
 
   /** Ground truth the generator guarantees, for specs to assert against. */
@@ -214,12 +215,29 @@ object ImageGen {
       }
     }
 
+    // INODE_REFERENCE section: one delimited INodeReference per entry —
+    // odd entries model the with-name side (old name kept alive inside a
+    // snapshot → lastSnapshotId set), even entries the dst-reference side
+    // (new live path → dstSnapshotId set); both refer to real file inodes
+    val refSection = new W
+    if (nRefs > 0 && nFiles > 0) {
+      (0 until nRefs).foreach { i =>
+        refSection.delimited { r =>
+          r.tag(1, 0).varint(fileIds(i % nFiles))
+          r.str(2, if (i % 2 == 1) s"old_name_$i.dat" else s"f_${i % nFiles}.dat")
+          if (i % 2 == 0) r.tag(3, 0).varint(i % math.max(nSnapshots, 1))
+          else r.tag(4, 0).varint(i % math.max(nSnapshots, 1))
+        }
+      }
+    }
+
     val fos = new FileOutputStream(path)
     val dos = new DataOutputStream(fos)
     dos.write("HDFSIMG1".getBytes("ASCII"))
     var offset = 8L
     val sections = Seq("INODE" -> inodes, "INODE_DIR" -> dirSection, "STRING_TABLE" -> strings) ++
-      (if (nSnapshots > 0 && nDirs > 0) Seq("SNAPSHOT" -> snapSection) else Nil)
+      (if (nSnapshots > 0 && nDirs > 0) Seq("SNAPSHOT" -> snapSection) else Nil) ++
+      (if (nRefs > 0 && nFiles > 0) Seq("INODE_REFERENCE" -> refSection) else Nil)
     val located = sections.map { case (name, w) =>
       val b = w.out.toByteArray
       dos.write(b)

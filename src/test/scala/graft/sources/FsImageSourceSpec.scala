@@ -250,6 +250,39 @@ class FsImageSourceSpec extends SparkSpecBase {
     new java.io.File(img2).delete()
   }
 
+  test("INODE_REFERENCE section parses and joins back to inodes") {
+    import graft.sources.fsimage.ImageGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_refs").toFile
+    val img = new java.io.File(dir, "refs.img").getPath
+    ImageGen.write(img, ImageGen.GenSpec(nDirs = 2, nFiles = 10,
+      nSnapshots = 2, nRefs = 5))
+
+    assert(FsImageSource.sections(spark, img).collect()
+      .map(_.getAs[String]("name")).contains("INODE_REFERENCE"))
+
+    val refs = FsImageSource.inodeReferences(spark, img).collect()
+    assert(refs.length == 5)
+    // even rows are dst-references (live path: dst set, last unset),
+    // odd rows the with-name side (old name inside a snapshot)
+    assert(refs.count(r => r.getAs[Int]("dst_snapshot_id") >= 0 &&
+      r.getAs[Int]("last_snapshot_id") < 0) == 3)
+    assert(refs.filter(_.getAs[Int]("last_snapshot_id") >= 0)
+      .forall(_.getAs[String]("name").startsWith("old_name_")))
+    // every referred id resolves through the inode table (documented join)
+    val inodeIds = FsImageSource.inodes(spark, img)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(refs.forall(r => inodeIds(r.getAs[Long]("referred_id"))))
+
+    // an image without the section yields an empty frame, same schema
+    val img2 = new java.io.File(dir, "norefs.img").getPath
+    ImageGen.write(img2, ImageGen.GenSpec(nDirs = 2, nFiles = 5))
+    val none = FsImageSource.inodeReferences(spark, img2)
+    assert(none.count() == 0 && none.columns.toSeq ==
+      Seq("referred_id", "name", "dst_snapshot_id", "last_snapshot_id"))
+    new java.io.File(img).delete()
+    new java.io.File(img2).delete()
+  }
+
   test("HFSA reports run unchanged on fsimage data") {
     assume(haveImages)
     val df = FsImageSource.inodes(spark, H3)
