@@ -72,6 +72,14 @@ object StreamBench {
         val dim = spark.range(0, 1000)
           .select(col("id").as("user_id"), (col("id") % 7).as("segment"))
         EventsStream.enriched(df, dim)
+      },
+      bench("bloom_gate", "append") { df =>
+        // corpus = half the user ids; gate arrivals by md5(user_id)
+        val corpus = spark.range(0, 500)
+          .select(md5(col("id").cast("string")).as("fp"))
+        EventsStream.bloomGated(
+          df.withColumn("fp", md5(col("user_id").cast("string"))),
+          graft.operators.Dedup.bloomMask(corpus))
       })
   }
 

@@ -156,6 +156,33 @@ object TextQueries extends QueryModule {
     ORDER BY doc_id"""
   }
 
+  /** Language-ID evaluation: the confusion matrix of [[langId]]'s
+    * prediction against the labeled language, with per-true-language
+    * recall in basis points — the eval a pipeline runs before trusting a
+    * classifier gate at scale. One small-key shuffle over the per-doc
+    * predictions; the confusion table is |langs|² rows. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    langId(spark, sfDir)
+      .select(col("lang"), col("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(byLang))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("10000 * n div lang_total").as("share_bp"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val langConfusionSql: String = s"""
+    WITH per AS ($langIdSql),
+    agg AS (
+      SELECT lang, pred_lang, count(*) AS n FROM per GROUP BY lang, pred_lang
+    )
+    SELECT lang, pred_lang, n,
+           (10000 * n // CAST(sum(n) OVER (PARTITION BY lang) AS bigint)) AS share_bp
+    FROM agg
+    ORDER BY lang, pred_lang"""
+
   // ------------------------------------------------------------ fingerprint
 
   /** Document fingerprinting: full-text md5 + min-shingle (the 1-function
@@ -1029,6 +1056,7 @@ object TextQueries extends QueryModule {
     "t_token_count"   -> (tokenCount _),
     "t_quality_score" -> (qualityScore _),
     "t_lang_id"       -> (langId _),
+    "t_lang_confusion" -> (langConfusion _),
     "t_fingerprint"   -> (fingerprint _),
     "t_doc_terms"     -> (docTerms _),
     "t_repetition"    -> (repetition _),
@@ -1054,6 +1082,7 @@ object TextQueries extends QueryModule {
     "t_token_count"   -> tokenCountSql,
     "t_quality_score" -> qualityScoreSql,
     "t_lang_id"       -> langIdSql,
+    "t_lang_confusion" -> langConfusionSql,
     "t_fingerprint"   -> fingerprintSql,
     "t_doc_terms"     -> docTermsSql,
     "t_repetition"    -> repetitionSql,

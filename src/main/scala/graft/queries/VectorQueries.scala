@@ -177,6 +177,35 @@ object VectorQueries extends QueryModule {
     ORDER BY q_id, rnk, cand_id"""
   }
 
+  /** ANN quality evaluation — recall@5 of the LSH path against the
+    * brute-force ground truth, per query: the accuracy check a pipeline
+    * runs before trusting the bucketed path at scale (tune planes/probes
+    * until recall holds, then retire the quadratic baseline). Both inputs
+    * are ≤5 rows per query by construction, so the eval join + aggregate
+    * run on slivers; the cost is the two ANN plans themselves. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annBruteForce(spark, sfDir).select(col("q_id"), col("cand_id"))
+    val approx = annLsh(spark, sfDir)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+           sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("q_id"), col("n_truth"), col("n_hit"),
+        expr("10000 * n_hit div n_truth").as("recall_bp"))
+      .orderBy(col("q_id"))
+  }
+
+  val annRecallSql: String = s"""
+    WITH truth AS (SELECT q_id, cand_id FROM ($annBruteForceSql) t),
+         approx AS (SELECT q_id, cand_id, 1 AS hit FROM ($annLshSql) a)
+    SELECT q_id, count(*) AS n_truth,
+           CAST(sum(coalesce(hit, 0)) AS bigint) AS n_hit,
+           (10000 * CAST(sum(coalesce(hit, 0)) AS bigint) // count(*)) AS recall_bp
+    FROM truth LEFT JOIN approx USING (q_id, cand_id)
+    GROUP BY q_id
+    ORDER BY q_id"""
+
   /** IVF-flavored ANN: coarse quantizer = 16 sampled centroids (vec_id<16 —
     * deterministic, no Lloyd iterations, so the oracle can re-derive it);
     * every vector is assigned to its nearest centroid (argmin over a
@@ -579,6 +608,7 @@ object VectorQueries extends QueryModule {
     "e_ann_bruteforce"  -> (annBruteForce _),
     "e_ann_lsh"         -> (annLsh _),
     "e_ann_ivf"         -> (annIvf _),
+    "e_ann_recall"      -> (annRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_dedup_minhash"   -> (dedupMinhash _),
     "d_dedup_simhash"   -> (dedupSimhash _),
@@ -592,6 +622,7 @@ object VectorQueries extends QueryModule {
     "d_dedup_embedding" -> dedupEmbeddingSql,
     "e_ann_lsh"         -> annLshSql,
     "e_ann_ivf"         -> annIvfSql,
+    "e_ann_recall"      -> annRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_dedup_simhash"   -> dedupSimhashSql,
     "e_label_centroids" -> labelCentroidsSql,
