@@ -52,13 +52,17 @@ package object functions {
   def word_shingles(text: Column): Column =
     transform(word_shingles_raw(text), s => md5(s))
 
-  /** Word-3gram shingles as 60-bit longs: md5 truncated to 15 hex chars and
-    * parsed as a long. Everything downstream that shuffles, sorts, or joins
-    * on a shingle key moves 8-byte longs instead of 32-char hex strings —
-    * a 4× cut in key bytes on the dedup self-joins. The truncation is
-    * engine-portable (DuckDB `CAST('0x' || substr(md5(…),1,15) AS BIGINT)`),
-    * so any truncation collision happens identically in the oracle and
-    * hash checks stay exact. */
+  /** DISTINCT word-3gram shingles as 60-bit longs: the raw 3-grams are
+    * deduped BEFORE hashing (md5 runs once per distinct shingle, not per
+    * occurrence — repetitive corpora repeat shingles heavily), then md5
+    * truncated to 15 hex chars and parsed as a long. Everything downstream
+    * that shuffles, sorts, or joins on a shingle key moves 8-byte longs
+    * instead of 32-char hex strings — a 4× cut in key bytes on the dedup
+    * self-joins. The truncation is engine-portable (DuckDB
+    * `CAST('0x' || substr(md5(…),1,15) AS BIGINT)`), so any truncation
+    * collision happens identically in the oracle and hash checks stay
+    * exact. */
   def word_shingle_keys(text: Column): Column =
-    transform(word_shingles_raw(text), s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    transform(array_distinct(word_shingles_raw(text)),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
 }

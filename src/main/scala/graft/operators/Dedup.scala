@@ -43,7 +43,7 @@ object Dedup {
     // arrays per side (measured: exchange reuse does NOT dedupe these
     // self-join sides, the checkpoint is 2-5× faster).
     val docs = documents
-      .select(col("doc_id"), array_distinct(graft.functions.word_shingle_keys(col("text"))).as("shs"))
+      .select(col("doc_id"), graft.functions.word_shingle_keys(col("text")).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("sh"))
       .localCheckpoint()

@@ -32,12 +32,15 @@ object TextQueries extends QueryModule {
                             i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
         ELSE [md5($textCol)] END"""
 
-  /** DuckDB twin of [[graft.functions.word_shingle_keys]] (60-bit longs). */
+  /** DuckDB twin of [[graft.functions.word_shingle_keys]] (60-bit longs;
+    * raw 3-grams deduped before hashing, exactly like the Spark side). */
   private def shingleKeysSql(textCol: String): String =
-    s"""CASE WHEN len(w) >= 3
-        THEN list_transform(range(1, len(w) - 1),
-          i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))
-        ELSE [CAST('0x' || substr(md5($textCol), 1, 15) AS BIGINT)] END"""
+    s"""list_transform(
+          list_distinct(CASE WHEN len(w) >= 3
+            THEN list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            ELSE [$textCol] END),
+          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))"""
 
   // ------------------------------------------------------------- tokenizing
 
@@ -273,7 +276,7 @@ object TextQueries extends QueryModule {
 
   val dedupNgramJaccardSql: String = s"""
     WITH sh0 AS (
-      SELECT DISTINCT doc_id, unnest(${shingleKeysSql("text")}) AS sh
+      SELECT doc_id, unnest(${shingleKeysSql("text")}) AS sh
       FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
     ), counts AS (
       SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id
@@ -320,7 +323,7 @@ object TextQueries extends QueryModule {
     * both the cluster listing and the keep-one materializer oracles. */
   private val clusterLabCtes: String = s"""
     WITH RECURSIVE sh0 AS (
-      SELECT DISTINCT doc_id, unnest(${shingleKeysSql("text")}) AS sh
+      SELECT doc_id, unnest(${shingleKeysSql("text")}) AS sh
       FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
     ), counts AS (
       SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id
@@ -531,7 +534,7 @@ object TextQueries extends QueryModule {
     // re-runs the whole shingle/md5 explode over the corpus
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        array_distinct(graft.functions.word_shingle_keys(col("text"))).as("shs"))
+        graft.functions.word_shingle_keys(col("text")).as("shs"))
       .select(col("doc_id"), col("source"),
         size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("sh"))
       .localCheckpoint()
@@ -551,7 +554,7 @@ object TextQueries extends QueryModule {
   val decontaminateSql: String = s"""
     WITH base AS (
       SELECT doc_id, source, len(shs) AS n_sh, unnest(shs) AS sh FROM (
-        SELECT doc_id, source, list_distinct(${shingleKeysSql("text")}) AS shs
+        SELECT doc_id, source, ${shingleKeysSql("text")} AS shs
         FROM (SELECT doc_id, source, text, string_split_regex(text, '\\s+') AS w FROM documents)
       )
     ), ev AS (
