@@ -106,7 +106,7 @@ object Dedup {
     // materialized round earlier.
     var labels = sym.groupBy(col("src").as("doc_id"))
       .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1's convergence count materializes it
     // one min-label hop (string-key joins so the analyzer disambiguates
     // the repeated sym lineage when hops are chained); any column besides
     // (doc_id, cluster_id) — e.g. the round's starting label — rides along,
@@ -128,9 +128,11 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       // two hops per materialized round: same total join work, half the
       // checkpoint/count actions — the fixed per-job cost dominates on
-      // shallow components
+      // shallow components. The checkpoint is lazy so the convergence
+      // count is the ONE job per round (an eager checkpoint would run a
+      // second materialization job before it).
       val next = hop(hop(labels.withColumn("prev", col("cluster_id"))))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("cluster_id") < col("prev")).count()
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
