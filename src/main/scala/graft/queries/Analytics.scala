@@ -771,6 +771,115 @@ object Analytics extends QueryModule {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""
 
+  /** TPC-H Q8 shape (national market share): one supplier nation's revenue
+    * share among one customer region's orders, by year, in basis points.
+    * Revenue is per-row integer cents (floor(extprice·(1−disc)·100)) so
+    * the 2-row aggregate is engine-exact. Join shape: lineitem⋈orders is
+    * the one fact-fact join (shuffles on the order key; AQE picks the
+    * strategy), every dimension side — customer, supplier, both nation
+    * legs, region — broadcasts; the grouped domain is |years|. */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+    val nat = Tables.nation(spark, sfDir)
+    val cn = nat.select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val sn = nat.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val volC = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), volC.as("vol_c"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+        col("cn_region") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .groupBy(col("yr"))
+      .agg(sum(when(col("supp_nation") === "NATION_19", col("vol_c")).otherwise(0L)).as("target_vol_c"),
+           sum(col("vol_c")).as("total_vol_c"))
+      .select(col("yr"), col("target_vol_c"), col("total_vol_c"),
+        expr("10000 * target_vol_c div total_vol_c").as("share_bp"))
+      .orderBy(col("yr"))
+  }
+
+  val q8MarketShareSql: String = """
+    WITH vol AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS bigint) AS vol_c,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region    ON cn.n_regionkey = r_regionkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT CAST(yr AS bigint) AS yr,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_19' THEN vol_c ELSE 0 END) AS bigint) AS target_vol_c,
+           CAST(sum(vol_c) AS bigint) AS total_vol_c,
+           (10000 * CAST(sum(CASE WHEN supp_nation = 'NATION_19' THEN vol_c ELSE 0 END) AS bigint)
+              // CAST(sum(vol_c) AS bigint)) AS share_bp
+    FROM vol
+    GROUP BY yr
+    ORDER BY yr"""
+
+  /** Sequential conversion funnel (view → click → purchase, strictly
+    * time-ordered per user): the product-analytics pattern a raw window
+    * over all events would do with a full per-user sort — here each stage
+    * is a filtered aggregation joined to the previous stage's first-hit
+    * table, all shuffles on the same user_id key, stage tables ≤ |users|
+    * rows (checkpointed once each — they feed the next stage AND the
+    * count). */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      .localCheckpoint(false)
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      .localCheckpoint(false)
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        expr("CASE WHEN n_view = 0 THEN 0 ELSE 10000 * n_click div n_view END").as("click_bp"),
+        expr("CASE WHEN n_click = 0 THEN 0 ELSE 10000 * n_purchase div n_click END").as("purchase_bp"))
+  }
+
+  val qFunnelSql: String = """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(ts) AS t_click FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(ts) AS t_buy FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           CASE WHEN (SELECT count(*) FROM v) = 0 THEN 0
+                ELSE 10000 * (SELECT count(*) FROM c) // (SELECT count(*) FROM v) END AS click_bp,
+           CASE WHEN (SELECT count(*) FROM c) = 0 THEN 0
+                ELSE 10000 * (SELECT count(*) FROM p) // (SELECT count(*) FROM c) END AS purchase_bp"""
+
   /** Log-bucket sketch percentiles — the SCALE twin of [[qPercentiles]]:
     * instead of a per-group sort of every row, each row maps to bucket
     * ⌊log2(v+1)⌋ (exact integer math: length(bin(v+1))−1, no float log),
@@ -831,6 +940,8 @@ object Analytics extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> (q4OrderPriority _),
+    "q8_market_share"   -> (q8MarketShare _),
+    "q_funnel"          -> (qFunnel _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -861,6 +972,8 @@ object Analytics extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "q4_order_priority" -> q4OrderPrioritySql,
+    "q8_market_share"   -> q8MarketShareSql,
+    "q_funnel"          -> qFunnelSql,
     "q_percentiles_approx" -> qPercentilesApproxSql,
     "q1_agg"            -> q1AggSql,
     "q3_join_topk"      -> q3JoinTopKSql,
