@@ -138,4 +138,36 @@ object Multimodal {
     )
     WHERE start + 16 <= n_bytes
     ORDER BY doc_id, frame_no"""
+
+  /** Frame-level dedup across documents — the video-pipeline counterpart
+    * of segment-level text dedup: keep only the globally-first occurrence
+    * of each distinct sampled frame (ordered by doc, then frame position).
+    * Same scale shape as [[graft.operators.Dedup.segmentDedup]]: one
+    * groupBy(frame fingerprint) min over a (doc, frame) struct — map-side
+    * combinable, linear in occurrences of a hot frame, never f² — plus an
+    * equi-join back to mark occurrences. */
+  def frameDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val f = frameSampleQuery(spark, sfDir)
+      .select(col("doc_id"), col("frame_no"), col("frame_hex"))
+    val keeper = f.groupBy(col("frame_hex"))
+      .agg(min(struct(col("doc_id").as("d"), col("frame_no").as("f"))).as("kp"),
+           count(lit(1)).as("n_occ"))
+    f.join(keeper, Seq("frame_hex"))
+      .select(col("doc_id"), col("frame_no"), col("frame_hex"), col("n_occ"),
+        (col("doc_id") === col("kp.d") && col("frame_no") === col("kp.f")).cast("int").as("kept"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  val frameDedupSql: String = s"""
+    WITH f AS ($frameSampleSql),
+    k AS (
+      SELECT frame_hex, min({'d': doc_id, 'f': frame_no}) AS kp,
+             count(*) AS n_occ
+      FROM f GROUP BY frame_hex
+    )
+    SELECT doc_id, frame_no, frame_hex, CAST(n_occ AS bigint) AS n_occ,
+           CAST(doc_id = kp.d AND frame_no = kp.f AS int) AS kept
+    FROM f JOIN k USING (frame_hex)
+    ORDER BY doc_id, frame_no"""
 }

@@ -833,6 +833,43 @@ object Analytics extends QueryModule {
     GROUP BY yr
     ORDER BY yr"""
 
+  /** Retention cohorts: users grouped by first-activity day, counted on
+    * each later activity day (offset 0-7) — the product-analytics
+    * retention matrix. Shape: one distinct over (user, day) (the only
+    * data-sized shuffle), a per-user min for the cohort day, then the
+    * matrix aggregate over the ≤ |users|·8 activity grid. Dates are
+    * emitted as yyyy-MM-dd strings (engine-portable, no date dtype). */
+  def qRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(false) // feeds the cohort min AND the matrix join
+    val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
+      .filter(col("offset_days") >= 0 && col("offset_days") <= 7)
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(count(lit(1)).as("n_users")) // act is distinct per (user, day)
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("n_users"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
+  val qRetentionSql: String = """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cohort AS (
+      SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', cohort_day, day) AS bigint) AS offset_days,
+           count(*) AS n_users
+    FROM act JOIN cohort USING (user_id)
+    WHERE datediff('day', cohort_day, day) BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    ORDER BY cohort_day, offset_days"""
+
   /** Sequential conversion funnel (view → click → purchase, strictly
     * time-ordered per user): the product-analytics pattern a raw window
     * over all events would do with a full per-user sort — here each stage
@@ -942,6 +979,7 @@ object Analytics extends QueryModule {
     "q4_order_priority" -> (q4OrderPriority _),
     "q8_market_share"   -> (q8MarketShare _),
     "q_funnel"          -> (qFunnel _),
+    "q_retention"       -> (qRetention _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -974,6 +1012,7 @@ object Analytics extends QueryModule {
     "q4_order_priority" -> q4OrderPrioritySql,
     "q8_market_share"   -> q8MarketShareSql,
     "q_funnel"          -> qFunnelSql,
+    "q_retention"       -> qRetentionSql,
     "q_percentiles_approx" -> qPercentilesApproxSql,
     "q1_agg"            -> q1AggSql,
     "q3_join_topk"      -> q3JoinTopKSql,

@@ -8,10 +8,12 @@ object MultimodalQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_multimodal_meta"     -> (Multimodal.metaQuery _),
     "m_multimodal_features" -> (Multimodal.featureQuery _),
-    "m_multimodal_frames"   -> (Multimodal.frameSampleQuery _))
+    "m_multimodal_frames"   -> (Multimodal.frameSampleQuery _),
+    "m_frame_dedup"         -> (Multimodal.frameDedupQuery _))
 
   val oracles: Map[String, String] = Map(
     "m_multimodal_meta"     -> Multimodal.metaQuerySql,
     "m_multimodal_features" -> Multimodal.featureQuerySql,
-    "m_multimodal_frames"   -> Multimodal.frameSampleSql)
+    "m_multimodal_frames"   -> Multimodal.frameSampleSql,
+    "m_frame_dedup"         -> Multimodal.frameDedupSql)
 }
