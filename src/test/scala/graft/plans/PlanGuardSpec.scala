@@ -1,0 +1,41 @@
+package graft.plans
+
+import graft.SparkSpecBase
+
+/** Plan-shape regression guard — the BENCH_NOTES explain audit as an
+  * executable spec: flagship queries must keep the plans the 100 TB
+  * posture depends on (no accidental cartesian products, filters pushed
+  * into the parquet scan, top-k as TakeOrdered instead of a global
+  * sort). Queries that legitimately cross-join a single-row/broadcast
+  * side (q_funnel, the ANN query fan-outs) are not in the cartesian
+  * list. */
+class PlanGuardSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("flagship plans contain no cartesian product") {
+    for (q <- Seq("q1_agg", "q3_join_topk", "q5_multijoin", "q8_market_share",
+                  "q4_order_priority", "d_dedup_ngram_jaccard", "d_dedup_minhash",
+                  "d_dedup_simhash", "e_ann_lsh", "e_ann_ivf",
+                  "q_ns_summary_by_user", "q_ns_small_files_hotspots",
+                  "t_bm25_search", "q_retention"))
+      assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "filter not pushed")
+  }
+
+  test("top-k queries run as TakeOrderedAndProject, never a global sort") {
+    assert(plan("q3_join_topk").contains("TakeOrderedAndProject"))
+    assert(plan("t_vocab").contains("TakeOrderedAndProject"))
+  }
+
+  test("q5_multijoin broadcasts every dimension side") {
+    val p = plan("q5_multijoin")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+}
