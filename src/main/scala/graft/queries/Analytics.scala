@@ -833,6 +833,33 @@ object Analytics extends QueryModule {
     GROUP BY yr
     ORDER BY yr"""
 
+  /** Event-type transition matrix (first-order Markov counts): per user,
+    * each consecutive event pair (ordered by time, event_id tie-break)
+    * counted by (previous type → current type) — the navigation-pattern
+    * aggregate. One shuffle on user_id for the lag window, then a
+    * |types|²-domain aggregation with map-side combine. */
+  def qTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val qTransitionsSql: String = """
+    SELECT prev_type, event_type, count(*) AS n
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, event_type"""
+
   /** Retention cohorts: users grouped by first-activity day, counted on
     * each later activity day (offset 0-7) — the product-analytics
     * retention matrix. Shape: one distinct over (user, day) (the only
@@ -980,6 +1007,7 @@ object Analytics extends QueryModule {
     "q8_market_share"   -> (q8MarketShare _),
     "q_funnel"          -> (qFunnel _),
     "q_retention"       -> (qRetention _),
+    "q_transitions"     -> (qTransitions _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -1013,6 +1041,7 @@ object Analytics extends QueryModule {
     "q8_market_share"   -> q8MarketShareSql,
     "q_funnel"          -> qFunnelSql,
     "q_retention"       -> qRetentionSql,
+    "q_transitions"     -> qTransitionsSql,
     "q_percentiles_approx" -> qPercentilesApproxSql,
     "q1_agg"            -> q1AggSql,
     "q3_join_topk"      -> q3JoinTopKSql,

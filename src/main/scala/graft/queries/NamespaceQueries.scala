@@ -193,6 +193,33 @@ object NamespaceQueries extends QueryModule {
     GROUP BY ftype
     ORDER BY ftype"""
 
+  /** Duplicate-filename report — the admin first-pass dedup question
+    * ("the same part-00000 name in a thousand directories"): filenames
+    * appearing more than once across the namespace, ranked by occurrence
+    * count, with the bytes a checksum-level dedup could reclaim at best
+    * (all-but-one copy). One shuffle on the name key with map-side
+    * partial aggregation; TakeOrdered top-20. */
+  def dupNames(spark: SparkSession, sfDir: String): DataFrame =
+    inodes(spark, sfDir)
+      .filter(col("ftype") === "F")
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n_copies"), sum(col("size")).as("sum_size"),
+        (sum(col("size")) - max(col("size"))).as("reclaimable"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("name"))
+      .limit(20)
+
+  val dupNamesSql: String = NamespaceSql.cte + """
+    SELECT name, count(*) AS n_copies,
+           CAST(sum(size) AS bigint) AS sum_size,
+           CAST(sum(size) - max(size) AS bigint) AS reclaimable
+    FROM inodes
+    WHERE ftype = 'F'
+    GROUP BY name
+    HAVING count(*) > 1
+    ORDER BY n_copies DESC, name
+    LIMIT 20"""
+
   // ----------------------------------------------------- replication / age
 
   /** Consumed-size accounting by replication factor (FsUtil
@@ -233,7 +260,8 @@ object NamespaceQueries extends QueryModule {
     "q_ns_inode_lookup"       -> (inodeLookup _),
     "q_ns_subtree"            -> (subtree _),
     "q_ns_replication"        -> (replicationStats _),
-    "q_ns_age_profile"        -> (ageProfile _))
+    "q_ns_age_profile"        -> (ageProfile _),
+    "q_ns_dup_names"          -> (dupNames _))
 
   val oracles: Map[String, String] = Map(
     "q_ns_summary_overall"    -> summaryOverallSql,
@@ -247,5 +275,6 @@ object NamespaceQueries extends QueryModule {
     "q_ns_inode_lookup"       -> inodeLookupSql,
     "q_ns_subtree"            -> subtreeSql,
     "q_ns_replication"        -> replicationStatsSql,
-    "q_ns_age_profile"        -> ageProfileSql)
+    "q_ns_age_profile"        -> ageProfileSql,
+    "q_ns_dup_names"          -> dupNamesSql)
 }

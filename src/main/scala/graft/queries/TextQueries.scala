@@ -519,6 +519,58 @@ object TextQueries extends QueryModule {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  /** Bigram conditional surprisal — the KenLM-flavored upgrade of
+    * [[lmSurprisal]]: score each doc by the mean ⌊log2(n(prev·)/n(prev,
+    * cur))⌋ over its bigram positions (how surprising each token is GIVEN
+    * the previous one — catches shuffled/garbled text a unigram model
+    * scores as normal). Bigrams come from zipped array slices (per-row
+    * map, no lag window / no per-doc sort); counts are two aggregations
+    * over the checkpointed bigram table; all integer math, oracle-exact.
+    */
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(lower(col("text")))
+    val n = size(w)
+    val bigrams = when(n >= 2,
+      transform(arrays_zip(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1)),
+        s => struct(s.getField("0").as("p"), s.getField("1").as("c"))))
+      .otherwise(array())
+    val bi = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .select(col("doc_id"), col("b.p").as("p"), col("b.c").as("c"))
+      .localCheckpoint() // feeds both count tables AND the probe side
+    val nPrev = bi.groupBy(col("p")).agg(count(lit(1)).as("n_prev"))
+    val nBi = bi.groupBy(col("p"), col("c")).agg(count(lit(1)).as("n_bi"))
+    bi.join(nBi, Seq("p", "c"))
+      .join(nPrev, Seq("p"))
+      .select(col("doc_id"),
+        (length(conv(expr("n_prev div n_bi"), 10, 2)) - 1).cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("sum_s") * 100.0 / col("n_bigrams")).cast("long").as("mean_surprisal_c"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramSurprisalSql: String = """
+    WITH bi AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+               THEN list_transform(range(1, len(w)), i -> {'p': w[i], 'c': w[i+1]})
+               ELSE [] END) AS b
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents)
+    ), flat AS (
+      SELECT doc_id, b.p AS p, b.c AS c FROM bi
+    ), n_prev AS (
+      SELECT p, count(*) AS n_prev FROM flat GROUP BY p
+    ), n_bi AS (
+      SELECT p, c, count(*) AS n_bi FROM flat GROUP BY p, c
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(floor(sum(CAST(length(to_base(n_prev // n_bi, 2)) - 1 AS bigint)) * 100.0
+                / count(*)) AS bigint) AS mean_surprisal_c
+    FROM flat JOIN n_bi USING (p, c) JOIN n_prev USING (p)
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   // --------------------------------------------------------- decontamination
 
   /** Train/eval contamination check — the pipeline step that keeps
@@ -1067,6 +1119,7 @@ object TextQueries extends QueryModule {
     "t_vocab"         -> (vocab _),
     "t_decontaminate" -> (decontaminate _),
     "t_lm_surprisal"  -> (lmSurprisal _),
+    "t_bigram_surprisal" -> (bigramSurprisal _),
     "d_dedup_exact"   -> (dedupExact _),
     "d_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "d_dedup_clusters" -> (dedupClusters _),
@@ -1093,6 +1146,7 @@ object TextQueries extends QueryModule {
     "t_vocab"         -> vocabSql,
     "t_decontaminate" -> decontaminateSql,
     "t_lm_surprisal"  -> lmSurprisalSql,
+    "t_bigram_surprisal" -> bigramSurprisalSql,
     "d_dedup_exact"   -> dedupExactSql,
     "d_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "d_dedup_clusters" -> dedupClustersSql,

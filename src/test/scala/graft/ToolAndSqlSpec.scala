@@ -86,6 +86,7 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(xa.length == 1 && xa.head.getAs[Int]("n_xattr") == 2)
       assert(run("sections").count() >= 3)
       assert(run("snapshots").count() == 0) // image carries no SNAPSHOT section
+      assert(run("refs").count() == 0)      // ...nor an INODE_REFERENCE one
       // subtree option restricts the inode set
       assert(run("path", "-p" -> "/dir_0").count() <
              run("path").count())
