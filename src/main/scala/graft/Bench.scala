@@ -48,6 +48,12 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => keep(id) }
         .foreach { case (_, rdd) => rdd.unpersist(false) }
+      // Drain the garbage from this query's dropped blocks NOW, outside
+      // any timed region: with a 50+ GB heap a deferred major collection
+      // otherwise lands inside whichever later query trips it — the
+      // roaming 5 s outlier seen on q_ns_small_files_by_user (r1) and
+      // q_ns_path_report (r3 pre-runs).
+      System.gc()
       name -> t
     }
     // 3-decimal rounding keeps the JSON line compact: the driver captures
