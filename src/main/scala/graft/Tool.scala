@@ -89,6 +89,8 @@ object Tool {
         Reports.aclStatus(inodes, opts.getOrElse("-i", "/").split(",").toSeq)
       case "xattr" =>
         Reports.xattrStatus(inodes, opts.getOrElse("-i", "/").split(",").toSeq)
+      case "quotas" =>
+        Reports.quotaReport(inodes)
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other")
     }

@@ -136,6 +136,39 @@ object Reports {
       .orderBy(col("sum_size").desc, col("dir"))
       .limit(topN)
 
+  /** Quota report (`hdfs dfs -count -q` from the image alone; quota
+    * fields per reference tool/.../JsonUtil.java:54-55): every directory
+    * carrying a namespace or space quota, its subtree usage (namespace =
+    * names in the tree rooted at the dir, itself included, per HDFS
+    * semantics; space = Σ consumed bytes of descendant files), and the
+    * remaining headroom (null when that quota is unset). Usage rolls up
+    * via the same pre-aggregate-then-ancestor-explode shape as the
+    * hotspot reports — the explode input is #dirs, not #inodes — and the
+    * quota-dir side is join-key-pruned first (quota dirs are rare, so at
+    * scale this side broadcasts). */
+  def quotaReport(inodes: DataFrame): DataFrame = {
+    val quotaDirs = inodes.filter(col("ftype") === "D" &&
+        (col("ns_quota") >= 0 || col("ds_quota") >= 0))
+      .select(col("path").as("dir"), col("ns_quota"), col("ds_quota"))
+    val usage = inodes.filter(col("path") =!= "/")
+      .groupBy(parentDir.as("pdir"))
+      .agg(count(lit(1)).as("pcnt"),
+        sum(when(col("ftype") === "F", col("csize")).otherwise(0L)).as("pcs"))
+      .select(explode(selfAndAncestors(col("pdir"))).as("dir"),
+        col("pcnt"), col("pcs"))
+      .groupBy(col("dir"))
+      .agg(sum(col("pcnt")).as("n_desc"), sum(col("pcs")).as("ds_used"))
+    quotaDirs.join(usage, Seq("dir"), "left")
+      .select(col("dir"), col("ns_quota"), col("ds_quota"),
+        (coalesce(col("n_desc"), lit(0L)) + 1).as("ns_used"),
+        coalesce(col("ds_used"), lit(0L)).as("ds_used"),
+        when(col("ns_quota") >= 0,
+          col("ns_quota") - coalesce(col("n_desc"), lit(0L)) - 1).as("ns_rem"),
+        when(col("ds_quota") >= 0,
+          col("ds_quota") - coalesce(col("ds_used"), lit(0L))).as("ds_rem"))
+      .orderBy(col("dir"))
+  }
+
   /** PathReportCommand: ls-style listing filtered by owner regex. */
   def pathReport(inodes: DataFrame, ownerRegex: String, maxRows: Int): DataFrame =
     inodes.filter(col("owner").rlike(ownerRegex))

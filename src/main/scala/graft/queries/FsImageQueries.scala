@@ -21,7 +21,7 @@ object FsImageQueries extends QueryModule {
     new java.io.File("target/fsimage-oracle").getAbsolutePath
   private val Gen = ImageGen.GenSpec(nDirs = 50, nFiles = 5000,
     ecEvery = 4, aclEvery = 7, xattrEvery = 5, nSymlinks = 10,
-    withAtime = true)
+    withAtime = true, quotaEvery = 6)
   // image file keyed by the spec: changing Gen invalidates the cached file
   private val ImagePath = s"$BaseDir/sample-${Gen.hashCode.toHexString}.img"
   private val ExportDir = s"$BaseDir/inodes"
@@ -34,13 +34,20 @@ object FsImageQueries extends QueryModule {
     }
   }
 
+  /** Parses the image and (re)writes the parquet export the DuckDB oracle
+    * reads — either fsimage query may run first, so both go through here. */
+  private def ensureExport(spark: SparkSession): DataFrame = {
+    ensureImage()
+    val df = FsImageSource.inodes(spark, ImagePath)
+    df.write.mode("overwrite").parquet(ExportDir)
+    df
+  }
+
   /** Whole-image accounting over the parsed inode table: type counts,
     * size/consumed/blocks sums (consumed covers the EC parity formula),
     * ACL + XAttr entry counts, EC file count, distinct owners. */
   def fsimageSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureImage()
-    val df = FsImageSource.inodes(spark, ImagePath)
-    df.write.mode("overwrite").parquet(ExportDir)
+    val df = ensureExport(spark)
     df.agg(
       sum(when(col("ftype") === "F", 1L).otherwise(0L)).as("n_files"),
       sum(when(col("ftype") === "D", 1L).otherwise(0L)).as("n_dirs"),
@@ -67,9 +74,42 @@ object FsImageQueries extends QueryModule {
            CAST(count(DISTINCT owner) AS bigint) AS n_users
     FROM read_parquet('$ExportDir/*.parquet')"""
 
+  /** Quota accounting ([[graft.operators.Reports.quotaReport]]) over the
+    * parsed image, driver-oracle-checked: the DuckDB side re-derives each
+    * quota dir's subtree usage from the exported inode table with a
+    * prefix join — independent logic, same rows. */
+  def fsimageQuotas(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = ensureExport(spark)
+    graft.operators.Reports.quotaReport(df)
+  }
+
+  val fsimageQuotasSql: String = s"""
+    WITH inodes AS (SELECT * FROM read_parquet('$ExportDir/*.parquet')),
+    qd AS (
+      SELECT path AS dir, ns_quota, ds_quota FROM inodes
+      WHERE ftype = 'D' AND (ns_quota >= 0 OR ds_quota >= 0)
+    ), usage AS (
+      SELECT qd.dir,
+             count(*) AS n_desc,
+             CAST(sum(CASE WHEN i.ftype = 'F' THEN i.csize ELSE 0 END) AS bigint) AS ds_used
+      FROM qd JOIN inodes i ON i.path LIKE qd.dir || '/%'
+      GROUP BY qd.dir
+    )
+    SELECT qd.dir, qd.ns_quota, qd.ds_quota,
+           CAST(coalesce(u.n_desc, 0) + 1 AS bigint) AS ns_used,
+           CAST(coalesce(u.ds_used, 0) AS bigint) AS ds_used,
+           CASE WHEN qd.ns_quota >= 0
+                THEN qd.ns_quota - coalesce(u.n_desc, 0) - 1 END AS ns_rem,
+           CASE WHEN qd.ds_quota >= 0
+                THEN qd.ds_quota - coalesce(u.ds_used, 0) END AS ds_rem
+    FROM qd LEFT JOIN usage u USING (dir)
+    ORDER BY dir"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_fsimage_summary" -> (fsimageSummary _))
+    "q_fsimage_summary" -> (fsimageSummary _),
+    "q_fsimage_quotas"  -> (fsimageQuotas _))
 
   val oracles: Map[String, String] = Map(
-    "q_fsimage_summary" -> fsimageSummarySql)
+    "q_fsimage_summary" -> fsimageSummarySql,
+    "q_fsimage_quotas"  -> fsimageQuotasSql)
 }

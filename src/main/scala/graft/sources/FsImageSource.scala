@@ -38,7 +38,8 @@ object FsImageSource {
                            atime_sec: Long, storage_policy: Int,
                            ec_policy: String, symlink_target: String,
                            n_acl: Int, acl: Seq[String],
-                           n_xattr: Int, xattrs: Seq[String])
+                           n_xattr: Int, xattrs: Seq[String],
+                           ns_quota: Long, ds_quota: Long)
 
   /** Hadoop's fixed root inode id (INodeId.ROOT_INODE_ID). */
   val RootInodeId = 16385L
@@ -124,7 +125,8 @@ object FsImageSource {
       i.aclRaw.length, i.aclRaw.toSeq.map(v => FsImageFormat.aclEntryString(v, strings)),
       i.xattrNames.length,
       i.xattrNames.indices.map(k =>
-        FsImageFormat.xattrString(i.xattrNames(k), i.xattrValues(k), strings)))
+        FsImageFormat.xattrString(i.xattrNames(k), i.xattrValues(k), strings)),
+      i.nsQuota, i.dsQuota)
 
   /** Iterative memoized upward path walk, O(n) total — iterative (not
     * recursive) so pathological directory depths can't overflow the stack,

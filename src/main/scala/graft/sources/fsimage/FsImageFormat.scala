@@ -43,7 +43,11 @@ object FsImageFormat {
       // symlink
       symlinkTarget: String,
       aclRaw: Array[Int],
-      xattrNames: Array[Int], xattrValues: Array[Array[Byte]])
+      xattrNames: Array[Int], xattrValues: Array[Array[Byte]],
+      // directories: namespace / diskspace quota, -1 = no quota (Hadoop
+      // writes -1 explicitly for quota-less dirs; reference
+      // tool/.../JsonUtil.java:54-55 surfaces both verbatim)
+      nsQuota: Long = -1L, dsQuota: Long = -1L)
 
   final case class DirEntry(parent: Long, children: Array[Long])
 
@@ -601,6 +605,7 @@ object FsImageFormat {
       var repl = 0; var mtime = 0L; var atime = 0L; var pbs = 0L
       var perm = 0L; var nBlocks = 0; var size = 0L
       var sp = 0; var ec = 0; var target = ""
+      var nsq = -1L; var dsq = -1L
       var blockSizes: ArrayBuffer[Long] = null
       var acl: ArrayBuffer[Int] = null
       var xaN: ArrayBuffer[Int] = null
@@ -652,6 +657,8 @@ object FsImageFormat {
             d.eachField { (df, dw, rr) =>
               (df, dw) match {
                 case (1, 0) => mtime = rr.varint()
+                case (2, 0) => nsq = rr.varint()
+                case (3, 0) => dsq = rr.varint()
                 case (4, 1) => perm = rr.fixed64()
                 case (5, 2) =>
                   if (acl == null) acl = new ArrayBuffer[Int](4)
@@ -695,7 +702,7 @@ object FsImageFormat {
       RawInode(id, typ, name, repl, mtime, atime, pbs, perm, nBlocks, size,
         consumed, sp, ec, target, if (acl == null) NoAcl else acl.toArray,
         if (xaN == null) NoXAttrNames else xaN.toArray,
-        if (xaV == null) NoXAttrValues else xaV.toArray)
+        if (xaV == null) NoXAttrValues else xaV.toArray, nsq, dsq)
   }
 
   /** Parses every whole delimited DirEntry message in [from, to). */

@@ -23,7 +23,8 @@ object ImageGen {
                            nSymlinks: Int = 0,
                            nSnapshots: Int = 0, // snapshots of dir_0 (SNAPSHOT section)
                            nRefs: Int = 0,      // snapshot-rename INODE_REFERENCE rows
-                           withAtime: Boolean = false)
+                           withAtime: Boolean = false,
+                           quotaEvery: Int = 0) // every k-th dir gets ns/ds quotas
 
   /** Ground truth the generator guarantees, for specs to assert against. */
   final case class GenSummary(sumFileSize: Long, sumConsumed: Long,
@@ -116,6 +117,11 @@ object ImageGen {
         m.tag(1, 0).varint(2); m.tag(2, 0).varint(id); m.str(3, s"dir_$i")
         m.msg(5) { d =>
           d.tag(1, 0).varint(1700000000000L + i)
+          // Hadoop writes quotas on EVERY dir (-1 = no quota); the k-th
+          // dirs get real limits for the quota report specs
+          val hasQuota = quotaEvery > 0 && i % quotaEvery == 0
+          d.tag(2, 0).varint(if (hasQuota) 1000L + i else -1L)
+          d.tag(3, 0).varint(if (hasQuota) (1L << 30) + i else -1L)
           d.tag(4, 1).fixed64(perm(1 + i % 20, 1 + i % 10, 0x1ED))
           // first dir gets the ACL feature too (INodeDirectory field 5)
           if (aclEvery > 0 && i == 0)

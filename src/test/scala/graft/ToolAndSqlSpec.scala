@@ -71,7 +71,8 @@ class ToolAndSqlSpec extends SparkSpecBase {
     import graft.sources.fsimage.ImageGen
     val img = java.nio.file.Files.createTempFile("tool_img", ".img").toString
     ImageGen.write(img, ImageGen.GenSpec(nDirs = 4, nFiles = 200,
-      ecEvery = 3, aclEvery = 5, xattrEvery = 5, nSymlinks = 2))
+      ecEvery = 3, aclEvery = 5, xattrEvery = 5, nSymlinks = 2,
+      quotaEvery = 2))
     try {
       def run(cmd: String, opts: (String, String)*) =
         Tool.run(spark, cmd, img, opts.toMap, Set.empty)
@@ -84,6 +85,19 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(acl.length == 1 && acl.head.getAs[Int]("n_acl") >= 0)
       val xa = run("xattr", "-i" -> "/dir_0/f_0.dat").collect()
       assert(xa.length == 1 && xa.head.getAs[Int]("n_xattr") == 2)
+      // quotas: dirs 0 and 2 carry (1000+i, 1GiB+i); 200 files round-robin
+      // over 4 dirs → 50 files under dir_0, +1 for the dir itself
+      val quotas = run("quotas").collect()
+      assert(quotas.map(_.getAs[String]("dir")).toSeq == Seq("/dir_0", "/dir_2"))
+      val q0 = quotas.head
+      assert(q0.getAs[Long]("ns_quota") == 1000L)
+      assert(q0.getAs[Long]("ns_used") == 51L)
+      assert(q0.getAs[Long]("ns_rem") == 949L)
+      assert(q0.getAs[Long]("ds_used") > 0L)
+      assert(q0.getAs[Long]("ds_rem") ==
+             q0.getAs[Long]("ds_quota") - q0.getAs[Long]("ds_used"))
+      // quota-less dirs surface -1 (Hadoop's explicit no-quota marker)
+      assert(run("inode", "-i" -> "/dir_1").head.getAs[Long]("ns_quota") == -1L)
       assert(run("sections").count() >= 3)
       assert(run("snapshots").count() == 0) // image carries no SNAPSHOT section
       assert(run("refs").count() == 0)      // ...nor an INODE_REFERENCE one

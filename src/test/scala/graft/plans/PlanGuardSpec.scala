@@ -19,8 +19,18 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q4_order_priority", "d_dedup_ngram_jaccard", "d_dedup_minhash",
                   "d_dedup_simhash", "e_ann_lsh", "e_ann_ivf",
                   "q_ns_summary_by_user", "q_ns_small_files_hotspots",
-                  "t_bm25_search", "q_retention"))
+                  "t_bm25_search", "q_retention", "q_transitions",
+                  "q_ns_dup_names", "t_bigram_surprisal", "q_fsimage_quotas"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
+  }
+
+  test("q_ns_dup_names takes its top-20 as TakeOrderedAndProject") {
+    assert(plan("q_ns_dup_names").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_transitions shuffles once on user_id for the lag window") {
+    // the window's Sort must be partitioned (no single-partition window)
+    assert(!plan("q_transitions").contains("SinglePartition"))
   }
 
   test("q1_agg pushes the shipdate filter into the parquet scan") {
