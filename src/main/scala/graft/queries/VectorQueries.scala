@@ -349,26 +349,32 @@ object VectorQueries extends QueryModule {
   // ------------------------------------------------------ MinHash / SimHash
 
   /** MinHash + banded LSH near-dup candidates: hash family h_i(sh) =
-    * 32-bit slices of md5(sh) ‖ md5("x_"‖sh) ‖ md5("y_"‖sh) (12 hash fns
-    * from 3 md5 evaluations over the RAW 3-gram), signature = per-fn min as
-    * a long; bands of 2 minhashes → 60-bit band key from md5(h_a‖"_"‖h_b);
-    * candidates = pairs sharing a band key. md5, substring, and hex→long
-    * parsing are bit-identical in DuckDB, so this sketch op is fully
-    * oracle-checked. Candidate generation is an equi-join on
-    * (band, band_hash) — the standard shuffle-friendly shape; never
-    * all-pairs, and every shuffled/joined key is an 8-byte long, not a
-    * 32-char hex string. */
+    * (A_i·x + B_i·y + C_i) mod 2³² over the two 32-bit halves (x, y) of
+    * ONE md5(sh) — the standard universal-hash construction (12 hash fns
+    * from a single md5 evaluation; r1-r2 burned 3 md5s per shingle on
+    * this, the corpus-sized cost of the query). A_i, B_i < 2²⁹ keeps
+    * every product under 2⁶¹ so the arithmetic is exact — and identical —
+    * in both Spark (wrapping long) and DuckDB (checked BIGINT).
+    * Signature = per-fn min as a long; bands of 2 minhashes → 60-bit band
+    * key from md5(h_a‖"_"‖h_b); candidates = pairs sharing a band key.
+    * md5, substring, hex→long parsing and the mod-2³² arithmetic are
+    * bit-identical in DuckDB, so this sketch op is fully oracle-checked.
+    * Candidate generation is an equi-join on (band, band_hash) — the
+    * standard shuffle-friendly shape; never all-pairs, and every
+    * shuffled/joined key is an 8-byte long, not a 32-char hex string. */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val numHashes = 12
     val bandSize = 2
     val sigCols = (0 until numHashes).map { i =>
-      min(conv(substring(col("hh"), 1 + 8 * i, 8), 16, 10).cast("long")).as(s"h$i")
+      min((lit(HashA(i)) * col("x") + lit(HashB(i)) * col("y") + lit(HashC(i)))
+        .bitwiseAND(lit(0xFFFFFFFFL))).as(s"h$i")
     }
     val sigs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.word_shingles_raw(col("text")))).as("sh"))
-      .withColumn("hh", concat(md5(col("sh")), md5(concat(lit("x_"), col("sh"))),
-                               md5(concat(lit("y_"), col("sh")))))
+      .withColumn("hh", md5(col("sh")))
+      .withColumn("x", conv(substring(col("hh"), 1, 8), 16, 10).cast("long"))
+      .withColumn("y", conv(substring(col("hh"), 9, 8), 16, 10).cast("long"))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
     val bands = (0 until numHashes / bandSize).map { b =>
@@ -387,13 +393,21 @@ object VectorQueries extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Universal-hash constants (A, B < 2²⁹ and odd, C < 2³²) — derived
+    * from the Knuth/xxhash multiplicative constants, shared verbatim by
+    * the Spark plan and the interpolated oracle SQL. */
+  private val HashA = (0 until 12).map(i => ((i * 2654435761L + 0x1234567L) % (1L << 29)) | 1L)
+  private val HashB = (0 until 12).map(i => ((i * 2246822519L + 0x89ABCDEL) % (1L << 29)) | 1L)
+  private val HashC = (0 until 12).map(i => (i * 3266489917L + 0x0F1E2D3L) % (1L << 32))
+
   val dedupMinhashSql: String = {
     val shingleCase = """CASE WHEN len(w) >= 3
         THEN list_transform(range(1, len(w) - 1),
                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
         ELSE [text] END"""
     val mins = (0 until 12).map(i =>
-      s"min(CAST('0x' || substr(hh, ${1 + 8 * i}, 8) AS BIGINT)) AS h$i").mkString(",\n             ")
+      s"min((${HashA(i)} * x + ${HashB(i)} * y + ${HashC(i)}) & 4294967295) AS h$i")
+      .mkString(",\n             ")
     val bands = (0 until 6).map(b =>
       s"SELECT doc_id, $b AS band, CAST('0x' || substr(md5(CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR)), 1, 15) AS BIGINT) AS bh FROM sigs")
       .mkString("\n      UNION ALL ")
@@ -402,7 +416,10 @@ object VectorQueries extends QueryModule {
       SELECT DISTINCT doc_id, unnest($shingleCase) AS sh
       FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
     ), shh AS (
-      SELECT doc_id, md5(sh) || md5('x_' || sh) || md5('y_' || sh) AS hh FROM sh
+      SELECT doc_id,
+             CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS x,
+             CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS y
+      FROM sh
     ), sigs AS (
       SELECT doc_id,
              $mins
