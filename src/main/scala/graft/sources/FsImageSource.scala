@@ -39,7 +39,8 @@ object FsImageSource {
                            ec_policy: String, symlink_target: String,
                            n_acl: Int, acl: Seq[String],
                            n_xattr: Int, xattrs: Seq[String],
-                           ns_quota: Long, ds_quota: Long)
+                           ns_quota: Long, ds_quota: Long,
+                           pref_block: Long)
 
   /** Hadoop's fixed root inode id (INodeId.ROOT_INODE_ID). */
   val RootInodeId = 16385L
@@ -126,7 +127,7 @@ object FsImageSource {
       i.xattrNames.length,
       i.xattrNames.indices.map(k =>
         FsImageFormat.xattrString(i.xattrNames(k), i.xattrValues(k), strings)),
-      i.nsQuota, i.dsQuota)
+      i.nsQuota, i.dsQuota, i.preferredBlockSize)
 
   /** Iterative memoized upward path walk, O(n) total — iterative (not
     * recursive) so pathological directory depths can't overflow the stack,

@@ -152,6 +152,7 @@ object ImageGen {
         m.msg(4) { f =>
           if (!isEc) f.tag(1, 0).varint(repl) // EC files carry no replication
           f.tag(2, 0).varint(1700000000000L + i)
+          f.tag(4, 0).varint(128L << 20) // preferredBlockSize
           if (withAtime) f.tag(3, 0).varint(1710000000000L + i * 1000L)
           f.tag(5, 1).fixed64(perm(1 + i % 20, 1 + i % 10, 0x1A4))
           f.msg(6)(b => { b.tag(1, 0).varint(id); b.tag(2, 0).varint(1); b.tag(3, 0).varint(size) })

@@ -85,6 +85,9 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(acl.length == 1 && acl.head.getAs[Int]("n_acl") >= 0)
       val xa = run("xattr", "-i" -> "/dir_0/f_0.dat").collect()
       assert(xa.length == 1 && xa.head.getAs[Int]("n_xattr") == 2)
+      // preferredBlockSize surfaces (reference JsonUtil.java:43)
+      assert(run("inode", "-i" -> "/dir_0/f_0.dat")
+        .head.getAs[Long]("pref_block") == 128L << 20)
       // quotas: dirs 0 and 2 carry (1000+i, 1GiB+i); 200 files round-robin
       // over 4 dirs → 50 files under dir_0, +1 for the dir itself
       val quotas = run("quotas").collect()
