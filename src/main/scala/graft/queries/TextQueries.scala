@@ -581,19 +581,18 @@ object TextQueries extends QueryModule {
     * containment (not Jaccard) because a long training doc that swallows
     * a short eval doc whole must flag regardless of its own length. */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    // Two scans, zero materialization: each side's `source` predicate is
-    // pushed into its parquet scan, the tiny eval side re-reads only the
-    // src0 rows, and the corpus-sized train explode is consumed exactly
-    // once — so nothing justifies checkpointing the corpus shingle table
-    // (r1-r2 did, paying a full write of it to block storage per run).
-    def shingled(df: DataFrame) = df
-      .select(col("doc_id"), graft.functions.word_shingle_keys(col("text")).as("shs"))
-      .select(col("doc_id"),
+    // long shingle keys + one materialization: the eval and train branches
+    // both derive from this table, and without the checkpoint each branch
+    // re-runs the whole shingle/md5 explode over the corpus
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.word_shingle_keys(col("text")).as("shs"))
+      .select(col("doc_id"), col("source"),
         size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("sh"))
-    val docs = Tables.documents(spark, sfDir)
-    val ev = shingled(docs.filter(col("source") === "src0"))
+      .localCheckpoint()
+    val ev = base.filter(col("source") === "src0")
       .select(col("doc_id").as("eval_id"), col("n_sh"), col("sh"))
-    val tr = shingled(docs.filter(col("source") =!= "src0"))
+    val tr = base.filter(col("source") =!= "src0")
       .select(col("doc_id").as("train_id"), col("sh"))
     tr.join(broadcast(ev), "sh")
       .groupBy(col("eval_id"), col("train_id"))
