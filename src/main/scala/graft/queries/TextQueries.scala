@@ -583,7 +583,12 @@ object TextQueries extends QueryModule {
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     // long shingle keys + one materialization: the eval and train branches
     // both derive from this table, and without the checkpoint each branch
-    // re-runs the whole shingle/md5 explode over the corpus
+    // re-runs the whole shingle/md5 explode over the corpus. (Measured
+    // alternative, r3: two pushed-down scans with no checkpoint — the
+    // corpus explode then fuses into the join probe stage and the whole
+    // query runs 1.1 s SLOWER at sf0.1; the one-pass materialization of
+    // compact long keys wins, and its block-store cost is executor-local
+    // and shuffle-sized, acceptable at scale.)
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         graft.functions.word_shingle_keys(col("text")).as("shs"))
