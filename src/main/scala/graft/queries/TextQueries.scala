@@ -888,6 +888,56 @@ object TextQueries extends QueryModule {
     ORDER BY doc_id"""
   }
 
+  /** Square-root temperature sampling (τ = ½ mixture flattening): each
+    * language keeps its t_s = ⌊√(n_s · n_min)⌋ highest-priority docs —
+    * the geometric mean of its own size and the smallest language's, so
+    * dominant languages shrink toward the small ones (the temperature resampling LLM
+    * mixtures use; τ = ½ specifically because sqrt is correctly-rounded
+    * IEEE-754 in both engines, so the target counts are oracle-exact
+    * where a general pow(n, τ) would not be). Priority = md5("tmp_"‖
+    * doc_id): a deterministic uniform order → the kept set is
+    * reproducible across runs AND engines. One shuffle on lang for the
+    * rank window; the per-lang target table is broadcast. A group so
+    * large its partition can't sort should switch to the shuffle-free
+    * hash-threshold variant ([[sampleStratified]]) with rate ≈ t_s/n_s.
+    */
+  def sqrtSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+    val targets = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_s")).as("n_min"))))
+      .select(col("lang"),
+        floor(sqrt(col("n_s") * col("n_min"))).cast("long").as("t_s"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("pri"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"),
+        md5(concat(lit("tmp_"), col("doc_id").cast("string"))).as("pri"))
+      .withColumn("rnk", row_number().over(w))
+      .join(broadcast(targets), "lang")
+      .filter(col("rnk") <= col("t_s"))
+      .select(col("doc_id"), col("lang"), col("rnk"), col("t_s"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqrtSampleSql: String = """
+    WITH counts AS (
+      SELECT lang, count(*) AS n_s FROM documents GROUP BY lang
+    ), tgt AS (
+      SELECT lang,
+             CAST(floor(sqrt(n_s * (SELECT min(n_s) FROM counts))) AS bigint) AS t_s
+      FROM counts
+    ), ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('tmp_' || CAST(doc_id AS VARCHAR)), doc_id) AS bigint) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, lang, rnk, t_s
+    FROM ranked JOIN tgt USING (lang)
+    WHERE rnk <= t_s
+    ORDER BY doc_id"""
+
   // ----------------------------------------------------------- RAG chunking
 
   private val ChunkWords = 64
@@ -1121,6 +1171,7 @@ object TextQueries extends QueryModule {
     "t_doc_terms"     -> (docTerms _),
     "t_repetition"    -> (repetition _),
     "t_sample_stratified" -> (sampleStratified _),
+    "t_sqrt_sample"   -> (sqrtSample _),
     "t_vocab"         -> (vocab _),
     "t_decontaminate" -> (decontaminate _),
     "t_lm_surprisal"  -> (lmSurprisal _),
@@ -1148,6 +1199,7 @@ object TextQueries extends QueryModule {
     "t_doc_terms"     -> docTermsSql,
     "t_repetition"    -> repetitionSql,
     "t_sample_stratified" -> sampleStratifiedSql,
+    "t_sqrt_sample"   -> sqrtSampleSql,
     "t_vocab"         -> vocabSql,
     "t_decontaminate" -> decontaminateSql,
     "t_lm_surprisal"  -> lmSurprisalSql,
