@@ -28,21 +28,31 @@ object ImageBench {
     }
     val (tGen, _) = time(ImageGen.write(img, ImageGen.GenSpec(
       nDirs = nDirs, nFiles = nFiles, ecEvery = 100, aclEvery = 1000,
-      xattrEvery = 1000, nSymlinks = 1000, withAtime = true)))
+      xattrEvery = 1000, nSymlinks = 1000, withAtime = true,
+      quotaEvery = 100)))
     val bytes = new java.io.File(img).length()
 
     val (tDriver, nD) = time(FsImageSource.inodes(spark, img).count())
     val (tDist, nX) = time(FsImageSource.inodesDistributed(spark, img).count())
     require(nD == nX, s"driver($nD) != distributed($nX)")
-    // report over the distributed load: the end-to-end admin path
+    // reports over the distributed load: the end-to-end admin path
     val (tReport, _) = time {
       graft.operators.Reports
         .summaryByUser(FsImageSource.inodesDistributed(spark, img)).count()
     }
+    // quota accounting = the ancestor-rollup shape (explode + two aggs)
+    // over a fresh load — the heaviest report family at 100 M inodes
+    val (tQuota, nQ) = time {
+      graft.operators.Reports
+        .quotaReport(FsImageSource.inodesDistributed(spark, img)).count()
+    }
+    require(nQ == nDirs / 100 + (if (nDirs % 100 > 0) 1 else 0) || nQ > 0,
+      s"unexpected quota-dir count $nQ")
     def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     println(s"""{"metric":"fsimage_ingest","inodes":$nD,"image_bytes":$bytes,""" +
       s""""gen_sec":${ms3(tGen)},"driver_sec":${ms3(tDriver)},""" +
-      s""""distributed_sec":${ms3(tDist)},"report_sec":${ms3(tReport)}}""")
+      s""""distributed_sec":${ms3(tDist)},"report_sec":${ms3(tReport)},""" +
+      s""""quota_report_sec":${ms3(tQuota)}}""")
     new java.io.File(img).delete()
     spark.stop()
   }
