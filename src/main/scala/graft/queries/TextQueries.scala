@@ -274,7 +274,9 @@ object TextQueries extends QueryModule {
     graft.operators.Dedup.ngramJaccardPairs(
       Tables.documents(spark, sfDir), minJaccardBp = 100)
 
-  val dedupNgramJaccardSql: String = s"""
+  /** The jaccard-pair oracle at an arbitrary threshold — reused by the
+    * minhash-recall eval, which re-derives the exact pair set at 0.5. */
+  def ngramJaccardSqlAt(minBp: Long): String = s"""
     WITH sh0 AS (
       SELECT doc_id, unnest(${shingleKeysSql("text")}) AS sh
       FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
@@ -294,8 +296,10 @@ object TextQueries extends QueryModule {
     FROM pairs
     JOIN counts ca ON doc_a = ca.doc_id
     JOIN counts cb ON doc_b = cb.doc_id
-    WHERE floor(n_common * 10000.0 / (ca.n_sh + cb.n_sh - n_common)) >= 100
+    WHERE floor(n_common * 10000.0 / (ca.n_sh + cb.n_sh - n_common)) >= $minBp
     ORDER BY doc_a, doc_b"""
+
+  val dedupNgramJaccardSql: String = ngramJaccardSqlAt(100)
 
   /** Near-dup clusters: Jaccard pairs (≥ 0.20) → [[graft.operators.Dedup
     * .connectedComponents]] min-label propagation → one canonical doc per

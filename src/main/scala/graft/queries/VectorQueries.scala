@@ -619,7 +619,45 @@ object VectorQueries extends QueryModule {
     FROM qq
     ORDER BY vec_id"""
 
+  /** MinHash-LSH candidate recall vs exact Jaccard — the sketch-quality
+    * eval (the `e_ann_recall` counterpart for the dedup sketches): ground
+    * truth = exact n-gram Jaccard pairs at ≥ 0.5, candidates = the banded
+    * minhash pairs; reports counts + recall in basis points. 6 bands × 2
+    * rows targets the s-curve threshold (1/6)^(1/2) ≈ 0.41, so recall at
+    * 0.5 should be high — the query makes that number a tracked,
+    * oracle-checked fact instead of folklore. Both pair sets are
+    * equi-join-shaped (never all-pairs); the three counts come from one
+    * pass over each set plus a semi-join. */
+  def minhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = dedupMinhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val exact = graft.operators.Dedup
+      .ngramJaccardPairs(graft.core.Tables.documents(spark, sfDir),
+        minJaccardBp = 5000, sorted = false)
+      .select(col("doc_a"), col("doc_b"))
+    val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        floor(col("n_hit") * 10000.0 / col("n_exact")).cast("long").as("recall_bp"))
+  }
+
+  val minhashRecallSql: String = s"""
+    WITH mh AS (
+      SELECT doc_a, doc_b FROM ($dedupMinhashSql)
+    ), ex AS (
+      SELECT doc_a, doc_b FROM (${TextQueries.ngramJaccardSqlAt(5000)})
+    ), hit AS (
+      SELECT 1 FROM ex JOIN mh USING (doc_a, doc_b)
+    )
+    SELECT (SELECT count(*) FROM ex) AS n_exact,
+           (SELECT count(*) FROM mh) AS n_cand,
+           (SELECT count(*) FROM hit) AS n_hit,
+           CAST(floor((SELECT count(*) FROM hit) * 10000.0
+                / (SELECT count(*) FROM ex)) AS bigint) AS recall_bp"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_minhash_recall"  -> (minhashRecall _),
     "e_quantize_int8"   -> (quantizeInt8 _),
     "e_kmeans"          -> (kmeans _),
     "e_ann_bruteforce"  -> (annBruteForce _),
@@ -633,6 +671,7 @@ object VectorQueries extends QueryModule {
     "e_knn_classify"    -> (knnClassify _))
 
   val oracles: Map[String, String] = Map(
+    "d_minhash_recall"  -> minhashRecallSql,
     "e_quantize_int8"   -> quantizeInt8Sql,
     "e_kmeans"          -> kmeansSql,
     "e_ann_bruteforce"  -> annBruteForceSql,
