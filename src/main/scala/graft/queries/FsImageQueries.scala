@@ -105,11 +105,45 @@ object FsImageQueries extends QueryModule {
     FROM qd LEFT JOIN usage u USING (dir)
     ORDER BY dir"""
 
+  /** Storage-policy / EC-policy breakdown (the HSM accounting view —
+    * which bytes sit on which storage tier, reference surfaces the raw
+    * `storagePolicyID` per inode, JsonUtil.java:44): per (storage_policy,
+    * ec_policy) file count, logical bytes, consumed bytes, and the
+    * consumed/logical overhead in basis points (3× for replicated,
+    * 1.5× for RS-6-3). One shuffle on a ≤ |policies × ec-policies| key
+    * domain with map-side combine. */
+  def fsimagePolicies(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = ensureExport(spark)
+    df.filter(col("ftype") === "F")
+      .groupBy(col("storage_policy"), col("ec_policy"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size")).as("sum_size"),
+        sum(col("csize")).as("sum_csize"))
+      .select(col("storage_policy"), col("ec_policy"), col("n_files"),
+        col("sum_size"), col("sum_csize"),
+        floor(col("sum_csize") * 10000.0 / col("sum_size")).cast("long")
+          .as("overhead_bp"))
+      .orderBy(col("storage_policy"), col("ec_policy"))
+  }
+
+  val fsimagePoliciesSql: String = s"""
+    SELECT storage_policy, ec_policy,
+           count(*) AS n_files,
+           CAST(sum(size) AS bigint) AS sum_size,
+           CAST(sum(csize) AS bigint) AS sum_csize,
+           CAST(floor(sum(csize) * 10000.0 / sum(size)) AS bigint) AS overhead_bp
+    FROM read_parquet('$ExportDir/*.parquet')
+    WHERE ftype = 'F'
+    GROUP BY storage_policy, ec_policy
+    ORDER BY storage_policy, ec_policy"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_fsimage_summary" -> (fsimageSummary _),
-    "q_fsimage_quotas"  -> (fsimageQuotas _))
+    "q_fsimage_summary"  -> (fsimageSummary _),
+    "q_fsimage_quotas"   -> (fsimageQuotas _),
+    "q_fsimage_policies" -> (fsimagePolicies _))
 
   val oracles: Map[String, String] = Map(
-    "q_fsimage_summary" -> fsimageSummarySql,
-    "q_fsimage_quotas"  -> fsimageQuotasSql)
+    "q_fsimage_summary"  -> fsimageSummarySql,
+    "q_fsimage_quotas"   -> fsimageQuotasSql,
+    "q_fsimage_policies" -> fsimagePoliciesSql)
 }
