@@ -46,8 +46,8 @@ object ImageBench {
       graft.operators.Reports
         .quotaReport(FsImageSource.inodesDistributed(spark, img)).count()
     }
-    require(nQ == nDirs / 100 + (if (nDirs % 100 > 0) 1 else 0) || nQ > 0,
-      s"unexpected quota-dir count $nQ")
+    val expectQ = nDirs / 100 + (if (nDirs % 100 > 0) 1 else 0)
+    require(nQ == expectQ, s"quota-dir count $nQ, expected $expectQ")
     def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     println(s"""{"metric":"fsimage_ingest","inodes":$nD,"image_bytes":$bytes,""" +
       s""""gen_sec":${ms3(tGen)},"driver_sec":${ms3(tDriver)},""" +

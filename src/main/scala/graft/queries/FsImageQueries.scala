@@ -35,12 +35,19 @@ object FsImageQueries extends QueryModule {
   }
 
   /** Parses the image and (re)writes the parquet export the DuckDB oracle
-    * reads — either fsimage query may run first, so both go through here. */
-  private def ensureExport(spark: SparkSession): DataFrame = {
-    ensureImage()
-    val df = FsImageSource.inodes(spark, ImagePath)
-    df.write.mode("overwrite").parquet(ExportDir)
-    df
+    * reads — any fsimage query may run first, so all go through here.
+    * Memoized per session (the Namespace.memo pattern): Bench's min-of-2
+    * over three fsimage queries would otherwise re-parse the image and
+    * rewrite the export six times. */
+  private val exportMemo = scala.collection.mutable.Map[String, DataFrame]()
+  private def ensureExport(spark: SparkSession): DataFrame = synchronized {
+    exportMemo.getOrElseUpdate(
+      org.apache.spark.sql.graftshim.sessionKey(spark), {
+        ensureImage()
+        val df = FsImageSource.inodes(spark, ImagePath)
+        df.write.mode("overwrite").parquet(ExportDir)
+        df
+      })
   }
 
   /** Whole-image accounting over the parsed inode table: type counts,
@@ -89,10 +96,15 @@ object FsImageQueries extends QueryModule {
       SELECT path AS dir, ns_quota, ds_quota FROM inodes
       WHERE ftype = 'D' AND (ns_quota >= 0 OR ds_quota >= 0)
     ), usage AS (
+      -- starts_with, not LIKE: dir names legally contain '_'/'%' (LIKE
+      -- wildcards); the root-dir special case keeps a quota on "/" correct
       SELECT qd.dir,
              count(*) AS n_desc,
              CAST(sum(CASE WHEN i.ftype = 'F' THEN i.csize ELSE 0 END) AS bigint) AS ds_used
-      FROM qd JOIN inodes i ON i.path LIKE qd.dir || '/%'
+      FROM qd JOIN inodes i
+        ON starts_with(i.path,
+             CASE WHEN qd.dir = '/' THEN '/' ELSE qd.dir || '/' END)
+       AND i.path <> '/'
       GROUP BY qd.dir
     )
     SELECT qd.dir, qd.ns_quota, qd.ds_quota,

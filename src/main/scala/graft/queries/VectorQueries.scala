@@ -626,14 +626,18 @@ object VectorQueries extends QueryModule {
     * rows targets the s-curve threshold (1/6)^(1/2) ≈ 0.41, so recall at
     * 0.5 should be high — the query makes that number a tracked,
     * oracle-checked fact instead of folklore. Both pair sets are
-    * equi-join-shaped (never all-pairs); the three counts come from one
-    * pass over each set plus a semi-join. */
+    * equi-join-shaped (never all-pairs) and checkpointed once; the three
+    * counts then read the materialized sets. */
   def minhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    // each pair set feeds its own count AND the semi-join — checkpoint so
+    // the expensive self-join+agg subplans run once, not twice
     val cand = dedupMinhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val exact = graft.operators.Dedup
       .ngramJaccardPairs(graft.core.Tables.documents(spark, sfDir),
         minJaccardBp = 5000, sorted = false)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))

@@ -96,9 +96,18 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(q0.getAs[Long]("ns_quota") == 1000L)
       assert(q0.getAs[Long]("ns_used") == 51L)
       assert(q0.getAs[Long]("ns_rem") == 949L)
-      assert(q0.getAs[Long]("ds_used") > 0L)
+      // exact ds_used from independently re-derived generator ground
+      // truth: files under dir_0 are i ≡ 0 (mod 4), EC every 3rd file,
+      // repl = 1 + i%3 otherwise — consumed-size formula per FsUtil
+      val ecPol = graft.sources.fsimage.FsImageFormat.EcPoliciesById(1)
+      val expectedDs = (0 until 200 by 4).map { i =>
+        val size = 1024L * (1 + i % 3000)
+        if (i % 3 == 0) graft.sources.fsimage.FsImageFormat.ecBlockConsumed(size, ecPol)
+        else size * (1 + i % 3)
+      }.sum
+      assert(q0.getAs[Long]("ds_used") == expectedDs)
       assert(q0.getAs[Long]("ds_rem") ==
-             q0.getAs[Long]("ds_quota") - q0.getAs[Long]("ds_used"))
+             q0.getAs[Long]("ds_quota") - expectedDs)
       // quota-less dirs surface -1 (Hadoop's explicit no-quota marker)
       assert(run("inode", "-i" -> "/dir_1").head.getAs[Long]("ns_quota") == -1L)
       assert(run("sections").count() >= 3)
