@@ -259,4 +259,20 @@ object Reports {
       .groupBy(year(timestamp_seconds(col("mtime_sec"))).as("mtime_year"))
       .agg(count(lit(1)).as("n_files"), sum(col("size")).as("sum_size"))
       .orderBy(col("mtime_year"))
+
+  /** Capacity growth profile: files/bytes added per mtime month plus the
+    * running total — the namenode capacity-planning view ("when do we hit
+    * the cliff"). One shuffle onto a |months| key domain with map-side
+    * combine; the cumulative window then runs over that tiny aggregated
+    * table (a deliberate single-partition window over ≤ a few hundred
+    * rows, NOT over the base data). */
+  def growthProfile(inodes: DataFrame): DataFrame = {
+    val monthly = inodes.filter(col("ftype") === "F")
+      .groupBy(date_format(timestamp_seconds(col("mtime_sec")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("bytes_added"))
+    monthly
+      .withColumn("cum_bytes", sum(col("bytes_added"))
+        .over(Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("month"))
+  }
 }

@@ -248,7 +248,25 @@ object NamespaceQueries extends QueryModule {
     GROUP BY 1
     ORDER BY mtime_year"""
 
+  /** Capacity growth: files/bytes per mtime month + running total
+    * ([[graft.operators.Reports.growthProfile]]). */
+  def growth(spark: SparkSession, sfDir: String): DataFrame =
+    Reports.growthProfile(inodes(spark, sfDir))
+
+  val growthSql: String = NamespaceSql.cte + """
+    SELECT month, n_files, bytes_added,
+           CAST(sum(bytes_added) OVER (ORDER BY month) AS bigint) AS cum_bytes
+    FROM (
+      SELECT strftime(make_timestamp(mtime_sec * 1000000), '%Y-%m') AS month,
+             count(*) AS n_files,
+             CAST(sum(size) AS bigint) AS bytes_added
+      FROM inodes WHERE ftype='F'
+      GROUP BY 1
+    )
+    ORDER BY month"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ns_growth"             -> (growth _),
     "q_ns_summary_overall"    -> (summaryOverall _),
     "q_ns_summary_by_user"    -> (summaryByUser _),
     "q_ns_summary_by_group"   -> (summaryByGroup _),
@@ -264,6 +282,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_dup_names"          -> (dupNames _))
 
   val oracles: Map[String, String] = Map(
+    "q_ns_growth"             -> growthSql,
     "q_ns_summary_overall"    -> summaryOverallSql,
     "q_ns_summary_by_user"    -> summaryByUserSql,
     "q_ns_summary_by_group"   -> summaryByGroupSql,
