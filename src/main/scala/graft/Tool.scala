@@ -91,6 +91,10 @@ object Tool {
         Reports.xattrStatus(inodes, opts.getOrElse("-i", "/").split(",").toSeq)
       case "quotas" =>
         Reports.quotaReport(inodes)
+      case "growth" =>
+        Reports.growthProfile(inodes)
+      case "dupnames" =>
+        Reports.dupNames(inodes, topN)
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other")
     }

@@ -260,6 +260,21 @@ object Reports {
       .agg(count(lit(1)).as("n_files"), sum(col("size")).as("sum_size"))
       .orderBy(col("mtime_year"))
 
+  /** Duplicate-filename report — the admin first-pass dedup question
+    * ("the same part-00000 name in a thousand directories"): filenames
+    * appearing more than once, ranked by occurrence count, with the bytes
+    * a checksum-level dedup could reclaim at best (all-but-one copy).
+    * One shuffle on the name key with map-side partial aggregation;
+    * top-N as TakeOrdered. */
+  def dupNames(inodes: DataFrame, topN: Int = 20): DataFrame =
+    inodes.filter(col("ftype") === "F")
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n_copies"), sum(col("size")).as("sum_size"),
+        (sum(col("size")) - max(col("size"))).as("reclaimable"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("n_copies").desc, col("name"))
+      .limit(topN)
+
   /** Capacity growth profile: files/bytes added per mtime month plus the
     * running total — the namenode capacity-planning view ("when do we hit
     * the cliff"). One shuffle onto a |months| key domain with map-side

@@ -200,14 +200,7 @@ object NamespaceQueries extends QueryModule {
     * (all-but-one copy). One shuffle on the name key with map-side
     * partial aggregation; TakeOrdered top-20. */
   def dupNames(spark: SparkSession, sfDir: String): DataFrame =
-    inodes(spark, sfDir)
-      .filter(col("ftype") === "F")
-      .groupBy(col("name"))
-      .agg(count(lit(1)).as("n_copies"), sum(col("size")).as("sum_size"),
-        (sum(col("size")) - max(col("size"))).as("reclaimable"))
-      .filter(col("n_copies") > 1)
-      .orderBy(col("n_copies").desc, col("name"))
-      .limit(20)
+    Reports.dupNames(inodes(spark, sfDir))
 
   val dupNamesSql: String = NamespaceSql.cte + """
     SELECT name, count(*) AS n_copies,

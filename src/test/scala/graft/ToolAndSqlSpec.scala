@@ -110,6 +110,8 @@ class ToolAndSqlSpec extends SparkSpecBase {
              q0.getAs[Long]("ds_quota") - expectedDs)
       // quota-less dirs surface -1 (Hadoop's explicit no-quota marker)
       assert(run("inode", "-i" -> "/dir_1").head.getAs[Long]("ns_quota") == -1L)
+      assert(run("growth").count() > 0)
+      assert(run("dupnames").count() == 0) // generated names are unique
       assert(run("sections").count() >= 3)
       assert(run("snapshots").count() == 0) // image carries no SNAPSHOT section
       assert(run("refs").count() == 0)      // ...nor an INODE_REFERENCE one
