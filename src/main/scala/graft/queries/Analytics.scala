@@ -897,6 +897,72 @@ object Analytics extends QueryModule {
     GROUP BY 1, 2
     ORDER BY cohort_day, offset_days"""
 
+  /** Market-basket affinity: part pairs co-occurring in the same order,
+    * ranked by support. The self-join is WITHIN l_orderkey — order size
+    * is a small bounded constant (~7 lines), so the per-key fan-out is
+    * O(size²), never corpus-quadratic; one shuffle on the order key,
+    * pair aggregation with map-side combine, top-20 as TakeOrdered. */
+  def qBasketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val qBasketPairsSql: String = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, count(*) AS n_orders
+    FROM li x JOIN li y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20"""
+
+  /** DAU / WAU / stickiness per day: daily actives from ONE distinct
+    * (user, day) pass (the only data-sized shuffle); weekly actives =
+    * distinct users over the trailing 7 days via a bounded range join of
+    * the tiny day list against that distinct table — never a sliding
+    * window over raw events; stickiness = DAU/WAU in basis points. */
+  def qEventsDau(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(false) // feeds dau, the day list, and the range join
+    val dau = act.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val days = act.select(col("day")).distinct()
+    val wau = broadcast(days.as("d")).join(act.as("a"),
+        datediff(col("d.day"), col("a.day")).between(0, 6))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("a.user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        floor(col("dau") * 10000.0 / col("wau")).cast("long").as("stickiness_bp"))
+      .orderBy(col("day"))
+  }
+
+  val qEventsDauSql: String = """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM act
+    ), dau AS (
+      SELECT day, count(*) AS dau FROM act GROUP BY day
+    ), wau AS (
+      SELECT d.day AS day, count(DISTINCT a.user_id) AS wau
+      FROM days d JOIN act a ON datediff('day', a.day, d.day) BETWEEN 0 AND 6
+      GROUP BY d.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+           CAST(floor(dau * 10000.0 / wau) AS bigint) AS stickiness_bp
+    FROM dau JOIN wau USING (day)
+    ORDER BY day"""
+
   /** Sequential conversion funnel (view → click → purchase, strictly
     * time-ordered per user): the product-analytics pattern a raw window
     * over all events would do with a full per-user sort — here each stage
@@ -1008,6 +1074,8 @@ object Analytics extends QueryModule {
     "q_funnel"          -> (qFunnel _),
     "q_retention"       -> (qRetention _),
     "q_transitions"     -> (qTransitions _),
+    "q_basket_pairs"    -> (qBasketPairs _),
+    "q_events_dau"      -> (qEventsDau _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -1042,6 +1110,8 @@ object Analytics extends QueryModule {
     "q_funnel"          -> qFunnelSql,
     "q_retention"       -> qRetentionSql,
     "q_transitions"     -> qTransitionsSql,
+    "q_basket_pairs"    -> qBasketPairsSql,
+    "q_events_dau"      -> qEventsDauSql,
     "q_percentiles_approx" -> qPercentilesApproxSql,
     "q1_agg"            -> q1AggSql,
     "q3_join_topk"      -> q3JoinTopKSql,
