@@ -20,7 +20,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "d_dedup_simhash", "e_ann_lsh", "e_ann_ivf",
                   "q_ns_summary_by_user", "q_ns_small_files_hotspots",
                   "t_bm25_search", "q_retention", "q_transitions",
-                  "q_ns_dup_names", "t_bigram_surprisal", "q_fsimage_quotas"))
+                  "q_ns_dup_names", "t_bigram_surprisal", "q_fsimage_quotas",
+                  "q_basket_pairs", "q_ns_growth"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
