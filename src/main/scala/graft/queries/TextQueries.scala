@@ -65,6 +65,44 @@ object TextQueries extends QueryModule {
     FROM documents
     ORDER BY doc_id"""
 
+  /** Context-length histogram: docs and tokens per log₂ whitespace-token
+    * bucket with the cumulative doc share — the length-distribution view
+    * a pretraining pipeline checks before picking context/packing sizes.
+    * Bucket = ⌊log₂ n⌋ via binary-digit count (pure integer → oracle-
+    * exact); one shuffle onto a ≤ ~40-bucket domain with map-side
+    * combine; the cumulative window runs over that tiny table. */
+  def lenHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Tables.documents(spark, sfDir)
+      .select(size(words(col("text"))).cast("long").as("n"))
+      .select(col("n"), (length(conv(col("n"), 10, 2)) - 1).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .crossJoin(broadcast(h.agg(sum(col("n_docs")).as("total"))))
+      .select(col("bucket"),
+        pow(lit(2), col("bucket")).cast("long").as("lo_tokens"),
+        col("n_docs"), col("sum_tokens"),
+        floor(col("cum_docs") * 10000.0 / col("total")).cast("long").as("cum_docs_bp"))
+      .orderBy(col("bucket"))
+  }
+
+  val lenHistogramSql: String = """
+    WITH n AS (
+      SELECT CAST(len(string_split_regex(text, '\s+')) AS bigint) AS n FROM documents
+    ), b AS (
+      SELECT n, CAST(length(to_base(n, 2)) - 1 AS bigint) AS bucket FROM n
+    ), h AS (
+      SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS bigint) AS sum_tokens
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, CAST(power(2, bucket) AS bigint) AS lo_tokens, n_docs, sum_tokens,
+           CAST(floor(sum(n_docs) OVER (ORDER BY bucket) * 10000.0
+                / (SELECT sum(n_docs) FROM h)) AS bigint) AS cum_docs_bp
+    FROM h
+    ORDER BY bucket"""
+
   // ---------------------------------------------------------------- quality
 
   /** Quality scoring: alpha/punct/stopword ratios in basis points plus a
@@ -1176,6 +1214,7 @@ object TextQueries extends QueryModule {
     "t_repetition"    -> (repetition _),
     "t_sample_stratified" -> (sampleStratified _),
     "t_sqrt_sample"   -> (sqrtSample _),
+    "t_len_histogram" -> (lenHistogram _),
     "t_vocab"         -> (vocab _),
     "t_decontaminate" -> (decontaminate _),
     "t_lm_surprisal"  -> (lmSurprisal _),
@@ -1204,6 +1243,7 @@ object TextQueries extends QueryModule {
     "t_repetition"    -> repetitionSql,
     "t_sample_stratified" -> sampleStratifiedSql,
     "t_sqrt_sample"   -> sqrtSampleSql,
+    "t_len_histogram" -> lenHistogramSql,
     "t_vocab"         -> vocabSql,
     "t_decontaminate" -> decontaminateSql,
     "t_lm_surprisal"  -> lmSurprisalSql,
