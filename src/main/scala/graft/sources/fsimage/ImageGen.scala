@@ -24,7 +24,8 @@ object ImageGen {
                            nSnapshots: Int = 0, // snapshots of dir_0 (SNAPSHOT section)
                            nRefs: Int = 0,      // snapshot-rename INODE_REFERENCE rows
                            withAtime: Boolean = false,
-                           quotaEvery: Int = 0) // every k-th dir gets ns/ds quotas
+                           quotaEvery: Int = 0, // every k-th dir gets ns/ds quotas
+                           chainDirs: Int = 0)  // first k dirs nest root→d0→d1→…
 
   /** Ground truth the generator guarantees, for specs to assert against. */
   final case class GenSummary(sumFileSize: Long, sumConsumed: Long,
@@ -176,10 +177,20 @@ object ImageGen {
     }
 
     val dirSection = new W
-    // root's children: all dirs + all symlinks
+    // Directory edges: the first `chainDirs` dirs nest as a chain
+    // root→dir_0→dir_1→… (deep-path coverage for the resolver); the rest
+    // plus all symlinks hang off root.
+    val chain = math.min(math.max(chainDirs, 0), nDirs)
+    val rootDirs = if (chain == 0) dirIds else dirIds.take(1) ++ dirIds.drop(chain)
     dirSection.delimited { m =>
       m.tag(1, 0).varint(RootId)
-      m.msg(2)(p => { dirIds.foreach(p.varint); linkIds.foreach(p.varint) })
+      m.msg(2)(p => { rootDirs.foreach(p.varint); linkIds.foreach(p.varint) })
+    }
+    (1 until chain).foreach { i =>
+      dirSection.delimited { m =>
+        m.tag(1, 0).varint(dirIds(i - 1))
+        m.msg(2)(p => p.varint(dirIds(i)))
+      }
     }
     // files round-robin under dirs
     if (nDirs > 0) {

@@ -137,6 +137,33 @@ class FsImageSourceSpec extends SparkSpecBase {
     new java.io.File(img).delete()
   }
 
+  test("deep directory chains resolve identically in both loaders") {
+    import graft.sources.fsimage.ImageGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toFile
+    val img = new java.io.File(dir, "chain.img").getPath
+    // dirs 0-3 nest root→dir_0→dir_1→dir_2→dir_3; dirs 4-5 under root;
+    // quota dirs 0/2/4 — nested quotas must roll inner usage outward
+    ImageGen.write(img, ImageGen.GenSpec(nDirs = 6, nFiles = 60,
+      chainDirs = 4, quotaEvery = 2))
+    val df = FsImageSource.inodes(spark, img).cache()
+    assert(df.filter(col("path") === "/dir_0/dir_1/dir_2/dir_3").count() == 1)
+    assert(df.filter(col("path") === "/dir_4").count() == 1)
+    // files round-robin: i%6==3 → under the chain tail at depth 5
+    assert(df.filter(col("path") === "/dir_0/dir_1/dir_2/dir_3/f_3.dat").count() == 1)
+    val dist = FsImageSource.inodesDistributed(spark, img, parallelism = 3)
+    assert(dist.exceptAll(df).count() == 0 && df.exceptAll(dist).count() == 0)
+    // nested quota rollup: dir_0's namespace usage counts the whole chain
+    // below it (dirs 1-3 + their files), not just direct children
+    val q = graft.operators.Reports.quotaReport(df).collect()
+    assert(q.map(_.getAs[String]("dir")).toSeq ==
+           Seq("/dir_0", "/dir_0/dir_1/dir_2", "/dir_4"))
+    val q0 = q.head
+    // dir_0 subtree: dirs 1,2,3 + files with i%6 ∈ {0,1,2,3} (40 of 60)
+    assert(q0.getAs[Long]("ns_used") == 1 + 3 + 40)
+    df.unpersist()
+    new java.io.File(img).delete()
+  }
+
   test("ACL entries decode (named user, default scope) on files and dirs") {
     import graft.sources.fsimage.ImageGen
     val dir = java.nio.file.Files.createTempDirectory("graft_acl").toFile
