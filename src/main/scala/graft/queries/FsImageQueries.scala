@@ -21,7 +21,7 @@ object FsImageQueries extends QueryModule {
     new java.io.File("target/fsimage-oracle").getAbsolutePath
   private val Gen = ImageGen.GenSpec(nDirs = 50, nFiles = 5000,
     ecEvery = 4, aclEvery = 7, xattrEvery = 5, nSymlinks = 10,
-    withAtime = true, quotaEvery = 6)
+    withAtime = true, quotaEvery = 6, permVariety = true)
   // image file keyed by the spec: changing Gen invalidates the cached file
   private val ImagePath = s"$BaseDir/sample-${Gen.hashCode.toHexString}.img"
   private val ExportDir = s"$BaseDir/inodes"
@@ -149,13 +149,39 @@ object FsImageQueries extends QueryModule {
     GROUP BY storage_policy, ec_policy
     ORDER BY storage_policy, ec_policy"""
 
+  /** Permission audit (the security first pass an admin runs on a new
+    * image): per octal mode — file count, bytes, and whether the mode is
+    * world-writable (other-write bit of the last octal digit). Tiny
+    * key-domain aggregation with map-side combine. */
+  def fsimagePermAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = ensureExport(spark)
+    df.filter(col("ftype") === "F")
+      .groupBy(col("perm"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("sum_size"))
+      .withColumn("world_writable",
+        (substring(col("perm"), -1, 1).cast("int").bitwiseAND(lit(2)) > 0).cast("int"))
+      .orderBy(col("perm"))
+  }
+
+  val fsimagePermAuditSql: String = s"""
+    SELECT perm, count(*) AS n_files,
+           CAST(sum(size) AS bigint) AS sum_size,
+           CAST(CASE WHEN (CAST(right(perm, 1) AS int) & 2) > 0
+                THEN 1 ELSE 0 END AS int) AS world_writable
+    FROM read_parquet('$ExportDir/*.parquet')
+    WHERE ftype = 'F'
+    GROUP BY perm
+    ORDER BY perm"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_fsimage_summary"  -> (fsimageSummary _),
-    "q_fsimage_quotas"   -> (fsimageQuotas _),
-    "q_fsimage_policies" -> (fsimagePolicies _))
+    "q_fsimage_summary"    -> (fsimageSummary _),
+    "q_fsimage_quotas"     -> (fsimageQuotas _),
+    "q_fsimage_policies"   -> (fsimagePolicies _),
+    "q_fsimage_perm_audit" -> (fsimagePermAudit _))
 
   val oracles: Map[String, String] = Map(
-    "q_fsimage_summary"  -> fsimageSummarySql,
-    "q_fsimage_quotas"   -> fsimageQuotasSql,
-    "q_fsimage_policies" -> fsimagePoliciesSql)
+    "q_fsimage_summary"    -> fsimageSummarySql,
+    "q_fsimage_quotas"     -> fsimageQuotasSql,
+    "q_fsimage_policies"   -> fsimagePoliciesSql,
+    "q_fsimage_perm_audit" -> fsimagePermAuditSql)
 }

@@ -25,7 +25,8 @@ object ImageGen {
                            nRefs: Int = 0,      // snapshot-rename INODE_REFERENCE rows
                            withAtime: Boolean = false,
                            quotaEvery: Int = 0, // every k-th dir gets ns/ds quotas
-                           chainDirs: Int = 0)  // first k dirs nest root→d0→d1→…
+                           chainDirs: Int = 0,  // first k dirs nest root→d0→d1→…
+                           permVariety: Boolean = false) // 0666/0600 modes mixed in
 
   /** Ground truth the generator guarantees, for specs to assert against. */
   final case class GenSummary(sumFileSize: Long, sumConsumed: Long,
@@ -155,7 +156,11 @@ object ImageGen {
           f.tag(2, 0).varint(1700000000000L + i)
           f.tag(4, 0).varint(128L << 20) // preferredBlockSize
           if (withAtime) f.tag(3, 0).varint(1710000000000L + i * 1000L)
-          f.tag(5, 1).fixed64(perm(1 + i % 20, 1 + i % 10, 0x1A4))
+          val mode =
+            if (permVariety && i % 7 == 0) 0x1B6       // 0666 world-writable
+            else if (permVariety && i % 11 == 0) 0x180 // 0600 owner-only
+            else 0x1A4                                 // 0644
+          f.tag(5, 1).fixed64(perm(1 + i % 20, 1 + i % 10, mode))
           f.msg(6)(b => { b.tag(1, 0).varint(id); b.tag(2, 0).varint(1); b.tag(3, 0).varint(size) })
           if (hasAcl) f.msg(8)(a => a.msg(2)(p => aclEntries.foreach(e => p.fixed32(e))))
           if (hasXattr) writeXattrs(f, 9, i)
