@@ -898,17 +898,21 @@ object Analytics extends QueryModule {
     ORDER BY cohort_day, offset_days"""
 
   /** Market-basket affinity: part pairs co-occurring in the same order,
-    * ranked by support. The self-join is WITHIN l_orderkey — order size
-    * is a small bounded constant (~7 lines), so the per-key fan-out is
-    * O(size²), never corpus-quadratic; one shuffle on the order key,
-    * pair aggregation with map-side combine, top-20 as TakeOrdered. */
+    * ranked by support. Baskets collapse to a sorted distinct-part array
+    * per order (collect_set folds the dedup into ONE shuffle), then the
+    * pair expansion is a per-row array transform — map-side, bounded
+    * O(order-size²) per row, never a self-join of the fact table. Pair
+    * aggregation with map-side combine; top-20 as TakeOrdered. */
   def qBasketPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-        col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+    val baskets = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("a"), y.as("b"))))))
+        .as("p"))
+      .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(20)
