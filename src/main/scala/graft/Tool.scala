@@ -95,6 +95,9 @@ object Tool {
         Reports.growthProfile(inodes)
       case "dupnames" =>
         Reports.dupNames(inodes, topN)
+      case "du" =>
+        Reports.duReport(inodes,
+          maxDepth = opts.get("-d").map(_.toInt).getOrElse(2), topN = topN)
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other")
     }

@@ -275,6 +275,26 @@ object Reports {
       .orderBy(col("n_copies").desc, col("name"))
       .limit(topN)
 
+  /** `du --max-depth` equivalent: subtree bytes + file count per directory
+    * down to `maxDepth`, largest first — the disk-usage triage view. Same
+    * pre-aggregate-then-ancestor-explode shape as the hotspot reports
+    * (explode input = #dirs, not #files); the depth cut drops deep dirs
+    * BEFORE the final aggregation, so the shuffled key domain is the
+    * (tiny) shallow-dir set. Top-N as TakeOrdered. */
+  def duReport(inodes: DataFrame, maxDepth: Int = 2, topN: Int = 20): DataFrame = {
+    val slashes = length(col("dir")) - length(translate(col("dir"), "/", ""))
+    inodes.filter(col("ftype") === "F")
+      .groupBy(parentDir.as("pdir"))
+      .agg(sum(col("size")).as("psum"), count(lit(1)).as("pcnt"))
+      .select(explode(selfAndAncestors(col("pdir"))).as("dir"),
+        col("psum"), col("pcnt"))
+      .filter(slashes <= maxDepth) // root's single slash rides along
+      .groupBy(col("dir"))
+      .agg(sum(col("psum")).as("sum_size"), sum(col("pcnt")).as("n_files"))
+      .orderBy(col("sum_size").desc, col("dir"))
+      .limit(topN)
+  }
+
   /** Capacity growth profile: files/bytes added per mtime month plus the
     * running total — the namenode capacity-planning view ("when do we hit
     * the cliff"). One shuffle onto a |months| key domain with map-side

@@ -241,6 +241,21 @@ object NamespaceQueries extends QueryModule {
     GROUP BY 1
     ORDER BY mtime_year"""
 
+  /** du --max-depth=2: subtree bytes per shallow directory
+    * ([[graft.operators.Reports.duReport]]). */
+  def du(spark: SparkSession, sfDir: String): DataFrame =
+    Reports.duReport(inodes(spark, sfDir))
+
+  val duSql: String = NamespaceSql.cte + """
+    SELECT dir, CAST(sum(size) AS bigint) AS sum_size, count(*) AS n_files
+    FROM (
+      SELECT unnest(list_value('/', '/' || sp[2], '/' || sp[2] || '/' || sp[3])) AS dir, size
+      FROM (SELECT string_split(path, '/') AS sp, size FROM inodes WHERE ftype='F')
+    )
+    GROUP BY dir
+    ORDER BY sum_size DESC, dir
+    LIMIT 20"""
+
   /** Capacity growth: files/bytes per mtime month + running total
     * ([[graft.operators.Reports.growthProfile]]). */
   def growth(spark: SparkSession, sfDir: String): DataFrame =
@@ -259,6 +274,7 @@ object NamespaceQueries extends QueryModule {
     ORDER BY month"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ns_du"                 -> (du _),
     "q_ns_growth"             -> (growth _),
     "q_ns_summary_overall"    -> (summaryOverall _),
     "q_ns_summary_by_user"    -> (summaryByUser _),
@@ -275,6 +291,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_dup_names"          -> (dupNames _))
 
   val oracles: Map[String, String] = Map(
+    "q_ns_du"                 -> duSql,
     "q_ns_growth"             -> growthSql,
     "q_ns_summary_overall"    -> summaryOverallSql,
     "q_ns_summary_by_user"    -> summaryByUserSql,

@@ -112,6 +112,8 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(run("inode", "-i" -> "/dir_1").head.getAs[Long]("ns_quota") == -1L)
       assert(run("growth").count() > 0)
       assert(run("dupnames").count() == 0) // generated names are unique
+      // du at depth 1: root + the 4 dirs
+      assert(run("du", "-d" -> "1").count() == 5)
       assert(run("sections").count() >= 3)
       assert(run("snapshots").count() == 0) // image carries no SNAPSHOT section
       assert(run("refs").count() == 0)      // ...nor an INODE_REFERENCE one
