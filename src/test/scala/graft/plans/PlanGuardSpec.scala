@@ -21,7 +21,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_ns_summary_by_user", "q_ns_small_files_hotspots",
                   "t_bm25_search", "q_retention", "q_transitions",
                   "q_ns_dup_names", "t_bigram_surprisal", "q_fsimage_quotas",
-                  "q_basket_pairs", "q_ns_growth"))
+                  "q_basket_pairs", "q_ns_growth", "q_ns_du",
+                  "t_len_histogram", "q_fsimage_perm_audit"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
