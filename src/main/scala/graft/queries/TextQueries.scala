@@ -980,6 +980,42 @@ object TextQueries extends QueryModule {
     WHERE rnk <= t_s
     ORDER BY doc_id"""
 
+  /** Shingle novelty scoring: per doc, the share of its distinct 3-gram
+    * shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    * high novelty = genuinely new content, low = recombination of text
+    * already in the corpus. The redundancy-aware quality signal a
+    * curriculum/dedup pipeline ranks by. One exchange on the 60-bit
+    * shingle key feeds the first-occurrence window AND the per-doc
+    * aggregation (reused, same as the jaccard df window). */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("sh"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.word_shingle_keys(col("text"))).as("sh"))
+      .withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        floor(col("n_novel") * 10000.0 / col("n_sh")).cast("long").as("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltySql: String = s"""
+    WITH sh AS (
+      SELECT doc_id, unnest(${shingleKeysSql("text")}) AS sh
+      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+    ), fb AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY sh) AS first_doc FROM sh
+    )
+    SELECT doc_id, count(*) AS n_sh,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS bigint) AS n_novel,
+           CAST(floor(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 10000.0
+                / count(*)) AS bigint) AS novelty_bp
+    FROM fb
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   // ----------------------------------------------------------- RAG chunking
 
   private val ChunkWords = 64
@@ -1215,6 +1251,7 @@ object TextQueries extends QueryModule {
     "t_sample_stratified" -> (sampleStratified _),
     "t_sqrt_sample"   -> (sqrtSample _),
     "t_len_histogram" -> (lenHistogram _),
+    "t_novelty"       -> (novelty _),
     "t_vocab"         -> (vocab _),
     "t_decontaminate" -> (decontaminate _),
     "t_lm_surprisal"  -> (lmSurprisal _),
@@ -1244,6 +1281,7 @@ object TextQueries extends QueryModule {
     "t_sample_stratified" -> sampleStratifiedSql,
     "t_sqrt_sample"   -> sqrtSampleSql,
     "t_len_histogram" -> lenHistogramSql,
+    "t_novelty"       -> noveltySql,
     "t_vocab"         -> vocabSql,
     "t_decontaminate" -> decontaminateSql,
     "t_lm_surprisal"  -> lmSurprisalSql,
