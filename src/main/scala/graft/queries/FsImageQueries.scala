@@ -173,13 +173,41 @@ object FsImageQueries extends QueryModule {
     GROUP BY perm
     ORDER BY perm"""
 
+  /** Symlink resolution report: every symlink with its target and whether
+    * the target path exists in the image (dangling-link detection — the
+    * consistency check admins run after mass deletes/migrations). Left
+    * join on the target path; the symlink side is tiny, so at scale it
+    * broadcasts against the inode table. */
+  def fsimageSymlinks(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = ensureExport(spark)
+    val targets = df.select(col("path").as("symlink_target"))
+    df.filter(col("ftype") === "S")
+      .select(col("path"), col("symlink_target"))
+      .join(targets.withColumn("resolved", lit(1)).distinct(),
+        Seq("symlink_target"), "left")
+      .select(col("path"), col("symlink_target"),
+        coalesce(col("resolved"), lit(0)).as("resolved"))
+      .orderBy(col("path"))
+  }
+
+  val fsimageSymlinksSql: String = s"""
+    WITH inodes AS (SELECT * FROM read_parquet('$ExportDir/*.parquet'))
+    SELECT s.path, s.symlink_target,
+           CAST(CASE WHEN t.path IS NOT NULL THEN 1 ELSE 0 END AS int) AS resolved
+    FROM (SELECT path, symlink_target FROM inodes WHERE ftype = 'S') s
+    LEFT JOIN (SELECT DISTINCT path FROM inodes) t
+      ON s.symlink_target = t.path
+    ORDER BY s.path"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fsimage_symlinks"   -> (fsimageSymlinks _),
     "q_fsimage_summary"    -> (fsimageSummary _),
     "q_fsimage_quotas"     -> (fsimageQuotas _),
     "q_fsimage_policies"   -> (fsimagePolicies _),
     "q_fsimage_perm_audit" -> (fsimagePermAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q_fsimage_symlinks"   -> fsimageSymlinksSql,
     "q_fsimage_summary"    -> fsimageSummarySql,
     "q_fsimage_quotas"     -> fsimageQuotasSql,
     "q_fsimage_policies"   -> fsimagePoliciesSql,
