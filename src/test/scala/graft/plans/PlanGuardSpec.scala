@@ -22,7 +22,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "t_bm25_search", "q_retention", "q_transitions",
                   "q_ns_dup_names", "t_bigram_surprisal", "q_fsimage_quotas",
                   "q_basket_pairs", "q_ns_growth", "q_ns_du",
-                  "t_len_histogram", "q_fsimage_perm_audit"))
+                  "t_len_histogram", "q_fsimage_perm_audit",
+                  "q_fsimage_symlinks", "t_novelty"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
