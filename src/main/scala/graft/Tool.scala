@@ -50,6 +50,7 @@ object Tool {
       case "sections"  => return FsImageSource.sections(spark, image)
       case "snapshots" => return FsImageSource.snapshots(spark, image)
       case "refs"      => return FsImageSource.inodeReferences(spark, image)
+      case "diffs"     => return FsImageSource.snapshotDiffs(spark, image)
       case _           => ()
     }
     val all =

@@ -88,6 +88,30 @@ object FsImageSource {
     spark.createDataset(rows).toDF()
   }
 
+  final case class FsSnapshotDiff(inode_id: Long, diff_type: String,
+                                  snapshot_id: Int, file_size: Long,
+                                  name: String, n_created: Int, n_deleted: Int)
+
+  /** SNAPSHOT_DIFF section: one row per (inode, snapshot) diff — the
+    * per-snapshot file length for files, created/deleted child counts for
+    * directories. Join inode_id on inodes.id for the live path. Empty
+    * when the image carries no snapshot diffs. */
+  def snapshotDiffs(spark: SparkSession, imagePath: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val summary = FsImageFormat.readSummary(imagePath, conf)
+    import spark.implicits._
+    val rows = summary.sections.find(_.name == "SNAPSHOT_DIFF") match {
+      case None => Seq.empty[FsSnapshotDiff]
+      case Some(sec) =>
+        val bytes = FsImageFormat.maybeDecompress(
+          FsImageFormat.readSection(imagePath, sec, conf), summary.codec)
+        FsImageFormat.parseSnapshotDiffs(bytes).map(d =>
+          FsSnapshotDiff(d.inodeId, d.diffType, d.snapshotId, d.fileSize,
+            d.name, d.nCreated, d.nDeleted))
+    }
+    spark.createDataset(rows).toDF()
+  }
+
   final case class FsInodeRef(referred_id: Long, name: String,
                               dst_snapshot_id: Int, last_snapshot_id: Int)
 

@@ -795,6 +795,76 @@ object FsImageFormat {
       InodeReference(rid, name, dst, last)
     }.toVector
 
+  // --------------------------------------------------------- snapshot diffs
+
+  final case class SnapshotDiff(inodeId: Long, diffType: String,
+                                snapshotId: Int, fileSize: Long, name: String,
+                                nCreated: Int, nDeleted: Int)
+
+  /** SNAPSHOT_DIFF section (public fsimage.proto SnapshotDiffSection):
+    * a stream of delimited DiffEntry {type=1 (1=file, 2=dir), inodeId=2,
+    * numOfDiff=3} headers, each followed by its numOfDiff delimited
+    * FileDiff {snapshotId=1, fileSize=2, name=3, …} or DirectoryDiff
+    * {snapshotId=1, …, name=4, createdListSize=6, deletedINode=7 packed,
+    * deletedINodeRef=8 packed} messages — and each DirectoryDiff by its
+    * createdListSize delimited CreatedListEntry messages (Hadoop
+    * FSImageFormatPBSnapshot.serializeSnapshotDiffSection's exact
+    * stream shape). Diffs record what changed between a snapshot and the
+    * next state: per-snapshot file length for files, created/deleted
+    * child sets for directories. */
+  def parseSnapshotDiffs(bytes: Array[Byte]): Seq[SnapshotDiff] = {
+    val it = delimited(bytes, 0, bytes.length)
+    val out = Vector.newBuilder[SnapshotDiff]
+    while (it.hasNext) {
+      val e = it.next()
+      var typ = 0; var id = 0L; var n = 0
+      e.eachField { (fn, wt, r) =>
+        (fn, wt) match {
+          case (1, 0) => typ = r.varint().toInt
+          case (2, 0) => id = r.varint()
+          case (3, 0) => n = r.varint().toInt
+          case _      => r.skip(wt)
+        }
+      }
+      var k = 0
+      while (k < n && it.hasNext) {
+        val d = it.next()
+        if (typ == 1) { // FileDiff
+          var sid = 0; var fsz = 0L; var nm = ""
+          d.eachField { (fn, wt, r) =>
+            (fn, wt) match {
+              case (1, 0) => sid = r.varint().toInt
+              case (2, 0) => fsz = r.varint()
+              case (3, 2) => nm = new String(r.bytes(r.varint().toInt), "UTF-8")
+              case _      => r.skip(wt)
+            }
+          }
+          out += SnapshotDiff(id, "F", sid, fsz, nm, 0, 0)
+        } else { // DirectoryDiff
+          var sid = 0; var nm = ""; var created = 0; var deleted = 0
+          d.eachField { (fn, wt, r) =>
+            (fn, wt) match {
+              case (1, 0) => sid = r.varint().toInt
+              case (4, 2) => nm = new String(r.bytes(r.varint().toInt), "UTF-8")
+              case (6, 0) => created = r.varint().toInt
+              case (7, 2) => val p = r.subMessage(); while (p.hasMore) { p.varint(); deleted += 1 }
+              case (7, 0) => r.varint(); deleted += 1
+              case (8, 2) => val p = r.subMessage(); while (p.hasMore) { p.varint(); deleted += 1 }
+              case (8, 0) => r.varint(); deleted += 1
+              case _      => r.skip(wt)
+            }
+          }
+          // consume the trailing CreatedListEntry stream
+          var c = 0
+          while (c < created && it.hasNext) { it.next(); c += 1 }
+          out += SnapshotDiff(id, "D", sid, 0L, nm, created, deleted)
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
   /** Permission fixed64 layout (Hadoop PermissionStatusFormat):
     * user serial «40 | group serial «16 | mode (16 bits). */
   def permMode(perm: Long): Int = (perm & 0xFFFF).toInt

@@ -26,7 +26,8 @@ object ImageGen {
                            withAtime: Boolean = false,
                            quotaEvery: Int = 0, // every k-th dir gets ns/ds quotas
                            chainDirs: Int = 0,  // first k dirs nest root→d0→d1→…
-                           permVariety: Boolean = false) // 0666/0600 modes mixed in
+                           permVariety: Boolean = false, // 0666/0600 modes mixed in
+                           nDiffs: Int = 0)     // SNAPSHOT_DIFF entries (alternating file/dir)
 
   /** Ground truth the generator guarantees, for specs to assert against. */
   final case class GenSummary(sumFileSize: Long, sumConsumed: Long,
@@ -254,13 +255,50 @@ object ImageGen {
       }
     }
 
+    // SNAPSHOT_DIFF section: alternating FileDiff / DirectoryDiff entries
+    // in Hadoop's exact stream shape — DiffEntry header, then its diff
+    // messages, then (dirs only) the trailing CreatedListEntry stream
+    val diffSection = new W
+    if (nDiffs > 0 && nFiles > 0 && nDirs > 0) {
+      (0 until nDiffs).foreach { i =>
+        val sid = i % math.max(nSnapshots, 1)
+        if (i % 2 == 0) { // FILEDIFF on file i%nFiles
+          diffSection.delimited { e =>
+            e.tag(1, 0).varint(1)
+            e.tag(2, 0).varint(fileIds(i % nFiles))
+            e.tag(3, 0).varint(1)
+          }
+          diffSection.delimited { d =>
+            d.tag(1, 0).varint(sid)
+            d.tag(2, 0).varint(512L * (i + 1))
+            d.str(3, s"f_${i % nFiles}.dat")
+          }
+        } else { // DIRECTORYDIFF on dir i%nDirs, 2 created + 2 deleted
+          diffSection.delimited { e =>
+            e.tag(1, 0).varint(2)
+            e.tag(2, 0).varint(dirIds(i % nDirs))
+            e.tag(3, 0).varint(1)
+          }
+          diffSection.delimited { d =>
+            d.tag(1, 0).varint(sid)
+            d.str(4, s"dir_${i % nDirs}")
+            d.tag(6, 0).varint(2)
+            d.msg(7)(p => { p.varint(fileIds(i % nFiles)); p.varint(fileIds((i + 1) % nFiles)) })
+          }
+          diffSection.delimited(c => c.str(1, s"created_a_$i"))
+          diffSection.delimited(c => c.str(1, s"created_b_$i"))
+        }
+      }
+    }
+
     val fos = new FileOutputStream(path)
     val dos = new DataOutputStream(fos)
     dos.write("HDFSIMG1".getBytes("ASCII"))
     var offset = 8L
     val sections = Seq("INODE" -> inodes, "INODE_DIR" -> dirSection, "STRING_TABLE" -> strings) ++
       (if (nSnapshots > 0 && nDirs > 0) Seq("SNAPSHOT" -> snapSection) else Nil) ++
-      (if (nRefs > 0 && nFiles > 0) Seq("INODE_REFERENCE" -> refSection) else Nil)
+      (if (nRefs > 0 && nFiles > 0) Seq("INODE_REFERENCE" -> refSection) else Nil) ++
+      (if (nDiffs > 0 && nFiles > 0 && nDirs > 0) Seq("SNAPSHOT_DIFF" -> diffSection) else Nil)
     val located = sections.map { case (name, w) =>
       val b = w.out.toByteArray
       dos.write(b)

@@ -117,6 +117,7 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(run("sections").count() >= 3)
       assert(run("snapshots").count() == 0) // image carries no SNAPSHOT section
       assert(run("refs").count() == 0)      // ...nor an INODE_REFERENCE one
+      assert(run("diffs").count() == 0)     // ...nor SNAPSHOT_DIFF
       // subtree option restricts the inode set
       assert(run("path", "-p" -> "/dir_0").count() <
              run("path").count())

@@ -277,6 +277,34 @@ class FsImageSourceSpec extends SparkSpecBase {
     new java.io.File(img2).delete()
   }
 
+  test("SNAPSHOT_DIFF entries parse with their created/deleted streams") {
+    import graft.sources.fsimage.ImageGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_diff").toFile
+    val img = new java.io.File(dir, "diff.img").getPath
+    ImageGen.write(img, ImageGen.GenSpec(nDirs = 3, nFiles = 20,
+      nSnapshots = 2, nDiffs = 6))
+    val d = FsImageSource.snapshotDiffs(spark, img).collect()
+    assert(d.length == 6)
+    val files = d.filter(_.getAs[String]("diff_type") == "F")
+    val dirs = d.filter(_.getAs[String]("diff_type") == "D")
+    assert(files.length == 3 && dirs.length == 3)
+    // file diffs carry the per-snapshot length; i=0,2,4 → 512·(i+1)
+    assert(files.map(_.getAs[Long]("file_size")).sorted.toSeq ==
+           Seq(512L, 1536L, 2560L))
+    // dir diffs: the created-list stream is consumed (2 entries each),
+    // deleted inode ids counted from the packed field
+    assert(dirs.forall(r => r.getAs[Int]("n_created") == 2 &&
+                            r.getAs[Int]("n_deleted") == 2))
+    assert(dirs.map(_.getAs[String]("name")).toSet ==
+           Set("dir_0", "dir_1", "dir_2")) // i = 1,3,5 → i%3 = 1,0,2
+    // no-section image → empty frame, same schema
+    val img2 = new java.io.File(dir, "nodiff.img").getPath
+    ImageGen.write(img2, ImageGen.GenSpec(nDirs = 2, nFiles = 5))
+    assert(FsImageSource.snapshotDiffs(spark, img2).count() == 0)
+    new java.io.File(img).delete()
+    new java.io.File(img2).delete()
+  }
+
   test("INODE_REFERENCE section parses and joins back to inodes") {
     import graft.sources.fsimage.ImageGen
     val dir = java.nio.file.Files.createTempDirectory("graft_refs").toFile
