@@ -21,10 +21,12 @@ object FsImageQueries extends QueryModule {
     new java.io.File("target/fsimage-oracle").getAbsolutePath
   private val Gen = ImageGen.GenSpec(nDirs = 50, nFiles = 5000,
     ecEvery = 4, aclEvery = 7, xattrEvery = 5, nSymlinks = 10,
-    withAtime = true, quotaEvery = 6, permVariety = true)
+    withAtime = true, quotaEvery = 6, permVariety = true,
+    nSnapshots = 4, nDiffs = 400)
   // image file keyed by the spec: changing Gen invalidates the cached file
   private val ImagePath = s"$BaseDir/sample-${Gen.hashCode.toHexString}.img"
   private val ExportDir = s"$BaseDir/inodes"
+  private val DiffExportDir = s"$BaseDir/diffs"
 
   private def ensureImage(): Unit = synchronized {
     val f = new java.io.File(ImagePath)
@@ -44,6 +46,8 @@ object FsImageQueries extends QueryModule {
     exportMemo.getOrElseUpdate(
       org.apache.spark.sql.graftshim.sessionKey(spark), {
         ensureImage()
+        FsImageSource.snapshotDiffs(spark, ImagePath)
+          .write.mode("overwrite").parquet(DiffExportDir)
         val df = FsImageSource.inodes(spark, ImagePath)
         df.write.mode("overwrite").parquet(ExportDir)
         df
@@ -199,7 +203,32 @@ object FsImageQueries extends QueryModule {
       ON s.symlink_target = t.path
     ORDER BY s.path"""
 
+  /** Snapshot churn: per (diff kind, snapshot) — diff count, recorded
+    * file bytes, created/deleted child totals over the SNAPSHOT_DIFF
+    * rows. The "what changed between snapshots" accounting an admin
+    * reads before deleting old snapshots. Tiny key-domain aggregation. */
+  def fsimageDiffStats(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExport(spark)
+    FsImageSource.snapshotDiffs(spark, ImagePath)
+      .groupBy(col("diff_type"), col("snapshot_id"))
+      .agg(count(lit(1)).as("n_diffs"),
+        sum(col("file_size")).as("sum_file_size"),
+        sum(col("n_created").cast("long")).as("n_created"),
+        sum(col("n_deleted").cast("long")).as("n_deleted"))
+      .orderBy(col("diff_type"), col("snapshot_id"))
+  }
+
+  val fsimageDiffStatsSql: String = s"""
+    SELECT diff_type, snapshot_id, count(*) AS n_diffs,
+           CAST(sum(file_size) AS bigint) AS sum_file_size,
+           CAST(sum(n_created) AS bigint) AS n_created,
+           CAST(sum(n_deleted) AS bigint) AS n_deleted
+    FROM read_parquet('$DiffExportDir/*.parquet')
+    GROUP BY diff_type, snapshot_id
+    ORDER BY diff_type, snapshot_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fsimage_diff_stats" -> (fsimageDiffStats _),
     "q_fsimage_symlinks"   -> (fsimageSymlinks _),
     "q_fsimage_summary"    -> (fsimageSummary _),
     "q_fsimage_quotas"     -> (fsimageQuotas _),
@@ -207,6 +236,7 @@ object FsImageQueries extends QueryModule {
     "q_fsimage_perm_audit" -> (fsimagePermAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q_fsimage_diff_stats" -> fsimageDiffStatsSql,
     "q_fsimage_symlinks"   -> fsimageSymlinksSql,
     "q_fsimage_summary"    -> fsimageSummarySql,
     "q_fsimage_quotas"     -> fsimageQuotasSql,
