@@ -660,7 +660,39 @@ object VectorQueries extends QueryModule {
            CAST(floor((SELECT count(*) FROM hit) * 10000.0
                 / (SELECT count(*) FROM ex)) AS bigint) AS recall_bp"""
 
+  /** Per-dimension embedding statistics — the index-health check run
+    * before building ANN structures (a dead dimension: min == max; a
+    * scale-skewed one: outsized range). Values quantized to integer
+    * micro-units BEFORE summing (floor(x·10⁶) as long) so the aggregate
+    * is order-independent and oracle-exact — the [[labelCentroids]]
+    * determinism recipe. posexplode is map-side; one shuffle onto the
+    * |dims| key domain with partial aggregation. */
+  def dimStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select((col("pos0") + 1).as("pos"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("q"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("q")).as("min_micro"), max(col("q")).as("max_micro"),
+        sum(col("q")).as("sum_micro"))
+      .orderBy(col("pos"))
+
+  val dimStatsSql: String = """
+    SELECT pos, count(*) AS n_vecs,
+           CAST(min(q) AS bigint) AS min_micro,
+           CAST(max(q) AS bigint) AS max_micro,
+           CAST(sum(q) AS bigint) AS sum_micro
+    FROM (
+      SELECT CAST(unnest(range(1, len(embedding) + 1)) AS bigint) AS pos,
+             unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint))) AS q
+      FROM embeddings
+    )
+    GROUP BY pos
+    ORDER BY pos"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_dim_stats"       -> (dimStats _),
     "d_minhash_recall"  -> (minhashRecall _),
     "e_quantize_int8"   -> (quantizeInt8 _),
     "e_kmeans"          -> (kmeans _),
@@ -675,6 +707,7 @@ object VectorQueries extends QueryModule {
     "e_knn_classify"    -> (knnClassify _))
 
   val oracles: Map[String, String] = Map(
+    "e_dim_stats"       -> dimStatsSql,
     "d_minhash_recall"  -> minhashRecallSql,
     "e_quantize_int8"   -> quantizeInt8Sql,
     "e_kmeans"          -> kmeansSql,
