@@ -100,7 +100,9 @@ object Tool {
         Reports.duReport(inodes,
           maxDepth = opts.get("-d").map(_.toInt).getOrElse(2), topN = topN)
       case other =>
-        throw new IllegalArgumentException(s"unknown command: $other")
+        throw new IllegalArgumentException(s"unknown command: $other " +
+          "(expected one of: summary smallfiles userusage path inode acl " +
+          "xattr quotas growth dupnames du sections snapshots refs diffs)")
     }
   }
 
