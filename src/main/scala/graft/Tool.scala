@@ -11,7 +11,8 @@ import graft.functions.IECBinaryImpl
   * {{{
   * runMain graft.Tool <command> <fsimage> [options]
   *   commands: summary | smallfiles | userusage | path | inode | acl |
-  *             xattr | sections | snapshots | refs
+  *             xattr | quotas | growth | dupnames | du | sections |
+  *             snapshots | refs | diffs
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /)
   *   -fun <regex>      filter by user name (summary/path commands)

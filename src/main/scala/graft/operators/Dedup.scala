@@ -226,7 +226,7 @@ object Dedup {
     * bit-for-bit (false positives included). */
   def bloomMask(corpus: DataFrame, numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame =
     corpus.select(explode(bloomPositions(col("fp"), numBits, numHashes)).as("pos"))
-      .select(expr("CAST(pos DIV 64 AS INT)").as("word"),
+      .select(shiftright(col("pos"), 6).cast("int").as("word"),
         shl1(expr("CAST(pos % 64 AS INT)")).as("bit"))
       .groupBy(col("word")).agg(bit_or(col("bit")).as("bits"))
       .agg(map_from_arrays(collect_list(col("word")), collect_list(col("bits"))).as("mask"))
@@ -237,7 +237,7 @@ object Dedup {
                numBits: Int = 1 << 16, numHashes: Int = 4): Column =
     (0 until numHashes).map { i =>
       val pos = conv(substring(fp, 1 + 8 * i, 8), 16, 10).cast("long") % numBits
-      val word = floor(pos / 64).cast("int")
+      val word = shiftright(pos, 6).cast("int")
       val bit = (pos % 64).cast("int")
       coalesce(element_at(mask, word), lit(0L)).bitwiseAND(shl1(bit)) =!= 0L
     }.reduce(_ && _)

@@ -276,19 +276,23 @@ object Reports {
       .limit(topN)
 
   /** `du --max-depth` equivalent: subtree bytes + file count per directory
-    * down to `maxDepth`, largest first — the disk-usage triage view. Same
-    * pre-aggregate-then-ancestor-explode shape as the hotspot reports
-    * (explode input = #dirs, not #files); the depth cut drops deep dirs
-    * BEFORE the final aggregation, so the shuffled key domain is the
-    * (tiny) shallow-dir set. Top-N as TakeOrdered. */
+    * down to `maxDepth`, largest first — the disk-usage triage view.
+    * Unlike the all-depths hotspot rollups, the depth cap bounds the key
+    * domain by construction, so each file groups directly on its
+    * depth-capped parent prefix: the one shuffle over base data map-side
+    * combines onto the (tiny) shallow-dir set — no intermediate shuffle
+    * over the full (possibly huge) directory domain. The ancestor explode
+    * then runs over that tiny aggregated table. Top-N as TakeOrdered. */
   def duReport(inodes: DataFrame, maxDepth: Int = 2, topN: Int = 20): DataFrame = {
-    val slashes = length(col("dir")) - length(translate(col("dir"), "/", ""))
+    val parts = split(col("path"), "/") // ["", c1, c2, ..., name]
+    val keep = least(size(parts) - 2, lit(maxDepth)) // parent components kept
+    val capped = when(keep <= 0, lit("/"))
+      .otherwise(concat(lit("/"), array_join(slice(parts, lit(2), keep), "/")))
     inodes.filter(col("ftype") === "F")
-      .groupBy(parentDir.as("pdir"))
+      .groupBy(capped.as("pdir"))
       .agg(sum(col("size")).as("psum"), count(lit(1)).as("pcnt"))
       .select(explode(selfAndAncestors(col("pdir"))).as("dir"),
         col("psum"), col("pcnt"))
-      .filter(slashes <= maxDepth) // root's single slash rides along
       .groupBy(col("dir"))
       .agg(sum(col("psum")).as("sum_size"), sum(col("pcnt")).as("n_files"))
       .orderBy(col("sum_size").desc, col("dir"))

@@ -643,7 +643,9 @@ object VectorQueries extends QueryModule {
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
       .select(col("n_exact"), col("n_cand"), col("n_hit"),
-        floor(col("n_hit") * 10000.0 / col("n_exact")).cast("long").as("recall_bp"))
+        when(col("n_exact") === 0, lit(0L))
+          .otherwise(floor(col("n_hit") * 10000.0 / col("n_exact")).cast("long"))
+          .as("recall_bp"))
   }
 
   val minhashRecallSql: String = s"""
@@ -657,8 +659,9 @@ object VectorQueries extends QueryModule {
     SELECT (SELECT count(*) FROM ex) AS n_exact,
            (SELECT count(*) FROM mh) AS n_cand,
            (SELECT count(*) FROM hit) AS n_hit,
-           CAST(floor((SELECT count(*) FROM hit) * 10000.0
-                / (SELECT count(*) FROM ex)) AS bigint) AS recall_bp"""
+           CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 0
+                ELSE CAST(floor((SELECT count(*) FROM hit) * 10000.0
+                     / (SELECT count(*) FROM ex)) AS bigint) END AS recall_bp"""
 
   /** Per-dimension embedding statistics — the index-health check run
     * before building ANN structures (a dead dimension: min == max; a

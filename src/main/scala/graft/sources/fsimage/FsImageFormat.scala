@@ -840,7 +840,7 @@ object FsImageFormat {
             }
           }
           out += SnapshotDiff(id, "F", sid, fsz, nm, 0, 0)
-        } else { // DirectoryDiff
+        } else if (typ == 2) { // DirectoryDiff
           var sid = 0; var nm = ""; var created = 0; var deleted = 0
           d.eachField { (fn, wt, r) =>
             (fn, wt) match {
@@ -858,6 +858,11 @@ object FsImageFormat {
           var c = 0
           while (c < created && it.hasNext) { it.next(); c += 1 }
           out += SnapshotDiff(id, "D", sid, 0L, nm, created, deleted)
+        } else {
+          // fail fast: a diff stream with an unknown entry type cannot be
+          // advanced safely (message framing depends on the type)
+          throw new IllegalArgumentException(
+            s"SnapshotDiff DiffEntry type $typ for inode $id (expected 1=file, 2=dir)")
         }
         k += 1
       }
