@@ -299,6 +299,39 @@ object Reports {
       .limit(topN)
   }
 
+  /** Small-file compaction planner: for every directory holding small
+    * files, the greedy name-order bin packing into `targetBytes` archives
+    * — per dir the small-file count, their bytes, the bin count the pack
+    * needs, and the inode-count reduction (`files_saved`) compaction buys.
+    * The view an HDFS operator acts on after the hotspot report says
+    * "too many small files": it turns the complaint into a concrete
+    * merge plan ranked by namenode-object savings.
+    *
+    * Determinism: bins assigned by exclusive running size in (unique)
+    * name order — `bin = prefix_bytes DIV target` — so both engines
+    * replay the identical packing. Scale shape: one hash partition by
+    * parent dir + in-partition sort (files-per-dir is namenode-bounded,
+    * no dir outgrows an executor), then a partial-aggregable groupBy on
+    * the same key — the sort and the agg share the one shuffle. Top-N as
+    * TakeOrdered. */
+  def compactionPlan(inodes: DataFrame, limitBytes: Long,
+                     targetBytes: Long, topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("pdir")).orderBy(col("name"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    inodes.filter(col("ftype") === "F" && col("size") < limitBytes)
+      .select(parentDir.as("pdir"), col("name"), col("size"))
+      .withColumn("cum", coalesce(sum(col("size")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum DIV $targetBytes"))
+      .groupBy(col("pdir"))
+      .agg(count(lit(1)).as("n_small"), sum(col("size")).as("small_bytes"),
+        (max(col("bin")) + 1).as("n_bins"))
+      .select(col("pdir").as("dir"), col("n_small"), col("small_bytes"),
+        col("n_bins"), (col("n_small") - col("n_bins")).as("files_saved"))
+      .filter(col("files_saved") > 0)
+      .orderBy(col("files_saved").desc, col("dir"))
+      .limit(topN)
+  }
+
   /** Capacity growth profile: files/bytes added per mtime month plus the
     * running total — the namenode capacity-planning view ("when do we hit
     * the cliff"). One shuffle onto a |months| key domain with map-side

@@ -21,6 +21,7 @@ import graft.functions.{size_bucket, bucket_upper, SizeBucketSql}
 object NamespaceQueries extends QueryModule {
 
   private val SmallLimit = 2L * 1024 * 1024 // HFSA default small-file limit (2 MiB)
+  private val CompactTarget = 8L * 1024 * 1024 // compaction archive target (8 MiB)
 
   private def inodes(spark: SparkSession, sfDir: String): DataFrame =
     Namespace.inodes(spark, sfDir)
@@ -130,6 +131,33 @@ object NamespaceQueries extends QueryModule {
     )
     GROUP BY dir
     ORDER BY n_small DESC, dir
+    LIMIT 20"""
+
+  /** Small-file compaction planner ([[graft.operators.Reports.compactionPlan]]):
+    * greedy name-order packing of each dir's small files into 8 MiB
+    * archives, ranked by the inode-count reduction it buys. */
+  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame =
+    Reports.compactionPlan(inodes(spark, sfDir), SmallLimit, CompactTarget)
+
+  val compactionPlanSql: String = NamespaceSql.cte + s"""
+    SELECT dir, n_small, small_bytes, n_bins, n_small - n_bins AS files_saved
+    FROM (
+      SELECT pdir AS dir, count(*) AS n_small,
+             CAST(sum(size) AS bigint) AS small_bytes,
+             max(bin) + 1 AS n_bins
+      FROM (
+        SELECT pdir, size,
+               CAST(coalesce(sum(size) OVER (PARTITION BY pdir ORDER BY name
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS bigint) // $CompactTarget AS bin
+        FROM (SELECT substr(path, 1, greatest(length(path) - length(name) - 1, 1)) AS pdir,
+                     name, size
+              FROM inodes WHERE ftype='F' AND size < $SmallLimit)
+      )
+      GROUP BY pdir
+    )
+    WHERE n_small - n_bins > 0
+    ORDER BY files_saved DESC, dir
     LIMIT 20"""
 
   // ------------------------------------------------------------- user usage
@@ -281,6 +309,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_summary_by_group"   -> (summaryByGroup _),
     "q_ns_size_histogram"     -> (sizeHistogram _),
     "q_ns_small_files_by_user"  -> (smallFilesByUser _),
+    "q_ns_compaction_plan"      -> (compactionPlan _),
     "q_ns_small_files_hotspots" -> (smallFilesHotspots _),
     "q_ns_user_usage"         -> (userUsage _),
     "q_ns_path_report"        -> (pathReport _),
@@ -298,6 +327,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_summary_by_group"   -> summaryByGroupSql,
     "q_ns_size_histogram"     -> sizeHistogramSql,
     "q_ns_small_files_by_user"  -> smallFilesByUserSql,
+    "q_ns_compaction_plan"      -> compactionPlanSql,
     "q_ns_small_files_hotspots" -> smallFilesHotspotsSql,
     "q_ns_user_usage"         -> userUsageSql,
     "q_ns_path_report"        -> pathReportSql,

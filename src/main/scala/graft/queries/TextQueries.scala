@@ -241,6 +241,45 @@ object TextQueries extends QueryModule {
     FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
     ORDER BY doc_id"""
 
+  /** Per-source duplication accounting: how much of each source is exact
+    * duplicates — the first number a corpus curator asks for before
+    * choosing mix weights ("is this crawl 40 % boilerplate?"). Per source:
+    * docs, distinct texts (by md5 — the exact-dedup key), duplicate rows,
+    * dup share in basis points, and duplicated bytes (chars beyond each
+    * text's first copy). One shuffle on (source, fp) with map-side
+    * combine, then a second onto the tiny source domain. */
+  def dupRatioBySource(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"), md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("copies"), min(col("n_chars")).as("nc"))
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum((col("copies") - 1) * col("nc")).as("dup_chars"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dup"),
+        expr("(n_docs - n_unique) * 10000 DIV n_docs").as("dup_bp"),
+        col("dup_chars"))
+      .orderBy(col("source"))
+
+  val dupRatioBySourceSql: String = """
+    SELECT source, n_docs, n_unique, n_docs - n_unique AS n_dup,
+           ((n_docs - n_unique) * 10000) // n_docs AS dup_bp,
+           dup_chars
+    FROM (
+      SELECT source, CAST(sum(copies) AS bigint) AS n_docs,
+             count(*) AS n_unique,
+             CAST(sum((copies - 1) * nc) AS bigint) AS dup_chars
+      FROM (
+        SELECT source, md5(text) AS fp, count(*) AS copies,
+               min(n_chars) AS nc
+        FROM documents
+        GROUP BY source, md5(text)
+      )
+      GROUP BY source
+    )
+    ORDER BY source"""
+
   /** TF-IDF-flavored salient terms: top-5 terms per document ranked by an
     * integer score tf·⌊10^6/df⌋ (pure integer arithmetic → bit-portable;
     * rarer terms score higher). df computed once per term (shuffle on
@@ -1246,6 +1285,7 @@ object TextQueries extends QueryModule {
     "t_lang_id"       -> (langId _),
     "t_lang_confusion" -> (langConfusion _),
     "t_fingerprint"   -> (fingerprint _),
+    "t_dup_ratio_by_source" -> (dupRatioBySource _),
     "t_doc_terms"     -> (docTerms _),
     "t_repetition"    -> (repetition _),
     "t_sample_stratified" -> (sampleStratified _),
@@ -1276,6 +1316,7 @@ object TextQueries extends QueryModule {
     "t_lang_id"       -> langIdSql,
     "t_lang_confusion" -> langConfusionSql,
     "t_fingerprint"   -> fingerprintSql,
+    "t_dup_ratio_by_source" -> dupRatioBySourceSql,
     "t_doc_terms"     -> docTermsSql,
     "t_repetition"    -> repetitionSql,
     "t_sample_stratified" -> sampleStratifiedSql,

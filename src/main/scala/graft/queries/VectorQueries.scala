@@ -525,10 +525,14 @@ object VectorQueries extends QueryModule {
       .fit(Tables.embeddings(spark, sfDir), KmeansK, KmeansIters)
       .orderBy(col("vec_id"))
 
-  val kmeansSql: String = {
+  /** The k-means trajectory as a reusable `WITH …` CTE chain ending at
+    * `fin` (vec_id, k, dist — the final assignment), shared by the kmeans,
+    * cluster-quality and medoid oracles so all three replay the one
+    * integer-exact trajectory. */
+  private val kmeansCtes: String = {
     // the same iteration unrolled as a CTE chain: a_i assigns against c_{i-1},
-    // c_i re-averages; the final SELECT is the (iters+1)-th assignment
-    def assignCte(i: Int, cents: String) = s"""a$i AS (
+    // c_i re-averages; `fin` is the (iters+1)-th assignment
+    def assignCte(name: String, cents: String) = s"""$name AS (
       SELECT vec_id, k, dist FROM (
         SELECT vec_id, k, dist,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
@@ -543,7 +547,7 @@ object VectorQueries extends QueryModule {
       GROUP BY a.k, v.pos
     )"""
     val chain = (1 to KmeansIters).map(i =>
-      assignCte(i, s"c${i - 1}") + ", " + centCte(i)).mkString(", ")
+      assignCte(s"a$i", s"c${i - 1}") + ", " + centCte(i)).mkString(", ")
     s"""
     WITH q AS (
       SELECT vec_id,
@@ -556,17 +560,104 @@ object VectorQueries extends QueryModule {
       SELECT v.vec_id AS k, v.pos, v.q AS c FROM q v
       WHERE v.vec_id IN (SELECT vec_id FROM seeds)
     ), $chain,
-    fin AS (
-      SELECT vec_id, k, dist FROM (
-        SELECT vec_id, k, dist,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
-        FROM (SELECT v.vec_id, c.k, CAST(sum((v.q - c.c) * (v.q - c.c)) AS bigint) AS dist
-              FROM q v JOIN c$KmeansIters c ON v.pos = c.pos
-              GROUP BY v.vec_id, c.k)
-      ) WHERE rn = 1
-    )
-    SELECT vec_id, k AS cluster, dist FROM fin ORDER BY vec_id"""
+    ${assignCte("fin", s"c$KmeansIters")}"""
   }
+
+  val kmeansSql: String =
+    s"""$kmeansCtes
+    SELECT vec_id, k AS cluster, dist FROM fin ORDER BY vec_id"""
+
+  // ------------------------------------------------------ cluster quality
+
+  /** Cluster-quality metrics over the k-means fit (SURVEY §7 r4) — the
+    * index-health view before trusting IVF cells or diversity buckets:
+    * per cluster its population, within-cluster scatter (WCSS and mean
+    * squared distance, exact bigints in millionths²), squared distance to
+    * the nearest OTHER centroid, and a Davies-Bouldin-flavored
+    * compactness/separation ratio in basis points (integer division, so
+    * both engines agree bit-for-bit). Scale shape: the fit is the heavy
+    * part (see [[graft.operators.KMeans]]); everything here aggregates
+    * onto the k-row cluster domain, and the k·dim centroid table pairwise
+    * join is k²·dim rows — driver-trivial at any corpus size. */
+  def clusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val fit = graft.operators.KMeans.fit(e, KmeansK, KmeansIters)
+      .localCheckpoint() // feeds the centroid rebuild AND the per-cluster agg
+    val vecs = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("q"))
+    // centroids of the FINAL assignment (same floor(sum/n) update rule)
+    val cf = fit.join(vecs, "vec_id")
+      .groupBy(col("cluster"), col("pos"))
+      .agg(floor(sum(col("q")) * 1.0 / count(lit(1))).cast("long").as("c"))
+    val cd = cf.select(col("cluster").as("ka"), col("pos"), col("c").as("ca"))
+      .join(cf.select(col("cluster").as("kb"), col("pos"), col("c").as("cb")),
+        "pos")
+      .filter(col("ka") =!= col("kb"))
+      .groupBy(col("ka"), col("kb"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("d2"))
+    val sep = cd.groupBy(col("ka").as("cluster")).agg(min(col("d2")).as("d_min"))
+    fit.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("wcss"))
+      .withColumn("mean_dist",
+        floor(col("wcss") * 1.0 / col("n_vecs")).cast("long"))
+      .join(broadcast(sep), "cluster")
+      .withColumn("compact_bp", expr("mean_dist * 10000 DIV d_min"))
+      .select(col("cluster"), col("n_vecs"), col("wcss"), col("mean_dist"),
+        col("d_min"), col("compact_bp"))
+      .orderBy(col("cluster"))
+  }
+
+  val clusterQualitySql: String =
+    s"""$kmeansCtes,
+    cf AS (
+      SELECT f.k AS cluster, v.pos,
+             CAST(floor(sum(v.q) * 1.0 / count(*)) AS bigint) AS c
+      FROM fin f JOIN q v ON f.vec_id = v.vec_id
+      GROUP BY f.k, v.pos
+    ), cd AS (
+      SELECT a.cluster AS ka, b.cluster AS kb,
+             CAST(sum((a.c - b.c) * (a.c - b.c)) AS bigint) AS d2
+      FROM cf a JOIN cf b ON a.pos = b.pos AND a.cluster <> b.cluster
+      GROUP BY a.cluster, b.cluster
+    ), sep AS (
+      SELECT ka AS cluster, min(d2) AS d_min FROM cd GROUP BY ka
+    )
+    SELECT f.k AS cluster, count(*) AS n_vecs,
+           CAST(sum(f.dist) AS bigint) AS wcss,
+           CAST(floor(sum(f.dist) * 1.0 / count(*)) AS bigint) AS mean_dist,
+           s.d_min AS d_min,
+           (CAST(floor(sum(f.dist) * 1.0 / count(*)) AS bigint) * 10000) // s.d_min
+             AS compact_bp
+    FROM fin f JOIN sep s ON f.k = s.cluster
+    GROUP BY f.k, s.d_min
+    ORDER BY cluster"""
+
+  /** Cluster medoid-ish representatives: per cluster the vector closest to
+    * its centroid (ties to the smaller vec_id) — the pick behind
+    * cluster-stratified diversity sampling ("one exemplar per region of
+    * embedding space"). A k-row bounded output; the argmin is one
+    * partial-aggregable min(struct) over the fit. */
+  def medoids(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.KMeans
+      .fit(Tables.embeddings(spark, sfDir), KmeansK, KmeansIters)
+      .groupBy(col("cluster"))
+      .agg(min(struct(col("dist"), col("vec_id"))).as("m"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("cluster"), col("m.vec_id").as("medoid_id"),
+        col("m.dist").as("medoid_dist"), col("n_vecs"))
+      .orderBy(col("cluster"))
+
+  val medoidsSql: String =
+    s"""$kmeansCtes
+    SELECT k AS cluster,
+           first(vec_id ORDER BY dist, vec_id) AS medoid_id,
+           min(dist) AS medoid_dist,
+           count(*) AS n_vecs
+    FROM fin
+    GROUP BY k
+    ORDER BY cluster"""
 
   // ------------------------------------------------------- int8 quantization
 
@@ -699,6 +790,8 @@ object VectorQueries extends QueryModule {
     "d_minhash_recall"  -> (minhashRecall _),
     "e_quantize_int8"   -> (quantizeInt8 _),
     "e_kmeans"          -> (kmeans _),
+    "e_cluster_quality" -> (clusterQuality _),
+    "e_medoids"         -> (medoids _),
     "e_ann_bruteforce"  -> (annBruteForce _),
     "e_ann_lsh"         -> (annLsh _),
     "e_ann_ivf"         -> (annIvf _),
@@ -714,6 +807,8 @@ object VectorQueries extends QueryModule {
     "d_minhash_recall"  -> minhashRecallSql,
     "e_quantize_int8"   -> quantizeInt8Sql,
     "e_kmeans"          -> kmeansSql,
+    "e_cluster_quality" -> clusterQualitySql,
+    "e_medoids"         -> medoidsSql,
     "e_ann_bruteforce"  -> annBruteForceSql,
     "d_dedup_embedding" -> dedupEmbeddingSql,
     "e_ann_lsh"         -> annLshSql,
