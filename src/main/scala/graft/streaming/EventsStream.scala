@@ -1,9 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY §2.5): the streaming form of the
   * events analytics. Batch mirror = `q_events_windowed` (same aggregates,
@@ -140,5 +141,56 @@ object EventsStream {
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
+  case class ValueEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class UserTotals(n_events: Long, sum_value_c: Long,
+                        max_value_c: Long, last_ms: Long)
+  case class UserTotalsRow(user_id: Long, n_events: Long, sum_value_c: Long,
+                           max_value_c: Long, last_seen: Timestamp)
+
+  /** Running per-user totals via `transformWithState` (the Spark 4
+    * arbitrary-state v2 API over the RocksDB state store): one
+    * [[UserTotals]] value-state row per user, updated per micro-batch,
+    * emitted in Update mode. Value cents mirror the batch convention
+    * (`sum(floor(value·100))`), so the final emission per user equals the
+    * batch groupBy bit-for-bit regardless of how the stream was
+    * micro-batched — that invariance is the spec's assertion. An optional
+    * TTL bounds state for users gone idle (the 100 TB/day posture: state
+    * ∝ active users; expired users simply restart from zero). */
+  class UserTotalsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, ValueEvent, UserTotalsRow] {
+    @transient private var st: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserTotals]("totals",
+        Encoders.product[UserTotals], ttl)
+
+    override def handleInputRows(user: Long, rows: Iterator[ValueEvent],
+                                 tv: TimerValues): Iterator[UserTotalsRow] = {
+      var s = if (st.exists()) st.get() else UserTotals(0L, 0L, 0L, 0L)
+      rows.foreach { e =>
+        val c = math.floor(e.value * 100).toLong
+        s = UserTotals(s.n_events + 1, s.sum_value_c + c,
+          math.max(s.max_value_c, c), math.max(s.last_ms, e.ts.getTime))
+      }
+      st.update(s)
+      Iterator.single(UserTotalsRow(user, s.n_events, s.sum_value_c,
+        s.max_value_c, new Timestamp(s.last_ms)))
+    }
+  }
+
+  /** [[UserTotalsProcessor]] wired to an event stream. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def userTotals(events: DataFrame,
+                 ttl: TTLConfig = TTLConfig.NONE): Dataset[UserTotalsRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"))
+      .as[ValueEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
   }
 }

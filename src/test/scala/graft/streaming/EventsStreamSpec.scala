@@ -252,4 +252,50 @@ class EventsStreamSpec extends SparkSpecBase {
       assert(closed.length == 1 && closed(0).getAs[Long]("n_events") == 1L)
     } finally query.stop()
   }
+
+  test("transformWithState running totals match the batch aggregate across batch splits") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = mkEvents
+    val input = MemoryStream[Ev]
+    val query = EventsStream.userTotals(input.toDF())
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update").start()
+    try {
+      // deliberately uneven micro-batches: totals must not depend on the split
+      input.addData(events.take(7)); query.processAllAvailable()
+      input.addData(events.slice(7, 120)); query.processAllAvailable()
+      input.addData(events.drop(120)); query.processAllAvailable()
+
+      // Update mode re-emits a user on every batch it appears in —
+      // the LAST emission per user is the running total
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      val got = spark.table("user_totals")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id").collect().map(_.toString).toSeq
+
+      val batch = events.toDF()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_value_c"),
+          max(floor(col("value") * 100).cast("long")).as("max_value_c"),
+          max(col("ts")).as("last_seen"))
+        .orderBy("user_id").collect().map(_.toString).toSeq
+
+      assert(got.nonEmpty && got == batch)
+    } finally {
+      query.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
