@@ -11,8 +11,8 @@ import graft.functions.IECBinaryImpl
   * {{{
   * runMain graft.Tool <command> <fsimage> [options]
   *   commands: summary | smallfiles | userusage | path | inode | acl |
-  *             xattr | quotas | growth | dupnames | du | sections |
-  *             snapshots | refs | diffs
+  *             xattr | quotas | growth | dupnames | du | compaction |
+  *             sections | snapshots | refs | diffs
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /)
   *   -fun <regex>      filter by user name (summary/path commands)
@@ -100,10 +100,15 @@ object Tool {
       case "du" =>
         Reports.duReport(inodes,
           maxDepth = opts.get("-d").map(_.toInt).getOrElse(2), topN = topN)
+      case "compaction" =>
+        val limit = opts.get("--fsl").map(IECBinaryImpl.parse).getOrElse(2L << 20)
+        val target = opts.get("--target").map(IECBinaryImpl.parse).getOrElse(8L << 20)
+        Reports.compactionPlan(inodes, limit, target, topN)
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other " +
           "(expected one of: summary smallfiles userusage path inode acl " +
-          "xattr quotas growth dupnames du sections snapshots refs diffs)")
+          "xattr quotas growth dupnames du compaction sections snapshots " +
+          "refs diffs)")
     }
   }
 

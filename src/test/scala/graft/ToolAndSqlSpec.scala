@@ -114,6 +114,9 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(run("dupnames").count() == 0) // generated names are unique
       // du at depth 1: root + the 4 dirs
       assert(run("du", "-d" -> "1").count() == 5)
+      // compaction: every dir holds >1 small file → bins save inodes
+      val plan = run("compaction").collect()
+      assert(plan.length == 4 && plan.forall(_.getAs[Long]("files_saved") > 0))
       assert(run("sections").count() >= 3)
       assert(run("snapshots").count() == 0) // image carries no SNAPSHOT section
       assert(run("refs").count() == 0)      // ...nor an INODE_REFERENCE one
