@@ -23,8 +23,19 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_ns_dup_names", "t_bigram_surprisal", "q_fsimage_quotas",
                   "q_basket_pairs", "q_ns_growth", "q_ns_du",
                   "t_len_histogram", "q_fsimage_perm_audit",
-                  "q_fsimage_symlinks", "t_novelty"))
+                  "q_fsimage_symlinks", "t_novelty",
+                  "q_ns_compaction_plan", "t_dup_ratio_by_source"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
+  }
+
+  test("q_ns_compaction_plan takes its top-20 as TakeOrderedAndProject") {
+    assert(plan("q_ns_compaction_plan").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_ns_compaction_plan windows by parent dir, never one partition") {
+    // (the namespace build itself carries a limit(1) SinglePartition for
+    // the root row, so assert the window spec rather than the whole plan)
+    assert(plan("q_ns_compaction_plan").contains("windowspecdefinition(pdir"))
   }
 
   test("q_ns_dup_names takes its top-20 as TakeOrderedAndProject") {
