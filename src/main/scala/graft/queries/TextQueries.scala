@@ -241,6 +241,72 @@ object TextQueries extends QueryModule {
     FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
     ORDER BY doc_id"""
 
+  /** Percentile-gated quality filter: drop each language's bottom-quartile
+    * documents by quality score — the curation pass that runs after
+    * scoring and before mixing. The p25 threshold is the exact discrete
+    * percentile (element at rank ceil(0.25·n), same definition as
+    * q_percentiles — no interpolation ambiguity across engines); output
+    * is the per-language survivor accounting. One shuffle on lang shared
+    * by the rank window and the final aggregate. At 100 TB the threshold
+    * comes from a sampled/sketched quantile broadcast instead of an exact
+    * per-group sort, and the filter itself stays shuffle-free. */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val len = length(col("text"))
+    val nAlpha = regexp_count(col("text"), lit("[a-zA-Z]"))
+    val nWs = size(words(col("text")))
+    val nStop = size(filter(words(lower(col("text"))), w => w.isInCollection(Stopwords)))
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        floor((nAlpha * 10000.0 / len) * 0.6 + (nStop * 10000.0 / nWs) * 0.4)
+          .cast("long").as("q_bp"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("q_bp"))
+    val wn = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("thr_bp",
+        max(when(col("rn") === ceil(lit(0.25) * col("n")).cast("long"),
+          col("q_bp"))).over(wn))
+      .groupBy(col("lang"))
+      .agg(min(col("thr_bp")).as("thr_bp"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("q_bp") >= col("thr_bp"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_bp", expr("n_kept * 10000 DIV n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val qualityFilterSql: String = s"""
+    SELECT lang, min(thr_bp) AS thr_bp, count(*) AS n_docs,
+           CAST(sum(CASE WHEN q_bp >= thr_bp THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+           (CAST(sum(CASE WHEN q_bp >= thr_bp THEN 1 ELSE 0 END) AS bigint)
+             * 10000) // count(*) AS kept_bp
+    FROM (
+      SELECT lang, q_bp,
+             max(CASE WHEN rn = CAST(ceil(0.25 * n) AS bigint) THEN q_bp END)
+               OVER (PARTITION BY lang) AS thr_bp
+      FROM (
+        SELECT lang, q_bp,
+               row_number() OVER (PARTITION BY lang ORDER BY q_bp) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM (
+          SELECT doc_id, lang,
+                 CAST(floor((n_alpha * 10000.0 / len) * 0.6
+                      + (n_stop * 10000.0 / n_ws) * 0.4) AS bigint) AS q_bp
+          FROM (
+            SELECT doc_id, lang,
+                   length(text) AS len,
+                   len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+                   len(string_split_regex(text, '\\s+')) AS n_ws,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   w -> list_contains($stopListSql, w))) AS n_stop
+            FROM documents
+          )
+        )
+      )
+    )
+    GROUP BY lang
+    ORDER BY lang"""
+
   /** Per-source duplication accounting: how much of each source is exact
     * duplicates — the first number a corpus curator asks for before
     * choosing mix weights ("is this crawl 40 % boilerplate?"). Per source:
@@ -1286,6 +1352,7 @@ object TextQueries extends QueryModule {
     "t_lang_confusion" -> (langConfusion _),
     "t_fingerprint"   -> (fingerprint _),
     "t_dup_ratio_by_source" -> (dupRatioBySource _),
+    "t_quality_filter" -> (qualityFilter _),
     "t_doc_terms"     -> (docTerms _),
     "t_repetition"    -> (repetition _),
     "t_sample_stratified" -> (sampleStratified _),
@@ -1317,6 +1384,7 @@ object TextQueries extends QueryModule {
     "t_lang_confusion" -> langConfusionSql,
     "t_fingerprint"   -> fingerprintSql,
     "t_dup_ratio_by_source" -> dupRatioBySourceSql,
+    "t_quality_filter" -> qualityFilterSql,
     "t_doc_terms"     -> docTermsSql,
     "t_repetition"    -> repetitionSql,
     "t_sample_stratified" -> sampleStratifiedSql,

@@ -193,4 +193,48 @@ object EventsStream {
       .transformWithState(new UserTotalsProcessor(ttl),
         TimeMode.None(), OutputMode.Update())
   }
+
+  case class TypedEvent(user_id: Long, event_type: String)
+  case class TypedCountRow(user_id: Long, event_type: String, n_events: Long)
+
+  /** Running per-(user, event-type) counters via `transformWithState`
+    * MapState: the state row per user is a MAP keyed by event type, so a
+    * batch only reads/writes the types it actually touched — with many
+    * types per key, that's the point of MapState over a value-state blob
+    * (RocksDB prefix-scans the map entries; a ValueState would
+    * deserialize and rewrite the whole map on every event). Emits the
+    * updated (user, type) counters per micro-batch in Update mode. */
+  class UserTypeCountsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, TypedEvent, TypedCountRow] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, ttl)
+
+    override def handleInputRows(user: Long, rows: Iterator[TypedEvent],
+                                 tv: TimerValues): Iterator[TypedCountRow] = {
+      val batch = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach(e => batch.update(e.event_type,
+        batch.getOrElse(e.event_type, 0L) + 1L))
+      batch.iterator.map { case (et, n) =>
+        val total = (if (counts.containsKey(et)) counts.getValue(et) else 0L) + n
+        counts.updateValue(et, total)
+        TypedCountRow(user, et, total)
+      }
+    }
+  }
+
+  /** [[UserTypeCountsProcessor]] wired to an event stream (RocksDB state
+    * store required, as for [[userTotals]]). */
+  def userTypeCounts(events: DataFrame,
+                     ttl: TTLConfig = TTLConfig.NONE): Dataset[TypedCountRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTypeCountsProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

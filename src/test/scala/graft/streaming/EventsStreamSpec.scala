@@ -298,4 +298,42 @@ class EventsStreamSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("MapState per-(user,type) counters match the batch aggregate across batch splits") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = mkEvents
+    val input = MemoryStream[Ev]
+    val query = EventsStream.userTypeCounts(input.toDF())
+      .writeStream.format("memory").queryName("user_type_counts")
+      .outputMode("update").start()
+    try {
+      input.addData(events.take(31)); query.processAllAvailable()
+      input.addData(events.drop(31)); query.processAllAvailable()
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type")).orderBy(col("n_events").desc)
+      val got = spark.table("user_type_counts")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id", "event_type").collect().map(_.toString).toSeq
+
+      val batch = events.toDF()
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "event_type").collect().map(_.toString).toSeq
+
+      assert(got.nonEmpty && got == batch)
+    } finally {
+      query.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
