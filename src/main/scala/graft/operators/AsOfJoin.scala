@@ -4,12 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — for each left row, the most recent right row with
-  * `rightTime <= leftTime` on the same key. Spark has no native as-of
-  * operator; the naive formulation (range join + per-row max) explodes to
-  * O(|L|·|R|) per key. This implementation uses the union+window shape:
-  * tag and union both sides, sort each key's rows once by time, and carry
-  * the latest right payload forward with `last_value(..., ignoreNulls)`.
+/** As-of joins — for each left row, the most recent right row with
+  * `rightTime <= leftTime` (backward) or the earliest right row with
+  * `rightTime >= leftTime` (forward) on the same key. Spark has no native
+  * as-of operator; the naive formulation (range join + per-row extremum)
+  * explodes to O(|L|·|R|) per key. This implementation uses the
+  * union+window shape: tag and union both sides, sort each key's rows
+  * once by time (descending for forward), and carry the latest right
+  * payload forward with `last_value(..., ignoreNulls)`.
   *
   * Cost: ONE shuffle on the key + one per-partition sort — the same plan
   * Spark generates for any window aggregation, independent of how many
@@ -17,8 +19,8 @@ import org.apache.spark.sql.functions._
   * skew-handling like any window.
   *
   * Tie-breaks are deterministic: right rows at equal times resolve by the
-  * ordering of `rightOrder`; at exactly equal left/right time the right
-  * row sorts first (inclusive as-of).
+  * ordering of `rightOrder` (smallest wins in forward mode); at exactly
+  * equal left/right time the right row sorts first (inclusive as-of).
   */
 object AsOfJoin {
 
@@ -35,7 +37,26 @@ object AsOfJoin {
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                payloadCols: Seq[String],
-               rightOrder: String): DataFrame = {
+               rightOrder: String): DataFrame =
+    joined(left, right, leftKey, rightKey, leftTime, rightTime,
+      payloadCols, rightOrder, forward = false)
+
+  /** Forward as-of: for each left row the EARLIEST right row at or after
+    * its time — the "next scheduled event" lookup. Same one-shuffle
+    * union+window plan as [[backward]], with the per-key sort reversed. */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTime: String, rightTime: String,
+              payloadCols: Seq[String],
+              rightOrder: String): DataFrame =
+    joined(left, right, leftKey, rightKey, leftTime, rightTime,
+      payloadCols, rightOrder, forward = true)
+
+  private def joined(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String,
+                     payloadCols: Seq[String],
+                     rightOrder: String, forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
 
     val taggedLeft = left
@@ -60,9 +81,15 @@ object AsOfJoin {
         taggedRight.select((Seq("_k", "_t", "_isLeft", "_ord") ++ payloadCols.map(c => s"asof_$c")).map(col): _*),
         allowMissingColumns = true)
 
-    // right rows sort before left rows at equal _t (inclusive as-of)
+    // right rows sort before left rows at equal _t (inclusive as-of);
+    // forward mode walks time descending, so the carried right row is the
+    // earliest at-or-after one, and _ord descends so the SMALLEST
+    // tie-break value is the last seen (= the winner) at equal times
+    val ordering =
+      if (forward) Seq(col("_t").desc, col("_isLeft"), col("_ord").desc)
+      else Seq(col("_t"), col("_isLeft"), col("_ord"))
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_isLeft"), col("_ord"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payloadCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))

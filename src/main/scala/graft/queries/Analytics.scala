@@ -244,6 +244,55 @@ object Analytics extends QueryModule {
     FROM carried WHERE is_left = 1
     ORDER BY event_id"""
 
+  /** Forward as-of join ([[graft.operators.AsOfJoin.forward]]): for each
+    * event the user's NEXT order at or after it — the "next scheduled
+    * thing" lookup that pairs with q_asof_join's backward form. Same
+    * one-shuffle union+window plan, per-key sort reversed. */
+  def qAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val left = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("t_sec"))
+    val right = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (lit(1704067200L) + col("o_orderkey") % 2592000).as("o_ts_sec"))
+    graft.operators.AsOfJoin.forward(
+        left, right,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "t_sec", rightTime = "o_ts_sec",
+        payloadCols = Seq("o_orderkey", "o_ts_sec"),
+        rightOrder = "o_orderkey")
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofForwardSql: String = """
+    WITH l AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS bigint) AS t_sec FROM events
+    ), r AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(1704067200 + o_orderkey % 2592000 AS bigint) AS o_ts_sec
+      FROM orders
+    ), u AS (
+      SELECT user_id AS k, t_sec AS t, 1 AS is_left,
+             CAST(9223372036854775807 AS bigint) AS ord,
+             event_id, user_id, t_sec,
+             CAST(NULL AS bigint) AS p_okey, CAST(NULL AS bigint) AS p_ots
+      FROM l
+      UNION ALL
+      SELECT o_custkey, o_ts_sec, 0, o_orderkey,
+             NULL, NULL, NULL, o_orderkey, o_ts_sec
+      FROM r
+    ), carried AS (
+      SELECT event_id, user_id, t_sec, is_left,
+             last_value(p_okey IGNORE NULLS) OVER w AS asof_o_orderkey,
+             last_value(p_ots IGNORE NULLS) OVER w AS asof_o_ts_sec
+      FROM u
+      WINDOW w AS (PARTITION BY k ORDER BY t DESC, is_left, ord DESC
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, t_sec, asof_o_orderkey, asof_o_ts_sec
+    FROM carried WHERE is_left = 1
+    ORDER BY event_id"""
+
   /** Hierarchical ROLLUP region → nation (null grouping keys coalesced to
     * 'ALL' so both engines order identically). */
   def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1088,6 +1137,7 @@ object Analytics extends QueryModule {
     "q_events_windowed" -> (qEventsWindowed _),
     "q_events_sessions" -> (qEventsSessions _),
     "q_asof_join"       -> (qAsofJoin _),
+    "q_asof_forward"    -> (qAsofForward _),
     "q17_small_qty"     -> (q17SmallQty _),
     "q2_min_cost"       -> (q2MinCost _),
     "q_json_props"      -> (qJsonProps _),
@@ -1124,6 +1174,7 @@ object Analytics extends QueryModule {
     "q_events_windowed" -> qEventsWindowedSql,
     "q_events_sessions" -> qEventsSessionsSql,
     "q_asof_join"       -> qAsofJoinSql,
+    "q_asof_forward"    -> qAsofForwardSql,
     "q17_small_qty"     -> q17SmallQtySql,
     "q2_min_cost"       -> q2MinCostSql,
     "q_json_props"      -> qJsonPropsSql,

@@ -237,4 +237,74 @@ object EventsStream {
       .transformWithState(new UserTypeCountsProcessor(ttl),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Gap sessionization on the v2 API — [[sessionize]]'s semantics
+    * re-expressed with `transformWithState` event-time TIMERS instead of
+    * `GroupStateTimeout`: the open session closes either when a later
+    * event arrives past the gap, or when the watermark passes its
+    * registered `last + gap` timer (`handleExpiredTimer`). Each batch
+    * re-arms the timer — the stale one is deleted, not left to fire — so
+    * exactly one live timer guards each open session. */
+  class SessionProcessorV2(gapSec: Long)
+      extends StatefulProcessor[Long, SessionEvent, Session] {
+    @transient private var open: ValueState[OpenSession] = _
+    private def gapMs = gapSec * 1000
+
+    private def close(userId: Long, s: OpenSession): Session =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n,
+        (s.last - s.start) / 1000)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[SessionEvent],
+                                 tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.map(_.ts.getTime).toArray.sorted
+      var cur = if (open.exists()) Some(open.get()) else None
+      cur.foreach(s => getHandle.deleteTimer(s.last + gapMs)) // re-armed below
+      val closed = Seq.newBuilder[Session]
+      for (t <- sorted) cur match {
+        case Some(s) if t - s.last > gapMs =>
+          closed += close(userId, s)
+          cur = Some(OpenSession(t, t, 1))
+        case Some(s) =>
+          cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+        case None =>
+          cur = Some(OpenSession(t, t, 1))
+      }
+      cur.foreach { s =>
+        open.update(s)
+        getHandle.registerTimer(s.last + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
+      // a timer deleted in the same batch can still surface; only the one
+      // matching the live session's deadline closes it
+      if (open.exists() && open.get().last + gapMs <= info.getExpiryTimeInMs) {
+        val out = close(userId, open.get())
+        open.clear()
+        Iterator.single(out)
+      } else Iterator.empty
+    }
+  }
+
+  /** [[SessionProcessorV2]] wired to an event stream (RocksDB state store
+    * required). Watermarked in event time so timers fire off the
+    * watermark, exactly like [[sessionize]]'s event-time timeout. */
+  def sessionizeV2(events: DataFrame,
+                   gapSec: Long = 1800,
+                   watermark: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessorV2(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

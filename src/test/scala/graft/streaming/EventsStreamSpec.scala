@@ -299,6 +299,51 @@ class EventsStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("timer-driven v2 sessionization matches the flatMapGroupsWithState sessions") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Timestamp.valueOf("2024-01-01 08:00:00").getTime
+    def ev(userId: Long, offsetMin: Long) =
+      Ev(new Timestamp(base + offsetMin * 60000), "click", userId, 1.0)
+
+    val input = MemoryStream[Ev]
+    val query = EventsStream.sessionizeV2(input.toDF(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessions_v2")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions separated by a 2 h gap, all in one batch
+      input.addData(ev(1, 0), ev(1, 10), ev(1, 20), ev(1, 140), ev(1, 150))
+      query.processAllAvailable()
+      // push the watermark far ahead so the open session's timer fires
+      input.addData(ev(2, 600))
+      query.processAllAvailable()
+      input.addData(ev(2, 1200))
+      query.processAllAvailable()
+
+      val sessions = spark.table("sessions_v2")
+        .orderBy("user_id", "start").as[EventsStream.Session].collect()
+      val u1 = sessions.filter(_.user_id == 1)
+      assert(u1.length == 2)
+      assert(u1(0).n_events == 3 && u1(0).duration_sec == 20 * 60)
+      assert(u1(1).n_events == 2 && u1(1).duration_sec == 10 * 60)
+      // the timer path closed user 2's first session exactly like the
+      // GroupStateTimeout path does in the sessionize test above
+      val u2 = sessions.filter(_.user_id == 2)
+      assert(u2.length >= 1 && u2(0).n_events == 1)
+    } finally {
+      query.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("MapState per-(user,type) counters match the batch aggregate across batch splits") {
     val session = spark
     import session.implicits._
