@@ -80,8 +80,22 @@ object StreamBench {
         EventsStream.bloomGated(
           df.withColumn("fp", md5(col("user_id").cast("string"))),
           graft.operators.Dedup.bloomMask(corpus))
+      },
+      // the transformWithState (v2 state API) family needs RocksDB
+      bench("user_totals", "update") { df =>
+        rocksdb(spark); EventsStream.userTotals(df).toDF()
+      },
+      bench("user_type_counts", "update") { df =>
+        rocksdb(spark); EventsStream.userTypeCounts(df).toDF()
+      },
+      bench("sessionize_v2", "append") { df =>
+        rocksdb(spark); EventsStream.sessionizeV2(df).toDF()
       })
   }
+
+  private def rocksdb(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption
