@@ -238,6 +238,56 @@ object EventsStream {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class AlertRow(user_id: Long, streak: Int, last_ts: Timestamp)
+
+  /** Consecutive-failure alerting via `transformWithState` ListState: the
+    * state per user is the bounded list of its most recent event types
+    * (RocksDB appends are O(1) — no read-modify-write of a blob, the
+    * reason to prefer ListState for recency buffers). An alert row is
+    * emitted whenever the last `streakLen` events are all `errType`,
+    * then the buffer resets so one incident alerts once. Events are
+    * applied in their order within each micro-batch (ts order per user on
+    * an ordered feed). */
+  class ErrorStreakProcessor(errType: String, streakLen: Int)
+      extends StatefulProcessor[Long, TypedTsEvent, AlertRow] {
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[String]("recent",
+        Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[TypedTsEvent],
+                                 tv: TimerValues): Iterator[AlertRow] = {
+      val out = Seq.newBuilder[AlertRow]
+      var buf = recent.get().toVector
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        buf = (buf :+ e.event_type).takeRight(streakLen)
+        if (buf.length == streakLen && buf.forall(_ == errType)) {
+          out += AlertRow(user, streakLen, e.ts)
+          buf = Vector.empty // one alert per incident
+        }
+      }
+      recent.clear()
+      if (buf.nonEmpty) recent.appendList(buf.toArray)
+      out.result().iterator
+    }
+  }
+
+  case class TypedTsEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+  /** [[ErrorStreakProcessor]] wired to an event stream (RocksDB state
+    * store required). */
+  def errorStreaks(events: DataFrame, errType: String = "error",
+                   streakLen: Int = 3): Dataset[AlertRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_type"))
+      .as[TypedTsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new ErrorStreakProcessor(errType, streakLen),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Gap sessionization on the v2 API — [[sessionize]]'s semantics
     * re-expressed with `transformWithState` event-time TIMERS instead of
     * `GroupStateTimeout`: the open session closes either when a later

@@ -344,6 +344,49 @@ class EventsStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("ListState error-streak alerts fire across micro-batch boundaries, once per incident") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(userId: Long, offsetSec: Long, typ: String) =
+      Ev(new Timestamp(base + offsetSec * 1000), typ, userId, 1.0)
+
+    val input = MemoryStream[Ev]
+    val query = EventsStream.errorStreaks(input.toDF())
+      .writeStream.format("memory").queryName("streaks")
+      .outputMode("append").start()
+    try {
+      // user 1: streak of 2 in batch 1, completed in batch 2 (state carries)
+      // user 2: errors interleaved with a view — never 3 consecutive
+      input.addData(ev(1, 0, "error"), ev(1, 1, "error"),
+                    ev(2, 0, "error"), ev(2, 1, "error"))
+      query.processAllAvailable()
+      input.addData(ev(1, 2, "error"),
+                    ev(2, 2, "view"), ev(2, 3, "error"))
+      query.processAllAvailable()
+      // user 1 again: 4 straight errors → exactly ONE more alert (buffer
+      // reset after the first incident, so rows 3+4 only reach streak 2)
+      input.addData(ev(1, 10, "error"), ev(1, 11, "error"),
+                    ev(1, 12, "error"), ev(1, 13, "error"))
+      query.processAllAvailable()
+
+      val alerts = spark.table("streaks").orderBy("last_ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime - base))
+      assert(alerts.toSeq == Seq((1L, 2000L), (1L, 12000L)))
+    } finally {
+      query.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("MapState per-(user,type) counters match the batch aggregate across batch splits") {
     val session = spark
     import session.implicits._
