@@ -80,22 +80,28 @@ object StreamBench {
         EventsStream.bloomGated(
           df.withColumn("fp", md5(col("user_id").cast("string"))),
           graft.operators.Dedup.bloomMask(corpus))
-      },
-      // the transformWithState (v2 state API) family needs RocksDB
-      bench("user_totals", "update") { df =>
-        rocksdb(spark); EventsStream.userTotals(df).toDF()
-      },
-      bench("user_type_counts", "update") { df =>
-        rocksdb(spark); EventsStream.userTypeCounts(df).toDF()
-      },
-      bench("sessionize_v2", "append") { df =>
-        rocksdb(spark); EventsStream.sessionizeV2(df).toDF()
-      })
+      }) ++ withRocksDb(spark) {
+      // the transformWithState (v2 state API) family needs RocksDB; the
+      // provider is restored afterwards so ops added later keep benching
+      // against the default HDFS-backed store
+      Map(
+        bench("user_totals", "update")(EventsStream.userTotals(_).toDF()),
+        bench("user_type_counts", "update")(EventsStream.userTypeCounts(_).toDF()),
+        bench("sessionize_v2", "append")(EventsStream.sessionizeV2(_).toDF()))
+    }
   }
 
-  private def rocksdb(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption

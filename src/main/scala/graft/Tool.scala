@@ -17,7 +17,9 @@ import graft.functions.IECBinaryImpl
   *   -p <path>         subtree to analyze (default /)
   *   -fun <regex>      filter by user name (summary/path commands)
   *   -s fs|fc|dc|bc    summary sort: size, file/dir/block count
-  *   --fsl <iec>       small-file limit, e.g. 2MiB (smallfiles)
+  *   --fsl <iec>       small-file limit, e.g. 2MiB (smallfiles/compaction)
+  *   --target <iec>    compaction archive target size, default 8MiB
+  *   -d <depth>        du depth cap (default 2)
   *   -l <n>            top-N limit (default 20)
   *   -a <age>          age filter like 60d / 12h / 1y (userusage)
   *   -u <user>         user (userusage)

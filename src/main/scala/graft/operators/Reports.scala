@@ -323,8 +323,10 @@ object Reports {
       .withColumn("cum", coalesce(sum(col("size")).over(w), lit(0L)))
       .withColumn("bin", expr(s"cum DIV $targetBytes"))
       .groupBy(col("pdir"))
+      // countDistinct, not max+1: a file at or above targetBytes (possible
+      // when limitBytes > targetBytes) skips bin indices
       .agg(count(lit(1)).as("n_small"), sum(col("size")).as("small_bytes"),
-        (max(col("bin")) + 1).as("n_bins"))
+        countDistinct(col("bin")).as("n_bins"))
       .select(col("pdir").as("dir"), col("n_small"), col("small_bytes"),
         col("n_bins"), (col("n_small") - col("n_bins")).as("files_saved"))
       .filter(col("files_saved") > 0)

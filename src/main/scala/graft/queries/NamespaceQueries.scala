@@ -144,7 +144,7 @@ object NamespaceQueries extends QueryModule {
     FROM (
       SELECT pdir AS dir, count(*) AS n_small,
              CAST(sum(size) AS bigint) AS small_bytes,
-             max(bin) + 1 AS n_bins
+             count(DISTINCT bin) AS n_bins
       FROM (
         SELECT pdir, size,
                CAST(coalesce(sum(size) OVER (PARTITION BY pdir ORDER BY name

@@ -105,6 +105,25 @@ object TextQueries extends QueryModule {
 
   // ---------------------------------------------------------------- quality
 
+  /** The ONE quality heuristic, shared by t_quality_score and
+    * t_quality_filter (and mirrored by [[qualityBpSql]]): alpha share
+    * weighted 0.6 + stopword share weighted 0.4, in basis points. */
+  private def qualityBp(text: Column): Column = {
+    val len = length(text)
+    val nAlpha = regexp_count(text, lit("[a-zA-Z]"))
+    val nWs = size(words(text))
+    val nStop = size(filter(words(lower(text)), w => w.isInCollection(Stopwords)))
+    floor((nAlpha * 10000.0 / len) * 0.6 + (nStop * 10000.0 / nWs) * 0.4)
+      .cast("long")
+  }
+
+  /** DuckDB twin of [[qualityBp]] over a relation exposing `text`. */
+  private val qualityBpSql: String =
+    s"""CAST(floor((len(regexp_extract_all(text, '[a-zA-Z]')) * 10000.0 / length(text)) * 0.6
+         + (len(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> list_contains($stopListSql, w))) * 10000.0
+            / len(string_split_regex(text, '\\s+'))) * 0.4) AS bigint)"""
+
   /** Quality scoring: alpha/punct/stopword ratios in basis points plus a
     * combined heuristic score — per-row map, shuffle-free. */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
@@ -119,7 +138,7 @@ object TextQueries extends QueryModule {
         floor(nAlpha * 10000.0 / len).cast("long").as("alpha_bp"),
         floor(nPunct * 10000.0 / len).cast("long").as("punct_bp"),
         floor(nStop * 10000.0 / nWs).cast("long").as("stop_bp"),
-        floor((nAlpha * 10000.0 / len) * 0.6 + (nStop * 10000.0 / nWs) * 0.4).cast("long").as("quality_bp"))
+        qualityBp(col("text")).as("quality_bp"))
       .orderBy(col("doc_id"))
   }
 
@@ -128,9 +147,9 @@ object TextQueries extends QueryModule {
            CAST(floor(n_alpha * 10000.0 / len) AS bigint) AS alpha_bp,
            CAST(floor(n_punct * 10000.0 / len) AS bigint) AS punct_bp,
            CAST(floor(n_stop * 10000.0 / n_ws) AS bigint) AS stop_bp,
-           CAST(floor((n_alpha * 10000.0 / len) * 0.6 + (n_stop * 10000.0 / n_ws) * 0.4) AS bigint) AS quality_bp
+           $qualityBpSql AS quality_bp
     FROM (
-      SELECT doc_id,
+      SELECT doc_id, text,
              length(text) AS len,
              len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
              len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
@@ -251,14 +270,8 @@ object TextQueries extends QueryModule {
     * comes from a sampled/sketched quantile broadcast instead of an exact
     * per-group sort, and the filter itself stays shuffle-free. */
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val len = length(col("text"))
-    val nAlpha = regexp_count(col("text"), lit("[a-zA-Z]"))
-    val nWs = size(words(col("text")))
-    val nStop = size(filter(words(lower(col("text"))), w => w.isInCollection(Stopwords)))
     val scored = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
-        floor((nAlpha * 10000.0 / len) * 0.6 + (nStop * 10000.0 / nWs) * 0.4)
-          .cast("long").as("q_bp"))
+      .select(col("doc_id"), col("lang"), qualityBp(col("text")).as("q_bp"))
     val w = Window.partitionBy(col("lang")).orderBy(col("q_bp"))
     val wn = Window.partitionBy(col("lang"))
     scored
@@ -289,18 +302,8 @@ object TextQueries extends QueryModule {
                row_number() OVER (PARTITION BY lang ORDER BY q_bp) AS rn,
                count(*) OVER (PARTITION BY lang) AS n
         FROM (
-          SELECT doc_id, lang,
-                 CAST(floor((n_alpha * 10000.0 / len) * 0.6
-                      + (n_stop * 10000.0 / n_ws) * 0.4) AS bigint) AS q_bp
-          FROM (
-            SELECT doc_id, lang,
-                   length(text) AS len,
-                   len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
-                   len(string_split_regex(text, '\\s+')) AS n_ws,
-                   len(list_filter(string_split_regex(lower(text), '\\s+'),
-                                   w -> list_contains($stopListSql, w))) AS n_stop
-            FROM documents
-          )
+          SELECT doc_id, lang, $qualityBpSql AS q_bp
+          FROM documents
         )
       )
     )

@@ -168,7 +168,10 @@ object EventsStream {
 
     override def handleInputRows(user: Long, rows: Iterator[ValueEvent],
                                  tv: TimerValues): Iterator[UserTotalsRow] = {
-      var s = if (st.exists()) st.get() else UserTotals(0L, 0L, 0L, 0L)
+      // max/last seed at MinValue, not 0: an all-negative-value (or
+      // pre-1970) user must still match the batch max() bit-for-bit
+      var s = if (st.exists()) st.get()
+              else UserTotals(0L, 0L, Long.MinValue, Long.MinValue)
       rows.foreach { e =>
         val c = math.floor(e.value * 100).toLong
         s = UserTotals(s.n_events + 1, s.sum_value_c + c,
@@ -217,11 +220,15 @@ object EventsStream {
       val batch = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       rows.foreach(e => batch.update(e.event_type,
         batch.getOrElse(e.event_type, 0L) + 1L))
-      batch.iterator.map { case (et, n) =>
+      // state writes happen HERE, eagerly — returning a lazy iterator that
+      // updates state as it drains would skip updates if downstream
+      // short-circuits, committing the batch with partial counters
+      val out = batch.map { case (et, n) =>
         val total = (if (counts.containsKey(et)) counts.getValue(et) else 0L) + n
         counts.updateValue(et, total)
         TypedCountRow(user, et, total)
-      }
+      }.toVector
+      out.iterator
     }
   }
 
@@ -241,10 +248,12 @@ object EventsStream {
   case class AlertRow(user_id: Long, streak: Int, last_ts: Timestamp)
 
   /** Consecutive-failure alerting via `transformWithState` ListState: the
-    * state per user is the bounded list of its most recent event types
-    * (RocksDB appends are O(1) — no read-modify-write of a blob, the
-    * reason to prefer ListState for recency buffers). An alert row is
-    * emitted whenever the last `streakLen` events are all `errType`,
+    * state per user is the bounded (`streakLen`-sized) list of its most
+    * recent event types. Bounding the buffer means each batch rewrites it
+    * (clear + put) rather than appending — with an unbounded buffer
+    * ListState's O(1) `appendValue` would apply, but a recency window
+    * must trim, and the rewrite is `streakLen` tiny values. An alert row
+    * is emitted whenever the last `streakLen` events are all `errType`,
     * then the buffer resets so one incident alerts once. Events are
     * applied in their order within each micro-batch (ts order per user on
     * an ordered feed). */

@@ -262,7 +262,12 @@ class EventsStreamSpec extends SparkSpecBase {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val events = mkEvents
+    // user 99 only ever has negative values: its running max must match
+    // the batch max (a zero-seeded max would report 0)
+    val base99 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = mkEvents ++ Seq(
+      Ev(new Timestamp(base99), "view", 99L, -5.0),
+      Ev(new Timestamp(base99 + 1000), "view", 99L, -2.5))
     val input = MemoryStream[Ev]
     val query = EventsStream.userTotals(input.toDF())
       .writeStream.format("memory").queryName("user_totals")
