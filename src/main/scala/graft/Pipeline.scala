@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, KMeans, PrefixSum}
+
+/** End-to-end curation pipeline — the operators composed the way a
+  * production run chains them, with shared artifacts computed ONCE:
+  * the surviving corpus is `localCheckpoint`'d between stages (each stage
+  * reads the previous stage's materialization, not a re-derivation), and
+  * one k-means fit feeds cluster sizes, quality metrics AND medoids.
+  * [[Bench]] measures every query standalone by design; this main is the
+  * reuse counterpoint — the library surface a pipeline author actually
+  * holds.
+  *
+  * Stages: exact dedup → near-dup keep-best → per-language quality gate
+  * (bottom quartile dropped) → context-window packing; embeddings: one
+  * Lloyd fit → three cluster views. Prints ONE JSON line of stage counts.
+  *
+  * `runMain graft.Pipeline [sfDir]` (env: SPARK_GRAFT_SF_DIR,
+  * SPARK_GRAFT_CPUS).
+  */
+object Pipeline {
+
+  private val SeqTokens = 2048L // packed context-window length
+
+  /** Runs the chain; returns (stage → rows) in stage order. */
+  def run(spark: SparkSession, sfDir: String): Seq[(String, Long)] = {
+    val out = Seq.newBuilder[(String, Long)]
+    val docs = Tables.documents(spark, sfDir)
+    out += "docs" -> docs.count()
+
+    // 1. exact dedup: keep the smallest doc_id of each distinct text
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val afterExact = docs.join(exactKeep, "doc_id").localCheckpoint()
+    out += "after_exact_dedup" -> afterExact.count()
+
+    // 2. near-dup: shingle-Jaccard pairs → components → best (longest,
+    //    then smallest-id) survivor per cluster — over the EXACT-dedup'd
+    //    corpus, so the pair join never re-finds byte-identical copies
+    val pairs = Dedup
+      .ngramJaccardPairs(afterExact, minJaccardBp = 2000, sorted = false)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.connectedComponents(pairs, afterExact.select(col("doc_id")))
+    val nearKeep = Dedup
+      .keepBest(labels, afterExact.select(col("doc_id"), col("n_chars").as("score")))
+      .select(col("doc_id"))
+    val afterNear = afterExact.join(nearKeep, "doc_id").localCheckpoint()
+    out += "after_neardup_keep" -> afterNear.count()
+
+    // 3. quality gate: drop each language's bottom quartile (the exact
+    //    rank-ceil threshold of t_quality_filter, applied as a filter)
+    val scored = afterNear.withColumn("q_bp",
+      graft.queries.TextQueries.qualityBp(col("text")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("q_bp"))
+    val wn = Window.partitionBy(col("lang"))
+    val gated = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("thr_bp",
+        max(when(col("rn") === ceil(lit(0.25) * col("n")).cast("long"),
+          col("q_bp"))).over(wn))
+      .filter(col("q_bp") >= col("thr_bp"))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    out += "after_quality_gate" -> gated.count()
+
+    // 4. context-window packing: exclusive prefix sum of token counts in
+    //    doc_id order → sequence id = prefix DIV window
+    val packed = PrefixSum.exclusive(
+        gated.select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
+        keyCol = "doc_id", valueCol = "n_tokens")
+      .select(expr(s"prefix_excl DIV $SeqTokens").as("seq_id"))
+    out += "packed_sequences" -> packed.select(col("seq_id")).distinct().count()
+
+    // 5. embeddings: ONE fit, three views (what Bench measures standalone)
+    val fit = KMeans.fit(Tables.embeddings(spark, sfDir), k = 8, iters = 2)
+      .localCheckpoint()
+    out += "kmeans_clusters" -> fit.select(col("cluster")).distinct().count()
+    val medoids = fit.groupBy(col("cluster"))
+      .agg(min(struct(col("dist"), col("vec_id"))).as("m"))
+    out += "cluster_medoids" -> medoids.count()
+    val wcss = fit.agg(sum(col("dist")).as("w")).head.getLong(0)
+    out += "fit_wcss_nonzero" -> (if (wcss > 0) 1L else 0L)
+    out.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.core.GraftSession.builder(master = s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val stages = run(spark, sfDir)
+    val sec = (math.round((System.nanoTime() - t0) / 1e6) / 1000.0).toString
+    val body = stages.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"pipeline","sec":$sec,"stages":$body,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -108,7 +108,7 @@ object TextQueries extends QueryModule {
   /** The ONE quality heuristic, shared by t_quality_score and
     * t_quality_filter (and mirrored by [[qualityBpSql]]): alpha share
     * weighted 0.6 + stopword share weighted 0.4, in basis points. */
-  private def qualityBp(text: Column): Column = {
+  def qualityBp(text: Column): Column = {
     val len = length(text)
     val nAlpha = regexp_count(text, lit("[a-zA-Z]"))
     val nWs = size(words(text))
