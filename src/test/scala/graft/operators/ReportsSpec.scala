@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+/** Crafted-inode edge cases for the report operators (the derived
+  * namespace exercises the common paths; these pin the corners). */
+class ReportsSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+
+  private def inodes(rows: (String, String, Long)*) = {
+    val session = spark
+    import session.implicits._
+    rows.toSeq.toDF("path", "name", "size")
+      .withColumn("ftype", lit("F"))
+  }
+
+  test("compactionPlan counts occupied bins, not the max bin index") {
+    // limit > target: b (15 MiB) is still a "small" file at a 16 MiB
+    // limit but overflows the 8 MiB archive on its own, skipping bin 1 —
+    // n_bins must count the 2 occupied bins (0 and 2), saving 1 inode
+    val df = inodes(
+      ("/d/a", "a", 1L << 20),
+      ("/d/b", "b", 15L << 20),
+      ("/d/c", "c", 1L << 20))
+    val plan = Reports.compactionPlan(df,
+      limitBytes = 16L << 20, targetBytes = 8L << 20).collect()
+    assert(plan.length == 1)
+    assert(plan.head.getAs[Long]("n_bins") == 2L)
+    assert(plan.head.getAs[Long]("files_saved") == 1L)
+  }
+
+  test("compactionPlan packs in name order and drops no-gain directories") {
+    // /one: 3×1 MiB pack into a single 8 MiB bin (2 saved)
+    // /solo: a single small file — nothing to gain, excluded
+    val df = inodes(
+      ("/one/a", "a", 1L << 20), ("/one/b", "b", 1L << 20),
+      ("/one/c", "c", 1L << 20), ("/solo/x", "x", 1L << 20))
+    val plan = Reports.compactionPlan(df,
+      limitBytes = 2L << 20, targetBytes = 8L << 20).collect()
+    assert(plan.map(_.getAs[String]("dir")).toSeq == Seq("/one"))
+    assert(plan.head.getAs[Long]("n_bins") == 1L)
+    assert(plan.head.getAs[Long]("files_saved") == 2L)
+  }
+
+  test("duReport caps the key domain at maxDepth and keeps subtree totals") {
+    val df = inodes(
+      ("/a/b/c/deep", "deep", 10L),
+      ("/a/b/c/deep2", "deep2", 5L),
+      ("/a/top", "top", 1L),
+      ("/rootfile", "rootfile", 2L))
+    val got = Reports.duReport(df, maxDepth = 2, topN = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // depth-2 cap: the deep files roll into /a/b, never /a/b/c
+    assert(got("/") == ((18L, 4L)))
+    assert(got("/a") == ((16L, 3L)))
+    assert(got("/a/b") == ((15L, 2L)))
+    assert(!got.contains("/a/b/c"))
+  }
+}
