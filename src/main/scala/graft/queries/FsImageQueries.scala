@@ -16,9 +16,13 @@ object FsImageQueries extends QueryModule {
 
   /** Absolute paths — the oracle SQL runs in DuckDB outside the JVM, so
     * resolve against the working directory (the repo root under sbt)
-    * rather than hardcoding a checkout location. */
+    * rather than hardcoding a checkout location. The export dir is keyed
+    * by PID: the oracle reads whatever THIS process exported, and two
+    * concurrent Verify/Bench processes no longer race on a shared parquet
+    * rewrite (observed as a transient hash mismatch in r4). */
   private val BaseDir =
-    new java.io.File("target/fsimage-oracle").getAbsolutePath
+    new java.io.File(
+      s"target/fsimage-oracle/p${ProcessHandle.current().pid()}").getAbsolutePath
   private val Gen = ImageGen.GenSpec(nDirs = 50, nFiles = 5000,
     ecEvery = 4, aclEvery = 7, xattrEvery = 5, nSymlinks = 10,
     withAtime = true, quotaEvery = 6, permVariety = true,
@@ -227,7 +231,49 @@ object FsImageQueries extends QueryModule {
     GROUP BY diff_type, snapshot_id
     ORDER BY diff_type, snapshot_id"""
 
+  /** Cold-data report (the storage-tiering decision input): files banded
+    * by idle time — days since last access, measured against the image's
+    * newest atime so the bands are a property of the image, not of when
+    * the report runs — per (band, storage policy): count, bytes, consumed
+    * bytes. The bytes an admin would demote to ARCHIVE/COLD per tier.
+    * Tiny key-domain aggregation; the max-atime scalar broadcasts. */
+  def fsimageCold(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = ensureExport(spark).filter(col("ftype") === "F")
+    val maxAtime = df.agg(max(col("atime_sec")).as("max_atime"))
+    val idleDays = (col("max_atime") - col("atime_sec")) / lit(86400L)
+    val band = when(idleDays < 30, "0_hot_lt30d")
+      .when(idleDays < 90, "1_warm_lt90d")
+      .when(idleDays < 365, "2_cool_lt1y")
+      .otherwise("3_cold_ge1y")
+    df.crossJoin(broadcast(maxAtime))
+      .groupBy(band.as("idle_band"), col("storage_policy"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size")).as("sum_size"),
+        sum(col("csize")).as("sum_csize"))
+      .orderBy(col("idle_band"), col("storage_policy"))
+  }
+
+  val fsimageColdSql: String = s"""
+    SELECT CASE WHEN idle_days < 30 THEN '0_hot_lt30d'
+                WHEN idle_days < 90 THEN '1_warm_lt90d'
+                WHEN idle_days < 365 THEN '2_cool_lt1y'
+                ELSE '3_cold_ge1y' END AS idle_band,
+           storage_policy,
+           count(*) AS n_files,
+           CAST(sum(size) AS bigint) AS sum_size,
+           CAST(sum(csize) AS bigint) AS sum_csize
+    FROM (
+      SELECT storage_policy, size, csize,
+             ((SELECT max(atime_sec) FROM read_parquet('$ExportDir/*.parquet')
+               WHERE ftype = 'F') - atime_sec) / 86400.0 AS idle_days
+      FROM read_parquet('$ExportDir/*.parquet')
+      WHERE ftype = 'F'
+    )
+    GROUP BY 1, storage_policy
+    ORDER BY idle_band, storage_policy"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fsimage_cold"       -> (fsimageCold _),
     "q_fsimage_diff_stats" -> (fsimageDiffStats _),
     "q_fsimage_symlinks"   -> (fsimageSymlinks _),
     "q_fsimage_summary"    -> (fsimageSummary _),
@@ -236,6 +282,7 @@ object FsImageQueries extends QueryModule {
     "q_fsimage_perm_audit" -> (fsimagePermAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q_fsimage_cold"       -> fsimageColdSql,
     "q_fsimage_diff_stats" -> fsimageDiffStatsSql,
     "q_fsimage_symlinks"   -> fsimageSymlinksSql,
     "q_fsimage_summary"    -> fsimageSummarySql,
