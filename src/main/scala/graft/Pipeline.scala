@@ -86,7 +86,7 @@ object Pipeline {
     val medoids = fit.groupBy(col("cluster"))
       .agg(min(struct(col("dist"), col("vec_id"))).as("m"))
     out += "cluster_medoids" -> medoids.count()
-    val wcss = fit.agg(sum(col("dist")).as("w")).head.getLong(0)
+    val wcss = fit.agg(sum(col("dist")).as("w")).head().getLong(0)
     out += "fit_wcss_nonzero" -> (if (wcss > 0) 1L else 0L)
     out.result()
   }

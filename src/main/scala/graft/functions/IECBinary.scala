@@ -14,7 +14,7 @@ object IECBinaryImpl {
     if (value < 1024) s"$value B"
     else {
       val exp = (math.log(value.toDouble) / math.log(1024d)).toInt
-      val pre = "KMGTPE".charAt(exp - 1) + "i"
+      val pre = s"${"KMGTPE".charAt(exp - 1)}i"
       String.format("%.0f %sB", Double.box(value / math.pow(1024d, exp)), pre)
     }
 

@@ -343,7 +343,7 @@ object EventsStream {
                                     info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
       // a timer deleted in the same batch can still surface; only the one
       // matching the live session's deadline closes it
-      if (open.exists() && open.get().last + gapMs <= info.getExpiryTimeInMs) {
+      if (open.exists() && open.get().last + gapMs <= info.getExpiryTimeInMs()) {
         val out = close(userId, open.get())
         open.clear()
         Iterator.single(out)
