@@ -12,7 +12,7 @@ import graft.functions.IECBinaryImpl
   * runMain graft.Tool <command> <fsimage> [options]
   *   commands: summary | smallfiles | userusage | path | inode | acl |
   *             xattr | quotas | growth | dupnames | du | compaction |
-  *             sections | snapshots | refs | diffs
+  *             ext | sections | snapshots | refs | diffs
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /)
   *   -fun <regex>      filter by user name (summary/path commands)
@@ -106,11 +106,13 @@ object Tool {
         val limit = opts.get("--fsl").map(IECBinaryImpl.parse).getOrElse(2L << 20)
         val target = opts.get("--target").map(IECBinaryImpl.parse).getOrElse(8L << 20)
         Reports.compactionPlan(inodes, limit, target, topN)
+      case "ext" =>
+        Reports.extensionReport(inodes, topN)
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other " +
           "(expected one of: summary smallfiles userusage path inode acl " +
-          "xattr quotas growth dupnames du compaction sections snapshots " +
-          "refs diffs)")
+          "xattr quotas growth dupnames du compaction ext sections " +
+          "snapshots refs diffs)")
     }
   }
 

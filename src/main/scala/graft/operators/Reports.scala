@@ -299,6 +299,26 @@ object Reports {
       .limit(topN)
   }
 
+  /** File-extension accounting: per lowercase extension (suffix after the
+    * last dot of the inode name; dotless → ''): count, bytes, consumed
+    * bytes, byte share in basis points. The capacity view admins slice
+    * first ("what IS all this data"). One shuffle onto the small
+    * extension domain; the share window runs over the aggregated table. */
+  def extensionReport(inodes: DataFrame, topN: Int = 20): DataFrame = {
+    val ext = when(col("name").contains("."),
+        lower(regexp_extract(col("name"), "\\.([^.]*)$", 1)))
+      .otherwise("")
+    inodes.filter(col("ftype") === "F")
+      .groupBy(ext.as("ext"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("sum_size"),
+        sum(col("csize")).as("sum_csize"))
+      .withColumn("size_share_bp",
+        floor(col("sum_size") * 10000.0 / sum(col("sum_size"))
+          .over(Window.partitionBy())).cast("long"))
+      .orderBy(col("sum_size").desc, col("ext"))
+      .limit(topN)
+  }
+
   /** Small-file compaction planner: for every directory holding small
     * files, the greedy name-order bin packing into `targetBytes` archives
     * — per dir the small-file count, their bytes, the bin count the pack

@@ -133,6 +133,32 @@ object NamespaceQueries extends QueryModule {
     ORDER BY n_small DESC, dir
     LIMIT 20"""
 
+  /** File-extension accounting ("how much of the cluster is .log vs
+    * .parquet"): per lowercase extension — count, bytes, consumed bytes,
+    * share of total bytes in basis points. Extension = suffix after the
+    * last dot of the NAME (dotless names → ''); one shuffle onto the
+    * (small) extension domain with map-side combine, share from a
+    * window over the aggregated table. Top 20 by bytes. */
+  def extensions(spark: SparkSession, sfDir: String): DataFrame =
+    Reports.extensionReport(inodes(spark, sfDir))
+
+  val extensionsSql: String = NamespaceSql.cte + """
+    SELECT ext, n_files, sum_size, sum_csize,
+           CAST(floor(sum_size * 10000.0 / sum(sum_size) OVER ()) AS bigint)
+             AS size_share_bp
+    FROM (
+      SELECT CASE WHEN name LIKE '%.%'
+                  THEN lower(regexp_extract(name, '\\.([^.]*)$', 1))
+                  ELSE '' END AS ext,
+             count(*) AS n_files,
+             CAST(sum(size) AS bigint) AS sum_size,
+             CAST(sum(csize) AS bigint) AS sum_csize
+      FROM inodes WHERE ftype='F'
+      GROUP BY 1
+    )
+    ORDER BY sum_size DESC, ext
+    LIMIT 20"""
+
   /** Small-file compaction planner ([[graft.operators.Reports.compactionPlan]]):
     * greedy name-order packing of each dir's small files into 8 MiB
     * archives, ranked by the inode-count reduction it buys. */
@@ -310,6 +336,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_size_histogram"     -> (sizeHistogram _),
     "q_ns_small_files_by_user"  -> (smallFilesByUser _),
     "q_ns_compaction_plan"      -> (compactionPlan _),
+    "q_ns_extensions"           -> (extensions _),
     "q_ns_small_files_hotspots" -> (smallFilesHotspots _),
     "q_ns_user_usage"         -> (userUsage _),
     "q_ns_path_report"        -> (pathReport _),
@@ -328,6 +355,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_size_histogram"     -> sizeHistogramSql,
     "q_ns_small_files_by_user"  -> smallFilesByUserSql,
     "q_ns_compaction_plan"      -> compactionPlanSql,
+    "q_ns_extensions"           -> extensionsSql,
     "q_ns_small_files_hotspots" -> smallFilesHotspotsSql,
     "q_ns_user_usage"         -> userUsageSql,
     "q_ns_path_report"        -> pathReportSql,

@@ -117,6 +117,11 @@ class ToolAndSqlSpec extends SparkSpecBase {
       // compaction: every dir holds >1 small file → bins save inodes
       val plan = run("compaction").collect()
       assert(plan.length == 4 && plan.forall(_.getAs[Long]("files_saved") > 0))
+      // ext: generated files are all f_<i>.dat
+      val ext = run("ext").collect()
+      assert(ext.length == 1 && ext.head.getAs[String]("ext") == "dat")
+      assert(ext.head.getAs[Long]("n_files") == 200L)
+      assert(ext.head.getAs[Long]("size_share_bp") == 10000L)
       assert(run("sections").count() >= 3)
       assert(run("snapshots").count() == 0) // image carries no SNAPSHOT section
       assert(run("refs").count() == 0)      // ...nor an INODE_REFERENCE one
