@@ -53,31 +53,31 @@ object Pipeline {
     val afterNear = afterExact.join(nearKeep, "doc_id").localCheckpoint()
     out += "after_neardup_keep" -> afterNear.count()
 
-    // 3. quality gate: drop each language's bottom quartile (the exact
-    //    rank-ceil threshold of t_quality_filter, applied as a filter)
+    // 3. quality gate: drop each language's bottom quartile — the SAME
+    //    rank-ceil threshold definition as t_quality_filter, via the
+    //    shared groupPercentile helper
     val scored = afterNear.withColumn("q_bp",
       graft.queries.TextQueries.qualityBp(col("text")))
-    val w = Window.partitionBy(col("lang")).orderBy(col("q_bp"))
-    val wn = Window.partitionBy(col("lang"))
-    val gated = scored
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
-      .withColumn("thr_bp",
-        max(when(col("rn") === ceil(lit(0.25) * col("n")).cast("long"),
-          col("q_bp"))).over(wn))
+    val gated = graft.queries.TextQueries
+      .groupPercentile(scored, "lang", "q_bp", 0.25)
       .filter(col("q_bp") >= col("thr_bp"))
       .select(col("doc_id"), col("text"))
       .localCheckpoint()
     out += "after_quality_gate" -> gated.count()
 
     // 4. context-window packing: exclusive prefix sum of token counts in
-    //    doc_id order → sequence id = prefix DIV window
+    //    doc_id order assigns each token stream its window; the sequence
+    //    COUNT is the highest window any token lands in, +1 — counting
+    //    distinct doc-START windows would skip windows interior to a
+    //    longer-than-window document
     val packed = PrefixSum.exclusive(
         gated.select(col("doc_id"),
           size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
         keyCol = "doc_id", valueCol = "n_tokens")
-      .select(expr(s"prefix_excl DIV $SeqTokens").as("seq_id"))
-    out += "packed_sequences" -> packed.select(col("seq_id")).distinct().count()
+    val nSeq = packed
+      .agg(max(expr(s"(prefix_excl + n_tokens - 1) DIV $SeqTokens")).as("m"))
+      .head().getLong(0) + 1
+    out += "packed_sequences" -> nSeq
 
     // 5. embeddings: ONE fit, three views (what Bench measures standalone)
     val fit = KMeans.fit(Tables.embeddings(spark, sfDir), k = 8, iters = 2)
@@ -85,7 +85,14 @@ object Pipeline {
     out += "kmeans_clusters" -> fit.select(col("cluster")).distinct().count()
     val medoids = fit.groupBy(col("cluster"))
       .agg(min(struct(col("dist"), col("vec_id"))).as("m"))
+      .select(col("cluster"), col("m.dist").as("mdist"))
+    // the medoid dist must BE the cluster's min dist — a broken argmin
+    // (e.g. wrong struct field order) shows up as a violation here
+    val violations = medoids
+      .join(fit.groupBy(col("cluster")).agg(min(col("dist")).as("lo")), "cluster")
+      .filter(col("mdist") =!= col("lo")).count()
     out += "cluster_medoids" -> medoids.count()
+    out += "medoid_argmin_violations" -> violations
     val wcss = fit.agg(sum(col("dist")).as("w")).head().getLong(0)
     out += "fit_wcss_nonzero" -> (if (wcss > 0) 1L else 0L)
     out.result()

@@ -16,27 +16,35 @@ object FsImageQueries extends QueryModule {
 
   /** Absolute paths — the oracle SQL runs in DuckDB outside the JVM, so
     * resolve against the working directory (the repo root under sbt)
-    * rather than hardcoding a checkout location. The export dir is keyed
-    * by PID: the oracle reads whatever THIS process exported, and two
-    * concurrent Verify/Bench processes no longer race on a shared parquet
-    * rewrite (observed as a transient hash mismatch in r4). */
+    * rather than hardcoding a checkout location. The image file is shared
+    * across runs (deterministic content, written atomically below, so the
+    * cache survives); the parquet EXPORT dirs are keyed by PID — the
+    * oracle reads whatever THIS process exported, and two concurrent
+    * Verify/Bench processes no longer race on a shared parquet rewrite
+    * (observed as a transient hash mismatch in r4). */
   private val BaseDir =
-    new java.io.File(
-      s"target/fsimage-oracle/p${ProcessHandle.current().pid()}").getAbsolutePath
+    new java.io.File("target/fsimage-oracle").getAbsolutePath
   private val Gen = ImageGen.GenSpec(nDirs = 50, nFiles = 5000,
     ecEvery = 4, aclEvery = 7, xattrEvery = 5, nSymlinks = 10,
     withAtime = true, quotaEvery = 6, permVariety = true,
     nSnapshots = 4, nDiffs = 400)
   // image file keyed by the spec: changing Gen invalidates the cached file
   private val ImagePath = s"$BaseDir/sample-${Gen.hashCode.toHexString}.img"
-  private val ExportDir = s"$BaseDir/inodes"
-  private val DiffExportDir = s"$BaseDir/diffs"
+  private val Pid = ProcessHandle.current().pid()
+  private val ExportDir = s"$BaseDir/p$Pid/inodes"
+  private val DiffExportDir = s"$BaseDir/p$Pid/diffs"
 
   private def ensureImage(): Unit = synchronized {
     val f = new java.io.File(ImagePath)
     if (!f.isFile) {
       f.getParentFile.mkdirs()
-      ImageGen.write(ImagePath, Gen)
+      // temp-then-rename: a concurrent process either sees no file (and
+      // writes its own temp) or a complete image — never a partial one
+      val tmp = new java.io.File(s"$ImagePath.tmp-$Pid")
+      ImageGen.write(tmp.getPath, Gen)
+      if (!tmp.renameTo(f) && !f.isFile)
+        throw new java.io.IOException(s"cannot publish $ImagePath")
+      tmp.delete() // no-op if the rename won; drops ours if the race lost
     }
   }
 

@@ -148,7 +148,7 @@ object NamespaceQueries extends QueryModule {
              AS size_share_bp
     FROM (
       SELECT CASE WHEN name LIKE '%.%'
-                  THEN lower(regexp_extract(name, '\\.([^.]*)$', 1))
+                  THEN lower(regexp_extract(name, '\.([^.]*)$', 1))
                   ELSE '' END AS ext,
              count(*) AS n_files,
              CAST(sum(size) AS bigint) AS sum_size,

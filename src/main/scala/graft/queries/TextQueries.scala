@@ -269,17 +269,26 @@ object TextQueries extends QueryModule {
     * by the rank window and the final aggregate. At 100 TB the threshold
     * comes from a sampled/sketched quantile broadcast instead of an exact
     * per-group sort, and the filter itself stays shuffle-free. */
+  /** Attaches `thr_bp` — the exact discrete per-`group` percentile of
+    * `valueCol` (element at rank ceil(frac·n), the q_percentiles
+    * definition) — to every row. The ONE threshold definition shared by
+    * t_quality_filter and [[graft.Pipeline]]'s gate. */
+  def groupPercentile(df: DataFrame, group: String, valueCol: String,
+                      frac: Double): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(col(valueCol))
+    val wn = Window.partitionBy(col(group))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("thr_bp",
+        max(when(col("rn") === ceil(lit(frac) * col("n")).cast("long"),
+          col(valueCol))).over(wn))
+      .drop("rn", "n")
+  }
+
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), qualityBp(col("text")).as("q_bp"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("q_bp"))
-    val wn = Window.partitionBy(col("lang"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
-      .withColumn("thr_bp",
-        max(when(col("rn") === ceil(lit(0.25) * col("n")).cast("long"),
-          col("q_bp"))).over(wn))
+    groupPercentile(scored, "lang", "q_bp", 0.25)
       .groupBy(col("lang"))
       .agg(min(col("thr_bp")).as("thr_bp"),
         count(lit(1)).as("n_docs"),

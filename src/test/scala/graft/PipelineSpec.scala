@@ -15,6 +15,7 @@ class PipelineSpec extends SparkSpecBase {
     assert(stages("after_quality_gate") * 4L >= stages("after_neardup_keep") * 3L - 4)
     assert(stages("packed_sequences") > 0)
     assert(stages("kmeans_clusters") == stages("cluster_medoids"))
+    assert(stages("medoid_argmin_violations") == 0L)
     assert(stages("fit_wcss_nonzero") == 1L)
   }
 }

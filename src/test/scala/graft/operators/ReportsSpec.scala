@@ -12,6 +12,7 @@ class ReportsSpec extends SparkSpecBase {
     import session.implicits._
     rows.toSeq.toDF("path", "name", "size")
       .withColumn("ftype", lit("F"))
+      .withColumn("csize", col("size") * 2)
   }
 
   test("compactionPlan counts occupied bins, not the max bin index") {
@@ -40,6 +41,18 @@ class ReportsSpec extends SparkSpecBase {
     assert(plan.map(_.getAs[String]("dir")).toSeq == Seq("/one"))
     assert(plan.head.getAs[Long]("n_bins") == 1L)
     assert(plan.head.getAs[Long]("files_saved") == 2L)
+  }
+
+  test("extensionReport lowercases, takes the last dot, and splits the byte share") {
+    val df = inodes(
+      ("/a/x.LOG", "x.LOG", 600L), ("/a/y.log", "y.log", 200L),
+      ("/a/z.tar.gz", "z.tar.gz", 100L), ("/a/noext", "noext", 100L))
+    val got = Reports.extensionReport(df)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // ordered by bytes desc: log (800 = .LOG folded in), gz (last dot of
+    // .tar.gz), '' for the dotless name; shares of the 1000-byte total
+    assert(got.toSeq == Seq(
+      ("log", 2L, 800L, 8000L), ("", 1L, 100L, 1000L), ("gz", 1L, 100L, 1000L)))
   }
 
   test("duReport caps the key domain at maxDepth and keeps subtree totals") {
