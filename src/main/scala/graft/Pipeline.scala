@@ -74,8 +74,11 @@ object Pipeline {
         gated.select(col("doc_id"),
           size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
         keyCol = "doc_id", valueCol = "n_tokens")
+    // coalesce(-1): an empty surviving corpus has a NULL max → 0 sequences
     val nSeq = packed
-      .agg(max(expr(s"(prefix_excl + n_tokens - 1) DIV $SeqTokens")).as("m"))
+      .agg(coalesce(
+        max(expr(s"(prefix_excl + n_tokens - 1) DIV $SeqTokens")), lit(-1L))
+        .as("m"))
       .head().getLong(0) + 1
     out += "packed_sequences" -> nSeq
 

@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.TextQueries,
     graft.queries.VectorQueries,
     graft.queries.MultimodalQueries,
-    graft.queries.FsImageQueries)
+    graft.queries.FsImageQueries,
+    graft.queries.PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

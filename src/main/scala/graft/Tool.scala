@@ -10,11 +10,17 @@ import graft.functions.IECBinaryImpl
   *
   * {{{
   * runMain graft.Tool <command> <fsimage> [options]
-  *   commands: summary | smallfiles | userusage | path | inode | acl |
-  *             xattr | quotas | growth | dupnames | du | compaction |
-  *             ext | sections | snapshots | refs | diffs
+  *   commands: summary | smallfiles | smallfilesusers | userusage | path |
+  *             inode | acl | xattr | quotas | growth | dupnames | du |
+  *             compaction | ext | sections | snapshots | refs | diffs
   *   -o txt|csv|json   output format (csv/json write to --out dir)
-  *   -p <path>         subtree to analyze (default /)
+  *   -p <path>         subtree to analyze (default /); repeatable, and a
+  *                     single -p also accepts a comma-separated list —
+  *                     multiple dirs analyze their union in ONE image read
+  *                     (reference HdfsFSImageTool.java:45 `--path` list)
+  *   -v / -vv          verbosity (reference HdfsFSImageTool.java:25): -v
+  *                     echoes the parsed invocation, -vv also prints the
+  *                     formatted physical plan before execution
   *   -fun <regex>      filter by user name (summary/path commands)
   *   -s fs|fc|dc|bc    summary sort: size, file/dir/block count
   *   --fsl <iec>       small-file limit, e.g. 2MiB (smallfiles/compaction)
@@ -45,9 +51,11 @@ object Tool {
 
   /** Command dispatch (separated from main so specs can drive every
     * command end-to-end against a generated image without stopping the
-    * shared session). */
+    * shared session). `paths` carries repeated `-p` occurrences; a lone
+    * `-p a,b` in `opts` is equivalent (both forms union the subtrees). */
   def run(spark: org.apache.spark.sql.SparkSession, cmd: String, image: String,
-          opts: Map[String, String], flags: Set[String]): DataFrame = {
+          opts: Map[String, String], flags: Set[String],
+          paths: Seq[String] = Seq.empty): DataFrame = {
     // summary-only commands — never parse the inode sections
     cmd match {
       case "sections"  => return FsImageSource.sections(spark, image)
@@ -60,7 +68,9 @@ object Tool {
       if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
       else FsImageSource.inodes(spark, image)
     import org.apache.spark.sql.functions.col
-    val dirs = opts.getOrElse("-p", "/").split(",").toSeq
+    val dirs =
+      if (paths.nonEmpty) paths.flatMap(_.split(",")).distinct
+      else opts.getOrElse("-p", "/").split(",").toSeq
     val inodes =
       if (dirs == Seq("/")) all
       else all.filter(dirs.map(d => col("path").startsWith(d) || col("path") === d)
@@ -74,6 +84,9 @@ object Tool {
       case "smallfiles" =>
         val limit = opts.get("--fsl").map(IECBinaryImpl.parse).getOrElse(2L << 20)
         Reports.smallFilesHotspots(inodes, limit, topN)
+      case "smallfilesusers" => // per-user hotspot dirs (reference csv/txt detail)
+        val limit = opts.get("--fsl").map(IECBinaryImpl.parse).getOrElse(2L << 20)
+        Reports.smallFilesUserHotspots(inodes, limit, perUserN = topN)
       case "userusage" =>
         val user = opts.getOrElse("-u",
           throw new IllegalArgumentException("userusage needs -u <user>"))
@@ -110,23 +123,51 @@ object Tool {
         Reports.extensionReport(inodes, topN)
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other " +
-          "(expected one of: summary smallfiles userusage path inode acl " +
-          "xattr quotas growth dupnames du compaction ext sections " +
-          "snapshots refs diffs)")
+          "(expected one of: summary smallfiles smallfilesusers userusage " +
+          "path inode acl xattr quotas growth dupnames du compaction ext " +
+          "sections snapshots refs diffs)")
     }
+  }
+
+  /** Boolean switches (no operand). Everything else starting with `-` is a
+    * `-key value` pair — a positional walk, not sliding(2,2), so a switch
+    * before a pair can't shift the pairing. */
+  private val Switches = Set("--distributed", "-v", "-vv")
+
+  /** → (opts, flags, paths): repeated `-p` accumulates into `paths` in
+    * order; other repeated keys keep the LAST value (getopt convention). */
+  def parseArgs(rest: Seq[String]): (Map[String, String], Set[String], Seq[String]) = {
+    val opts = Map.newBuilder[String, String]
+    val flags = Set.newBuilder[String]
+    val paths = Seq.newBuilder[String]
+    var i = 0
+    while (i < rest.length) {
+      val a = rest(i)
+      if (Switches.contains(a)) { flags += a; i += 1 }
+      else {
+        require(i + 1 < rest.length, s"option $a needs a value")
+        if (a == "-p") paths += rest(i + 1) else opts += a -> rest(i + 1)
+        i += 2
+      }
+    }
+    (opts.result(), flags.result(), paths.result())
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Tool <command> <fsimage> [options]")
     val cmd = args(0)
     val image = args(1)
-    val opts = args.drop(2).sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
-    val flags = args.drop(2).toSet
+    val (opts, flags, paths) = parseArgs(args.drop(2).toSeq)
+    val verbosity = if (flags.contains("-vv")) 2 else if (flags.contains("-v")) 1 else 0
 
     val spark = graft.core.GraftSession.get()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(if (verbosity >= 2) "WARN" else "ERROR")
     try {
-      val df = run(spark, cmd, image, opts, flags)
+      if (verbosity >= 1)
+        println(s"[tool] cmd=$cmd image=$image " +
+          s"paths=${if (paths.isEmpty) Seq("/") else paths} opts=$opts flags=$flags")
+      val df = run(spark, cmd, image, opts, flags, paths)
+      if (verbosity >= 2) df.explain("formatted")
       val topN = opts.get("-l").map(_.toInt).getOrElse(20)
 
       opts.getOrElse("-o", "txt") match {

@@ -8,12 +8,66 @@ import graft.core.Tables
   * payloads with a typed metadata struct, plus a batched decode /
   * feature-extract stage.
   *
-  * The decode step is a STUB — this container has no image/audio codecs —
-  * but everything Spark-side is real: schema, per-partition batching,
-  * deterministic output, column pruning (metadata queries never touch the
-  * payload bytes thanks to parquet struct/column pruning).
+  * Decoding is pluggable ([[MediaCodec]]): [[ImageIOCodec]] is a REAL
+  * image decoder (JDK `javax.imageio` — PNG/BMP/GIF, no external deps)
+  * producing luminance pixels; [[StubCodec]] is the deterministic
+  * byte-arithmetic fake the DuckDB oracle replays (no image libs on the
+  * oracle side). Both run through the SAME mapPartitions batch path —
+  * schema, partitioning and batch shape don't depend on the codec.
   */
 object Multimodal {
+
+  /** Per-partition-amortizable decoder: payload bytes → pixel bytes.
+    * Implementations must be cheap to ship in a task closure. */
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte], mime: String,
+               width: Int, height: Int): Array[Byte]
+  }
+
+  /** Deterministic fake standing in for a codec: "decodes" by tiling
+    * payload bytes to width·height (capped) — see [[featureQuerySql]],
+    * which replays exactly this byte math. */
+  object StubCodec extends MediaCodec {
+    def decode(payload: Array[Byte], mime: String,
+               width: Int, height: Int): Array[Byte] = {
+      val n = math.min(width * height, 4096)
+      if (payload.isEmpty) Array.emptyByteArray
+      else Array.tabulate(n)(i => payload(i % payload.length))
+    }
+  }
+
+  /** Real decoder over the JDK's `javax.imageio` (PNG / BMP / GIF /
+    * JPEG where the JDK ships it): decodes the payload and emits
+    * row-major integer luminance ((299·R + 587·G + 114·B) / 1000 —
+    * integer math, so the spec can recompute it exactly). Undecodable
+    * payloads yield an empty pixel array rather than failing the batch —
+    * at corpus scale a handful of corrupt blobs must not kill a stage. */
+  object ImageIOCodec extends MediaCodec {
+    def decode(payload: Array[Byte], mime: String,
+               width: Int, height: Int): Array[Byte] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) Array.emptyByteArray
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            out(y * w + x) = lum.toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+  }
 
   /** A media row: payload + metadata, as a training pipeline would store it
     * in parquet (payload column stays opaque/prunable). */
@@ -34,35 +88,26 @@ object Multimodal {
       (lit(64) + col("doc_id") % 48).cast("int").as("height"),
       octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
 
-  /** Batched "decode" + feature extraction via mapPartitions — the Scala
-    * analogue of a pandas-batch UDF: one iterator per partition so a real
-    * codec could amortize model/library init across the batch.
-    *
-    * STUB CODEC: `decodeStub` fakes pixel decoding deterministically.
-    * Swap in a real decoder here; the partitioning, schema and batch shape
-    * don't change. */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
+  /** Batched decode + feature extraction via mapPartitions — the Scala
+    * analogue of a pandas-batch UDF: one iterator per partition so the
+    * codec amortizes its init across the batch. The codec is a parameter:
+    * [[StubCodec]] (default — oracle-replayable byte math) and
+    * [[ImageIOCodec]] (real `javax.imageio` decode, spec-checked on
+    * generated PNG/BMP images) run the identical plan. */
+  def extractFeatures(media: DataFrame,
+                      codec: MediaCodec = StubCodec): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "payload", "mime", "width", "height", "n_bytes")
       .as[MediaRow]
       .mapPartitions { batch =>
-        // real pipeline: val codec = Codec.load() — once per partition
         batch.map { m =>
-          val px = decodeStub(m.payload, m.width, m.height)
+          val px = codec.decode(m.payload, m.mime, m.width, m.height)
           MediaFeature(m.doc_id, m.n_bytes,
             if (px.isEmpty) 0.0 else px.map(_ & 0xFF).sum.toDouble / px.length,
             Array.tabulate(8)(i => if (i < px.length) (px(i) & 0xFF).toFloat else 0f))
         }
       }
-  }
-
-  /** ??? in spirit — a deterministic fake standing in for e.g. libjpeg:
-    * "decodes" by tiling payload bytes to width*height (capped). */
-  private def decodeStub(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    val n = math.min(width * height, 4096)
-    if (payload.isEmpty) Array.emptyByteArray
-    else Array.tabulate(n)(i => payload(i % payload.length))
   }
 
   /** Metadata projection — reads only pruned columns, never the payload

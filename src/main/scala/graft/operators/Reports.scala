@@ -108,12 +108,16 @@ object Reports {
   private def selfAndAncestors(dir: Column): Column =
     array_distinct(concat(ancestors(dir), array(dir)))
 
-  /** SmallFilesReportCommand directory hotspots: ancestor rollup, top-N. */
+  /** SmallFilesReportCommand directory hotspots: ancestor rollup, top-N.
+    * Pre-aggregate per parent dir BEFORE the ancestor explode: files in
+    * one dir share the exact ancestor chain, so the explode (and its
+    * per-row string-array build) runs over #distinct dirs, not #files.
+    * r5 measured the one-shuffle alternative (explode per file straight
+    * into a combining agg): 2.03 s vs 1.53 s standalone at sf0.1 — the
+    * per-file array construction costs more than the second exchange
+    * saves, and the gap widens with files-per-dir, i.e. with scale. */
   def smallFilesHotspots(inodes: DataFrame, limitBytes: Long, topN: Int): DataFrame =
     inodes.filter(col("ftype") === "F" && col("size") < limitBytes)
-      // pre-aggregate per parent dir BEFORE the ancestor explode: files in
-      // one dir share the exact ancestor chain, so the explode input
-      // shrinks from #files to #distinct dirs (exact regrouping)
       .groupBy(parentDir.as("pdir"))
       .agg(count(lit(1)).as("cnt"))
       .select(explode(selfAndAncestors(col("pdir"))).as("dir"), col("cnt"))
@@ -121,6 +125,31 @@ object Reports {
       .agg(sum(col("cnt")).as("n_small"))
       .orderBy(col("n_small").desc, col("dir"))
       .limit(topN)
+
+  /** SmallFilesReportCommand per-user directory hotspots (reference
+    * tool/.../SmallFilesReportCommand.java:137-155: the csv/txt detail
+    * emits top-N hotspot dirs PER USER, not just overall): small-file
+    * counts per (owner, ancestor dir), top `perUserN` dirs per owner.
+    * Same pre-aggregate-then-ancestor-explode shape as
+    * [[smallFilesHotspots]], keyed by (owner, parent dir) — the explode
+    * input is #(owner, dir) pairs, not #files, and the top-N window runs
+    * over that already-aggregated dir-sized domain (ranking is the last
+    * step over ≤ #dirs·owners-per-dir rows, never over file rows). */
+  def smallFilesUserHotspots(inodes: DataFrame, limitBytes: Long,
+                             perUserN: Int): DataFrame = {
+    val perDir = inodes.filter(col("ftype") === "F" && col("size") < limitBytes)
+      .groupBy(col("owner"), parentDir.as("pdir"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("owner"), explode(selfAndAncestors(col("pdir"))).as("dir"),
+        col("cnt"))
+      .groupBy(col("owner"), col("dir"))
+      .agg(sum(col("cnt")).as("n_small"))
+    val w = Window.partitionBy(col("owner"))
+      .orderBy(col("n_small").desc, col("dir"))
+    perDir.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= perUserN)
+      .orderBy(col("owner"), col("rnk"))
+  }
 
   /** UserUsageReportCommand: Σ size per ancestor dir for one user with an
     * age cutoff (mtime older than cutoffSec), top-N locations. */

@@ -133,6 +133,29 @@ object NamespaceQueries extends QueryModule {
     ORDER BY n_small DESC, dir
     LIMIT 20"""
 
+  /** SmallFilesReportCommand per-user directory hotspots: top 5 small-file
+    * dirs for every owner (reference SmallFilesReportCommand.java:137-155). */
+  def smallFilesUserHotspots(spark: SparkSession, sfDir: String): DataFrame =
+    Reports.smallFilesUserHotspots(inodes(spark, sfDir), SmallLimit, perUserN = 5)
+
+  val smallFilesUserHotspotsSql: String = NamespaceSql.cte + s"""
+    SELECT owner, dir, n_small, rnk FROM (
+      SELECT owner, dir, n_small,
+             CAST(row_number() OVER (PARTITION BY owner
+                                     ORDER BY n_small DESC, dir) AS bigint) AS rnk
+      FROM (
+        SELECT owner, dir, count(*) AS n_small
+        FROM (
+          SELECT owner, unnest($ancestorsSql) AS dir
+          FROM (SELECT owner, string_split(path, '/') AS sp FROM inodes
+                WHERE ftype='F' AND size < $SmallLimit)
+        )
+        GROUP BY owner, dir
+      )
+    )
+    WHERE rnk <= 5
+    ORDER BY owner, rnk"""
+
   /** File-extension accounting ("how much of the cluster is .log vs
     * .parquet"): per lowercase extension — count, bytes, consumed bytes,
     * share of total bytes in basis points. Extension = suffix after the
@@ -338,6 +361,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_compaction_plan"      -> (compactionPlan _),
     "q_ns_extensions"           -> (extensions _),
     "q_ns_small_files_hotspots" -> (smallFilesHotspots _),
+    "q_ns_small_files_user_hotspots" -> (smallFilesUserHotspots _),
     "q_ns_user_usage"         -> (userUsage _),
     "q_ns_path_report"        -> (pathReport _),
     "q_ns_inode_lookup"       -> (inodeLookup _),
@@ -357,6 +381,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_compaction_plan"      -> compactionPlanSql,
     "q_ns_extensions"           -> extensionsSql,
     "q_ns_small_files_hotspots" -> smallFilesHotspotsSql,
+    "q_ns_small_files_user_hotspots" -> smallFilesUserHotspotsSql,
     "q_ns_user_usage"         -> userUsageSql,
     "q_ns_path_report"        -> pathReportSql,
     "q_ns_inode_lookup"       -> inodeLookupSql,

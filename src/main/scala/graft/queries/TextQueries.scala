@@ -34,7 +34,7 @@ object TextQueries extends QueryModule {
 
   /** DuckDB twin of [[graft.functions.word_shingle_keys]] (60-bit longs;
     * raw 3-grams deduped before hashing, exactly like the Spark side). */
-  private def shingleKeysSql(textCol: String): String =
+  private[queries] def shingleKeysSql(textCol: String): String =
     s"""list_transform(
           list_distinct(CASE WHEN len(w) >= 3
             THEN list_transform(range(1, len(w) - 1),
@@ -118,7 +118,7 @@ object TextQueries extends QueryModule {
   }
 
   /** DuckDB twin of [[qualityBp]] over a relation exposing `text`. */
-  private val qualityBpSql: String =
+  private[queries] val qualityBpSql: String =
     s"""CAST(floor((len(regexp_extract_all(text, '[a-zA-Z]')) * 10000.0 / length(text)) * 0.6
          + (len(list_filter(string_split_regex(lower(text), '\\s+'),
                             w -> list_contains($stopListSql, w))) * 10000.0

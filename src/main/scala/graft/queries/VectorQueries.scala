@@ -529,7 +529,7 @@ object VectorQueries extends QueryModule {
     * `fin` (vec_id, k, dist — the final assignment), shared by the kmeans,
     * cluster-quality and medoid oracles so all three replay the one
     * integer-exact trajectory. */
-  private val kmeansCtes: String = {
+  private[queries] val kmeansCtes: String = {
     // the same iteration unrolled as a CTE chain: a_i assigns against c_{i-1},
     // c_i re-averages; `fin` is the (iters+1)-th assignment
     def assignCte(name: String, cents: String) = s"""$name AS (
@@ -603,7 +603,10 @@ object VectorQueries extends QueryModule {
       .withColumn("mean_dist",
         floor(col("wcss") * 1.0 / col("n_vecs")).cast("long"))
       .join(broadcast(sep), "cluster")
-      .withColumn("compact_bp", expr("mean_dist * 10000 DIV d_min"))
+      .withColumn("compact_bp", // d_min = 0 when two final centroids
+        // quantize identically (duplicate-heavy corpus) — ANSI DIV throws
+        when(col("d_min") === 0, lit(null).cast("long"))
+          .otherwise(expr("mean_dist * 10000 DIV d_min")))
       .select(col("cluster"), col("n_vecs"), col("wcss"), col("mean_dist"),
         col("d_min"), col("compact_bp"))
       .orderBy(col("cluster"))
@@ -628,8 +631,10 @@ object VectorQueries extends QueryModule {
            CAST(sum(f.dist) AS bigint) AS wcss,
            CAST(floor(sum(f.dist) * 1.0 / count(*)) AS bigint) AS mean_dist,
            s.d_min AS d_min,
-           (CAST(floor(sum(f.dist) * 1.0 / count(*)) AS bigint) * 10000) // s.d_min
-             AS compact_bp
+           CASE WHEN s.d_min = 0 THEN NULL
+                ELSE (CAST(floor(sum(f.dist) * 1.0 / count(*)) AS bigint)
+                      * 10000) // s.d_min
+           END AS compact_bp
     FROM fin f JOIN sep s ON f.k = s.cluster
     GROUP BY f.k, s.d_min
     ORDER BY cluster"""

@@ -143,6 +143,13 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
   }
 
+  /** State TTL is processing-time based, and Spark's
+    * `StatefulProcessorHandleImpl.validateTTLConfig` rejects any non-NONE
+    * TTL unless the query runs in `TimeMode.ProcessingTime` — so the time
+    * mode must follow the TTL choice, not be hardcoded. */
+  private def timeModeFor(ttl: TTLConfig): TimeMode =
+    if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+
   case class ValueEvent(user_id: Long, ts: Timestamp, value: Double)
   case class UserTotals(n_events: Long, sum_value_c: Long,
                         max_value_c: Long, last_ms: Long)
@@ -194,7 +201,7 @@ object EventsStream {
       .as[ValueEvent]
       .groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor(ttl),
-        TimeMode.None(), OutputMode.Update())
+        timeModeFor(ttl), OutputMode.Update())
   }
 
   case class TypedEvent(user_id: Long, event_type: String)
@@ -242,7 +249,7 @@ object EventsStream {
       .as[TypedEvent]
       .groupByKey(_.user_id)
       .transformWithState(new UserTypeCountsProcessor(ttl),
-        TimeMode.None(), OutputMode.Update())
+        timeModeFor(ttl), OutputMode.Update())
   }
 
   case class AlertRow(user_id: Long, streak: Int, last_ts: Timestamp)

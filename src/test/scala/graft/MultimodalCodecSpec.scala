@@ -1,0 +1,80 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{ImageIOCodec, MediaRow, StubCodec}
+
+/** The real (`javax.imageio`) codec through the SAME mapPartitions batch
+  * path as the stub: generated PNG/BMP images decode to known luminance
+  * pixels, corrupt payloads degrade to empty features instead of failing
+  * the stage, and the oracle-checked stub path is untouched by the codec
+  * parameter (same plan, different decode). */
+class MultimodalCodecSpec extends SparkSpecBase {
+
+  /** A w×h RGB image whose pixel (x, y) is (r, g, b) = f(x, y), encoded
+    * with the JDK writer for `fmt` (png / bmp — both lossless). */
+  private def encodedImage(w: Int, h: Int, fmt: String)
+                          (f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"JDK has no $fmt writer")
+    bos.toByteArray
+  }
+
+  /** The codec's integer luminance — recomputed independently here. */
+  private def lum(r: Int, g: Int, b: Int): Int = (r * 299 + g * 587 + b * 114) / 1000
+
+  test("ImageIOCodec decodes generated PNG and BMP through extractFeatures") {
+    val session = spark
+    import session.implicits._
+    // gradient PNG: pixel value depends on position, so a wrong scan order
+    // or channel mix-up shifts the mean; solid BMP: exact known mean
+    val png = encodedImage(16, 8, "png")((x, y) => (x * 15, y * 30, 128))
+    val bmp = encodedImage(4, 4, "bmp")((_, _) => (200, 100, 50))
+    val rows = Seq(
+      MediaRow(1L, png, "image/png", 16, 8, png.length.toLong),
+      MediaRow(2L, bmp, "image/bmp", 4, 4, bmp.length.toLong))
+    val got = Multimodal.extractFeatures(rows.toDF(), ImageIOCodec)
+      .collect().sortBy(_.doc_id)
+
+    val expPng = (for (y <- 0 until 8; x <- 0 until 16)
+      yield lum(x * 15, y * 30, 128)).toSeq
+    assert(got(0).mean_byte == expPng.sum.toDouble / expPng.size)
+    // feature = first 8 pixels in row-major order
+    assert(got(0).feature.toSeq == expPng.take(8).map(_.toFloat))
+
+    val expBmp = lum(200, 100, 50)
+    assert(got(1).mean_byte == expBmp.toDouble)
+    assert(got(1).feature.toSeq == Seq.fill(8)(expBmp.toFloat))
+  }
+
+  test("corrupt payloads decode to empty features, not a failed stage") {
+    val session = spark
+    import session.implicits._
+    val rows = Seq(MediaRow(9L, Array[Byte](1, 2, 3), "image/png", 4, 4, 3L))
+    val got = Multimodal.extractFeatures(rows.toDF(), ImageIOCodec).collect()
+    assert(got.length == 1 && got(0).mean_byte == 0.0 &&
+      got(0).feature.forall(_ == 0f))
+  }
+
+  test("codec parameter defaults to the oracle-replayable stub") {
+    val session = spark
+    import session.implicits._
+    val payload = Array[Byte](10, 20, 30)
+    val rows = Seq(MediaRow(5L, payload, "image/fake", 2, 2, 3L))
+    val viaDefault = Multimodal.extractFeatures(rows.toDF()).collect().head
+    val viaStub = Multimodal.extractFeatures(rows.toDF(), StubCodec).collect().head
+    // stub tiles payload to w·h = 4 bytes: 10, 20, 30, 10
+    assert(viaDefault.mean_byte == (10 + 20 + 30 + 10) / 4.0)
+    assert(viaDefault.mean_byte == viaStub.mean_byte &&
+      viaDefault.feature.toSeq == viaStub.feature.toSeq)
+  }
+}

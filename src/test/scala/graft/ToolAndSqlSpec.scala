@@ -78,6 +78,13 @@ class ToolAndSqlSpec extends SparkSpecBase {
         Tool.run(spark, cmd, img, opts.toMap, Set.empty)
       assert(run("summary").count() > 0)
       assert(run("smallfiles").count() > 0)
+      // per-user hotspots: ≤ topN dirs per owner, rnk dense from 1
+      val sfu = run("smallfilesusers", "-l" -> "3").collect()
+      assert(sfu.nonEmpty)
+      assert(sfu.groupBy(_.getAs[String]("owner")).values.forall { rows =>
+        rows.length <= 3 && rows.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+          (1L to rows.length).toSeq
+      })
       assert(run("userusage", "-u" -> "user_0").count() >= 0)
       assert(run("path").count() > 0)
       assert(run("inode", "-i" -> "/dir_0").count() == 1)
@@ -129,8 +136,24 @@ class ToolAndSqlSpec extends SparkSpecBase {
       // subtree option restricts the inode set
       assert(run("path", "-p" -> "/dir_0").count() <
              run("path").count())
+      // multiple subtrees in ONE run (reference --path list): repeated -p
+      // unions exactly the two subtrees — no double-count, no spillover
+      val two = Tool.run(spark, "path", img, Map.empty, Set.empty,
+        paths = Seq("/dir_0", "/dir_1"))
+      assert(two.count() ==
+        run("path", "-p" -> "/dir_0").count() +
+        run("path", "-p" -> "/dir_1").count())
       intercept[IllegalArgumentException](run("no_such_command"))
     } finally new java.io.File(img).delete()
+  }
+
+  test("Tool.parseArgs: repeated -p, switches, and pairs don't collide") {
+    val (opts, flags, paths) = Tool.parseArgs(Seq(
+      "--distributed", "-p", "/a", "-v", "-p", "/b,/c", "-l", "10"))
+    assert(paths == Seq("/a", "/b,/c"))
+    assert(opts == Map("-l" -> "10"))
+    assert(flags == Set("--distributed", "-v"))
+    intercept[IllegalArgumentException](Tool.parseArgs(Seq("-l")))
   }
 
   test("Tool.parseAge handles the reference's age grammar") {

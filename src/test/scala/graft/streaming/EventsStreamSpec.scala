@@ -304,6 +304,48 @@ class EventsStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("transformWithState with a non-NONE TTL starts and emits (ProcessingTime mode)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ev]
+    // a TTL used to throw StatefulProcessorCannotAssignTTLInTimeMode at
+    // query start because the time mode was hardcoded to None — this pins
+    // the TimeMode-follows-TTL fix (a generous TTL so nothing expires here)
+    val query = EventsStream.userTotals(input.toDF(),
+        ttl = org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofHours(24)))
+      .writeStream.format("memory").queryName("user_totals_ttl")
+      .outputMode("update").start()
+    try {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      input.addData(Ev(new Timestamp(base), "view", 7L, 2.0),
+        Ev(new Timestamp(base + 1000), "view", 7L, 3.5))
+      // ProcessingTime mode keeps scheduling micro-batches (TTL eviction
+      // advances on processing time), so processAllAvailable never sees an
+      // idle queue — poll the sink for the expected emission instead
+      val deadline = System.currentTimeMillis() + 120000
+      def emitted() = spark.table("user_totals_ttl")
+        .filter(col("n_events") === 2L).collect()
+      var rows = emitted()
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250); rows = emitted()
+      }
+      assert(rows.nonEmpty, "no 2-event emission within 120s")
+      assert(rows.head.getAs[Long]("sum_value_c") == 550L)
+    } finally {
+      query.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("timer-driven v2 sessionization matches the flatMapGroupsWithState sessions") {
     val session = spark
     import session.implicits._
