@@ -66,10 +66,11 @@ object ImageBench {
           s"row fingerprint mismatch: driver $fpD != distributed $fpX")
         true
       }
-    // Peak heap across all pools since start — in local mode one JVM holds
-    // driver state AND executor working memory, so this bounds BOTH; the
-    // driver-resident part (dir tree + string table) is O(#dirs+strings)
-    // by construction and this number is its ceiling.
+    // Sum of per-pool peak heap since start — in local mode one JVM holds
+    // driver state AND executor working memory, so this bounds BOTH. The
+    // per-pool peaks (G1 eden/survivor/old) need not coincide in time, so
+    // the SUM can read above -Xmx; the hard bound of record is -Xmx
+    // itself — a capped run that completes proves the whole workload fit.
     import scala.jdk.CollectionConverters._
     val peakHeapMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
