@@ -66,15 +66,6 @@ object ImageBench {
           s"row fingerprint mismatch: driver $fpD != distributed $fpX")
         true
       }
-    // Sum of per-pool peak heap since start — in local mode one JVM holds
-    // driver state AND executor working memory, so this bounds BOTH. The
-    // per-pool peaks (G1 eden/survivor/old) need not coincide in time, so
-    // the SUM can read above -Xmx; the hard bound of record is -Xmx
-    // itself — a capped run that completes proves the whole workload fit.
-    import scala.jdk.CollectionConverters._
-    val peakHeapMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(_.getType == java.lang.management.MemoryType.HEAP)
-      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
     // reports over the distributed load: the end-to-end admin path
     val (tReport, _) = time {
       graft.operators.Reports
@@ -88,6 +79,17 @@ object ImageBench {
     }
     val expectQ = nDirs / 100 + (if (nDirs % 100 > 0) 1 else 0)
     require(nQ == expectQ, s"quota-dir count $nQ, expected $expectQ")
+    // Sum of per-pool peak heap since start, sampled AFTER the report
+    // phases (peak usage is monotone, so last-sample covers the whole
+    // run). In local mode one JVM holds driver state AND executor
+    // working memory, so this bounds BOTH. The per-pool peaks (G1
+    // eden/survivor/old) need not coincide in time, so the SUM can read
+    // above -Xmx; the hard bound of record is -Xmx itself — a capped
+    // run that completes proves the whole workload fit.
+    import scala.jdk.CollectionConverters._
+    val peakHeapMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
     def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     println(s"""{"metric":"fsimage_ingest","inodes":$nD,"image_bytes":$bytes,""" +
       s""""gen_sec":${ms3(tGen)},"driver_sec":${ms3(tDriver)},""" +

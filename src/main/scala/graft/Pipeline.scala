@@ -24,7 +24,12 @@ import graft.operators.{Dedup, KMeans, PrefixSum}
   */
 object Pipeline {
 
-  private val SeqTokens = 2048L // packed context-window length
+  // private[graft]: the driver oracle (PipelineQueries.pipelineCountsSql)
+  // interpolates these same values — one definition site, so a tuning
+  // change can't silently desync the Spark chain from its DuckDB replay
+  private[graft] val SeqTokens = 2048L // packed context-window length
+  private[graft] val MinJaccardBp = 2000 // near-dup pair threshold
+  private[graft] val QualityQuantile = 0.25 // per-language gate cut
 
   /** Runs the chain; returns (stage → rows) in stage order. */
   def run(spark: SparkSession, sfDir: String): Seq[(String, Long)] = {
@@ -44,7 +49,7 @@ object Pipeline {
     //    then smallest-id) survivor per cluster — over the EXACT-dedup'd
     //    corpus, so the pair join never re-finds byte-identical copies
     val pairs = Dedup
-      .ngramJaccardPairs(afterExact, minJaccardBp = 2000, sorted = false)
+      .ngramJaccardPairs(afterExact, minJaccardBp = MinJaccardBp, sorted = false)
       .select(col("doc_a"), col("doc_b"))
     val labels = Dedup.connectedComponents(pairs, afterExact.select(col("doc_id")))
     val nearKeep = Dedup
@@ -59,7 +64,7 @@ object Pipeline {
     val scored = afterNear.withColumn("q_bp",
       graft.queries.TextQueries.qualityBp(col("text")))
     val gated = graft.queries.TextQueries
-      .groupPercentile(scored, "lang", "q_bp", 0.25)
+      .groupPercentile(scored, "lang", "q_bp", QualityQuantile)
       .filter(col("q_bp") >= col("thr_bp"))
       .select(col("doc_id"), col("text"))
       .localCheckpoint()
@@ -83,7 +88,9 @@ object Pipeline {
     out += "packed_sequences" -> nSeq
 
     // 5. embeddings: ONE fit, three views (what Bench measures standalone)
-    val fit = KMeans.fit(Tables.embeddings(spark, sfDir), k = 8, iters = 2)
+    val fit = KMeans.fit(Tables.embeddings(spark, sfDir),
+        k = graft.queries.VectorQueries.KmeansK,
+        iters = graft.queries.VectorQueries.KmeansIters)
       .localCheckpoint()
     out += "kmeans_clusters" -> fit.select(col("cluster")).distinct().count()
     val medoids = fit.groupBy(col("cluster"))

@@ -67,14 +67,21 @@ object Tool {
     val all =
       if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
       else FsImageSource.inodes(spark, image)
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val dirs =
       if (paths.nonEmpty) paths.flatMap(_.split(",")).distinct
       else opts.getOrElse("-p", "/").split(",").toSeq
     val inodes =
       if (dirs == Seq("/")) all
-      else all.filter(dirs.map(d => col("path").startsWith(d) || col("path") === d)
-        .reduce(_ || _))
+      else {
+        // require a '/' boundary after the prefix: -p /data must match
+        // /data and /data/x but NOT the sibling /database
+        val norm = dirs.map(d => if (d != "/" && d.endsWith("/")) d.dropRight(1) else d)
+        all.filter(norm.map(d =>
+            if (d == "/") lit(true)
+            else col("path").startsWith(d + "/") || col("path") === d)
+          .reduce(_ || _))
+      }
     val topN = opts.get("-l").map(_.toInt).getOrElse(20)
 
     cmd match {

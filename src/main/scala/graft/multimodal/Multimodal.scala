@@ -44,29 +44,34 @@ object Multimodal {
     * at corpus scale a handful of corrupt blobs must not kill a stage. */
   object ImageIOCodec extends MediaCodec {
     def decode(payload: Array[Byte], mime: String,
-               width: Int, height: Int): Array[Byte] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
-      if (img == null) Array.emptyByteArray
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        val out = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000
-            out(y * w + x) = lum.toByte
-            x += 1
+               width: Int, height: Int): Array[Byte] =
+      // NonFatal, not just IOException: the JDK readers throw
+      // IllegalArgumentException / ArrayIndexOutOfBounds on malformed
+      // chunk data, and those must degrade to empty too
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) Array.emptyByteArray
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue) Array.emptyByteArray
+          else {
+            val out = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                  (rgb & 0xFF) * 114) / 1000
+                out(y * w + x) = lum.toByte
+                x += 1
+              }
+              y += 1
+            }
+            out
           }
-          y += 1
         }
-        out
-      }
-    }
+      } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
   }
 
   /** A media row: payload + metadata, as a training pipeline would store it
@@ -103,8 +108,11 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { m =>
           val px = codec.decode(m.payload, m.mime, m.width, m.height)
+          // Long accumulator: an Int sum wraps past ~16M pixels (real
+          // ImageIOCodec images are unbounded; only the stub caps at 4096)
           MediaFeature(m.doc_id, m.n_bytes,
-            if (px.isEmpty) 0.0 else px.map(_ & 0xFF).sum.toDouble / px.length,
+            if (px.isEmpty) 0.0
+            else px.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / px.length,
             Array.tabulate(8)(i => if (i < px.length) (px(i) & 0xFF).toFloat else 0f))
         }
       }

@@ -31,11 +31,13 @@ object PipelineQueries extends QueryModule {
   /** The full chain in one DuckDB statement. CTE sources: corpus mirrors
     * Pipeline stage 1 (min doc_id per raw-md5 text); the shingle → pairs →
     * recursive-reach → keep-best chain is TextQueries.clusterLabCtes
-    * re-rooted at `corpus` (threshold 2000 bp, same df cap); the gate is
-    * qualityFilterSql's rank-ceil p25 per language; packing is
-    * packSequencesSql's exclusive prefix sum at 2048 tokens; the k-means
-    * tail is VectorQueries.kmeansCtes verbatim (WITH stripped — one
-    * merged WITH RECURSIVE list). */
+    * re-rooted at `corpus` (Pipeline.MinJaccardBp, same df cap); the gate
+    * is qualityFilterSql's rank-ceil cut at Pipeline.QualityQuantile per
+    * language; packing is packSequencesSql's exclusive prefix sum at
+    * Pipeline.SeqTokens; the k-means tail is VectorQueries.kmeansCtes
+    * verbatim (WITH stripped — one merged WITH RECURSIVE list). All
+    * tuning constants interpolate from their Pipeline/VectorQueries
+    * definition sites, so the two sides cannot drift. */
   val pipelineCountsSql: String = {
     val kmeans = VectorQueries.kmeansCtes.trim.stripPrefix("WITH")
     s"""
@@ -60,7 +62,8 @@ object PipelineQueries extends QueryModule {
       SELECT doc_a, doc_b FROM prs
       JOIN counts ca ON doc_a = ca.doc_id
       JOIN counts cb ON doc_b = cb.doc_id
-      WHERE floor(n_common * 10000.0 / (ca.n_sh + cb.n_sh - n_common)) >= 2000
+      WHERE floor(n_common * 10000.0 / (ca.n_sh + cb.n_sh - n_common))
+              >= ${graft.Pipeline.MinJaccardBp}
     ), edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM edges0
       UNION ALL SELECT doc_b, doc_a FROM edges0
@@ -83,7 +86,8 @@ object PipelineQueries extends QueryModule {
       FROM survivors
     ), thr AS (
       SELECT doc_id, text, q_bp,
-             max(CASE WHEN rn = CAST(ceil(0.25 * n) AS bigint) THEN q_bp END)
+             max(CASE WHEN rn = CAST(ceil(${graft.Pipeline.QualityQuantile} * n) AS bigint)
+                      THEN q_bp END)
                OVER (PARTITION BY lang) AS thr_bp
       FROM (
         SELECT doc_id, lang, text, q_bp,
@@ -110,7 +114,7 @@ object PipelineQueries extends QueryModule {
       UNION ALL SELECT 3, 'after_neardup_keep', (SELECT count(*) FROM survivors)
       UNION ALL SELECT 4, 'after_quality_gate', (SELECT count(*) FROM gated)
       UNION ALL SELECT 5, 'packed_sequences',
-        (SELECT coalesce(max((prefix_excl + n_tokens - 1) // 2048), -1) + 1
+        (SELECT coalesce(max((prefix_excl + n_tokens - 1) // ${graft.Pipeline.SeqTokens}), -1) + 1
          FROM packed)
       UNION ALL SELECT 6, 'kmeans_clusters', (SELECT count(DISTINCT k) FROM fin)
       UNION ALL SELECT 7, 'cluster_medoids', (SELECT count(DISTINCT k) FROM fin)

@@ -511,8 +511,10 @@ object VectorQueries extends QueryModule {
 
   // ----------------------------------------------------------------- k-means
 
-  private val KmeansK = 8
-  private val KmeansIters = 2
+  // private[graft]: graft.Pipeline runs the same fit and its oracle
+  // (PipelineQueries) splices kmeansCtes — one definition site for k/iters
+  private[graft] val KmeansK = 8
+  private[graft] val KmeansIters = 2
 
   /** Distributed Lloyd's k-means ([[graft.operators.KMeans]]): cluster the
     * embedding corpus with integer-exact math — quantized elements, bigint

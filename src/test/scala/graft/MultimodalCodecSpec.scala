@@ -59,10 +59,17 @@ class MultimodalCodecSpec extends SparkSpecBase {
   test("corrupt payloads decode to empty features, not a failed stage") {
     val session = spark
     import session.implicits._
-    val rows = Seq(MediaRow(9L, Array[Byte](1, 2, 3), "image/png", 4, 4, 3L))
+    // unrecognized bytes AND a valid PNG signature over garbage chunk
+    // data — the latter drives the reader into its chunk parser, whose
+    // failures are not always IOException (NonFatal catch required)
+    val sigGarbage = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A,
+      0x1A, 0x0A) ++ Array.tabulate(64)(i => (i * 37).toByte)
+    val rows = Seq(
+      MediaRow(9L, Array[Byte](1, 2, 3), "image/png", 4, 4, 3L),
+      MediaRow(10L, sigGarbage, "image/png", 4, 4, sigGarbage.length.toLong))
     val got = Multimodal.extractFeatures(rows.toDF(), ImageIOCodec).collect()
-    assert(got.length == 1 && got(0).mean_byte == 0.0 &&
-      got(0).feature.forall(_ == 0f))
+    assert(got.length == 2 && got.forall(r => r.mean_byte == 0.0 &&
+      r.feature.forall(_ == 0f)))
   }
 
   test("codec parameter defaults to the oracle-replayable stub") {

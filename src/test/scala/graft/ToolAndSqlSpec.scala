@@ -143,6 +143,13 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(two.count() ==
         run("path", "-p" -> "/dir_0").count() +
         run("path", "-p" -> "/dir_1").count())
+      // '/'-boundary matching: "/dir" is a string prefix of every
+      // "/dir_N" path but names no inode and no subtree — it must select
+      // nothing (a raw startsWith would return the whole image here)
+      assert(run("path", "-p" -> "/dir").count() == 0)
+      // ...and a trailing slash selects the same subtree as the bare dir
+      assert(run("path", "-p" -> "/dir_0/").count() ==
+             run("path", "-p" -> "/dir_0").count())
       intercept[IllegalArgumentException](run("no_such_command"))
     } finally new java.io.File(img).delete()
   }
