@@ -1047,6 +1047,59 @@ object TextQueries extends QueryModule {
     ORDER BY doc_id"""
   }
 
+  /** Split boundaries in basis points: [0,9000) train, [9000,9500) val,
+    * [9500,10000) test. */
+  private val SplitValBp = 9000L
+  private val SplitTestBp = 9500L
+
+  /** Deterministic train/val/test split assignment with per-(split, lang)
+    * accounting — the hold-out carve every training corpus needs before
+    * anything touches the data. Membership is md5("spl_" ‖ doc_id) bucketed
+    * to basis points, so the assignment is reproducible across runs,
+    * engines and corpus growth (a doc never migrates between splits when
+    * new data arrives — the property random split() cannot give).
+    * Shuffle posture: the gate is a per-row map; the accounting aggregates
+    * onto a 3 × |langs| key domain with map-side partial combine, and the
+    * per-language share window runs on that already-tiny aggregate. */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashBp = floor(
+      conv(substring(md5(concat(lit("spl_"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long") * 10000.0 / lit(16777216L)).cast("long")
+    val assigned = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"), hashBp.as("hash_bp"))
+      .withColumn("split",
+        when(col("hash_bp") < SplitValBp, "train")
+          .when(col("hash_bp") < SplitTestBp, "val")
+          .otherwise("test"))
+    val w = Window.partitionBy(col("lang"))
+    assigned.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("lang_share_bp",
+        floor(col("n_docs") * 10000.0 / sum(col("n_docs")).over(w)).cast("long"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val splitAssignSql: String = s"""
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN hash_bp < $SplitValBp THEN 'train'
+                  WHEN hash_bp < $SplitTestBp THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT lang, n_chars,
+               CAST(floor(CAST('0x' || substr(md5('spl_' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) * 10000.0 / 16777216) AS bigint) AS hash_bp
+        FROM documents
+      )
+    ), g AS (
+      SELECT split, lang, CAST(count(*) AS bigint) AS n_docs,
+             CAST(sum(n_chars) AS bigint) AS n_chars
+      FROM s GROUP BY split, lang
+    )
+    SELECT split, lang, n_docs, n_chars,
+           CAST(floor(n_docs * 10000.0 / sum(n_docs) OVER (PARTITION BY lang)) AS bigint) AS lang_share_bp
+    FROM g
+    ORDER BY split, lang"""
+
   /** Square-root temperature sampling (τ = ½ mixture flattening): each
     * language keeps its t_s = ⌊√(n_s · n_min)⌋ highest-priority docs —
     * the geometric mean of its own size and the smallest language's, so
@@ -1132,6 +1185,46 @@ object TextQueries extends QueryModule {
     FROM fb
     GROUP BY doc_id
     ORDER BY doc_id"""
+
+  /** Per-source n-gram diversity: distinct word-3-gram shingles over total
+    * shingle occurrences, in basis points — the corpus-level type/token
+    * view of how much boilerplate each source carries (low diversity ⇒
+    * dedup that source first; the companion signal to the per-doc
+    * [[novelty]] and the md5-exact [[dupRatioBySource]]). Shingle keys are
+    * the shared 60-bit longs, already deduped per doc, so n_shingles is
+    * Σ per-doc distinct counts. Shuffle posture: the distinct runs keyed on
+    * (source, shingle) with map-side partial dedup, then collapses onto the
+    * |sources| domain; doc counts come from a separate scan-thin aggregate
+    * joined on the 20-source key. */
+  def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sh = docs.select(col("source"),
+      explode(graft.functions.word_shingle_keys(col("text"))).as("sh"))
+    val agg = sh.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("sh")).as("n_distinct"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(agg, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_shingles"), col("n_distinct"),
+        floor(col("n_distinct") * 10000.0 / col("n_shingles")).cast("long").as("diversity_bp"))
+      .orderBy(col("source"))
+  }
+
+  val ngramDiversitySql: String = s"""
+    WITH sh AS (
+      SELECT source, unnest(${shingleKeysSql("text")}) AS sh
+      FROM (SELECT source, text, string_split_regex(text, '\\s+') AS w FROM documents)
+    ), agg AS (
+      SELECT source, CAST(count(*) AS bigint) AS n_shingles,
+             CAST(count(DISTINCT sh) AS bigint) AS n_distinct
+      FROM sh GROUP BY source
+    ), d AS (
+      SELECT source, CAST(count(*) AS bigint) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_shingles, n_distinct,
+           CAST(floor(n_distinct * 10000.0 / n_shingles) AS bigint) AS diversity_bp
+    FROM d JOIN agg USING (source)
+    ORDER BY source"""
 
   // ----------------------------------------------------------- RAG chunking
 
@@ -1368,6 +1461,8 @@ object TextQueries extends QueryModule {
     "t_doc_terms"     -> (docTerms _),
     "t_repetition"    -> (repetition _),
     "t_sample_stratified" -> (sampleStratified _),
+    "t_split_assign"  -> (splitAssign _),
+    "t_ngram_diversity" -> (ngramDiversity _),
     "t_sqrt_sample"   -> (sqrtSample _),
     "t_len_histogram" -> (lenHistogram _),
     "t_novelty"       -> (novelty _),
@@ -1400,6 +1495,8 @@ object TextQueries extends QueryModule {
     "t_doc_terms"     -> docTermsSql,
     "t_repetition"    -> repetitionSql,
     "t_sample_stratified" -> sampleStratifiedSql,
+    "t_split_assign"  -> splitAssignSql,
+    "t_ngram_diversity" -> ngramDiversitySql,
     "t_sqrt_sample"   -> sqrtSampleSql,
     "t_len_histogram" -> lenHistogramSql,
     "t_novelty"       -> noveltySql,

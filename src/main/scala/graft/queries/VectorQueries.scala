@@ -306,6 +306,41 @@ object VectorQueries extends QueryModule {
     )
     ORDER BY label, pos"""
 
+  /** Inter-centroid margin: squared L2 distance between every pair of
+    * label centroids, in micro² units — the class-separability audit run
+    * before trusting labels for classifier training or stratified
+    * curation (two centroids close together ⇒ the labels are confusable;
+    * the pair list orders the confusion risk). Integer-exact: centroid
+    * components are [[labelCentroids]]'s floor(mean of micro-quantized
+    * elements), so diffs ≤ 2·10⁶, squared ≤ 4·10¹², × dims ≤ 64 stays
+    * far under 2⁶³ at ANY corpus size (the centroid table is the
+    * |labels|·dim domain, not the data). Shape: one (label, pos) shuffle
+    * with partial combine builds the centroids (localCheckpointed — the
+    * pair join must not re-scan the corpus twice), then the pairwise is a
+    * self-join of a 512-row table. */
+  def centroidMargin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = labelCentroids(spark, sfDir)
+      .select(col("label"), col("pos"), col("c_q"))
+      .localCheckpoint()
+    val a = c.select(col("label").as("label_a"), col("pos"), col("c_q").as("ca"))
+    val b = c.select(col("label").as("label_b"), col("pos"), col("c_q").as("cb"))
+    a.join(b, Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("dist2_q"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val centroidMarginSql: String = s"""
+    WITH c AS (
+      SELECT label, pos, c_q FROM ($labelCentroidsSql)
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum((a.c_q - b.c_q) * (a.c_q - b.c_q)) AS bigint) AS dist2_q
+    FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b"""
+
   /** k-NN majority-vote labeling over the LSH candidate path ([[annLsh]]'s
     * bucket shape — the scale route): each query's 5 bucket-mates vote
     * with their labels; prediction = most votes, ties to the smaller
@@ -807,6 +842,7 @@ object VectorQueries extends QueryModule {
     "d_dedup_minhash"   -> (dedupMinhash _),
     "d_dedup_simhash"   -> (dedupSimhash _),
     "e_label_centroids" -> (labelCentroids _),
+    "e_centroid_margin" -> (centroidMargin _),
     "e_knn_classify"    -> (knnClassify _))
 
   val oracles: Map[String, String] = Map(
@@ -824,5 +860,6 @@ object VectorQueries extends QueryModule {
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_dedup_simhash"   -> dedupSimhashSql,
     "e_label_centroids" -> labelCentroidsSql,
+    "e_centroid_margin" -> centroidMarginSql,
     "e_knn_classify"    -> knnClassifySql)
 }
