@@ -65,6 +65,44 @@ object TextQueries extends QueryModule {
     FROM documents
     ORDER BY doc_id"""
 
+  /** Token-budget accounting: whitespace-token totals per (source, lang)
+    * with each cell's share of the corpus and the running cumulative
+    * share in descending-size order — the "what does my mixture look
+    * like in tokens" table consulted before setting sampling weights
+    * (docs mislead: a source with few, long docs dominates the token
+    * budget). Shuffle posture: per-row token count, one shuffle onto the
+    * |sources|×|langs| domain with map-side combine; the total is a
+    * broadcast single-row crossJoin and the cumulative window runs on
+    * the ~100-row aggregate. Ordering ties break on (source, lang) so
+    * the cumulative sum is deterministic. */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), size(words(col("text"))).cast("long").as("n"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens").desc, col("source"), col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(g.agg(sum(col("n_tokens")).as("total"))))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        floor(col("n_tokens") * 10000.0 / col("total")).cast("long").as("share_bp"),
+        floor(sum(col("n_tokens")).over(w) * 10000.0 / col("total")).cast("long").as("cum_share_bp"))
+      .orderBy(col("n_tokens").desc, col("source"), col("lang"))
+  }
+
+  val tokenBudgetSql: String = """
+    WITH g AS (
+      SELECT source, lang, CAST(count(*) AS bigint) AS n_docs,
+             CAST(sum(len(string_split_regex(text, '\s+'))) AS bigint) AS n_tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(floor(n_tokens * 10000.0 / (SELECT sum(n_tokens) FROM g)) AS bigint) AS share_bp,
+           CAST(floor(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      * 10000.0 / (SELECT sum(n_tokens) FROM g)) AS bigint) AS cum_share_bp
+    FROM g
+    ORDER BY n_tokens DESC, source, lang"""
+
   /** Context-length histogram: docs and tokens per log₂ whitespace-token
     * bucket with the cumulative doc share — the length-distribution view
     * a pretraining pipeline checks before picking context/packing sizes.
@@ -1061,16 +1099,21 @@ object TextQueries extends QueryModule {
     * Shuffle posture: the gate is a per-row map; the accounting aggregates
     * onto a 3 × |langs| key domain with map-side partial combine, and the
     * per-language share window runs on that already-tiny aggregate. */
+  /** The md5-bucket split gate shared by [[splitAssign]] and
+    * [[splitLeakage]]: doc_id → basis-point bucket in [0, 10000). */
+  private def splitHashBp(docId: Column): Column = floor(
+    conv(substring(md5(concat(lit("spl_"), docId.cast("string"))), 1, 6), 16, 10)
+      .cast("long") * 10000.0 / lit(16777216L)).cast("long")
+
+  private def splitOf(hashBp: Column): Column =
+    when(hashBp < SplitValBp, "train")
+      .when(hashBp < SplitTestBp, "val")
+      .otherwise("test")
+
   def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val hashBp = floor(
-      conv(substring(md5(concat(lit("spl_"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-        .cast("long") * 10000.0 / lit(16777216L)).cast("long")
     val assigned = Tables.documents(spark, sfDir)
-      .select(col("lang"), col("n_chars"), hashBp.as("hash_bp"))
-      .withColumn("split",
-        when(col("hash_bp") < SplitValBp, "train")
-          .when(col("hash_bp") < SplitTestBp, "val")
-          .otherwise("test"))
+      .select(col("lang"), col("n_chars"), splitHashBp(col("doc_id")).as("hash_bp"))
+      .withColumn("split", splitOf(col("hash_bp")))
     val w = Window.partitionBy(col("lang"))
     assigned.groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
@@ -1099,6 +1142,67 @@ object TextQueries extends QueryModule {
            CAST(floor(n_docs * 10000.0 / sum(n_docs) OVER (PARTITION BY lang)) AS bigint) AS lang_share_bp
     FROM g
     ORDER BY split, lang"""
+
+  /** Train/test leakage audit: exact-duplicate texts (the [[dedupExact]]
+    * normalized-md5 key) whose copies straddle split boundaries — the
+    * contamination check run right after [[splitAssign]], because a test
+    * doc whose twin sits in train silently inflates eval scores. Reports
+    * duplicate-group counts, the per-boundary-pair leak counts, and how
+    * many documents sit in any cross-split group. Shuffle posture: one
+    * shuffle on the md5 text key (the dedup shape) collapsing to
+    * per-group split indicator sums, then a single-row aggregate —
+    * nothing downstream ever sees the corpus again. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val g = Tables.documents(spark, sfDir)
+      .select(md5(norm).as("key"), splitOf(splitHashBp(col("doc_id"))).as("split"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val spans = (when(col("n_train") > 0, 1).otherwise(0) +
+      when(col("n_val") > 0, 1).otherwise(0) +
+      when(col("n_test") > 0, 1).otherwise(0)) > 1
+    g.agg(
+      sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+      sum(when(spans, 1L).otherwise(0L)).as("n_leak_groups"),
+      sum(when(col("n_train") > 0 && col("n_test") > 0, 1L).otherwise(0L)).as("leak_train_test"),
+      sum(when(col("n_train") > 0 && col("n_val") > 0, 1L).otherwise(0L)).as("leak_train_val"),
+      sum(when(col("n_val") > 0 && col("n_test") > 0, 1L).otherwise(0L)).as("leak_val_test"),
+      sum(when(spans, col("n_docs")).otherwise(0L)).as("n_docs_leaked"))
+  }
+
+  val splitLeakageSql: String = s"""
+    WITH g AS (
+      SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS key,
+             count(*) AS n_docs,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+             sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+             sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+      FROM (
+        SELECT text,
+               CASE WHEN hash_bp < $SplitValBp THEN 'train'
+                    WHEN hash_bp < $SplitTestBp THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT text,
+                 CAST(floor(CAST('0x' || substr(md5('spl_' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) * 10000.0 / 16777216) AS bigint) AS hash_bp
+          FROM documents
+        )
+      ) GROUP BY 1
+    )
+    SELECT CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_groups,
+           CAST(sum(CASE WHEN (CASE WHEN n_train > 0 THEN 1 ELSE 0 END
+                             + CASE WHEN n_val > 0 THEN 1 ELSE 0 END
+                             + CASE WHEN n_test > 0 THEN 1 ELSE 0 END) > 1 THEN 1 ELSE 0 END) AS bigint) AS n_leak_groups,
+           CAST(sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END) AS bigint) AS leak_train_test,
+           CAST(sum(CASE WHEN n_train > 0 AND n_val > 0 THEN 1 ELSE 0 END) AS bigint) AS leak_train_val,
+           CAST(sum(CASE WHEN n_val > 0 AND n_test > 0 THEN 1 ELSE 0 END) AS bigint) AS leak_val_test,
+           CAST(sum(CASE WHEN (CASE WHEN n_train > 0 THEN 1 ELSE 0 END
+                             + CASE WHEN n_val > 0 THEN 1 ELSE 0 END
+                             + CASE WHEN n_test > 0 THEN 1 ELSE 0 END) > 1 THEN n_docs ELSE 0 END) AS bigint) AS n_docs_leaked
+    FROM g"""
 
   /** Square-root temperature sampling (τ = ½ mixture flattening): each
     * language keeps its t_s = ⌊√(n_s · n_min)⌋ highest-priority docs —
@@ -1225,6 +1329,39 @@ object TextQueries extends QueryModule {
            CAST(floor(n_distinct * 10000.0 / n_shingles) AS bigint) AS diversity_bp
     FROM d JOIN agg USING (source)
     ORDER BY source"""
+
+  /** Corpus-wide heavy-hitter shingles: the 50 word-3-grams present in the
+    * most documents, with document frequency and doc share in bp — the
+    * catalog of WHAT the boilerplate actually is (the [[ngramDiversity]]
+    * ratio says a source is repetitive; this names the repeated content,
+    * feeding stop-shingle lists and cleaning rules). Shuffle posture: the
+    * per-doc-distinct shingle explode collapses onto the shingle-key
+    * domain with map-side combine, then TakeOrdered pulls only the top 50
+    * to the driver — no full sort, no corpus-sized result. Ties break on
+    * the shingle key, so top-50 membership is deterministic. */
+  def topShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val df = docs.select(explode(graft.functions.word_shingle_keys(col("text"))).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    df.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("sh"), col("df"),
+        floor(col("df") * 10000.0 / col("n_docs")).cast("long").as("df_bp"))
+      .orderBy(col("df").desc, col("sh"))
+      .limit(50)
+  }
+
+  val topShinglesSql: String = s"""
+    WITH sh AS (
+      SELECT unnest(${shingleKeysSql("text")}) AS sh
+      FROM (SELECT text, string_split_regex(text, '\\s+') AS w FROM documents)
+    ), df AS (
+      SELECT sh, CAST(count(*) AS bigint) AS df FROM sh GROUP BY sh
+    )
+    SELECT sh, df,
+           CAST(floor(df * 10000.0 / (SELECT count(*) FROM documents)) AS bigint) AS df_bp
+    FROM df
+    ORDER BY df DESC, sh
+    LIMIT 50"""
 
   // ----------------------------------------------------------- RAG chunking
 
@@ -1462,6 +1599,9 @@ object TextQueries extends QueryModule {
     "t_repetition"    -> (repetition _),
     "t_sample_stratified" -> (sampleStratified _),
     "t_split_assign"  -> (splitAssign _),
+    "t_split_leakage" -> (splitLeakage _),
+    "t_token_budget"  -> (tokenBudget _),
+    "t_top_shingles"  -> (topShingles _),
     "t_ngram_diversity" -> (ngramDiversity _),
     "t_sqrt_sample"   -> (sqrtSample _),
     "t_len_histogram" -> (lenHistogram _),
@@ -1496,6 +1636,9 @@ object TextQueries extends QueryModule {
     "t_repetition"    -> repetitionSql,
     "t_sample_stratified" -> sampleStratifiedSql,
     "t_split_assign"  -> splitAssignSql,
+    "t_split_leakage" -> splitLeakageSql,
+    "t_token_budget"  -> tokenBudgetSql,
+    "t_top_shingles"  -> topShinglesSql,
     "t_ngram_diversity" -> ngramDiversitySql,
     "t_sqrt_sample"   -> sqrtSampleSql,
     "t_len_histogram" -> lenHistogramSql,

@@ -474,7 +474,13 @@ object VectorQueries extends QueryModule {
     * (pigeonhole blocking), verified with exact hamming ≤ 16 via
     * bit_count(xor). md5-derived hashes are engine-portable → fully
     * oracle-checked. All columnar, no UDFs. */
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The unsorted simhash pair set — [[simhashEval]] consumes this
+    * directly so the eval never pays [[dedupSimhash]]'s presentation
+    * sort on the candidate table. */
+  private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
@@ -511,7 +517,6 @@ object VectorQueries extends QueryModule {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= 16)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val dedupSimhashSql: String = {
@@ -755,7 +760,7 @@ object VectorQueries extends QueryModule {
   /** MinHash-LSH candidate recall vs exact Jaccard — the sketch-quality
     * eval (the `e_ann_recall` counterpart for the dedup sketches): ground
     * truth = exact n-gram Jaccard pairs at ≥ 0.5, candidates = the banded
-    * minhash pairs; reports counts + recall in basis points. 6 bands × 2
+    * minhash pairs; reports counts + recall/precision in basis points. 6 bands × 2
     * rows targets the s-curve threshold (1/6)^(1/2) ≈ 0.41, so recall at
     * 0.5 should be high — the query makes that number a tracked,
     * oracle-checked fact instead of folklore. Both pair sets are
@@ -778,7 +783,10 @@ object VectorQueries extends QueryModule {
       .select(col("n_exact"), col("n_cand"), col("n_hit"),
         when(col("n_exact") === 0, lit(0L))
           .otherwise(floor(col("n_hit") * 10000.0 / col("n_exact")).cast("long"))
-          .as("recall_bp"))
+          .as("recall_bp"),
+        when(col("n_cand") === 0, lit(0L))
+          .otherwise(floor(col("n_hit") * 10000.0 / col("n_cand")).cast("long"))
+          .as("precision_bp"))
   }
 
   val minhashRecallSql: String = s"""
@@ -794,7 +802,57 @@ object VectorQueries extends QueryModule {
            (SELECT count(*) FROM hit) AS n_hit,
            CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 0
                 ELSE CAST(floor((SELECT count(*) FROM hit) * 10000.0
-                     / (SELECT count(*) FROM ex)) AS bigint) END AS recall_bp"""
+                     / (SELECT count(*) FROM ex)) AS bigint) END AS recall_bp,
+           CASE WHEN (SELECT count(*) FROM mh) = 0 THEN 0
+                ELSE CAST(floor((SELECT count(*) FROM hit) * 10000.0
+                     / (SELECT count(*) FROM mh)) AS bigint) END AS precision_bp"""
+
+  /** SimHash blocking quality vs exact Jaccard — the [[minhashRecall]]
+    * twin for the other sketch: ground truth = exact n-gram Jaccard pairs
+    * at ≥ 0.5, candidates = [[dedupSimhash]]'s hamming-verified pairs.
+    * SimHash blocks on token-set cosine rather than 3-gram Jaccard, so
+    * precision against this ground truth is structurally low — the eval
+    * quantifies exactly that trade (broad recall, loose precision) the
+    * same way `e_ann_recall` pins the ANN sketches. Both pair sets stay
+    * equi-join-shaped and are checkpointed once. */
+  def simhashEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = simhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val exact = graft.operators.Dedup
+      .ngramJaccardPairs(graft.core.Tables.documents(spark, sfDir),
+        minJaccardBp = 5000, sorted = false)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        when(col("n_exact") === 0, lit(0L))
+          .otherwise(floor(col("n_hit") * 10000.0 / col("n_exact")).cast("long"))
+          .as("recall_bp"),
+        when(col("n_cand") === 0, lit(0L))
+          .otherwise(floor(col("n_hit") * 10000.0 / col("n_cand")).cast("long"))
+          .as("precision_bp"))
+  }
+
+  val simhashEvalSql: String = s"""
+    WITH sp AS (
+      SELECT doc_a, doc_b FROM ($dedupSimhashSql)
+    ), ex AS (
+      SELECT doc_a, doc_b FROM (${TextQueries.ngramJaccardSqlAt(5000)})
+    ), hit AS (
+      SELECT 1 FROM ex JOIN sp USING (doc_a, doc_b)
+    )
+    SELECT (SELECT count(*) FROM ex) AS n_exact,
+           (SELECT count(*) FROM sp) AS n_cand,
+           (SELECT count(*) FROM hit) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 0
+                ELSE CAST(floor((SELECT count(*) FROM hit) * 10000.0
+                     / (SELECT count(*) FROM ex)) AS bigint) END AS recall_bp,
+           CASE WHEN (SELECT count(*) FROM sp) = 0 THEN 0
+                ELSE CAST(floor((SELECT count(*) FROM hit) * 10000.0
+                     / (SELECT count(*) FROM sp)) AS bigint) END AS precision_bp"""
 
   /** Per-dimension embedding statistics — the index-health check run
     * before building ANN structures (a dead dimension: min == max; a
@@ -841,6 +899,7 @@ object VectorQueries extends QueryModule {
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_dedup_minhash"   -> (dedupMinhash _),
     "d_dedup_simhash"   -> (dedupSimhash _),
+    "d_simhash_eval"    -> (simhashEval _),
     "e_label_centroids" -> (labelCentroids _),
     "e_centroid_margin" -> (centroidMargin _),
     "e_knn_classify"    -> (knnClassify _))
@@ -859,6 +918,7 @@ object VectorQueries extends QueryModule {
     "e_ann_recall"      -> annRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_dedup_simhash"   -> dedupSimhashSql,
+    "d_simhash_eval"    -> simhashEvalSql,
     "e_label_centroids" -> labelCentroidsSql,
     "e_centroid_margin" -> centroidMarginSql,
     "e_knn_classify"    -> knnClassifySql)
