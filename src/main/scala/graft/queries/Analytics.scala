@@ -790,6 +790,64 @@ object Analytics extends QueryModule {
     WHERE n >= 3 AND (v * n - s) * (v * n - s) > 9 * (n * q - s * s)
     ORDER BY event_id"""
 
+  /** Deterministic A/B experiment readout: assignment = md5 bucket on the
+    * user id (treatment below 5000 bp) — the hash-bucketing real
+    * experiment frameworks use, so an arm is reproducible per user across
+    * events, engines and reruns; the readout is per-event-type arm sizes,
+    * distinct exposed users, integer-cent arm means and the lift
+    * (treatment − control). All arithmetic is integer cents with `DIV`
+    * (Spark) / `//` (DuckDB) so the means agree bit-for-bit; arm sums are
+    * conditional aggregates, so the whole readout is ONE shuffle onto the
+    * |event_type| domain with map-side combine — no per-arm scans, no
+    * join. Empty arms report a 0 mean rather than dividing by zero. */
+  def qEventsLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val bp = floor(
+      conv(substring(md5(concat(lit("exp_"), col("user_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long") * 10000.0 / lit(16777216L)).cast("long")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), cents(col("value")).as("v"),
+        (bp < 5000L).cast("int").as("treat"))
+    val meanOf = (s: String, n: String) =>
+      when(col(n) === 0, lit(0L)).otherwise(expr(s"$s DIV $n"))
+    ev.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("treat") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("treat") === 0, 1L).otherwise(0L)).as("n_ctrl"),
+        countDistinct(when(col("treat") === 1, col("user_id"))).as("u_treat"),
+        countDistinct(when(col("treat") === 0, col("user_id"))).as("u_ctrl"),
+        sum(when(col("treat") === 1, col("v")).otherwise(0L)).as("s_treat"),
+        sum(when(col("treat") === 0, col("v")).otherwise(0L)).as("s_ctrl"))
+      .select(col("event_type"), col("n_treat"), col("n_ctrl"),
+        col("u_treat"), col("u_ctrl"),
+        meanOf("s_treat", "n_treat").as("mean_treat_cents"),
+        meanOf("s_ctrl", "n_ctrl").as("mean_ctrl_cents"),
+        (meanOf("s_treat", "n_treat") - meanOf("s_ctrl", "n_ctrl")).as("lift_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val qEventsLiftSql: String = """
+    WITH ev AS (
+      SELECT event_type, user_id, CAST(floor(value * 100) AS bigint) AS v,
+             CASE WHEN CAST(floor(CAST('0x' || substr(md5('exp_' || CAST(user_id AS VARCHAR)), 1, 6) AS BIGINT) * 10000.0 / 16777216) AS bigint) < 5000 THEN 1 ELSE 0 END AS treat
+      FROM events
+    ), g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS bigint) AS n_treat,
+             CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS bigint) AS n_ctrl,
+             CAST(count(DISTINCT CASE WHEN treat = 1 THEN user_id END) AS bigint) AS u_treat,
+             CAST(count(DISTINCT CASE WHEN treat = 0 THEN user_id END) AS bigint) AS u_ctrl,
+             CAST(sum(CASE WHEN treat = 1 THEN v ELSE 0 END) AS bigint) AS s_treat,
+             CAST(sum(CASE WHEN treat = 0 THEN v ELSE 0 END) AS bigint) AS s_ctrl
+      FROM ev GROUP BY event_type
+    )
+    SELECT event_type, n_treat, n_ctrl, u_treat, u_ctrl,
+           CASE WHEN n_treat = 0 THEN 0 ELSE s_treat // n_treat END AS mean_treat_cents,
+           CASE WHEN n_ctrl = 0 THEN 0 ELSE s_ctrl // n_ctrl END AS mean_ctrl_cents,
+           (CASE WHEN n_treat = 0 THEN 0 ELSE s_treat // n_treat END)
+           - (CASE WHEN n_ctrl = 0 THEN 0 ELSE s_ctrl // n_ctrl END) AS lift_cents
+    FROM g
+    ORDER BY event_type"""
+
   /** TPC-H Q4 shape (order-priority checking): per priority, count the
     * orders in a half-year window with at least one lineitem shipped more
     * than 75 days after the order date — an EXISTS over the fact table.
@@ -1156,7 +1214,8 @@ object Analytics extends QueryModule {
     "q_resample_ffill"  -> (qResampleFfill _),
     "q_skew_join"       -> (qSkewJoin _),
     "q_profile"         -> (qProfile _),
-    "q_events_anomaly"  -> (qEventsAnomaly _))
+    "q_events_anomaly"  -> (qEventsAnomaly _),
+    "q_events_lift"     -> (qEventsLift _))
 
   val oracles: Map[String, String] = Map(
     "q4_order_priority" -> q4OrderPrioritySql,
@@ -1192,5 +1251,6 @@ object Analytics extends QueryModule {
     "q_resample_ffill"  -> qResampleFfillSql,
     "q_skew_join"       -> qSkewJoinSql,
     "q_profile"         -> qProfileSql,
-    "q_events_anomaly"  -> qEventsAnomalySql)
+    "q_events_anomaly"  -> qEventsAnomalySql,
+    "q_events_lift"     -> qEventsLiftSql)
 }
