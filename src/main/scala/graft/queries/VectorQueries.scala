@@ -271,6 +271,174 @@ object VectorQueries extends QueryModule {
     ORDER BY q_id, rnk, cand_id"""
   }
 
+  // --------------------------------------------------------------------- PQ
+
+  /** Product-quantization geometry: 64 dims → 8 subspaces × 8 dims, a
+    * 16-code codebook per subspace (one Lloyd update from the k smallest
+    * vec_ids — the [[graft.operators.KMeans]] recipe run per subspace),
+    * so each vector compresses to 8 bytes of codes. On the synthetic
+    * near-uniform unit vectors recall@5 ≈ 32 % (tracked by
+    * [[annPqRecall]]) — far above the sign-LSH path's 2 % on the same
+    * adversarial data; real clustered embeddings fare better for both. */
+  private val PqSubDim = 8
+  private val PqK = 16
+
+  /** PQ ADC top-5 search — the third canonical ANN family next to
+    * [[annLsh]] (hash buckets) and [[annIvf]] (coarse cells): vectors are
+    * stored as 8 subspace codes, a query builds an 8×16 lookup table of
+    * exact subspace distances to every codebook centroid, and the
+    * asymmetric distance is the sum of 8 table lookups — the scan touches
+    * CODES (8 bytes/vector), never raw floats, which is what makes a
+    * 100 TB corpus fit an ANN index in RAM. All math is the integer-exact
+    * k-means recipe (micro-quantized elements, bigint squared-L2,
+    * floor-mean updates, ties to the smaller code), so the oracle replays
+    * the identical codebooks, codes and ranking. Scale shape: every
+    * subspace fits in ONE plan keyed by (sub, spos) — the codebook
+    * (8·16·8 rows) and the query LUT (10·8·16 rows) broadcast; the scan
+    * is one map-side join + a (q_id, vec_id)-keyed partial-agg shuffle.
+    * ADC is linear-scan-per-query by design (compression, not pruning) —
+    * compose with [[annIvf]] cells when sublinear candidate generation is
+    * also needed. */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val v = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"),
+        (col("pos0") / PqSubDim).cast("long").as("sub"),
+        (col("pos0") % PqSubDim).cast("long").as("spos"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("q"))
+      .localCheckpoint() // feeds seeding, both assigns, the LUT and the scan
+    val seeds = e.select(col("vec_id")).orderBy(col("vec_id")).limit(PqK)
+    val c0 = v.join(broadcast(seeds), "vec_id")
+      .select(col("sub"), col("vec_id").as("k"), col("spos"), col("q").as("c"))
+    def assign(cents: DataFrame): DataFrame =
+      v.join(broadcast(cents), Seq("sub", "spos"))
+        .groupBy(col("vec_id"), col("sub"), col("k"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("k"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.k").as("k"))
+    val c1 = assign(c0).join(v, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("k"), col("spos"))
+      .agg(floor(sum(col("q")) * 1.0 / count(lit(1))).cast("long").as("c"))
+      .localCheckpoint() // codebook: reused by codes, LUT (and tiny)
+    val codes = assign(c1)
+    val lut = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("sub"), col("spos"), col("q"))
+      .join(broadcast(c1), Seq("sub", "spos"))
+      .groupBy(col("q_id"), col("sub"), col("k"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "k"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
+    scored.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("adc_d2"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"), col("cand_id"))
+  }
+
+  val annPqSql: String = {
+    def argminCte(name: String, cents: String) = s"""$name AS (
+      SELECT vec_id, sub, k FROM (
+        SELECT vec_id, sub, k,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, k) AS rn
+        FROM (SELECT v.vec_id, v.sub, c.k,
+                     CAST(sum((v.q - c.c) * (v.q - c.c)) AS bigint) AS dist
+              FROM v JOIN $cents c ON v.sub = c.sub AND v.spos = c.spos
+              GROUP BY v.vec_id, v.sub, c.k)
+      ) WHERE rn = 1
+    )"""
+    s"""
+    WITH q0 AS (
+      SELECT vec_id,
+             CAST(unnest(range(1, len(embedding) + 1)) AS bigint) AS pos,
+             unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint))) AS q
+      FROM embeddings
+    ), v AS (
+      SELECT vec_id, (pos - 1) // $PqSubDim AS sub, (pos - 1) % $PqSubDim AS spos, q
+      FROM q0
+    ), seeds AS (
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK
+    ), c0 AS (
+      SELECT sub, vec_id AS k, spos, q AS c FROM v
+      WHERE vec_id IN (SELECT vec_id FROM seeds)
+    ), ${argminCte("a1", "c0")}, c1 AS (
+      SELECT a.sub, a.k, v.spos, CAST(floor(sum(v.q) * 1.0 / count(*)) AS bigint) AS c
+      FROM a1 a JOIN v ON a.vec_id = v.vec_id AND a.sub = v.sub
+      GROUP BY a.sub, a.k, v.spos
+    ), ${argminCte("codes", "c1")}, lut AS (
+      SELECT v.vec_id AS q_id, c.sub, c.k,
+             CAST(sum((v.q - c.c) * (v.q - c.c)) AS bigint) AS d2
+      FROM v JOIN c1 c ON v.sub = c.sub AND v.spos = c.spos
+      WHERE v.vec_id < 10
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT l.q_id, d.vec_id, CAST(sum(l.d2) AS bigint) AS adc_d2
+      FROM codes d JOIN lut l ON d.sub = l.sub AND d.k = l.k AND d.vec_id <> l.q_id
+      GROUP BY 1, 2
+    )
+    SELECT q_id, cand_id, adc_d2, rnk FROM (
+      SELECT q_id, vec_id AS cand_id, adc_d2,
+             rank() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY q_id, rnk, cand_id"""
+  }
+
+  /** PQ recall@5 vs exact squared-L2 ground truth — the [[annRecall]]
+    * counterpart for the ADC path, so the 4-byte-code compression's
+    * accuracy cost is a tracked, oracle-checked number. Ground truth uses
+    * the same micro-quantized integer representation as the codebooks
+    * (bigint zip-fold, bit-identical in DuckDB); the truth scan is the
+    * broadcast-query nested loop over candidates — the guarded
+    * brute-force shape, run at eval scale only. */
+  def annPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast("double") * 1000000).cast("long")).as("z"))
+    val qs = z.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("z").as("qz"))
+    val d2 = aggregate(zip_with(col("qz"), col("z"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand_id"))
+    val truth = z.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), d2.as("d2"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("cand_id"))
+    val approx = annPq(spark, sfDir)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+           sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("q_id"), col("n_truth"), col("n_hit"),
+        expr("10000 * n_hit div n_truth").as("recall_bp"))
+      .orderBy(col("q_id"))
+  }
+
+  val annPqRecallSql: String = s"""
+    WITH z AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint)) AS z
+      FROM embeddings
+    ), truth AS (
+      SELECT q_id, cand_id FROM (
+        SELECT q.vec_id AS q_id, t.vec_id AS cand_id,
+               rank() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(q.z) + 1),
+                   i -> (q.z[i] - t.z[i]) * (q.z[i] - t.z[i])), (x, y) -> x + y),
+                 t.vec_id) AS rnk
+        FROM z q JOIN z t ON q.vec_id < 10 AND t.vec_id <> q.vec_id
+      ) WHERE rnk <= 5
+    ), approx AS (SELECT q_id, cand_id, 1 AS hit FROM ($annPqSql) a)
+    SELECT q_id, count(*) AS n_truth,
+           CAST(sum(coalesce(hit, 0)) AS bigint) AS n_hit,
+           (10000 * CAST(sum(coalesce(hit, 0)) AS bigint) // count(*)) AS recall_bp
+    FROM truth LEFT JOIN approx USING (q_id, cand_id)
+    GROUP BY q_id
+    ORDER BY q_id"""
+
   // ------------------------------------------------- label centroids / k-NN
 
   /** Per-label centroid components — the statistic behind classifier-style
@@ -895,6 +1063,8 @@ object VectorQueries extends QueryModule {
     "e_ann_bruteforce"  -> (annBruteForce _),
     "e_ann_lsh"         -> (annLsh _),
     "e_ann_ivf"         -> (annIvf _),
+    "e_ann_pq"          -> (annPq _),
+    "e_ann_pq_recall"   -> (annPqRecall _),
     "e_ann_recall"      -> (annRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_dedup_minhash"   -> (dedupMinhash _),
@@ -915,6 +1085,8 @@ object VectorQueries extends QueryModule {
     "d_dedup_embedding" -> dedupEmbeddingSql,
     "e_ann_lsh"         -> annLshSql,
     "e_ann_ivf"         -> annIvfSql,
+    "e_ann_pq"          -> annPqSql,
+    "e_ann_pq_recall"   -> annPqRecallSql,
     "e_ann_recall"      -> annRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_dedup_simhash"   -> dedupSimhashSql,

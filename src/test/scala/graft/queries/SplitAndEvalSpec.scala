@@ -99,6 +99,19 @@ class SplitAndEvalSpec extends SparkSpecBase {
     }
   }
 
+  test("annPq returns 5 ranked candidates per query with monotone ADC") {
+    val rows = VectorQueries.annPq(spark, Sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    for ((_, rs) <- byQ) {
+      val d = rs.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+    val rec = VectorQueries.annPqRecall(spark, Sf).collect()
+    assert(rec.length == 10)
+    assert(rec.forall(r => r.getLong(2) <= r.getLong(1) && r.getLong(3) <= 10000L))
+  }
+
   test("sketch evals report hits within both pair sets") {
     for (q <- Seq(VectorQueries.minhashRecall _, VectorQueries.simhashEval _)) {
       val r = q(spark, Sf).collect().head
