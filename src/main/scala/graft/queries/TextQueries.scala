@@ -141,6 +141,72 @@ object TextQueries extends QueryModule {
     FROM h
     ORDER BY bucket"""
 
+  /** Zipf fit is computed over the top 2²⁰ ranks — the statistically
+    * meaningful head, and the bound that keeps every least-squares sum
+    * far under 2⁶³ at any corpus size. */
+  private val ZipfHeadCap = 1048576L
+
+  /** Zipf rank-frequency audit: least-squares slope of ⌊log₂ tf⌋ against
+    * ⌊log₂ rank⌋ over the term-frequency head — natural language sits
+    * near slope −1 (−10000 bp); a corpus that drifts far off is
+    * template-heavy (flat head) or boilerplate-dominated (cliff), so this
+    * single number is the cheapest "does this corpus look like language"
+    * health check. Integer-exact: both logs are binary-digit counts, the
+    * five sums are exact bigints, and only the final slope division is
+    * floating (identical IEEE in both engines). Shuffle posture: one
+    * term-domain shuffle for tf, then TakeOrdered pulls only the capped
+    * head (bounded by [[ZipfHeadCap]], not the corpus) for the
+    * single-partition rank window; the fit is a one-row aggregate. */
+  def zipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(words(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the uncapped count AND the head fit
+    val head = tf.orderBy(col("tf").desc, col("term")).limit(ZipfHeadCap.toInt)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+      .select(col("tf"),
+        (length(conv(col("rank"), 10, 2)) - 1).cast("long").as("x"),
+        (length(conv(col("tf"), 10, 2)) - 1).cast("long").as("y"))
+    head.agg(count(lit(1)).as("n"), sum(col("tf")).as("head_tf"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        max(col("y")).as("top_log2_tf"))
+      .crossJoin(broadcast(tf.agg(count(lit(1)).as("n_terms"))))
+      .select(col("n_terms"), col("n").as("n_head"), col("head_tf"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null).cast("long"))
+          .otherwise(floor((col("n") * col("sxy") - col("sx") * col("sy")) * 10000.0
+            / (col("n") * col("sxx") - col("sx") * col("sx"))).cast("long"))
+          .as("slope_bp"),
+        col("top_log2_tf"))
+  }
+
+  val zipfSql: String = s"""
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS bigint) AS tf
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents)
+      GROUP BY term
+    ), head AS (
+      SELECT tf,
+             CAST(length(to_base(rank, 2)) - 1 AS bigint) AS x,
+             CAST(length(to_base(tf, 2)) - 1 AS bigint) AS y
+      FROM (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank FROM tf)
+      WHERE rank <= $ZipfHeadCap
+    ), s AS (
+      SELECT CAST(count(*) AS bigint) AS n, CAST(sum(tf) AS bigint) AS head_tf,
+             CAST(sum(x) AS bigint) AS sx, CAST(sum(y) AS bigint) AS sy,
+             CAST(sum(x * y) AS bigint) AS sxy, CAST(sum(x * x) AS bigint) AS sxx,
+             CAST(max(y) AS bigint) AS top_log2_tf
+      FROM head
+    )
+    SELECT CAST((SELECT count(*) FROM tf) AS bigint) AS n_terms,
+           n AS n_head, head_tf,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(floor((n * sxy - sx * sy) * 10000.0
+                     / (n * sxx - sx * sx)) AS bigint) END AS slope_bp,
+           top_log2_tf
+    FROM s"""
+
   // ---------------------------------------------------------------- quality
 
   /** The ONE quality heuristic, shared by t_quality_score and
@@ -1363,6 +1429,55 @@ object TextQueries extends QueryModule {
     ORDER BY df DESC, sh
     LIMIT 50"""
 
+  /** Cross-source contamination matrix: for every source pair, the count
+    * of word-3-gram shingles present in BOTH sources, each source's
+    * distinct-shingle count, and the shingle-set Jaccard in bp — the
+    * "who copies from whom" view that orders cross-source dedup (two
+    * sources with high overlap should be deduped against each other
+    * before mixing). Exact-dup keys can't see this (a near-copy edits a
+    * few words); shingle sets can. Shuffle posture: distinct
+    * (source, shingle) with map-side partial dedup, a self-equi-join on
+    * the 60-bit shingle key (a shingle shared by all |sources| yields
+    * ≤ C(|sources|,2) rows — bounded fan-out per key), then a collapse
+    * onto the |sources|² pair domain. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(graft.functions.word_shingle_keys(col("text"))).as("sh"))
+      .distinct()
+      .localCheckpoint() // feeds both join sides and the per-source counts
+    val counts = ks.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = ks.as("a").join(ks.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(counts.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(counts.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        floor(col("n_shared") * 10000.0 / (col("n_a") + col("n_b") - col("n_shared")))
+          .cast("long").as("jaccard_bp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String = s"""
+    WITH ks AS (
+      SELECT DISTINCT source, unnest(${shingleKeysSql("text")}) AS sh
+      FROM (SELECT source, text, string_split_regex(text, '\\s+') AS w FROM documents)
+    ), counts AS (
+      SELECT source, CAST(count(*) AS bigint) AS n FROM ks GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS bigint) AS n_shared
+      FROM ks a JOIN ks b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared, ca.n AS n_a, cb.n AS n_b,
+           CAST(floor(n_shared * 10000.0 / (ca.n + cb.n - n_shared)) AS bigint) AS jaccard_bp
+    FROM shared
+    JOIN counts ca ON ca.source = source_a
+    JOIN counts cb ON cb.source = source_b
+    ORDER BY source_a, source_b"""
+
   // ----------------------------------------------------------- RAG chunking
 
   private val ChunkWords = 64
@@ -1603,8 +1718,10 @@ object TextQueries extends QueryModule {
     "t_token_budget"  -> (tokenBudget _),
     "t_top_shingles"  -> (topShingles _),
     "t_ngram_diversity" -> (ngramDiversity _),
+    "d_source_overlap" -> (sourceOverlap _),
     "t_sqrt_sample"   -> (sqrtSample _),
     "t_len_histogram" -> (lenHistogram _),
+    "t_zipf"          -> (zipf _),
     "t_novelty"       -> (novelty _),
     "t_vocab"         -> (vocab _),
     "t_decontaminate" -> (decontaminate _),
@@ -1640,8 +1757,10 @@ object TextQueries extends QueryModule {
     "t_token_budget"  -> tokenBudgetSql,
     "t_top_shingles"  -> topShinglesSql,
     "t_ngram_diversity" -> ngramDiversitySql,
+    "d_source_overlap" -> sourceOverlapSql,
     "t_sqrt_sample"   -> sqrtSampleSql,
     "t_len_histogram" -> lenHistogramSql,
+    "t_zipf"          -> zipfSql,
     "t_novelty"       -> noveltySql,
     "t_vocab"         -> vocabSql,
     "t_decontaminate" -> decontaminateSql,

@@ -99,6 +99,16 @@ class SplitAndEvalSpec extends SparkSpecBase {
     }
   }
 
+  test("sourceOverlap and zipf stay within set-theoretic bounds") {
+    val ov = TextQueries.sourceOverlap(spark, Sf).collect()
+    assert(ov.nonEmpty)
+    assert(ov.forall(r => r.getLong(2) <= math.min(r.getLong(3), r.getLong(4))))
+    assert(ov.forall(r => r.getLong(5) <= 10000L && r.getString(0) < r.getString(1)))
+    val z = TextQueries.zipf(spark, Sf).collect().head
+    assert(z.getLong(1) <= z.getLong(0)) // head is a subset of the vocab
+    assert(!z.isNullAt(3) && z.getLong(3) < 0L) // frequencies decay
+  }
+
   test("annPq returns 5 ranked candidates per query with monotone ADC") {
     val rows = VectorQueries.annPq(spark, Sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
