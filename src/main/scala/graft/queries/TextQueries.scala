@@ -1151,6 +1151,31 @@ object TextQueries extends QueryModule {
     ORDER BY doc_id"""
   }
 
+  /** Quality-weighted deterministic sampling: each doc survives with
+    * probability equal to its own quality score (kept iff the md5 gate
+    * bucket falls below quality_bp) — the soft alternative to a hard
+    * quality threshold that keeps SOME low-quality text (mixture papers'
+    * standard hedge against over-filtering) while still being exactly
+    * reproducible, engine-portable and monotone under corpus growth.
+    * Per-row map, shuffle-free; composes with [[sampleStratified]] via
+    * the distinct gate prefix. */
+  def qualitySample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        qualityBp(col("text")).as("quality_bp"),
+        hashGateBp("qsm_", col("doc_id")).as("hash_bp"))
+      .filter(col("hash_bp") < col("quality_bp"))
+      .orderBy(col("doc_id"))
+
+  val qualitySampleSql: String = s"""
+    SELECT doc_id, lang, source, quality_bp, hash_bp FROM (
+      SELECT doc_id, lang, source,
+             $qualityBpSql AS quality_bp,
+             CAST(floor(CAST('0x' || substr(md5('qsm_' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) * 10000.0 / 16777216) AS bigint) AS hash_bp
+      FROM documents
+    ) WHERE hash_bp < quality_bp
+    ORDER BY doc_id"""
+
   /** Split boundaries in basis points: [0,9000) train, [9000,9500) val,
     * [9500,10000) test. */
   private val SplitValBp = 9000L
@@ -1165,11 +1190,16 @@ object TextQueries extends QueryModule {
     * Shuffle posture: the gate is a per-row map; the accounting aggregates
     * onto a 3 × |langs| key domain with map-side partial combine, and the
     * per-language share window runs on that already-tiny aggregate. */
-  /** The md5-bucket split gate shared by [[splitAssign]] and
-    * [[splitLeakage]]: doc_id → basis-point bucket in [0, 10000). */
-  private def splitHashBp(docId: Column): Column = floor(
-    conv(substring(md5(concat(lit("spl_"), docId.cast("string"))), 1, 6), 16, 10)
+  /** md5-bucket gate: prefixed doc_id → basis-point bucket in
+    * [0, 10000) — the deterministic replacement for rand() everywhere a
+    * sampling/assignment decision must be reproducible (distinct
+    * prefixes keep the gates independent). */
+  private def hashGateBp(prefix: String, docId: Column): Column = floor(
+    conv(substring(md5(concat(lit(prefix), docId.cast("string"))), 1, 6), 16, 10)
       .cast("long") * 10000.0 / lit(16777216L)).cast("long")
+
+  /** The split gate shared by [[splitAssign]] and [[splitLeakage]]. */
+  private def splitHashBp(docId: Column): Column = hashGateBp("spl_", docId)
 
   private def splitOf(hashBp: Column): Column =
     when(hashBp < SplitValBp, "train")
@@ -1713,6 +1743,7 @@ object TextQueries extends QueryModule {
     "t_doc_terms"     -> (docTerms _),
     "t_repetition"    -> (repetition _),
     "t_sample_stratified" -> (sampleStratified _),
+    "t_quality_sample" -> (qualitySample _),
     "t_split_assign"  -> (splitAssign _),
     "t_split_leakage" -> (splitLeakage _),
     "t_token_budget"  -> (tokenBudget _),
@@ -1752,6 +1783,7 @@ object TextQueries extends QueryModule {
     "t_doc_terms"     -> docTermsSql,
     "t_repetition"    -> repetitionSql,
     "t_sample_stratified" -> sampleStratifiedSql,
+    "t_quality_sample" -> qualitySampleSql,
     "t_split_assign"  -> splitAssignSql,
     "t_split_leakage" -> splitLeakageSql,
     "t_token_budget"  -> tokenBudgetSql,

@@ -24,8 +24,15 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_basket_pairs", "q_ns_growth", "q_ns_du",
                   "t_len_histogram", "q_fsimage_perm_audit",
                   "q_fsimage_symlinks", "t_novelty",
-                  "q_ns_compaction_plan", "t_dup_ratio_by_source"))
+                  "q_ns_compaction_plan", "t_dup_ratio_by_source",
+                  "d_source_overlap", "t_split_leakage", "q_events_lift",
+                  "t_ngram_diversity", "d_simhash_eval"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
+  }
+
+  test("t_top_shingles and t_zipf bound their heads with TakeOrdered") {
+    assert(plan("t_top_shingles").contains("TakeOrderedAndProject"))
+    assert(plan("t_zipf").contains("TakeOrderedAndProject"))
   }
 
   test("q_ns_compaction_plan takes its top-20 as TakeOrderedAndProject") {
