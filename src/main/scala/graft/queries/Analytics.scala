@@ -801,9 +801,7 @@ object Analytics extends QueryModule {
     * |event_type| domain with map-side combine — no per-arm scans, no
     * join. Empty arms report a 0 mean rather than dividing by zero. */
   def qEventsLift(spark: SparkSession, sfDir: String): DataFrame = {
-    val bp = floor(
-      conv(substring(md5(concat(lit("exp_"), col("user_id").cast("string"))), 1, 6), 16, 10)
-        .cast("long") * 10000.0 / lit(16777216L)).cast("long")
+    val bp = TextQueries.hashGateBp("exp_", col("user_id"))
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"), cents(col("value")).as("v"),
         (bp < 5000L).cast("int").as("treat"))
@@ -825,10 +823,10 @@ object Analytics extends QueryModule {
       .orderBy(col("event_type"))
   }
 
-  val qEventsLiftSql: String = """
+  val qEventsLiftSql: String = s"""
     WITH ev AS (
       SELECT event_type, user_id, CAST(floor(value * 100) AS bigint) AS v,
-             CASE WHEN CAST(floor(CAST('0x' || substr(md5('exp_' || CAST(user_id AS VARCHAR)), 1, 6) AS BIGINT) * 10000.0 / 16777216) AS bigint) < 5000 THEN 1 ELSE 0 END AS treat
+             CASE WHEN ${TextQueries.hashGateBpSql("exp_", "user_id")} < 5000 THEN 1 ELSE 0 END AS treat
       FROM events
     ), g AS (
       SELECT event_type,

@@ -80,6 +80,7 @@ object TextQueries extends QueryModule {
       .select(col("source"), col("lang"), size(words(col("text"))).cast("long").as("n"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .localCheckpoint() // ~100-row aggregate feeds the total AND the rows
     val w = Window.orderBy(col("n_tokens").desc, col("source"), col("lang"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     g.crossJoin(broadcast(g.agg(sum(col("n_tokens")).as("total"))))
@@ -1125,9 +1126,7 @@ object TextQueries extends QueryModule {
     * reservoir state), and the sampled fraction concentrates tightly at
     * any corpus size. */
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
-    val hashBp = floor(
-      conv(substring(md5(concat(lit("smp_"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-        .cast("long") * 10000.0 / lit(16777216L)).cast("long")
+    val hashBp = hashGateBp("smp_", col("doc_id"))
     val rate = SampleRatesBp.foldRight(lit(10000L): Column) {
       case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
     }
@@ -1144,7 +1143,7 @@ object TextQueries extends QueryModule {
     s"""
     SELECT doc_id, lang, hash_bp, rate_bp FROM (
       SELECT doc_id, lang,
-             CAST(floor(CAST('0x' || substr(md5('smp_' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) * 10000.0 / 16777216) AS bigint) AS hash_bp,
+             ${hashGateBpSql("smp_")} AS hash_bp,
              CAST($rateCase AS bigint) AS rate_bp
       FROM documents
     ) WHERE hash_bp < rate_bp
@@ -1171,7 +1170,7 @@ object TextQueries extends QueryModule {
     SELECT doc_id, lang, source, quality_bp, hash_bp FROM (
       SELECT doc_id, lang, source,
              $qualityBpSql AS quality_bp,
-             CAST(floor(CAST('0x' || substr(md5('qsm_' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) * 10000.0 / 16777216) AS bigint) AS hash_bp
+             ${hashGateBpSql("qsm_")} AS hash_bp
       FROM documents
     ) WHERE hash_bp < quality_bp
     ORDER BY doc_id"""
@@ -1180,6 +1179,27 @@ object TextQueries extends QueryModule {
     * [9500,10000) test. */
   private val SplitValBp = 9000L
   private val SplitTestBp = 9500L
+
+  /** md5-bucket gate: prefixed doc_id → basis-point bucket in
+    * [0, 10000) — the deterministic replacement for rand() everywhere a
+    * sampling/assignment decision must be reproducible (distinct
+    * prefixes keep the gates independent). [[hashGateBpSql]] is the ONE
+    * DuckDB twin — every oracle gate splices it so the hex width and
+    * 2²⁴ divisor can never drift per copy. */
+  private[queries] def hashGateBp(prefix: String, docId: Column): Column = floor(
+    conv(substring(md5(concat(lit(prefix), docId.cast("string"))), 1, 6), 16, 10)
+      .cast("long") * 10000.0 / lit(16777216L)).cast("long")
+
+  private[queries] def hashGateBpSql(prefix: String, idSql: String = "doc_id"): String =
+    s"CAST(floor(CAST('0x' || substr(md5('$prefix' || CAST($idSql AS VARCHAR)), 1, 6) AS BIGINT) * 10000.0 / 16777216) AS bigint)"
+
+  /** The split gate shared by [[splitAssign]] and [[splitLeakage]]. */
+  private def splitHashBp(docId: Column): Column = hashGateBp("spl_", docId)
+
+  private def splitOf(hashBp: Column): Column =
+    when(hashBp < SplitValBp, "train")
+      .when(hashBp < SplitTestBp, "val")
+      .otherwise("test")
 
   /** Deterministic train/val/test split assignment with per-(split, lang)
     * accounting — the hold-out carve every training corpus needs before
@@ -1190,22 +1210,6 @@ object TextQueries extends QueryModule {
     * Shuffle posture: the gate is a per-row map; the accounting aggregates
     * onto a 3 × |langs| key domain with map-side partial combine, and the
     * per-language share window runs on that already-tiny aggregate. */
-  /** md5-bucket gate: prefixed doc_id → basis-point bucket in
-    * [0, 10000) — the deterministic replacement for rand() everywhere a
-    * sampling/assignment decision must be reproducible (distinct
-    * prefixes keep the gates independent). */
-  private def hashGateBp(prefix: String, docId: Column): Column = floor(
-    conv(substring(md5(concat(lit(prefix), docId.cast("string"))), 1, 6), 16, 10)
-      .cast("long") * 10000.0 / lit(16777216L)).cast("long")
-
-  /** The split gate shared by [[splitAssign]] and [[splitLeakage]]. */
-  private def splitHashBp(docId: Column): Column = hashGateBp("spl_", docId)
-
-  private def splitOf(hashBp: Column): Column =
-    when(hashBp < SplitValBp, "train")
-      .when(hashBp < SplitTestBp, "val")
-      .otherwise("test")
-
   def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val assigned = Tables.documents(spark, sfDir)
       .select(col("lang"), col("n_chars"), splitHashBp(col("doc_id")).as("hash_bp"))
@@ -1226,7 +1230,7 @@ object TextQueries extends QueryModule {
                   ELSE 'test' END AS split
       FROM (
         SELECT lang, n_chars,
-               CAST(floor(CAST('0x' || substr(md5('spl_' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) * 10000.0 / 16777216) AS bigint) AS hash_bp
+               ${hashGateBpSql("spl_")} AS hash_bp
         FROM documents
       )
     ), g AS (
@@ -1283,7 +1287,7 @@ object TextQueries extends QueryModule {
                     ELSE 'test' END AS split
         FROM (
           SELECT text,
-                 CAST(floor(CAST('0x' || substr(md5('spl_' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) * 10000.0 / 16777216) AS bigint) AS hash_bp
+                 ${hashGateBpSql("spl_")} AS hash_bp
           FROM documents
         )
       ) GROUP BY 1

@@ -276,7 +276,9 @@ object VectorQueries extends QueryModule {
   /** Product-quantization geometry: 64 dims → 8 subspaces × 8 dims, a
     * 16-code codebook per subspace (one Lloyd update from the k smallest
     * vec_ids — the [[graft.operators.KMeans]] recipe run per subspace),
-    * so each vector compresses to 8 bytes of codes. On the synthetic
+    * so each vector compresses to 8 four-bit codes — 4 bytes packed
+    * (one byte per code unpacked, as the codes table stores them). On
+    * the synthetic
     * near-uniform unit vectors recall@5 ≈ 32 % (tracked by
     * [[annPqRecall]]) — far above the sign-LSH path's 2 % on the same
     * adversarial data; real clustered embeddings fare better for both. */
@@ -288,7 +290,7 @@ object VectorQueries extends QueryModule {
     * stored as 8 subspace codes, a query builds an 8×16 lookup table of
     * exact subspace distances to every codebook centroid, and the
     * asymmetric distance is the sum of 8 table lookups — the scan touches
-    * CODES (8 bytes/vector), never raw floats, which is what makes a
+    * CODES (4 bytes/vector packed), never raw floats, which is what makes a
     * 100 TB corpus fit an ANN index in RAM. All math is the integer-exact
     * k-means recipe (micro-quantized elements, bigint squared-L2,
     * floor-mean updates, ties to the smaller code), so the oracle replays
@@ -394,8 +396,10 @@ object VectorQueries extends QueryModule {
     * broadcast-query nested loop over candidates — the guarded
     * brute-force shape, run at eval scale only. */
   def annPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val z = Tables.embeddings(spark, sfDir).select(col("vec_id"),
-      transform(col("embedding"), x => floor(x.cast("double") * 1000000).cast("long")).as("z"))
+    val z = graft.operators.Dedup.guardQuadratic(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 1000000).cast("long")).as("z")),
+      "annPqRecall", "annPq (unguarded ADC) / annIvf", AnnBruteConf, AnnBruteDefault)
     val qs = z.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("z").as("qz"))
     val d2 = aggregate(zip_with(col("qz"), col("z"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
@@ -925,20 +929,13 @@ object VectorQueries extends QueryModule {
     FROM qq
     ORDER BY vec_id"""
 
-  /** MinHash-LSH candidate recall vs exact Jaccard — the sketch-quality
-    * eval (the `e_ann_recall` counterpart for the dedup sketches): ground
-    * truth = exact n-gram Jaccard pairs at ≥ 0.5, candidates = the banded
-    * minhash pairs; reports counts + recall/precision in basis points. 6 bands × 2
-    * rows targets the s-curve threshold (1/6)^(1/2) ≈ 0.41, so recall at
-    * 0.5 should be high — the query makes that number a tracked,
-    * oracle-checked fact instead of folklore. Both pair sets are
-    * equi-join-shaped (never all-pairs) and checkpointed once; the three
-    * counts then read the materialized sets. */
-  def minhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    // each pair set feeds its own count AND the semi-join — checkpoint so
-    // the expensive self-join+agg subplans run once, not twice
-    val cand = dedupMinhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+  /** The shared sketch-vs-exact-Jaccard eval shape: ground truth = exact
+    * n-gram Jaccard pairs at ≥ 0.5, candidates = the given sketch pair
+    * set; reports counts + recall/precision in bp. Each pair set feeds
+    * its own count AND the semi-join — checkpoint so the expensive
+    * self-join+agg subplans run once, not twice. */
+  private def sketchEval(spark: SparkSession, sfDir: String, candPairs: DataFrame): DataFrame = {
+    val cand = candPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val exact = graft.operators.Dedup
       .ngramJaccardPairs(graft.core.Tables.documents(spark, sfDir),
         minJaccardBp = 5000, sorted = false)
@@ -957,70 +954,49 @@ object VectorQueries extends QueryModule {
           .as("precision_bp"))
   }
 
-  val minhashRecallSql: String = s"""
-    WITH mh AS (
-      SELECT doc_a, doc_b FROM ($dedupMinhashSql)
+  /** The ONE DuckDB twin of [[sketchEval]], parameterized on the
+    * candidate pair SQL — minhash and simhash evals splice it so the
+    * eval arithmetic can never drift between the two. */
+  private def sketchEvalSql(candSql: String): String = s"""
+    WITH cand AS (
+      SELECT doc_a, doc_b FROM ($candSql)
     ), ex AS (
       SELECT doc_a, doc_b FROM (${TextQueries.ngramJaccardSqlAt(5000)})
     ), hit AS (
-      SELECT 1 FROM ex JOIN mh USING (doc_a, doc_b)
+      SELECT 1 FROM ex JOIN cand USING (doc_a, doc_b)
     )
     SELECT (SELECT count(*) FROM ex) AS n_exact,
-           (SELECT count(*) FROM mh) AS n_cand,
+           (SELECT count(*) FROM cand) AS n_cand,
            (SELECT count(*) FROM hit) AS n_hit,
            CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 0
                 ELSE CAST(floor((SELECT count(*) FROM hit) * 10000.0
                      / (SELECT count(*) FROM ex)) AS bigint) END AS recall_bp,
-           CASE WHEN (SELECT count(*) FROM mh) = 0 THEN 0
+           CASE WHEN (SELECT count(*) FROM cand) = 0 THEN 0
                 ELSE CAST(floor((SELECT count(*) FROM hit) * 10000.0
-                     / (SELECT count(*) FROM mh)) AS bigint) END AS precision_bp"""
+                     / (SELECT count(*) FROM cand)) AS bigint) END AS precision_bp"""
+
+  /** MinHash-LSH candidate recall vs exact Jaccard — the sketch-quality
+    * eval (the `e_ann_recall` counterpart for the dedup sketches) over
+    * the banded minhash pairs. 6 bands × 2 rows targets the s-curve
+    * threshold (1/6)^(1/2) ≈ 0.41, so recall at 0.5 should be high — the
+    * query makes that number a tracked, oracle-checked fact instead of
+    * folklore. */
+  def minhashRecall(spark: SparkSession, sfDir: String): DataFrame =
+    sketchEval(spark, sfDir, dedupMinhash(spark, sfDir))
+
+  val minhashRecallSql: String = sketchEvalSql(dedupMinhashSql)
 
   /** SimHash blocking quality vs exact Jaccard — the [[minhashRecall]]
-    * twin for the other sketch: ground truth = exact n-gram Jaccard pairs
-    * at ≥ 0.5, candidates = [[dedupSimhash]]'s hamming-verified pairs.
-    * SimHash blocks on token-set cosine rather than 3-gram Jaccard, so
-    * precision against this ground truth is structurally low — the eval
-    * quantifies exactly that trade (broad recall, loose precision) the
-    * same way `e_ann_recall` pins the ANN sketches. Both pair sets stay
-    * equi-join-shaped and are checkpointed once. */
-  def simhashEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val cand = simhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val exact = graft.operators.Dedup
-      .ngramJaccardPairs(graft.core.Tables.documents(spark, sfDir),
-        minJaccardBp = 5000, sorted = false)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .select(col("n_exact"), col("n_cand"), col("n_hit"),
-        when(col("n_exact") === 0, lit(0L))
-          .otherwise(floor(col("n_hit") * 10000.0 / col("n_exact")).cast("long"))
-          .as("recall_bp"),
-        when(col("n_cand") === 0, lit(0L))
-          .otherwise(floor(col("n_hit") * 10000.0 / col("n_cand")).cast("long"))
-          .as("precision_bp"))
-  }
+    * twin for the other sketch, over [[dedupSimhash]]'s hamming-verified
+    * pairs (via the unsorted [[simhashPairs]]). SimHash blocks on
+    * token-set cosine rather than 3-gram Jaccard, so precision against
+    * this ground truth is structurally low — the eval quantifies exactly
+    * that trade (broad recall, loose precision) the same way
+    * `e_ann_recall` pins the ANN sketches. */
+  def simhashEval(spark: SparkSession, sfDir: String): DataFrame =
+    sketchEval(spark, sfDir, simhashPairs(spark, sfDir))
 
-  val simhashEvalSql: String = s"""
-    WITH sp AS (
-      SELECT doc_a, doc_b FROM ($dedupSimhashSql)
-    ), ex AS (
-      SELECT doc_a, doc_b FROM (${TextQueries.ngramJaccardSqlAt(5000)})
-    ), hit AS (
-      SELECT 1 FROM ex JOIN sp USING (doc_a, doc_b)
-    )
-    SELECT (SELECT count(*) FROM ex) AS n_exact,
-           (SELECT count(*) FROM sp) AS n_cand,
-           (SELECT count(*) FROM hit) AS n_hit,
-           CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 0
-                ELSE CAST(floor((SELECT count(*) FROM hit) * 10000.0
-                     / (SELECT count(*) FROM ex)) AS bigint) END AS recall_bp,
-           CASE WHEN (SELECT count(*) FROM sp) = 0 THEN 0
-                ELSE CAST(floor((SELECT count(*) FROM hit) * 10000.0
-                     / (SELECT count(*) FROM sp)) AS bigint) END AS precision_bp"""
+  val simhashEvalSql: String = sketchEvalSql(dedupSimhashSql)
 
   /** Per-dimension embedding statistics — the index-health check run
     * before building ANN structures (a dead dimension: min == max; a

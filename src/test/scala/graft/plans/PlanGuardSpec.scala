@@ -26,7 +26,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_fsimage_symlinks", "t_novelty",
                   "q_ns_compaction_plan", "t_dup_ratio_by_source",
                   "d_source_overlap", "t_split_leakage", "q_events_lift",
-                  "t_ngram_diversity", "d_simhash_eval"))
+                  "t_ngram_diversity", "d_simhash_eval", "e_ann_pq",
+                  "e_centroid_margin"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
