@@ -501,6 +501,64 @@ object TextQueries extends QueryModule {
     ) WHERE rnk <= 5
     ORDER BY doc_id, rnk, term"""
 
+  /** Term co-occurrence lift: the 50 term pairs most over-represented in
+    * the same documents, lift = P(a,b)/(P(a)·P(b)) in bp with document
+    * counts as the probability model and a min-support floor of 5 docs —
+    * PMI's ratio form, the collocation/association view of the corpus
+    * (the text twin of `q_basket_pairs`). Shuffle posture: identical to
+    * basket pairs — pairs expand MAP-SIDE from each doc's sorted distinct
+    * term array (bounded O(terms/doc²) per row, never a corpus self-join),
+    * one shuffle onto the pair domain with partial combine; df counts
+    * broadcast into the surviving ≥5-support pairs and top-50 is
+    * TakeOrdered. The df product divides as doubles so the arithmetic
+    * never overflows at corpus-scale document counts (identical IEEE
+    * order in the oracle). */
+  def termLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dt = docs.select(col("doc_id"),
+        sort_array(array_distinct(words(lower(col("text"))))).as("ts"))
+      .localCheckpoint() // feeds the df counts AND the pair expansion
+    val df = dt.select(explode(col("ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c_a"))
+    val pairs = dt.select(explode(flatten(transform(col("ts"), (x, i) =>
+        transform(slice(col("ts"), i + 2, size(col("ts"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("term_a"), col("p.b").as("term_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    pairs
+      .join(broadcast(df.select(col("term").as("term_a"), col("c_a"))), "term_a")
+      .join(broadcast(df.select(col("term").as("term_b"), col("c_a").as("c_b"))), "term_b")
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("term_a"), col("term_b"), col("c_ab"), col("c_a"), col("c_b"),
+        floor(col("c_ab") * 10000.0 * col("n_docs")
+          / (col("c_a").cast("double") * col("c_b").cast("double")))
+          .cast("long").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("term_a"), col("term_b"))
+      .limit(50)
+  }
+
+  val termLiftSql: String = """
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ), df AS (
+      SELECT term, CAST(count(*) AS bigint) AS c_a FROM dt GROUP BY term
+    ), pairs AS (
+      SELECT x.term AS term_a, y.term AS term_b, CAST(count(*) AS bigint) AS c_ab
+      FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT term_a, term_b, c_ab, a.c_a AS c_a, b.c_a AS c_b,
+           CAST(floor(c_ab * 10000.0 * (SELECT count(*) FROM documents)
+                / (CAST(a.c_a AS double) * CAST(b.c_a AS double))) AS bigint) AS lift_bp
+    FROM pairs
+    JOIN df a ON a.term = term_a
+    JOIN df b ON b.term = term_b
+    ORDER BY lift_bp DESC, term_a, term_b
+    LIMIT 50"""
+
   // ------------------------------------------------------------------ dedup
 
   /** Exact dedup on normalized text (lower, strip non-alnum, collapse ws):
@@ -1745,6 +1803,7 @@ object TextQueries extends QueryModule {
     "t_dup_ratio_by_source" -> (dupRatioBySource _),
     "t_quality_filter" -> (qualityFilter _),
     "t_doc_terms"     -> (docTerms _),
+    "t_term_lift"     -> (termLift _),
     "t_repetition"    -> (repetition _),
     "t_sample_stratified" -> (sampleStratified _),
     "t_quality_sample" -> (qualitySample _),
@@ -1785,6 +1844,7 @@ object TextQueries extends QueryModule {
     "t_dup_ratio_by_source" -> dupRatioBySourceSql,
     "t_quality_filter" -> qualityFilterSql,
     "t_doc_terms"     -> docTermsSql,
+    "t_term_lift"     -> termLiftSql,
     "t_repetition"    -> repetitionSql,
     "t_sample_stratified" -> sampleStratifiedSql,
     "t_quality_sample" -> qualitySampleSql,
