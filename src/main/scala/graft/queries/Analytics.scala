@@ -1013,10 +1013,7 @@ object Analytics extends QueryModule {
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
     baskets
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + 2, size(col("ps"))),
-          y => struct(x.as("a"), y.as("b"))))))
-        .as("p"))
+      .select(explode(QueryModule.sortedPairs(col("ps"))).as("p"))
       .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))

@@ -518,18 +518,21 @@ object TextQueries extends QueryModule {
     val dt = docs.select(col("doc_id"),
         sort_array(array_distinct(words(lower(col("text"))))).as("ts"))
       .localCheckpoint() // feeds the df counts AND the pair expansion
+    // c_ab <= min(c_a, c_b), so sub-support terms can never join a
+    // surviving pair — filter BEFORE broadcasting (Heaps-law vocabularies
+    // are dominated by rare terms; the unfiltered broadcast is what blows
+    // up at corpus scale)
     val df = dt.select(explode(col("ts")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c_a"))
-    val pairs = dt.select(explode(flatten(transform(col("ts"), (x, i) =>
-        transform(slice(col("ts"), i + 2, size(col("ts"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("c_a") >= 5)
+    val pairs = dt.select(explode(QueryModule.sortedPairs(col("ts"))).as("p"))
       .groupBy(col("p.a").as("term_a"), col("p.b").as("term_b"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 5)
     pairs
       .join(broadcast(df.select(col("term").as("term_a"), col("c_a"))), "term_a")
       .join(broadcast(df.select(col("term").as("term_b"), col("c_a").as("c_b"))), "term_b")
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .crossJoin(broadcast(dt.agg(count(lit(1)).as("n_docs"))))
       .select(col("term_a"), col("term_b"), col("c_ab"), col("c_a"), col("c_b"),
         floor(col("c_ab") * 10000.0 * col("n_docs")
           / (col("c_a").cast("double") * col("c_b").cast("double")))
