@@ -196,6 +196,55 @@ object Analytics extends QueryModule {
     GROUP BY user_id, sid
     ORDER BY user_id, sid"""
 
+  /** Session-shape distribution: exact p25/p50/p95 and max of per-session
+    * event counts and durations over the gap-sessionized table — the
+    * "did sessions get shorter" summary consulted after changing the gap
+    * parameter or the event pipeline. Percentiles use the
+    * [[qPercentiles]] exact-rank recipe (value at row_number
+    * ceil(p·n) — integer-deterministic). Shuffle posture: sessionization
+    * is the only data-sized work; the stats explode each session row
+    * into the 2-metric domain, rank inside it, and collapse to 2 rows. */
+  def qSessionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val metrics = qEventsSessions(spark, sfDir)
+      .select(explode(array(
+        struct(lit("duration_sec").as("metric"), col("duration_sec").as("v")),
+        struct(lit("n_events").as("metric"), col("n_events").as("v")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.v").as("v"))
+    val w = Window.partitionBy(col("metric")).orderBy(col("v"))
+    val wn = Window.partitionBy(col("metric"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("v")))
+    metrics.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n_sessions"), pick(0.25).as("p25"),
+        pick(0.5).as("p50"), pick(0.95).as("p95"), max(col("v")).as("max_v"))
+      .orderBy(col("metric"))
+  }
+
+  val qSessionStatsSql: String = s"""
+    WITH sess AS (
+      SELECT n_events, duration_sec FROM ($qEventsSessionsSql)
+    ), m AS (
+      SELECT 'duration_sec' AS metric, duration_sec AS v FROM sess
+      UNION ALL
+      SELECT 'n_events' AS metric, n_events AS v FROM sess
+    ), r AS (
+      SELECT metric, v,
+             row_number() OVER (PARTITION BY metric ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY metric) AS n
+      FROM m
+    )
+    SELECT metric, CAST(count(*) AS bigint) AS n_sessions,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.25 * n) AS bigint) THEN v END) AS bigint) AS p25,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS bigint) THEN v END) AS bigint) AS p50,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS bigint) THEN v END) AS bigint) AS p95,
+           CAST(max(v) AS bigint) AS max_v
+    FROM r
+    GROUP BY metric
+    ORDER BY metric"""
+
   /** As-of join ([[graft.operators.AsOfJoin]]): each event picks the
     * customer's most recent order at-or-before the event time (order times
     * mapped deterministically into the event window). One shuffle + one
@@ -1189,6 +1238,7 @@ object Analytics extends QueryModule {
     "q_events_window"   -> (qEventsWindow _),
     "q_events_windowed" -> (qEventsWindowed _),
     "q_events_sessions" -> (qEventsSessions _),
+    "q_session_stats"   -> (qSessionStats _),
     "q_asof_join"       -> (qAsofJoin _),
     "q_asof_forward"    -> (qAsofForward _),
     "q17_small_qty"     -> (q17SmallQty _),
@@ -1227,6 +1277,7 @@ object Analytics extends QueryModule {
     "q_events_window"   -> qEventsWindowSql,
     "q_events_windowed" -> qEventsWindowedSql,
     "q_events_sessions" -> qEventsSessionsSql,
+    "q_session_stats"   -> qSessionStatsSql,
     "q_asof_join"       -> qAsofJoinSql,
     "q_asof_forward"    -> qAsofForwardSql,
     "q17_small_qty"     -> q17SmallQtySql,
