@@ -398,4 +398,33 @@ object Reports {
         .over(Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy(col("month"))
   }
+
+  /** Per-directory growth: bytes/files added in the namespace's most
+    * recent mtime month, grouped on the depth-capped prefix (the
+    * [[duReport]] domain, each file counted once in its capped dir) with
+    * each dir's share of that month's new bytes — "where did last
+    * month's growth land", the admin follow-up to [[growthProfile]]'s
+    * when-view. Shuffle posture: the latest month is a broadcast
+    * single-row aggregate, the month-filtered groupBy lands on the
+    * maxDepth-bounded prefix domain (checkpointed once for the share
+    * total), top-N via TakeOrdered. */
+  def growthByDir(inodes: DataFrame, maxDepth: Int = 2, topN: Int = 20): DataFrame = {
+    val parts = split(col("path"), "/")
+    val keep = least(size(parts) - 2, lit(maxDepth))
+    val capped = when(keep <= 0, lit("/"))
+      .otherwise(concat(lit("/"), array_join(slice(parts, lit(2), keep), "/")))
+    val files = inodes.filter(col("ftype") === "F")
+      .select(capped.as("dir"), col("size"),
+        date_format(timestamp_seconds(col("mtime_sec")), "yyyy-MM").as("month"))
+    val last = files.agg(max(col("month")).as("last_month"))
+    val g = files.join(broadcast(last), col("month") === col("last_month"))
+      .groupBy(col("month"), col("dir"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("bytes_added"))
+      .localCheckpoint() // bounded prefix domain; feeds rows AND the total
+    g.crossJoin(broadcast(g.agg(sum(col("bytes_added")).as("total"))))
+      .select(col("month"), col("dir"), col("n_files"), col("bytes_added"),
+        floor(col("bytes_added") * 10000.0 / col("total")).cast("long").as("share_bp"))
+      .orderBy(col("bytes_added").desc, col("dir"))
+      .limit(topN)
+  }
 }

@@ -350,9 +350,36 @@ object NamespaceQueries extends QueryModule {
     )
     ORDER BY month"""
 
+  /** Per-directory growth in the latest mtime month
+    * ([[graft.operators.Reports.growthByDir]]). */
+  def growthDirs(spark: SparkSession, sfDir: String): DataFrame =
+    Reports.growthByDir(inodes(spark, sfDir))
+
+  val growthDirsSql: String = NamespaceSql.cte + """,
+    f AS (
+      SELECT CASE WHEN len(sp) <= 2 THEN '/'
+                  WHEN len(sp) = 3 THEN '/' || sp[2]
+                  ELSE '/' || sp[2] || '/' || sp[3] END AS dir,
+             size,
+             strftime(make_timestamp(mtime_sec * 1000000), '%Y-%m') AS month
+      FROM (SELECT string_split(path, '/') AS sp, size, mtime_sec
+            FROM inodes WHERE ftype='F')
+    ), g AS (
+      SELECT month, dir, count(*) AS n_files,
+             CAST(sum(size) AS bigint) AS bytes_added
+      FROM f WHERE month = (SELECT max(month) FROM f)
+      GROUP BY month, dir
+    )
+    SELECT month, dir, n_files, bytes_added,
+           CAST(floor(bytes_added * 10000.0 / (SELECT sum(bytes_added) FROM g)) AS bigint) AS share_bp
+    FROM g
+    ORDER BY bytes_added DESC, dir
+    LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ns_du"                 -> (du _),
     "q_ns_growth"             -> (growth _),
+    "q_ns_growth_dirs"        -> (growthDirs _),
     "q_ns_summary_overall"    -> (summaryOverall _),
     "q_ns_summary_by_user"    -> (summaryByUser _),
     "q_ns_summary_by_group"   -> (summaryByGroup _),
@@ -373,6 +400,7 @@ object NamespaceQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q_ns_du"                 -> duSql,
     "q_ns_growth"             -> growthSql,
+    "q_ns_growth_dirs"        -> growthDirsSql,
     "q_ns_summary_overall"    -> summaryOverallSql,
     "q_ns_summary_by_user"    -> summaryByUserSql,
     "q_ns_summary_by_group"   -> summaryByGroupSql,
