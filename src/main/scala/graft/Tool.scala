@@ -11,8 +11,9 @@ import graft.functions.IECBinaryImpl
   * {{{
   * runMain graft.Tool <command> <fsimage> [options]
   *   commands: summary | smallfiles | smallfilesusers | userusage | path |
-  *             inode | acl | xattr | quotas | growth | dupnames | du |
-  *             compaction | ext | sections | snapshots | refs | diffs
+  *             inode | acl | xattr | quotas | growth | growthdirs |
+  *             dupnames | du | compaction | ext | sections | snapshots |
+  *             refs | diffs
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /); repeatable, and a
   *                     single -p also accepts a comma-separated list —
@@ -117,6 +118,9 @@ object Tool {
         Reports.quotaReport(inodes)
       case "growth" =>
         Reports.growthProfile(inodes)
+      case "growthdirs" =>
+        Reports.growthByDir(inodes,
+          maxDepth = opts.get("-d").map(_.toInt).getOrElse(2), topN = topN)
       case "dupnames" =>
         Reports.dupNames(inodes, topN)
       case "du" =>
@@ -131,8 +135,8 @@ object Tool {
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other " +
           "(expected one of: summary smallfiles smallfilesusers userusage " +
-          "path inode acl xattr quotas growth dupnames du compaction ext " +
-          "sections snapshots refs diffs)")
+          "path inode acl xattr quotas growth growthdirs dupnames du " +
+          "compaction ext sections snapshots refs diffs)")
     }
   }
 

@@ -118,6 +118,7 @@ class ToolAndSqlSpec extends SparkSpecBase {
       // quota-less dirs surface -1 (Hadoop's explicit no-quota marker)
       assert(run("inode", "-i" -> "/dir_1").head.getAs[Long]("ns_quota") == -1L)
       assert(run("growth").count() > 0)
+      assert(run("growthdirs").count() > 0)
       assert(run("dupnames").count() == 0) // generated names are unique
       // du at depth 1: root + the 4 dirs
       assert(run("du", "-d" -> "1").count() == 5)
