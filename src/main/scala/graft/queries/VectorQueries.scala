@@ -213,7 +213,10 @@ object VectorQueries extends QueryModule {
     * re-rank exactly inside them. At 100 TB the cell id becomes the
     * partition/bucket key and each query touches nprobe/ncells of the data.
     */
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The IVF cell structures shared by [[annIvf]] and [[annIvfPq]]:
+    * (cellOf, probes) — every vector's nearest cell (with v/nrm riding
+    * along for the exact re-rank) and each query's 2 probed cells. */
+  private def ivfParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val e = embs(spark, sfDir)
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
@@ -228,6 +231,11 @@ object VectorQueries extends QueryModule {
     // queries probe their 2 nearest cells
     val probes = assigned.filter(col("vec_id") < 10 && col("crnk") <= 2)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    (cellOf, probes)
+  }
+
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cellOf, probes) = ivfParts(spark, sfDir)
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
     cellOf.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -238,11 +246,11 @@ object VectorQueries extends QueryModule {
       .orderBy(col("q_id"), col("rnk"), col("cand_id"))
   }
 
-  val annIvfSql: String = {
+  /** The IVF cell CTE chain (e → cents → assigned → cellof + probes),
+    * spliced by both the annIvf and annIvfPq oracles. */
+  private val ivfCellCtes: String = {
     val dotVC = "list_reduce(list_transform(range(1, len(e.v) + 1), i -> CAST(e.v[i] AS double) * CAST(c.cv[i] AS double)), (x, y) -> x + y)"
-    val dotQC = "list_reduce(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS double) * CAST(t.v[i] AS double)), (x, y) -> x + y)"
-    s"""
-    WITH e AS (
+    s"""e AS (
       SELECT vec_id, embedding AS v,
              sqrt(${dotSqlOf("embedding", "embedding")}) AS nrm
       FROM embeddings
@@ -258,7 +266,13 @@ object VectorQueries extends QueryModule {
     ), probes AS (
       SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell
       FROM assigned WHERE vec_id < 10 AND crnk <= 2
-    ), scored AS (
+    )"""
+  }
+
+  val annIvfSql: String = {
+    val dotQC = "list_reduce(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS double) * CAST(t.v[i] AS double)), (x, y) -> x + y)"
+    s"""
+    WITH $ivfCellCtes, scored AS (
       SELECT q.q_id, t.vec_id AS cand_id,
              CAST(floor($dotQC * 10000.0 / (q.qn * t.nrm)) AS bigint) AS cos_bp
       FROM cellof t JOIN probes q ON t.cell = q.cell AND t.vec_id <> q.q_id
@@ -301,7 +315,10 @@ object VectorQueries extends QueryModule {
     * ADC is linear-scan-per-query by design (compression, not pruning) —
     * compose with [[annIvf]] cells when sublinear candidate generation is
     * also needed. */
-  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The PQ artifacts shared by [[annPq]] and [[annIvfPq]]: (codes, lut)
+    * — each vector's 8 subspace codes, and each query's exact subspace
+    * distance to every codebook centroid. */
+  private def pqParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, sfDir)
     val v = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
       .select(col("vec_id"),
@@ -329,10 +346,11 @@ object VectorQueries extends QueryModule {
       .join(broadcast(c1), Seq("sub", "spos"))
       .groupBy(col("q_id"), col("sub"), col("k"))
       .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
-    val scored = codes.join(broadcast(lut), Seq("sub", "k"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("d2")).as("adc_d2"))
+    (codes, lut)
+  }
+
+  /** ADC top-5 over a scored (q_id, vec_id, adc_d2) table. */
+  private def adcTop5(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
     scored.withColumn("rnk", rank().over(w))
       .filter(col("rnk") <= 5)
@@ -340,7 +358,38 @@ object VectorQueries extends QueryModule {
       .orderBy(col("q_id"), col("rnk"), col("cand_id"))
   }
 
-  val annPqSql: String = {
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (codes, lut) = pqParts(spark, sfDir)
+    adcTop5(codes.join(broadcast(lut), Seq("sub", "k"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2")))
+  }
+
+  /** IVF-PQ: the composed index the [[annPq]] doc points at — candidate
+    * generation from the IVF coarse cells (each query touches only its
+    * nprobe=2 cells' vectors, the sublinear part) ranked by PQ
+    * asymmetric distance over the 4-byte codes (the compression part).
+    * This is the FAISS-style IVFADC shape that serves web-scale ANN: at
+    * 100 TB the cell id is the partition key, the per-cell scan reads
+    * codes instead of floats, and both structures are the
+    * already-oracle-checked ones ([[ivfParts]] cells, [[pqParts]]
+    * codebooks) so the composition is oracle-exact end-to-end. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (codes, lut) = pqParts(spark, sfDir)
+    val (cellOf, probes) = ivfParts(spark, sfDir)
+    adcTop5(codes
+      .join(cellOf.select(col("vec_id"), col("cell")), "vec_id")
+      .join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")
+      .join(broadcast(lut), Seq("q_id", "sub", "k"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2")))
+  }
+
+  /** The PQ CTE chain (q0 → v → seeds → c0 → a1 → c1 → codes + lut),
+    * spliced by both the annPq and annIvfPq oracles. */
+  private val pqCtes: String = {
     def argminCte(name: String, cents: String) = s"""$name AS (
       SELECT vec_id, sub, k FROM (
         SELECT vec_id, sub, k,
@@ -351,8 +400,7 @@ object VectorQueries extends QueryModule {
               GROUP BY v.vec_id, v.sub, c.k)
       ) WHERE rn = 1
     )"""
-    s"""
-    WITH q0 AS (
+    s"""q0 AS (
       SELECT vec_id,
              CAST(unnest(range(1, len(embedding) + 1)) AS bigint) AS pos,
              unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint))) AS q
@@ -375,18 +423,37 @@ object VectorQueries extends QueryModule {
       FROM v JOIN c1 c ON v.sub = c.sub AND v.spos = c.spos
       WHERE v.vec_id < 10
       GROUP BY 1, 2, 3
-    ), scored AS (
-      SELECT l.q_id, d.vec_id, CAST(sum(l.d2) AS bigint) AS adc_d2
-      FROM codes d JOIN lut l ON d.sub = l.sub AND d.k = l.k AND d.vec_id <> l.q_id
-      GROUP BY 1, 2
-    )
+    )"""
+  }
+
+  /** ADC top-5 tail shared by the PQ oracles. */
+  private val adcTop5Sql: String = """
     SELECT q_id, cand_id, adc_d2, rnk FROM (
       SELECT q_id, vec_id AS cand_id, adc_d2,
              rank() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rnk
       FROM scored
     ) WHERE rnk <= 5
     ORDER BY q_id, rnk, cand_id"""
-  }
+
+  val annPqSql: String = s"""
+    WITH $pqCtes, scored AS (
+      SELECT l.q_id, d.vec_id, CAST(sum(l.d2) AS bigint) AS adc_d2
+      FROM codes d JOIN lut l ON d.sub = l.sub AND d.k = l.k AND d.vec_id <> l.q_id
+      GROUP BY 1, 2
+    )
+    $adcTop5Sql"""
+
+  val annIvfPqSql: String = s"""
+    WITH $pqCtes, $ivfCellCtes, scored AS (
+      SELECT l.q_id, d.vec_id, CAST(sum(l.d2) AS bigint) AS adc_d2
+      FROM codes d
+      JOIN cellof t ON t.vec_id = d.vec_id
+      JOIN probes p ON p.cell = t.cell
+      JOIN lut l ON l.q_id = p.q_id AND l.sub = d.sub AND l.k = d.k
+      WHERE d.vec_id <> p.q_id
+      GROUP BY 1, 2
+    )
+    $adcTop5Sql"""
 
   /** PQ recall@5 vs exact squared-L2 ground truth — the [[annRecall]]
     * counterpart for the ADC path, so the 4-byte-code compression's
@@ -1040,6 +1107,7 @@ object VectorQueries extends QueryModule {
     "e_ann_lsh"         -> (annLsh _),
     "e_ann_ivf"         -> (annIvf _),
     "e_ann_pq"          -> (annPq _),
+    "e_ann_ivfpq"       -> (annIvfPq _),
     "e_ann_pq_recall"   -> (annPqRecall _),
     "e_ann_recall"      -> (annRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
@@ -1062,6 +1130,7 @@ object VectorQueries extends QueryModule {
     "e_ann_lsh"         -> annLshSql,
     "e_ann_ivf"         -> annIvfSql,
     "e_ann_pq"          -> annPqSql,
+    "e_ann_ivfpq"       -> annIvfPqSql,
     "e_ann_pq_recall"   -> annPqRecallSql,
     "e_ann_recall"      -> annRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,

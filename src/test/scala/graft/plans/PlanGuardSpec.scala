@@ -27,7 +27,7 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_ns_compaction_plan", "t_dup_ratio_by_source",
                   "d_source_overlap", "t_split_leakage", "q_events_lift",
                   "t_ngram_diversity", "d_simhash_eval", "e_ann_pq",
-                  "e_centroid_margin", "t_term_lift"))
+                  "e_centroid_margin", "t_term_lift", "e_ann_ivfpq"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
