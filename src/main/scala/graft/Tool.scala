@@ -26,7 +26,7 @@ import graft.functions.IECBinaryImpl
   *   -s fs|fc|dc|bc    summary sort: size, file/dir/block count
   *   --fsl <iec>       small-file limit, e.g. 2MiB (smallfiles/compaction)
   *   --target <iec>    compaction archive target size, default 8MiB
-  *   -d <depth>        du depth cap (default 2)
+  *   -d <depth>        du/growthdirs depth cap (default 2)
   *   -l <n>            top-N limit (default 20)
   *   -a <age>          age filter like 60d / 12h / 1y (userusage)
   *   -u <user>         user (userusage)

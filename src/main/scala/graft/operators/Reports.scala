@@ -312,13 +312,19 @@ object Reports {
     * combines onto the (tiny) shallow-dir set — no intermediate shuffle
     * over the full (possibly huge) directory domain. The ancestor explode
     * then runs over that tiny aggregated table. Top-N as TakeOrdered. */
-  def duReport(inodes: DataFrame, maxDepth: Int = 2, topN: Int = 20): DataFrame = {
+  /** The depth-capped parent prefix of `path` — the bounded grouping
+    * domain shared by [[duReport]] and [[growthByDir]] (the oracle
+    * re-derives it as a CASE over the split components). */
+  private def cappedPrefix(maxDepth: Int): org.apache.spark.sql.Column = {
     val parts = split(col("path"), "/") // ["", c1, c2, ..., name]
     val keep = least(size(parts) - 2, lit(maxDepth)) // parent components kept
-    val capped = when(keep <= 0, lit("/"))
+    when(keep <= 0, lit("/"))
       .otherwise(concat(lit("/"), array_join(slice(parts, lit(2), keep), "/")))
+  }
+
+  def duReport(inodes: DataFrame, maxDepth: Int = 2, topN: Int = 20): DataFrame = {
     inodes.filter(col("ftype") === "F")
-      .groupBy(capped.as("pdir"))
+      .groupBy(cappedPrefix(maxDepth).as("pdir"))
       .agg(sum(col("size")).as("psum"), count(lit(1)).as("pcnt"))
       .select(explode(selfAndAncestors(col("pdir"))).as("dir"),
         col("psum"), col("pcnt"))
@@ -406,24 +412,23 @@ object Reports {
     * month's growth land", the admin follow-up to [[growthProfile]]'s
     * when-view. Shuffle posture: the latest month is a broadcast
     * single-row aggregate, the month-filtered groupBy lands on the
-    * maxDepth-bounded prefix domain (checkpointed once for the share
-    * total), top-N via TakeOrdered. */
+    * maxDepth-bounded prefix domain, the share total is a window over
+    * that tiny aggregate (the [[extensionReport]] idiom), top-N via
+    * TakeOrdered. A zero-byte month (marker/touch files only) reports a
+    * null share rather than dividing by zero. */
   def growthByDir(inodes: DataFrame, maxDepth: Int = 2, topN: Int = 20): DataFrame = {
-    val parts = split(col("path"), "/")
-    val keep = least(size(parts) - 2, lit(maxDepth))
-    val capped = when(keep <= 0, lit("/"))
-      .otherwise(concat(lit("/"), array_join(slice(parts, lit(2), keep), "/")))
     val files = inodes.filter(col("ftype") === "F")
-      .select(capped.as("dir"), col("size"),
+      .select(cappedPrefix(maxDepth).as("dir"), col("size"),
         date_format(timestamp_seconds(col("mtime_sec")), "yyyy-MM").as("month"))
     val last = files.agg(max(col("month")).as("last_month"))
-    val g = files.join(broadcast(last), col("month") === col("last_month"))
+    val total = sum(col("bytes_added")).over(Window.partitionBy())
+    files.join(broadcast(last), col("month") === col("last_month"))
       .groupBy(col("month"), col("dir"))
       .agg(count(lit(1)).as("n_files"), sum(col("size")).as("bytes_added"))
-      .localCheckpoint() // bounded prefix domain; feeds rows AND the total
-    g.crossJoin(broadcast(g.agg(sum(col("bytes_added")).as("total"))))
-      .select(col("month"), col("dir"), col("n_files"), col("bytes_added"),
-        floor(col("bytes_added") * 10000.0 / col("total")).cast("long").as("share_bp"))
+      .withColumn("share_bp",
+        when(total === 0, lit(null).cast("long"))
+          .otherwise(floor(col("bytes_added") * 10000.0 / total).cast("long")))
+      .select(col("month"), col("dir"), col("n_files"), col("bytes_added"), col("share_bp"))
       .orderBy(col("bytes_added").desc, col("dir"))
       .limit(topN)
   }

@@ -213,13 +213,11 @@ object Analytics extends QueryModule {
       .select(col("m.metric").as("metric"), col("m.v").as("v"))
     val w = Window.partitionBy(col("metric")).orderBy(col("v"))
     val wn = Window.partitionBy(col("metric"))
-    def pick(p: Double) =
-      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("v")))
     metrics.withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wn))
       .groupBy(col("metric"))
-      .agg(count(lit(1)).as("n_sessions"), pick(0.25).as("p25"),
-        pick(0.5).as("p50"), pick(0.95).as("p95"), max(col("v")).as("max_v"))
+      .agg(count(lit(1)).as("n_sessions"), exactPick(0.25).as("p25"),
+        exactPick(0.5).as("p50"), exactPick(0.95).as("p95"), max(col("v")).as("max_v"))
       .orderBy(col("metric"))
   }
 
@@ -237,9 +235,9 @@ object Analytics extends QueryModule {
       FROM m
     )
     SELECT metric, CAST(count(*) AS bigint) AS n_sessions,
-           CAST(max(CASE WHEN rn = CAST(ceil(0.25 * n) AS bigint) THEN v END) AS bigint) AS p25,
-           CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS bigint) THEN v END) AS bigint) AS p50,
-           CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS bigint) THEN v END) AS bigint) AS p95,
+           ${exactPickSql(0.25, "p25")},
+           ${exactPickSql(0.5, "p50")},
+           ${exactPickSql(0.95, "p95")},
            CAST(max(v) AS bigint) AS max_v
     FROM r
     GROUP BY metric
@@ -559,26 +557,33 @@ object Analytics extends QueryModule {
     * interpolation-formula ambiguity). One shuffle + per-group sort — the
     * canonical exact-percentile cost; approx_percentile is the sketch
     * alternative when a bounded error is acceptable. */
+  /** Exact-rank percentile pick over a (v, rn, n)-shaped table: the value
+    * at row_number ceil(p·n) — shared by [[qPercentiles]] and
+    * [[qSessionStats]]; [[exactPickSql]] is the ONE SQL twin. */
+  private def exactPick(p: Double): Column =
+    max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("v")))
+
+  private def exactPickSql(p: Double, alias: String): String =
+    s"max(CASE WHEN rn = CAST(ceil($p * n) AS bigint) THEN v END) AS $alias"
+
   def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
     val wn = Window.partitionBy(col("event_type"))
-    def pick(p: Double) =
-      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("v")))
     Tables.events(spark, sfDir)
       .select(col("event_type"), cents(col("value")).as("v"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wn))
       .groupBy(col("event_type"))
-      .agg(pick(0.25).as("p25_c"), pick(0.5).as("p50_c"), pick(0.95).as("p95_c"),
-        count(lit(1)).as("n_rows"))
+      .agg(exactPick(0.25).as("p25_c"), exactPick(0.5).as("p50_c"),
+        exactPick(0.95).as("p95_c"), count(lit(1)).as("n_rows"))
       .orderBy(col("event_type"))
   }
 
-  val qPercentilesSql: String = """
+  val qPercentilesSql: String = s"""
     SELECT event_type,
-           max(CASE WHEN rn = CAST(ceil(0.25 * n) AS bigint) THEN v END) AS p25_c,
-           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS bigint) THEN v END) AS p50_c,
-           max(CASE WHEN rn = CAST(ceil(0.95 * n) AS bigint) THEN v END) AS p95_c,
+           ${exactPickSql(0.25, "p25_c")},
+           ${exactPickSql(0.5, "p50_c")},
+           ${exactPickSql(0.95, "p95_c")},
            count(*) AS n_rows
     FROM (
       SELECT event_type, v,

@@ -371,7 +371,9 @@ object NamespaceQueries extends QueryModule {
       GROUP BY month, dir
     )
     SELECT month, dir, n_files, bytes_added,
-           CAST(floor(bytes_added * 10000.0 / (SELECT sum(bytes_added) FROM g)) AS bigint) AS share_bp
+           CASE WHEN (SELECT sum(bytes_added) FROM g) = 0 THEN NULL
+                ELSE CAST(floor(bytes_added * 10000.0 / (SELECT sum(bytes_added) FROM g)) AS bigint)
+           END AS share_bp
     FROM g
     ORDER BY bytes_added DESC, dir
     LIMIT 20"""

@@ -206,13 +206,6 @@ object VectorQueries extends QueryModule {
     GROUP BY q_id
     ORDER BY q_id"""
 
-  /** IVF-flavored ANN: coarse quantizer = 16 sampled centroids (vec_id<16 —
-    * deterministic, no Lloyd iterations, so the oracle can re-derive it);
-    * every vector is assigned to its nearest centroid (argmin over a
-    * broadcast centroid table), queries probe their 2 nearest cells and
-    * re-rank exactly inside them. At 100 TB the cell id becomes the
-    * partition/bucket key and each query touches nprobe/ncells of the data.
-    */
   /** The IVF cell structures shared by [[annIvf]] and [[annIvfPq]]:
     * (cellOf, probes) — every vector's nearest cell (with v/nrm riding
     * along for the exact re-rank) and each query's 2 probed cells. */
@@ -234,6 +227,13 @@ object VectorQueries extends QueryModule {
     (cellOf, probes)
   }
 
+  /** IVF-flavored ANN: coarse quantizer = 16 sampled centroids (vec_id<16 —
+    * deterministic, no Lloyd iterations, so the oracle can re-derive it);
+    * every vector is assigned to its nearest centroid (argmin over a
+    * broadcast centroid table), queries probe their 2 nearest cells and
+    * re-rank exactly inside them. At 100 TB the cell id becomes the
+    * partition/bucket key and each query touches nprobe/ncells of the data.
+    */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val (cellOf, probes) = ivfParts(spark, sfDir)
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
@@ -299,22 +299,6 @@ object VectorQueries extends QueryModule {
   private val PqSubDim = 8
   private val PqK = 16
 
-  /** PQ ADC top-5 search — the third canonical ANN family next to
-    * [[annLsh]] (hash buckets) and [[annIvf]] (coarse cells): vectors are
-    * stored as 8 subspace codes, a query builds an 8×16 lookup table of
-    * exact subspace distances to every codebook centroid, and the
-    * asymmetric distance is the sum of 8 table lookups — the scan touches
-    * CODES (4 bytes/vector packed), never raw floats, which is what makes a
-    * 100 TB corpus fit an ANN index in RAM. All math is the integer-exact
-    * k-means recipe (micro-quantized elements, bigint squared-L2,
-    * floor-mean updates, ties to the smaller code), so the oracle replays
-    * the identical codebooks, codes and ranking. Scale shape: every
-    * subspace fits in ONE plan keyed by (sub, spos) — the codebook
-    * (8·16·8 rows) and the query LUT (10·8·16 rows) broadcast; the scan
-    * is one map-side join + a (q_id, vec_id)-keyed partial-agg shuffle.
-    * ADC is linear-scan-per-query by design (compression, not pruning) —
-    * compose with [[annIvf]] cells when sublinear candidate generation is
-    * also needed. */
   /** The PQ artifacts shared by [[annPq]] and [[annIvfPq]]: (codes, lut)
     * — each vector's 8 subspace codes, and each query's exact subspace
     * distance to every codebook centroid. */
@@ -358,6 +342,22 @@ object VectorQueries extends QueryModule {
       .orderBy(col("q_id"), col("rnk"), col("cand_id"))
   }
 
+  /** PQ ADC top-5 search — the third canonical ANN family next to
+    * [[annLsh]] (hash buckets) and [[annIvf]] (coarse cells): vectors are
+    * stored as 8 subspace codes, a query builds an 8×16 lookup table of
+    * exact subspace distances to every codebook centroid, and the
+    * asymmetric distance is the sum of 8 table lookups — the scan touches
+    * CODES (4 bytes/vector packed), never raw floats, which is what makes a
+    * 100 TB corpus fit an ANN index in RAM. All math is the integer-exact
+    * k-means recipe (micro-quantized elements, bigint squared-L2,
+    * floor-mean updates, ties to the smaller code), so the oracle replays
+    * the identical codebooks, codes and ranking. Scale shape: every
+    * subspace fits in ONE plan keyed by (sub, spos) — the codebook
+    * (8·16·8 rows) and the query LUT (10·8·16 rows) broadcast; the scan
+    * is one map-side join + a (q_id, vec_id)-keyed partial-agg shuffle.
+    * ADC is linear-scan-per-query by design (compression, not pruning) —
+    * [[annIvfPq]] composes the cells in when sublinear candidate
+    * generation is also needed. */
   def annPq(spark: SparkSession, sfDir: String): DataFrame = {
     val (codes, lut) = pqParts(spark, sfDir)
     adcTop5(codes.join(broadcast(lut), Seq("sub", "k"))
