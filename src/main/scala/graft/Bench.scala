@@ -1,12 +1,86 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver benchmark: every SparkEntry query at SPARK_GRAFT_SF_DIR, one JSON
   * line on stdout. Queries run in name order after a small warmup action so
   * per-query numbers reflect steady-state execution, not JVM/codegen
-  * warmup. */
+  * warmup.
+  *
+  * Failure contract (r6, VERDICT r5 "make failures loud"): a query that
+  * throws is recorded in a `failed` map (name → message) and EXCLUDED from
+  * both timing maps — r5's catch-to-(-1) clocked a broken query's instant
+  * analysis exception as a fake 0.1 s "success".
+  *
+  * Artifact contract (r6, ADVICE r5): the driver captures only a bounded
+  * stdout TAIL, which truncated away r5's median map. Two fixes: the stdout
+  * line puts the headline median `queries` map LAST (the tail keeps the
+  * end), and the identical full line is also written to BENCH_SELF.json in
+  * the working directory as the untruncatable artifact of record.
+  */
 object Bench {
+
+  final case class Timing(name: String, median: Double, max: Double, min: Double)
+
+  /** Time each query `runs`× (median/max per query); a throwing query is
+    * tried once, recorded as failed, and not retried. `keep` holds RDD ids
+    * that must survive per-query cache cleanup (shared warmup caches). */
+  def timeAll(spark: SparkSession, sfDir: String,
+              queries: Seq[(String, (SparkSession, String) => DataFrame)],
+              runs: Int = 3, keep: scala.collection.Set[Int] = Set.empty)
+      : (Seq[Timing], Seq[(String, String)]) = {
+    val timings = Seq.newBuilder[Timing]
+    val failures = Seq.newBuilder[(String, String)]
+    queries.foreach { case (name, fn) =>
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")
+        }
+      }
+      once() match {
+        case Left(msg) =>
+          System.err.println(s"[bench] $name FAILED: $msg")
+          failures += name -> msg
+        case Right(first) =>
+          val all = (first +: Seq.fill(runs - 1)(once()).map(_.getOrElse(
+            Double.NaN))).filterNot(_.isNaN).sorted
+          val t = all(all.size / 2)
+          System.err.println(
+            f"[bench] $name%-28s $t%8.3f s  (min ${all.head}%.3f / max ${all.last}%.3f)")
+          timings += Timing(name, t, all.last, all.head)
+      }
+      // Drop anything this query persisted for itself (localCheckpoint'd
+      // sketch tables etc.) — otherwise 40+ queries accumulate GBs of dead
+      // blocks and GC pauses land on whichever query runs next.
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep(id) }
+        .foreach { case (_, rdd) => rdd.unpersist(false) }
+      // Drain the garbage NOW, outside any timed region: with a 50+ GB heap
+      // a deferred major collection otherwise lands inside whichever later
+      // query trips it (the roaming 5 s outliers of r1/r3).
+      System.gc()
+    }
+    (timings.result(), failures.result())
+  }
+
+  /** One JSON line; the headline median `queries` map goes LAST so the
+    * driver's bounded stdout tail keeps it even when truncated. */
+  def renderJson(timings: Seq[Timing], failures: Seq[(String, String)],
+                 sfDir: String): String = {
+    // 3-decimal rounding keeps the line compact: full-precision doubles
+    // over 65+ queries overflowed the driver's tail in round 2.
+    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    def jmap(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(timings.map(t => t.name -> ms3(t.median)))
+    val qsMax = jmap(timings.map(t => t.name -> ms3(t.max)))
+    val failedJson = jmap(failures.map { case (k, m) => k -> Verify.jq(m) })
+    val total = ms3(timings.map(_.median).sum)
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries_max":$qsMax,"queries":$qs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -16,24 +90,12 @@ object Bench {
     // Warmup: touch the fact tables, trigger codegen machinery, and
     // materialize the shared namespace view (the production posture is a
     // pre-materialized inode table; queries measure steady-state latency —
-    // see BENCH_NOTES.md).
+    // see BENCH_NOTES.md). Caches created here stay for the whole run.
     graft.core.Tables.lineitem(spark, sfDir).count()
     graft.core.Tables.documents(spark, sfDir).count()
     graft.core.Namespace.inodes(spark, sfDir).count()
-
-    // Caches created by the warmup (the shared namespace) stay for the
-    // whole run; anything a query persists for itself (localCheckpoint'd
-    // sketch tables etc.) is dropped right after its runs — otherwise 40+
-    // queries accumulate GBs of dead blocks and GC pauses land on
-    // whichever query runs next (the roaming multi-second outliers seen
-    // in earlier rounds).
     val keep = spark.sparkContext.getPersistentRDDs.keySet
 
-    // Three timed runs per query; the MEDIAN is the headline number and the
-    // max is recorded alongside, so a host-steal window (this VM shows
-    // intermittent 10-25% CPU steal, BENCH_NOTES) is visible as
-    // median≪max instead of silently poisoning the one reported time —
-    // that ambiguity is exactly what made r4's two outliers unattributable.
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local iteration).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -44,41 +106,15 @@ object Bench {
     // re-count the heaviest family — it stays a correctness query
     // (oracle-checked in Verify) unless explicitly requested via ONLY.
     val skipByDefault = Set("p_pipeline_counts")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.map(_(name)).getOrElse(!skipByDefault(name)) }
-      .map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val runs = Seq(once(), once(), once()).sorted
-      val t = runs(1)
-      val tMax = runs(2)
-      System.err.println(
-        f"[bench] $name%-28s $t%8.3f s  (min ${runs(0)}%.3f / max $tMax%.3f)")
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => keep(id) }
-        .foreach { case (_, rdd) => rdd.unpersist(false) }
-      // Drain the garbage from this query's dropped blocks NOW, outside
-      // any timed region: with a 50+ GB heap a deferred major collection
-      // otherwise lands inside whichever later query trips it — the
-      // roaming 5 s outlier seen on q_ns_small_files_by_user (r1) and
-      // q_ns_path_report (r3 pre-runs).
-      System.gc()
-      (name, t, tMax)
-    }
-    // 3-decimal rounding keeps the JSON line compact: the driver captures
-    // only a bounded stdout tail, and full-precision doubles over 65+
-    // queries overflowed it in round 2 (BENCH_r02 arrived truncated).
-    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms3(v) }
-      .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, _, m) => "\"" + k + "\":" + ms3(m) }
-      .mkString("{", ",", "}")
-    val total = ms3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir"}""")
+
+    val (timings, failures) = timeAll(spark, sfDir, selected, runs = 3, keep = keep)
+    val line = renderJson(timings, failures, sfDir)
+    // Untruncatable artifact of record, written by Bench itself (ADVICE r5).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

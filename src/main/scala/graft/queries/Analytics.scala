@@ -697,7 +697,7 @@ object Analytics extends QueryModule {
       .rangeBetween(-3600L, 0L)
     Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"),
-        col("ts").cast("long").as("ts_sec"), cents(col("value")).as("v"))
+        unix_timestamp(col("ts")).as("ts_sec"), cents(col("value")).as("v"))
       .withColumn("n_1h", count(lit(1)).over(w))
       .withColumn("sum_1h", sum(col("v")).over(w))
       .orderBy(col("event_id"))

@@ -462,23 +462,44 @@ object VectorQueries extends QueryModule {
     * (bigint zip-fold, bit-identical in DuckDB); the truth scan is the
     * broadcast-query nested loop over candidates — the guarded
     * brute-force shape, run at eval scale only. */
-  def annPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def annPqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(pqTruthTop5(spark, sfDir), annPq(spark, sfDir))
+
+  /** IVF-PQ recall@5 vs the same exact integer-L2 ground truth — closes
+    * the eval triangle (LSH, IVF via annRecall-family, PQ, and now the
+    * composed IVF-PQ index each carry a tracked accuracy number). The
+    * composition loses recall two ways — nprobe=2 cell pruning AND 4-byte
+    * code distance — so its number is expected ≤ both parents'; tracking
+    * it is what licenses retiring the exact baselines at scale. */
+  def annIvfPqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(pqTruthTop5(spark, sfDir), annIvfPq(spark, sfDir))
+
+  /** Exact squared-L2 top-5 ground truth over the micro-quantized integer
+    * representation — shared by the PQ-family recall evals. The truth scan
+    * is the broadcast-query nested loop over candidates: the guarded
+    * brute-force shape, run at eval scale only. */
+  private def pqTruthTop5(spark: SparkSession, sfDir: String): DataFrame = {
     val z = graft.operators.Dedup.guardQuadratic(
       Tables.embeddings(spark, sfDir).select(col("vec_id"),
         transform(col("embedding"), x => floor(x.cast("double") * 1000000).cast("long")).as("z")),
-      "annPqRecall", "annPq (unguarded ADC) / annIvf", AnnBruteConf, AnnBruteDefault)
+      "pqTruthTop5", "annPq (unguarded ADC) / annIvfPq", AnnBruteConf, AnnBruteDefault)
     val qs = z.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("z").as("qz"))
     val d2 = aggregate(zip_with(col("qz"), col("z"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand_id"))
-    val truth = z.crossJoin(broadcast(qs))
+    z.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"), d2.as("d2"))
       .withColumn("rnk", rank().over(w))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("cand_id"))
-    val approx = annPq(spark, sfDir)
-      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+  }
+
+  /** recall@5 readout: per-query truth rows left-joined to approx hits.
+    * Both inputs are ≤5 rows per query by construction, so the eval join
+    * + aggregate run on slivers; the cost is the two ANN plans. */
+  private def recallAgainst(truth: DataFrame, approx0: DataFrame): DataFrame = {
+    val approx = approx0.select(col("q_id"), col("cand_id"), lit(1).as("hit"))
     truth.join(approx, Seq("q_id", "cand_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_truth"),
@@ -488,7 +509,10 @@ object VectorQueries extends QueryModule {
       .orderBy(col("q_id"))
   }
 
-  val annPqRecallSql: String = s"""
+  /** Shared recall-eval SQL: integer-L2 truth CTE + recall readout around
+    * a spliced approx subquery (the PQ-family oracle counterpart of
+    * [[recallAgainst]]). */
+  private def pqRecallSqlOver(approxSql: String): String = s"""
     WITH z AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint)) AS z
@@ -502,13 +526,16 @@ object VectorQueries extends QueryModule {
                  t.vec_id) AS rnk
         FROM z q JOIN z t ON q.vec_id < 10 AND t.vec_id <> q.vec_id
       ) WHERE rnk <= 5
-    ), approx AS (SELECT q_id, cand_id, 1 AS hit FROM ($annPqSql) a)
+    ), approx AS (SELECT q_id, cand_id, 1 AS hit FROM ($approxSql) a)
     SELECT q_id, count(*) AS n_truth,
            CAST(sum(coalesce(hit, 0)) AS bigint) AS n_hit,
            (10000 * CAST(sum(coalesce(hit, 0)) AS bigint) // count(*)) AS recall_bp
     FROM truth LEFT JOIN approx USING (q_id, cand_id)
     GROUP BY q_id
     ORDER BY q_id"""
+
+  val annPqRecallSql: String = pqRecallSqlOver(annPqSql)
+  val annIvfPqRecallSql: String = pqRecallSqlOver(annIvfPqSql)
 
   // ------------------------------------------------- label centroids / k-NN
 
@@ -1109,6 +1136,7 @@ object VectorQueries extends QueryModule {
     "e_ann_pq"          -> (annPq _),
     "e_ann_ivfpq"       -> (annIvfPq _),
     "e_ann_pq_recall"   -> (annPqRecall _),
+    "e_ann_ivfpq_recall" -> (annIvfPqRecall _),
     "e_ann_recall"      -> (annRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_dedup_minhash"   -> (dedupMinhash _),
@@ -1132,6 +1160,7 @@ object VectorQueries extends QueryModule {
     "e_ann_pq"          -> annPqSql,
     "e_ann_ivfpq"       -> annIvfPqSql,
     "e_ann_pq_recall"   -> annPqRecallSql,
+    "e_ann_ivfpq_recall" -> annIvfPqRecallSql,
     "e_ann_recall"      -> annRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_dedup_simhash"   -> dedupSimhashSql,

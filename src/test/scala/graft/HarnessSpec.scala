@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.TimestampNTZType
+import java.nio.file.{Files, Paths}
+
+/** Guards for the verify/bench harness itself (VERDICT r5: the
+  * q_moving_window breakage shipped because BOTH harnesses masked it). */
+class HarnessSpec extends SparkSpecBase {
+
+  private def ok(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(1, 2, 3).toDF("x")
+  }
+  private def boom(s: SparkSession, dir: String): DataFrame =
+    throw new IllegalStateException("deliberately broken")
+
+  test("Verify.dump writes a .FAILED marker for a broken query, parquet for a good one") {
+    val out = Files.createTempDirectory("graft-verify").toString
+    val outcomes = Verify.dump(spark, Sf, out,
+      Map("good" -> ok _, "bad" -> boom _))
+    assert(outcomes("good").isEmpty)
+    assert(outcomes("bad").isDefined)
+    assert(Files.exists(Paths.get(s"$out/good"))) // parquet dir written
+    val marker = Paths.get(s"$out/bad.FAILED")
+    assert(Files.exists(marker))
+    assert(Files.readString(marker).contains("deliberately broken"))
+    assert(!Files.exists(Paths.get(s"$out/bad")))
+  }
+
+  test("Bench.timeAll excludes a broken query from timings and records it as failed") {
+    val (timings, failures) = Bench.timeAll(spark, Sf,
+      Seq("good" -> ok _, "bad" -> boom _), runs = 2)
+    assert(timings.map(_.name) == Seq("good"))
+    assert(failures.map(_._1) == Seq("bad"))
+    assert(failures.head._2.contains("deliberately broken"))
+  }
+
+  test("Bench.renderJson carries failed map and puts the median map last") {
+    val json = Bench.renderJson(
+      Seq(Bench.Timing("good", 0.5, 0.7, 0.4)),
+      Seq("bad" -> "java.lang.IllegalStateException: deliberately broken"),
+      "/tmp/sf")
+    assert(json.contains(""""failed":{"bad":"""))
+    assert(!json.contains(""""bad":0""")) // no fake timing for the failure
+    // the bounded stdout tail keeps the END of the line — medians go last
+    assert(json.indexOf("\"queries\":{") > json.indexOf("\"queries_max\":{"),
+      "median map must come after queries_max so tail truncation keeps it")
+    assert(json.trim.endsWith("""{"good":0.5}}"""))
+  }
+
+  test("timestamp contract: events.ts is TIMESTAMP_NTZ and every query analyzes against it") {
+    // Pin the encoding that silently changed under q_moving_window in r5:
+    // pandas timestamp[us] (no tz) reads back as TimestampNTZType. If a
+    // testdata regeneration flips this, fail HERE with a named cause
+    // instead of mid-bench. (QueriesSpec's "every declared query runs"
+    // already exercises analysis of all queries against this column.)
+    val ts = graft.core.Tables.events(spark, Sf).schema("ts")
+    assert(ts.dataType == TimestampNTZType,
+      s"events.ts expected TIMESTAMP_NTZ, got ${ts.dataType}")
+  }
+}
