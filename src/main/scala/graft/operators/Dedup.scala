@@ -36,38 +36,62 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, minJaccardBp: Long,
                         maxShingleDf: Long = DefaultMaxShingleDf,
                         sorted: Boolean = true): DataFrame = {
-    // One row per (doc, distinct shingle); n_sh carried alongside so the
-    // pair aggregation needs no extra join against a counts table.
-    // localCheckpoint: materialize the shingle table once — the df window
-    // and both join sides reuse it instead of re-deriving the 3-gram md5
-    // arrays per side (measured: exchange reuse does NOT dedupe these
-    // self-join sides, the checkpoint is 2-5× faster).
+    val scored = ngramPairStats(documents, maxShingleDf)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("n_common") * 10000.0 / (col("na") + col("nb") - col("n_common"))).cast("long").as("jaccard_bp"))
+      .filter(col("jaccard_bp") >= minJaccardBp)
+    if (sorted) scored.orderBy(col("doc_a"), col("doc_b")) else scored
+  }
+
+  /** Shingle-CONTAINMENT near-dup pairs: C(a,b) = |S(a)∩S(b)| /
+    * min(|S(a)|,|S(b)|) — the asymmetric overlap measure that catches a
+    * short document embedded verbatim inside a longer one (quote farms,
+    * boilerplate-wrapped reposts), which symmetric Jaccard dilutes below
+    * any usable threshold (a 50-shingle doc inside a 5000-shingle doc has
+    * C = 1.0 but J ≈ 0.01). Same candidate generation as
+    * [[ngramJaccardPairs]] — equi-join on the df-capped shingle key, never
+    * all-pairs — only the score normalization differs. */
+  def shingleContainmentPairs(documents: DataFrame, minContainBp: Long,
+                              maxShingleDf: Long = DefaultMaxShingleDf,
+                              sorted: Boolean = true): DataFrame = {
+    val scored = ngramPairStats(documents, maxShingleDf)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        floor(col("n_common") * 10000.0 / least(col("na"), col("nb"))).cast("long").as("contain_bp"))
+      .filter(col("contain_bp") >= minContainBp)
+    if (sorted) scored.orderBy(col("doc_a"), col("doc_b")) else scored
+  }
+
+  /** Shared pair-statistics core of the shingle-overlap family:
+    * (doc_a, doc_b, n_common, na, nb) for every pair sharing ≥1 df-capped
+    * shingle. One row per (doc, distinct shingle); n_sh carried alongside
+    * so the pair aggregation needs no extra join against a counts table.
+    * localCheckpoint: materialize the shingle table once — the df window
+    * and both join sides reuse it instead of re-deriving the 3-gram md5
+    * arrays per side (measured: exchange reuse does NOT dedupe these
+    * self-join sides, the checkpoint is 2-5× faster).
+    *
+    * The df cut is a count window over sh, not a groupBy+anti-join: the
+    * window's exchange is reused by BOTH self-join sides below (one heavy
+    * shuffle total), whereas the agg+anti-join variant recomputes per side
+    * or needs a second checkpoint (measured 25% slower end-to-end). A hot
+    * shingle does land in a single window partition, but that cost is a
+    * linear, spillable sort whose rows the filter then drops — the cap
+    * still prevents the quadratic JOIN blowup, which is the real hazard. */
+  private def ngramPairStats(documents: DataFrame, maxShingleDf: Long): DataFrame = {
     val docs = documents
       .select(col("doc_id"), graft.functions.word_shingle_keys(col("text")).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("sh"))
       .localCheckpoint()
-    // The df cut is a count window over sh, not a groupBy+anti-join: the
-    // window's exchange is reused by BOTH self-join sides below (one heavy
-    // shuffle total), whereas the agg+anti-join variant recomputes per side
-    // or needs a second checkpoint (measured 25% slower end-to-end). A hot
-    // shingle does land in a single window partition, but that cost is a
-    // linear, spillable sort whose rows the filter then drops — the cap
-    // still prevents the quadratic JOIN blowup, which is the real hazard.
     val kept = docs
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxShingleDf)
       .drop("df")
-    val pairs = kept.as("x").join(kept.as("y"),
+    kept.as("x").join(kept.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"),
            first(col("x.n_sh")).as("na"), first(col("y.n_sh")).as("nb"))
-    val scored = pairs
-      .select(col("doc_a"), col("doc_b"),
-        floor(col("n_common") * 10000.0 / (col("na") + col("nb") - col("n_common"))).cast("long").as("jaccard_bp"))
-      .filter(col("jaccard_bp") >= minJaccardBp)
-    if (sorted) scored.orderBy(col("doc_a"), col("doc_b")) else scored
   }
 
   /** Connected components over an undirected candidate-pair list — the

@@ -21,7 +21,8 @@ object PipelineQueries extends QueryModule {
     "cluster_medoids")
 
   def pipelineCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = graft.Pipeline.run(spark, sfDir).toMap
+    val m = graft.Pipeline.run(spark, sfDir)
+      .map { case (k, v, _) => k -> v }.toMap
     import spark.implicits._
     Stages.zipWithIndex
       .map { case (s, i) => (i + 1L, s, m(s)) }

@@ -595,6 +595,40 @@ object TextQueries extends QueryModule {
     graft.operators.Dedup.ngramJaccardPairs(
       Tables.documents(spark, sfDir), minJaccardBp = 100)
 
+  /** Shingle-containment near-dup pairs (r6) — [[graft.operators.Dedup
+    * .shingleContainmentPairs]]: the asymmetric overlap C = |A∩B| /
+    * min(|A|,|B|) that catches a short doc embedded verbatim in a long one
+    * (Jaccard dilutes those below any usable cut). Same df-capped shingle
+    * equi-join as the jaccard pair generator; only the normalization
+    * differs. 0.80 cut = "at least 80% of the smaller doc's shingles
+    * appear in the other". */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.shingleContainmentPairs(
+      Tables.documents(spark, sfDir), minContainBp = 8000)
+
+  val dedupContainmentSql: String = s"""
+    WITH sh0 AS (
+      SELECT doc_id, unnest(${shingleKeysSql("text")}) AS sh
+      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+    ), counts AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0
+      ) WHERE df <= ${graft.operators.Dedup.DefaultMaxShingleDf}
+    ), pairs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(floor(n_common * 10000.0 / least(ca.n_sh, cb.n_sh)) AS bigint) AS contain_bp
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE floor(n_common * 10000.0 / least(ca.n_sh, cb.n_sh)) >= 8000
+    ORDER BY doc_a, doc_b"""
+
   /** The jaccard-pair oracle at an arbitrary threshold — reused by the
     * minhash-recall eval, which re-derives the exact pair set at 0.5. */
   def ngramJaccardSqlAt(minBp: Long): String = s"""
@@ -1826,6 +1860,7 @@ object TextQueries extends QueryModule {
     "t_bigram_surprisal" -> (bigramSurprisal _),
     "d_dedup_exact"   -> (dedupExact _),
     "d_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "d_containment"   -> (dedupContainment _),
     "d_dedup_clusters" -> (dedupClusters _),
     "d_dedup_keep"    -> (dedupKeep _),
     "d_dedup_segments" -> (dedupSegments _),
@@ -1867,6 +1902,7 @@ object TextQueries extends QueryModule {
     "t_bigram_surprisal" -> bigramSurprisalSql,
     "d_dedup_exact"   -> dedupExactSql,
     "d_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "d_containment"   -> dedupContainmentSql,
     "d_dedup_clusters" -> dedupClustersSql,
     "d_dedup_keep"    -> dedupKeepSql,
     "d_dedup_segments" -> dedupSegmentsSql,

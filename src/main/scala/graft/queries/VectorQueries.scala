@@ -111,6 +111,64 @@ object VectorQueries extends QueryModule {
     WHERE floor(${"list_reduce(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS double) * CAST(b.v[i] AS double)), (x, y) -> x + y)"} * 10000.0 / (a.nrm * b.nrm)) >= 3000
     ORDER BY id_a, id_b"""
 
+  /** SemDeDup cosine threshold, in basis points — matches the
+    * [[dedupEmbedding]] brute-force cut so the two views are comparable. */
+  private[graft] val SemDedupCosBp = 3000L
+
+  /** SemDeDup (cluster-bucketed semantic dedup, after Abbas et al. 2023,
+    * arXiv:2303.09540): the SCALE PATH for embedding near-dup — where
+    * [[dedupEmbedding]] is the guarded all-pairs baseline, this buckets the
+    * corpus by k-means cluster first (the one integer-exact fit the
+    * IVF/quality/medoid family already shares) and compares pairs ONLY
+    * within a cluster. The pair join is an equi-join on the cluster id —
+    * shuffle-partitionable, and per-bucket work is (n/k)² instead of n²;
+    * at 100 TB k grows with the corpus so buckets stay bounded, exactly
+    * the paper's recipe. Decision rule (deterministic, set-based): a
+    * vector is DROPPED iff some lower-id vector in its cluster has cosine
+    * ≥ the threshold; else kept. Output: every vector with its cluster
+    * and keep flag — the materializable dedup decision. */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fit = graft.operators.KMeans
+      .fit(Tables.embeddings(spark, sfDir), KmeansK, KmeansIters)
+    // one fit + embedding join, materialized once, reused by both pair sides
+    val e = embs(spark, sfDir)
+      .join(fit.select(col("vec_id"), col("cluster")), "vec_id")
+      .localCheckpoint()
+    val a = e.select(col("cluster"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("cluster"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b") &&
+        cosBp(col("va"), col("vb"), col("na"), col("nb")) >= SemDedupCosBp)
+      .select(col("id_b").as("vec_id")).distinct()
+    e.select(col("vec_id"), col("cluster"))
+      .join(dropped.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        (coalesce(col("dropped"), lit(0)) === 0).cast("int").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  // lazy: kmeansCtes is declared later in this object; a strict val here
+  // would interpolate null at object-init time
+  lazy val semDedupSql: String = s"""$kmeansCtes,
+    e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt(${dotSqlOf("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ), ec AS (
+      SELECT e.vec_id, e.v, e.nrm, f.k AS cluster
+      FROM e JOIN fin f ON e.vec_id = f.vec_id
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM ec a JOIN ec b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE floor(${dotSqlOf("a.v", "b.v")} * 10000.0 / (a.nrm * b.nrm)) >= $SemDedupCosBp
+    )
+    SELECT ec.vec_id, ec.cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS int) AS keep
+    FROM ec LEFT JOIN dropped d ON ec.vec_id = d.vec_id
+    ORDER BY ec.vec_id"""
+
   // ------------------------------------------------------------- LSH / ANN
 
   /** Deterministic random hyperplanes (seeded driver-side, shipped as
@@ -1139,6 +1197,7 @@ object VectorQueries extends QueryModule {
     "e_ann_ivfpq_recall" -> (annIvfPqRecall _),
     "e_ann_recall"      -> (annRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
+    "d_semdedup"        -> (semDedup _),
     "d_dedup_minhash"   -> (dedupMinhash _),
     "d_dedup_simhash"   -> (dedupSimhash _),
     "d_simhash_eval"    -> (simhashEval _),
@@ -1155,6 +1214,7 @@ object VectorQueries extends QueryModule {
     "e_medoids"         -> medoidsSql,
     "e_ann_bruteforce"  -> annBruteForceSql,
     "d_dedup_embedding" -> dedupEmbeddingSql,
+    "d_semdedup"        -> semDedupSql,
     "e_ann_lsh"         -> annLshSql,
     "e_ann_ivf"         -> annIvfSql,
     "e_ann_pq"          -> annPqSql,

@@ -5,7 +5,8 @@ package graft
   * k-means fit yields all three cluster views. */
 class PipelineSpec extends SparkSpecBase {
   test("pipeline stages shrink monotonically and the shared fit feeds all views") {
-    val stages = Pipeline.run(spark, Sf).toMap
+    val stages = Pipeline.run(spark, Sf)
+      .map { case (k, v, _) => k -> v }.toMap
     assert(stages("docs") > 0)
     assert(stages("after_exact_dedup") <= stages("docs"))
     assert(stages("after_neardup_keep") <= stages("after_exact_dedup"))

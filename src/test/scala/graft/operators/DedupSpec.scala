@@ -40,6 +40,26 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.head.getAs[Long]("jaccard_bp") == 6000L)
   }
 
+  test("containment catches a short doc embedded in a long one that jaccard misses") {
+    import spark.implicits._
+    // doc 1 = 6 words (4 shingles) appearing verbatim inside doc 2's 30
+    // words (28 shingles): containment = 4/4 = 10000 bp, jaccard = 4/28
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val outer = (1 to 12).map(i => s"pad$i").mkString(" ") + " " + inner + " " +
+      (13 to 24).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, inner), (2L, outer)).toDF("doc_id", "text")
+    val contain = Dedup.shingleContainmentPairs(docs, minContainBp = 8000).collect()
+    assert(contain.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(contain.head.getAs[Long]("contain_bp") == 10000L)
+    // the same pair is invisible to jaccard at any usable threshold
+    assert(Dedup.ngramJaccardPairs(docs, minJaccardBp = 2000).count() == 0)
+  }
+
+  test("containment pair generation respects the df cap like jaccard") {
+    val docs = hotCorpus(60)
+    assert(Dedup.shingleContainmentPairs(docs, minContainBp = 1, maxShingleDf = 10).count() == 0)
+  }
+
   test("connected components label chains, cliques and singletons") {
     import spark.implicits._
     // component A: chain 1-2-3-4 (diameter 3 → exercises multi-round
