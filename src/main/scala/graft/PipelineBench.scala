@@ -22,16 +22,25 @@ import org.apache.spark.sql.functions._
   * Embeddings get a per-(vec_id, r, dim) deterministic perturbation so
   * k-means sees `mult`× distinct points, not duplicates.
   *
-  * `runMain graft.PipelineBench [mult]` (default 20; env SPARK_GRAFT_SF_DIR
-  * = base corpus, default sf0.1; SPARK_GRAFT_CPUS; SPARK_DRIVER_MEM).
-  * One JSON line on stdout.
+  * `runMain graft.PipelineBench [mult] [shufflePartitions]` (defaults 20 /
+  * max(32, 2.56·mult); env SPARK_GRAFT_SF_DIR = base corpus, default sf0.1;
+  * SPARK_GRAFT_CPUS; SPARK_DRIVER_MEM). One JSON line on stdout.
   */
 object PipelineBench {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(20)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = graft.core.GraftSession.builder(master = s"local[$cpus]").getOrCreate()
+    // Partition count is THE memory knob under a fixed heap: in local mode
+    // one JVM holds every concurrent task's shuffle working set, and the
+    // pair-join working set per partition grows with the corpus — a real
+    // cluster scales out executors/partitions, so the soak scales the
+    // partition count with mult instead of asking for more heap
+    // (2nd arg, default 32 at mult≤20 → 128 at mult=50).
+    val parts = args.drop(1).headOption.map(_.toInt)
+      .getOrElse(math.max(32, (mult * 2.56).toInt))
+    val spark = graft.core.GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = parts).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = java.nio.file.Files.createTempDirectory("graft_plsoak").toString
@@ -89,7 +98,7 @@ object PipelineBench {
     def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val rows = stages.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val secs = stages.map { case (k, _, s) => s""""$k":${ms3(s)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"pipeline_soak","mult":$mult,"docs":$nDocs,"embeddings":$nEmbs,""" +
+    println(s"""{"metric":"pipeline_soak","mult":$mult,"shuffle_partitions":$parts,"docs":$nDocs,"embeddings":$nEmbs,""" +
       s""""gen_docs_sec":${ms3(tGenDocs)},"gen_embs_sec":${ms3(tGenEmbs)},""" +
       s""""pipeline_sec":${ms3(tPipe)},"stage_rows":$rows,"stage_sec":$secs,""" +
       s""""minhash_pairs":$nMinhashPairs,"minhash_sec":${ms3(tMinhash)},""" +

@@ -169,6 +169,34 @@ object VectorQueries extends QueryModule {
     FROM ec LEFT JOIN dropped d ON ec.vec_id = d.vec_id
     ORDER BY ec.vec_id"""
 
+  /** SemDeDup bucketing eval — what fraction of the EXACT cos ≥ τ pair set
+    * ([[dedupEmbedding]], the guarded brute-force truth) lands with both
+    * ends in the same k-means cluster, i.e. is visible to [[semDedup]]'s
+    * in-cluster scan. The recall number that licenses retiring the
+    * quadratic baseline, same role as the minhash/simhash/ANN evals; run
+    * at eval scale only (the truth side carries the quadratic guard). */
+  def semDedupEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = dedupEmbedding(spark, sfDir).select(col("id_a"), col("id_b"))
+    val fit = graft.operators.KMeans
+      .fit(Tables.embeddings(spark, sfDir), KmeansK, KmeansIters)
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint() // one fit, probed by both pair ends
+    truth
+      .join(fit.select(col("vec_id").as("id_a"), col("cluster").as("ka")), "id_a")
+      .join(fit.select(col("vec_id").as("id_b"), col("cluster").as("kb")), "id_b")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when(col("ka") === col("kb"), 1L).otherwise(0L)).as("n_captured"))
+      .select(col("n_pairs"), col("n_captured"),
+        expr("10000 * n_captured div n_pairs").as("recall_bp"))
+  }
+
+  lazy val semDedupEvalSql: String = s"""$kmeansCtes,
+    p AS (SELECT id_a, id_b FROM ($dedupEmbeddingSql) s)
+    SELECT count(*) AS n_pairs,
+           CAST(sum(CASE WHEN fa.k = fb.k THEN 1 ELSE 0 END) AS bigint) AS n_captured,
+           (10000 * CAST(sum(CASE WHEN fa.k = fb.k THEN 1 ELSE 0 END) AS bigint) // count(*)) AS recall_bp
+    FROM p JOIN fin fa ON p.id_a = fa.vec_id JOIN fin fb ON p.id_b = fb.vec_id"""
+
   // ------------------------------------------------------------- LSH / ANN
 
   /** Deterministic random hyperplanes (seeded driver-side, shipped as
@@ -1198,6 +1226,7 @@ object VectorQueries extends QueryModule {
     "e_ann_recall"      -> (annRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_semdedup"        -> (semDedup _),
+    "d_semdedup_eval"   -> (semDedupEval _),
     "d_dedup_minhash"   -> (dedupMinhash _),
     "d_dedup_simhash"   -> (dedupSimhash _),
     "d_simhash_eval"    -> (simhashEval _),
@@ -1215,6 +1244,7 @@ object VectorQueries extends QueryModule {
     "e_ann_bruteforce"  -> annBruteForceSql,
     "d_dedup_embedding" -> dedupEmbeddingSql,
     "d_semdedup"        -> semDedupSql,
+    "d_semdedup_eval"   -> semDedupEvalSql,
     "e_ann_lsh"         -> annLshSql,
     "e_ann_ivf"         -> annIvfSql,
     "e_ann_pq"          -> annPqSql,
