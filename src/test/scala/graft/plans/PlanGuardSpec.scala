@@ -27,8 +27,20 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_ns_compaction_plan", "t_dup_ratio_by_source",
                   "d_source_overlap", "t_split_leakage", "q_events_lift",
                   "t_ngram_diversity", "d_simhash_eval", "e_ann_pq",
-                  "e_centroid_margin", "t_term_lift", "e_ann_ivfpq"))
+                  "e_centroid_margin", "t_term_lift", "e_ann_ivfpq",
+                  "d_containment", "d_semdedup", "d_semdedup_eval"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
+  }
+
+  test("d_semdedup pairs join on the cluster id, not all-pairs") {
+    // the in-cluster scan must be an equi-join keyed by the k-means
+    // cluster (the SemDeDup bucketing); a dropped join key would silently
+    // regress to the quadratic corpus scan
+    val p = plan("d_semdedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    // a dropped equi-key degrades to a nested-loop, not always a Cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs scan in d_semdedup")
   }
 
   test("t_top_shingles and t_zipf bound their heads with TakeOrdered") {
