@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.ReportSink
+
+/** CLI for the training-data pipeline surface — the [[Tool]] counterpart
+  * for a document corpus instead of an fsimage: run the dedup / quality /
+  * sampling / packing operators against a parquet corpus directory from
+  * the command line, no Scala required. Every command delegates to the
+  * same oracle-checked query functions `SparkEntry.queries` exposes (or
+  * the underlying operator when a threshold is parameterized), so the CLI
+  * adds zero new semantics to test — only dispatch, which CorpusToolSpec
+  * drives end-to-end.
+  *
+  * usage: `runMain graft.CorpusTool <command> <corpusDir> [options]`
+  *
+  * commands: stats dedup minhash jaccard containment clusters keep
+  * semdedup semdedupeval quality langid sample pack pii
+  * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
+  * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
+  * (default txt), `--out path` for csv/json.
+  */
+object CorpusTool {
+
+  /** Commands that are pure aliases of a `SparkEntry.queries` key. */
+  private val Aliases = Map(
+    "stats"       -> "t_token_budget",
+    "dedup"       -> "d_dedup_exact",
+    "minhash"     -> "d_dedup_minhash",
+    "clusters"    -> "d_dedup_clusters",
+    "keep"        -> "d_dedup_keep",
+    "semdedup"    -> "d_semdedup",
+    "semdedupeval" -> "d_semdedup_eval",
+    "quality"     -> "t_quality_score",
+    "langid"      -> "t_lang_id",
+    "sample"      -> "t_quality_sample",
+    "pack"        -> "t_pack_sequences",
+    "pii"         -> "t_pii_scrub")
+
+  def run(spark: SparkSession, cmd: String, dir: String,
+          opts: Map[String, String]): DataFrame = cmd match {
+    case "jaccard" =>
+      graft.operators.Dedup.ngramJaccardPairs(
+        graft.core.Tables.documents(spark, dir),
+        minJaccardBp = opts.get("-j").map(_.toLong).getOrElse(2000L))
+    case "containment" =>
+      graft.operators.Dedup.shingleContainmentPairs(
+        graft.core.Tables.documents(spark, dir),
+        minContainBp = opts.get("-c").map(_.toLong).getOrElse(8000L))
+    case c if Aliases.contains(c) => SparkEntry.queries(Aliases(c))(spark, dir)
+    case other => throw new IllegalArgumentException(s"unknown command: $other " +
+      s"(expected one of: ${("jaccard" :: "containment" :: Aliases.keys.toList).sorted.mkString(" ")})")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CorpusTool <command> <corpusDir> [options]")
+    val cmd = args(0)
+    val dir = args(1)
+    val (opts, _, _) = Tool.parseArgs(args.drop(2).toSeq)
+    val spark = graft.core.GraftSession.get()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val df = run(spark, cmd, dir, opts)
+      val topN = opts.get("-l").map(_.toInt).getOrElse(20)
+      opts.getOrElse("-o", "txt") match {
+        case "txt" => println(ReportSink.text(df, maxRows = math.max(topN, 50)))
+        case "csv" => ReportSink.csv(df, opts.getOrElse("--out", "/tmp/graft_corpus_out"))
+        case "json" => ReportSink.json(df, opts.getOrElse("--out", "/tmp/graft_corpus_out"))
+        case f => throw new IllegalArgumentException(s"unknown format: $f")
+      }
+    } finally spark.stop()
+  }
+}
