@@ -37,6 +37,16 @@ def main() -> int:
     import glob
     names = sorted(p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if not p.endswith(".json"))
     failures = 0
+    # Verify writes <name>.FAILED markers for queries that threw (r6
+    # failure contract) — surface them as err rows instead of letting the
+    # query silently vanish from the report.
+    for marker in sorted(n for n in names if n.endswith(".FAILED")):
+        qname = marker[: -len(".FAILED")]
+        with open(f"{outdir}/{marker}") as fh:
+            msg = fh.read().strip()
+        print(f"ERR   {qname}: query failed in Verify: {msg[:160]}")
+        failures += 1
+    names = [n for n in names if not n.endswith(".FAILED")]
     for name in names:
         try:
             spark_df = pd.read_parquet(f"{outdir}/{name}")
