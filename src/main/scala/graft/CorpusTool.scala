@@ -14,8 +14,8 @@ import graft.sources.ReportSink
   *
   * usage: `runMain graft.CorpusTool <command> <corpusDir> [options]`
   *
-  * commands: stats dedup minhash jaccard containment clusters keep
-  * semdedup semdedupeval quality langid sample pack pii
+  * commands: stats dedup minhash minhashkeep jaccard containment clusters
+  * keep semdedup semdedupeval quality langid keywords sample pack pii
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -29,6 +29,8 @@ object CorpusTool {
     "minhash"     -> "d_dedup_minhash",
     "clusters"    -> "d_dedup_clusters",
     "keep"        -> "d_dedup_keep",
+    "minhashkeep" -> "d_minhash_keep",
+    "keywords"    -> "t_tfidf_keywords",
     "semdedup"    -> "d_semdedup",
     "semdedupeval" -> "d_semdedup_eval",
     "quality"     -> "t_quality_score",

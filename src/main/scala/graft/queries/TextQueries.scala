@@ -827,6 +827,60 @@ object TextQueries extends QueryModule {
     ORDER BY df DESC, tf DESC, term
     LIMIT 100"""
 
+  /** Per-document top-3 TF-IDF keywords — the classic corpus-labeling /
+    * topic-tagging primitive (what a training-data pipeline attaches as a
+    * cheap "aboutness" signal before any model-based tagger). IDF uses the
+    * repo's exact-integer ⌊log2(N/df)⌋ (binary-string length, the
+    * [[lmSurprisal]] recipe) so the oracle reproduces the ranking
+    * bit-for-bit — no float log. Corpus-wide terms (df > N/2) get idf 0
+    * and fall out of the head naturally (built-in stopword suppression).
+    * Scale shape: ONE (doc,term) aggregation; df comes from a count window
+    * over the same term-keyed exchange (no second scan, no join — the
+    * [[graft.operators.Dedup]] df-cap pattern); the per-doc head is a
+    * row_number window on the aggregated (doc,term) domain, never raw
+    * tokens. Nothing touches the driver. */
+  def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))).cast("long"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (length(conv(expr("n_docs div df"), 10, 2)) - 1).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val tfidfKeywordsSql: String = """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, term, tf,
+             CAST(count(*) OVER (PARTITION BY term) AS bigint) AS df
+      FROM tf
+    )
+    SELECT doc_id, rnk, term, tf, df, score FROM (
+      SELECT doc_id, term, tf, df,
+             CAST(tf * (length(to_base(n_docs // df, 2)) - 1) AS bigint) AS score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf * (length(to_base(n_docs // df, 2)) - 1) DESC, term)
+               AS bigint) AS rnk
+      FROM scored, n
+    ) WHERE rnk <= 3
+    ORDER BY doc_id, rnk"""
+
   // ------------------------------------------------------------ LM surprisal
 
   /** Unigram-LM surprisal scoring — the KenLM-flavored quality filter:
@@ -1867,6 +1921,7 @@ object TextQueries extends QueryModule {
     "d_dedup_bloom"   -> (dedupBloom _),
     "t_pii_scrub"     -> (piiScrub _),
     "t_pack_sequences" -> (packSequences _),
+    "t_tfidf_keywords" -> (tfidfKeywords _),
     "t_normalize"     -> (normalizeText _))
 
   val oracles: Map[String, String] = Map(
@@ -1909,5 +1964,6 @@ object TextQueries extends QueryModule {
     "d_dedup_bloom"   -> dedupBloomSql,
     "t_pii_scrub"     -> piiScrubSql,
     "t_pack_sequences" -> packSequencesSql,
+    "t_tfidf_keywords" -> tfidfKeywordsSql,
     "t_normalize"     -> normalizeTextSql)
 }

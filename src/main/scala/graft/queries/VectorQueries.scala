@@ -461,16 +461,60 @@ object VectorQueries extends QueryModule {
     * codes instead of floats, and both structures are the
     * already-oracle-checked ones ([[ivfParts]] cells, [[pqParts]]
     * codebooks) so the composition is oracle-exact end-to-end. */
-  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    adcTop5(ivfPqScored(spark, sfDir))
+
+  /** The shared IVF-PQ ADC scoring core: (q_id, vec_id, adc_d2) over each
+    * query's nprobe=2 cells — [[annIvfPq]] takes its top-5 directly;
+    * [[annIvfPqRerank]] widens it to a shortlist and refines exactly. */
+  private def ivfPqScored(spark: SparkSession, sfDir: String): DataFrame = {
     val (codes, lut) = pqParts(spark, sfDir)
     val (cellOf, probes) = ivfParts(spark, sfDir)
-    adcTop5(codes
+    codes
       .join(cellOf.select(col("vec_id"), col("cell")), "vec_id")
       .join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")
       .join(broadcast(lut), Seq("q_id", "sub", "k"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("d2")).as("adc_d2")))
+      .agg(sum(col("d2")).as("adc_d2"))
+  }
+
+  /** How many ADC candidates per query survive into the exact refine. */
+  private val RerankShortlist = 50
+
+  /** IVF-PQ + exact re-rank — the FAISS "refine" stage
+    * (IndexRefineFlat over IVFADC): the compressed index produces a
+    * cheap top-[[RerankShortlist]] shortlist per query, then ONLY those
+    * candidates' full vectors are fetched by id and re-ranked with the
+    * exact integer squared-L2 the recall evals use as ground truth. This
+    * is how production ANN serves high recall from a RAM-sized index: the
+    * 4-byte-code scan bounds the candidate cost, the refine bounds the
+    * accuracy cost, and the exact-distance work is |queries|×50 pairs —
+    * never a corpus scan. Scale shape: the shortlist (tiny, post-agg) is
+    * the build side of an id-keyed join against the full-vector table —
+    * at 100 TB that is a batched point-lookup against the primary store,
+    * not a second index. Recall recovered vs raw ADC is tracked by
+    * [[annRerankRecall]]. */
+  def annIvfPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
+    val shortlist = ivfPqScored(spark, sfDir)
+      .withColumn("srnk", rank().over(wShort))
+      .filter(col("srnk") <= RerankShortlist)
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    val z = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast("double") * 1000000).cast("long")).as("z"))
+    val qz = z.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("z").as("qz"))
+    val d2 = aggregate(zip_with(col("qz"), col("z"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand_id"))
+    shortlist
+      .join(z.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+      .join(broadcast(qz), "q_id")
+      .select(col("q_id"), col("cand_id"), d2.as("d2"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("cand_id"), col("d2"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"), col("cand_id"))
   }
 
   /** The PQ CTE chain (q0 → v → seeds → c0 → a1 → c1 → codes + lut),
@@ -529,8 +573,86 @@ object VectorQueries extends QueryModule {
     )
     $adcTop5Sql"""
 
-  val annIvfPqSql: String = s"""
-    WITH $pqCtes, $ivfCellCtes, scored AS (
+  /** IVF-SQ8: coarse cells + per-vector symmetric int8 codes — the FAISS
+    * IndexIVFScalarQuantizer shape, completing the compressed-index family
+    * next to [[annIvfPq]] (SQ keeps per-dimension resolution at 1
+    * byte/dim; PQ trades dimensions for a 16-entry codebook at 0.5
+    * byte/dim). Candidate generation is the same nprobe=2 cell equi-join
+    * as [[annIvf]] (sublinear — a query touches 2/16ths of the corpus);
+    * ranking is ASYMMETRIC: the query stays exact (micro-quantized ints)
+    * while candidates are dequantized from their stored (scale, int8[])
+    * pair — so the only error is the candidate's quantization, the same
+    * contract as PQ's ADC. All integer math ([[quantizeInt8]]'s
+    * round-half-up codes, dequant = ⌊q·m_micro/127⌋ — products < 2⁵³ so
+    * the double division is exact), which is what lets the oracle replay
+    * the ranking bit-for-bit. At 100 TB the cell id is the partition key
+    * and the scan reads 64 B/vector instead of 512 B of float64s. */
+  def annIvfSq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cellOf, probes) = ivfParts(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+    val deq = e.select(col("vec_id"),
+        floor(col("m") * lit(1000000.0)).cast("long").as("mm"),
+        transform(col("v"), x =>
+          when(col("m") === 0.0, lit(0L))
+            .otherwise(floor(x * lit(127.0) / col("m") + lit(0.5)).cast("long"))).as("q"))
+      .select(col("vec_id"),
+        transform(col("q"), qi => floor(qi * col("mm") / lit(127.0)).cast("long")).as("yq"))
+    val qz = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 1000000).cast("long")).as("xz"))
+    val d2 = aggregate(zip_with(col("xz"), col("yq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand_id"))
+    cellOf.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(deq, "vec_id")
+      .join(broadcast(qz), "q_id")
+      .select(col("q_id"), col("vec_id").as("cand_id"), d2.as("d2"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("cand_id"), col("d2"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"), col("cand_id"))
+  }
+
+  val annIvfSqSql: String = s"""
+    WITH $ivfCellCtes, sq AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS double)))) AS m,
+             embedding
+      FROM embeddings
+    ), deq AS (
+      SELECT vec_id,
+             list_transform(
+               list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+                 ELSE CAST(floor(CAST(x AS double) * 127.0 / m + 0.5) AS bigint) END),
+               qi -> CAST(floor(qi * CAST(floor(m * 1000000.0) AS bigint) / 127.0) AS bigint)) AS yq
+      FROM sq
+    ), qz AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint)) AS xz
+      FROM embeddings WHERE vec_id < 10
+    ), sqscored AS (
+      SELECT p.q_id, t.vec_id AS cand_id,
+             CAST(list_reduce(list_transform(range(1, len(q.xz) + 1),
+               i -> (q.xz[i] - d.yq[i]) * (q.xz[i] - d.yq[i])), (x, y) -> x + y) AS bigint) AS d2
+      FROM cellof t
+      JOIN probes p ON t.cell = p.cell AND t.vec_id <> p.q_id
+      JOIN deq d ON d.vec_id = t.vec_id
+      JOIN qz q ON q.q_id = p.q_id
+    )
+    SELECT q_id, cand_id, d2, rnk FROM (
+      SELECT q_id, cand_id, d2,
+             rank() OVER (PARTITION BY q_id ORDER BY d2, cand_id) AS rnk
+      FROM sqscored
+    ) WHERE rnk <= 5
+    ORDER BY q_id, rnk, cand_id"""
+
+  /** The IVF-PQ ADC scoring CTE ([[ivfPqScored]]'s oracle), spliced by the
+    * annIvfPq and annIvfPqRerank oracles. */
+  private val ivfPqScoredSql: String = """scored AS (
       SELECT l.q_id, d.vec_id, CAST(sum(l.d2) AS bigint) AS adc_d2
       FROM codes d
       JOIN cellof t ON t.vec_id = d.vec_id
@@ -538,8 +660,37 @@ object VectorQueries extends QueryModule {
       JOIN lut l ON l.q_id = p.q_id AND l.sub = d.sub AND l.k = d.k
       WHERE d.vec_id <> p.q_id
       GROUP BY 1, 2
-    )
+    )"""
+
+  val annIvfPqSql: String = s"""
+    WITH $pqCtes, $ivfCellCtes, $ivfPqScoredSql
     $adcTop5Sql"""
+
+  val annIvfPqRerankSql: String = s"""
+    WITH $pqCtes, $ivfCellCtes, $ivfPqScoredSql, shortlist AS (
+      SELECT q_id, vec_id AS cand_id FROM (
+        SELECT q_id, vec_id,
+               rank() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS srnk
+        FROM scored
+      ) WHERE srnk <= $RerankShortlist
+    ), zt AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint)) AS z
+      FROM embeddings
+    ), exact AS (
+      SELECT s.q_id, s.cand_id,
+             CAST(list_reduce(list_transform(range(1, len(q.z) + 1),
+               i -> (q.z[i] - t.z[i]) * (q.z[i] - t.z[i])), (x, y) -> x + y) AS bigint) AS d2
+      FROM shortlist s
+      JOIN zt t ON t.vec_id = s.cand_id
+      JOIN zt q ON q.vec_id = s.q_id
+    )
+    SELECT q_id, cand_id, d2, rnk FROM (
+      SELECT q_id, cand_id, d2,
+             rank() OVER (PARTITION BY q_id ORDER BY d2, cand_id) AS rnk
+      FROM exact
+    ) WHERE rnk <= 5
+    ORDER BY q_id, rnk, cand_id"""
 
   /** PQ recall@5 vs exact squared-L2 ground truth — the [[annRecall]]
     * counterpart for the ADC path, so the 4-byte-code compression's
@@ -559,6 +710,24 @@ object VectorQueries extends QueryModule {
     * it is what licenses retiring the exact baselines at scale. */
   def annIvfPqRecall(spark: SparkSession, sfDir: String): DataFrame =
     recallAgainst(pqTruthTop5(spark, sfDir), annIvfPq(spark, sfDir))
+
+  /** Recall@5 of the refined index ([[annIvfPqRerank]]) vs the same exact
+    * ground truth — read next to [[annIvfPqRecall]] it isolates WHERE the
+    * composed index loses accuracy: the refine makes the code-distance
+    * error vanish (every true neighbor inside a probed cell is recovered
+    * exactly), so any remaining miss is nprobe cell pruning. That
+    * decomposition is what tells an operator whether to spend the next
+    * accuracy dollar on more probes or better codes. */
+  def annRerankRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(pqTruthTop5(spark, sfDir), annIvfPqRerank(spark, sfDir))
+
+  /** Recall@5 of [[annIvfSq]] vs the same exact integer-L2 truth — the SQ
+    * index's tracked accuracy number. Read against [[annIvfPqRecall]]
+    * (same cells, coarser codes) it prices the SQ-vs-PQ byte-budget
+    * trade; read against [[annRerankRecall]] (same cells, exact refine)
+    * it isolates the int8 quantization's own contribution to loss. */
+  def annIvfSqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(pqTruthTop5(spark, sfDir), annIvfSq(spark, sfDir))
 
   /** Exact squared-L2 top-5 ground truth over the micro-quantized integer
     * representation — shared by the PQ-family recall evals. The truth scan
@@ -622,6 +791,8 @@ object VectorQueries extends QueryModule {
 
   val annPqRecallSql: String = pqRecallSqlOver(annPqSql)
   val annIvfPqRecallSql: String = pqRecallSqlOver(annIvfPqSql)
+  val annRerankRecallSql: String = pqRecallSqlOver(annIvfPqRerankSql)
+  val annIvfSqRecallSql: String = pqRecallSqlOver(annIvfSqSql)
 
   // ------------------------------------------------- label centroids / k-NN
 
@@ -749,7 +920,13 @@ object VectorQueries extends QueryModule {
     * Candidate generation is an equi-join on (band, band_hash) — the
     * standard shuffle-friendly shape; never all-pairs, and every
     * shuffled/joined key is an 8-byte long, not a 32-char hex string. */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The banded-LSH candidate pair table (doc_a, doc_b, n_bands) —
+    * [[dedupMinhash]] is its sorted listing; [[minhashKeep]] feeds it to
+    * connected components. */
+  private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val numHashes = 12
     val bandSize = 2
     val sigCols = (0 until numHashes).map { i =>
@@ -777,7 +954,29 @@ object VectorQueries extends QueryModule {
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The production fuzzy-dedup chain at 100 TB: banded-MinHash candidate
+    * pairs ([[minhashPairs]] — sketch-sized state, no shingle self-join)
+    * → [[graft.operators.Dedup.connectedComponents]] → keep the
+    * best-quality doc per near-dup cluster. This is what `d_dedup_keep`
+    * (exact-Jaccard clusters) costs too much to be at web scale: the LSH
+    * pair generation touches 12 longs per doc instead of every shingle
+    * pair, and `d_minhash_recall` quantifies exactly what that shortcut
+    * misses — together they are the measured sketch-instead-of-exact
+    * trade this family exists for (the SlimPajama/BigCode NearDedup
+    * shape). Output matches `d_dedup_keep`'s schema: one row per
+    * surviving doc. */
+  def minhashKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = minhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val labels = graft.operators.Dedup
+      .connectedComponents(pairs, docs.select(col("doc_id")))
+    graft.operators.Dedup
+      .keepBest(labels, docs.select(col("doc_id"), col("n_chars").as("score")))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("score").cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** Universal-hash constants (A, B < 2²⁹ and odd, C < 2³²) — derived
@@ -787,7 +986,9 @@ object VectorQueries extends QueryModule {
   private val HashB = (0 until 12).map(i => ((i * 2246822519L + 0x89ABCDEL) % (1L << 29)) | 1L)
   private val HashC = (0 until 12).map(i => (i * 3266489917L + 0x0F1E2D3L) % (1L << 32))
 
-  val dedupMinhashSql: String = {
+  /** The minhash signature/band CTE chain (sh → shh → sigs → bands),
+    * shared by the pair listing and the keep-one materializer oracles. */
+  private val minhashCtes: String = {
     val shingleCase = """CASE WHEN len(w) >= 3
         THEN list_transform(range(1, len(w) - 1),
                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
@@ -798,8 +999,7 @@ object VectorQueries extends QueryModule {
     val bands = (0 until 6).map(b =>
       s"SELECT doc_id, $b AS band, CAST('0x' || substr(md5(CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR)), 1, 15) AS BIGINT) AS bh FROM sigs")
       .mkString("\n      UNION ALL ")
-    s"""
-    WITH sh AS (
+    s"""sh AS (
       SELECT DISTINCT doc_id, unnest($shingleCase) AS sh
       FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
     ), shh AS (
@@ -813,13 +1013,45 @@ object VectorQueries extends QueryModule {
       FROM shh GROUP BY doc_id
     ), bands AS (
       $bands
-    )
+    )"""
+  }
+
+  val dedupMinhashSql: String = s"""
+    WITH $minhashCtes
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands
     FROM bands x JOIN bands y
       ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
     GROUP BY 1, 2
     ORDER BY doc_a, doc_b"""
-  }
+
+  val minhashKeepSql: String = s"""
+    WITH RECURSIVE $minhashCtes, edges0 AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges0
+      UNION ALL SELECT doc_b, doc_a FROM edges0
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ), lab AS (
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), scored AS (
+      SELECT l.doc_id, l.cluster_id, d.n_chars
+      FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+    )
+    SELECT k.d AS doc_id, cluster_id,
+           CAST(cluster_size AS bigint) AS cluster_size,
+           CAST(-k.s AS bigint) AS n_chars
+    FROM (
+      SELECT cluster_id, min({'s': -n_chars, 'd': doc_id}) AS k,
+             count(*) AS cluster_size
+      FROM scored GROUP BY cluster_id
+    )
+    ORDER BY doc_id"""
 
   /** SimHash near-dup: 60-bit signature from md5-derived token hashes
     * (sign of per-bit ±1 sums); candidates share one of four 15-bit chunks
@@ -1223,11 +1455,16 @@ object VectorQueries extends QueryModule {
     "e_ann_ivfpq"       -> (annIvfPq _),
     "e_ann_pq_recall"   -> (annPqRecall _),
     "e_ann_ivfpq_recall" -> (annIvfPqRecall _),
+    "e_ann_ivfpq_rerank" -> (annIvfPqRerank _),
+    "e_ann_rerank_recall" -> (annRerankRecall _),
+    "e_ann_ivfsq"       -> (annIvfSq _),
+    "e_ann_ivfsq_recall" -> (annIvfSqRecall _),
     "e_ann_recall"      -> (annRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_semdedup"        -> (semDedup _),
     "d_semdedup_eval"   -> (semDedupEval _),
     "d_dedup_minhash"   -> (dedupMinhash _),
+    "d_minhash_keep"    -> (minhashKeep _),
     "d_dedup_simhash"   -> (dedupSimhash _),
     "d_simhash_eval"    -> (simhashEval _),
     "e_label_centroids" -> (labelCentroids _),
@@ -1251,8 +1488,13 @@ object VectorQueries extends QueryModule {
     "e_ann_ivfpq"       -> annIvfPqSql,
     "e_ann_pq_recall"   -> annPqRecallSql,
     "e_ann_ivfpq_recall" -> annIvfPqRecallSql,
+    "e_ann_ivfpq_rerank" -> annIvfPqRerankSql,
+    "e_ann_rerank_recall" -> annRerankRecallSql,
+    "e_ann_ivfsq"       -> annIvfSqSql,
+    "e_ann_ivfsq_recall" -> annIvfSqRecallSql,
     "e_ann_recall"      -> annRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
+    "d_minhash_keep"    -> minhashKeepSql,
     "d_dedup_simhash"   -> dedupSimhashSql,
     "d_simhash_eval"    -> simhashEvalSql,
     "e_label_centroids" -> labelCentroidsSql,

@@ -28,8 +28,29 @@ class PlanGuardSpec extends SparkSpecBase {
                   "d_source_overlap", "t_split_leakage", "q_events_lift",
                   "t_ngram_diversity", "d_simhash_eval", "e_ann_pq",
                   "e_centroid_margin", "t_term_lift", "e_ann_ivfpq",
-                  "d_containment", "d_semdedup", "d_semdedup_eval"))
+                  "d_containment", "d_semdedup", "d_semdedup_eval",
+                  "e_ann_ivfpq_rerank", "e_ann_ivfsq", "t_tfidf_keywords",
+                  "d_minhash_keep"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
+  }
+
+  test("e_ann_ivfsq candidates come from the cell equi-join, not all-pairs") {
+    // the compressed scan must stay gated on the IVF cell key — a dropped
+    // cell join would regress to a corpus-wide scan per query. (The plan
+    // DOES carry one BroadcastNestedLoopJoin: the 16-row coarse-centroid
+    // assignment, same as e_ann_ivf — the guard is that the CANDIDATE join
+    // is hash-keyed on cell.)
+    val p = plan("e_ann_ivfsq")
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[cell#".r
+      .findFirstIn(p).isDefined, "cell equi-join missing in e_ann_ivfsq")
+  }
+
+  test("t_tfidf_keywords derives df from a window, not a second token scan") {
+    // one (doc,term) aggregation feeds both tf and the df count window;
+    // a join-based df would re-scan or re-shuffle the token table. (The
+    // plan's one SinglePartition exchange is the 1-row n_docs broadcast.)
+    val p = plan("t_tfidf_keywords")
+    assert(p.contains("windowspecdefinition(term"), "df window missing")
   }
 
   test("d_semdedup pairs join on the cluster id, not all-pairs") {

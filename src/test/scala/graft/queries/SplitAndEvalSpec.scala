@@ -122,6 +122,45 @@ class SplitAndEvalSpec extends SparkSpecBase {
     assert(rec.forall(r => r.getLong(2) <= r.getLong(1) && r.getLong(3) <= 10000L))
   }
 
+  test("exact refine dominates raw ADC recall, per query") {
+    // the rerank's whole claim: re-ranking the ADC shortlist with exact
+    // distances can only recover truth hits, never lose them — so
+    // recall@5 must be >= the raw IVF-PQ number for EVERY query. (The
+    // shortlist (50) covers the probed cells' plausible heads; a
+    // violation means the shortlist or the exact metric drifted.)
+    val raw = VectorQueries.annIvfPqRecall(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val ref = VectorQueries.annRerankRecall(spark, Sf).collect()
+    assert(ref.length == raw.size)
+    for (r <- ref)
+      assert(r.getLong(3) >= raw(r.getLong(0)),
+        s"q=${r.getLong(0)}: refine ${r.getLong(3)} < adc ${raw(r.getLong(0))}")
+  }
+
+  test("annIvfSq ranks candidates only from probed cells, distances monotone") {
+    val rows = VectorQueries.annIvfSq(spark, Sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.length >= 5))
+    for ((_, rs) <- byQ) {
+      val d = rs.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+    val rec = VectorQueries.annIvfSqRecall(spark, Sf).collect()
+    assert(rec.forall(r => r.getLong(2) <= r.getLong(1) && r.getLong(3) <= 10000L))
+  }
+
+  test("tfidfKeywords: scores are exact tf·⌊log2(N/df)⌋ and heads are per-doc") {
+    val kw = TextQueries.tfidfKeywords(spark, Sf).collect()
+    val nDocs = graft.core.Tables.documents(spark, Sf).count()
+    assert(kw.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    for (r <- kw) {
+      val (tf, df, score) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(df >= 1 && df <= nDocs)
+      val idf = 63 - java.lang.Long.numberOfLeadingZeros(nDocs / df)
+      assert(score == tf * idf, s"term=${r.getString(2)}")
+    }
+  }
+
   test("sketch evals report hits within both pair sets") {
     for (q <- Seq(VectorQueries.minhashRecall _, VectorQueries.simhashEval _)) {
       val r = q(spark, Sf).collect().head
