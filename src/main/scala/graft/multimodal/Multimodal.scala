@@ -192,6 +192,95 @@ object Multimodal {
     WHERE start + 16 <= n_bytes
     ORDER BY doc_id, frame_no"""
 
+  /** 64-bit average-hash (aHash) of a decoded pixel array — the classic
+    * perceptual image fingerprint (LAION-style image dedup): split the
+    * pixels into 64 equal blocks, bit j = 1 iff block j's mean luminance
+    * exceeds the global mean. Integer-exact comparison (s·n > total·bs —
+    * no float division), emitted as a 64-char bit string so the DuckDB
+    * oracle can rebuild it from the stub codec's byte math. Pixels that
+    * don't fill 64 blocks (empty/corrupt decode) hash to "" and form
+    * their own bucket. */
+  def aHashOf(px: Array[Byte]): String =
+    if (px.length < 64) "" else {
+      val n = px.length
+      val bs = n / 64
+      var total = 0L
+      var i = 0
+      while (i < n) { total += (px(i) & 0xFF); i += 1 }
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < 64) {
+        var s = 0L
+        var k = j * bs
+        while (k < (j + 1) * bs) { s += (px(k) & 0xFF); k += 1 }
+        // block mean > global mean ⇔ s/bs > total/n ⇔ s·n > total·bs
+        sb.append(if (s * n > total * bs) '1' else '0')
+        j += 1
+      }
+      sb.toString
+    }
+
+  private case class MediaHash(doc_id: Long, ahash: String)
+
+  /** Perceptual-hash image dedup — decode through the pluggable codec
+    * (same mapPartitions batch path as [[extractFeatures]]), fingerprint
+    * with [[aHashOf]], then bucket on the hash: identical aHash = visual
+    * near-duplicate (robust to brightness scaling and byte-level noise
+    * that defeats the md5 in [[metaQuery]]). Scale shape: the decode is
+    * per-row map work, the dedup is ONE shuffle on the 64-bit hash with
+    * a min-id window — exactly [[graft.queries.TextQueries.dedupExact]]
+    * over a perceptual key instead of an exact one. Oracle replays the
+    * stub codec's tiled-byte pixels and the block arithmetic
+    * bit-for-bit. */
+  def phashDedupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashed = mediaTable(spark, sfDir)
+      .select("doc_id", "payload", "mime", "width", "height", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        batch.map(m => MediaHash(m.doc_id,
+          aHashOf(StubCodec.decode(m.payload, m.mime, m.width, m.height))))
+      }
+    val byKey = Window.partitionBy(col("ahash"))
+    hashed.toDF()
+      .withColumn("canonical_id", min(col("doc_id")).over(byKey))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[phashDedupQuery]] over the stub codec: pixels =
+    * payload bytes tiled to min(w·h, 4096) (= 4096 here since w,h ≥ 64),
+    * then the identical 64-block integer aHash. */
+  val phashDedupSql: String = """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents
+    ), px AS (
+      SELECT doc_id, list_transform(range(0, 4096),
+               i -> CAST('0x' || substr(hx, ((i % len) * 2) + 1, 2) AS BIGINT)) AS p
+      FROM b
+    ), hs AS (
+      SELECT doc_id,
+             list_reduce(p, (x, y) -> x + y) AS total,
+             list_transform(range(0, 64), j ->
+               list_reduce(list_transform(range(0, 64), i -> p[j * 64 + i + 1]),
+                           (x, y) -> x + y)) AS bsums
+      FROM px
+    ), ah AS (
+      SELECT doc_id,
+             list_reduce(list_transform(range(0, 64), j ->
+               CASE WHEN bsums[j + 1] * 4096 > total * 64 THEN '1' ELSE '0' END),
+               (x, y) -> x || y) AS ahash
+      FROM hs
+    )
+    SELECT doc_id, ahash,
+           min(doc_id) OVER (PARTITION BY ahash) AS canonical_id,
+           CAST(doc_id <> min(doc_id) OVER (PARTITION BY ahash) AS int) AS is_dup
+    FROM ah
+    ORDER BY doc_id"""
+
   /** Frame-level dedup across documents — the video-pipeline counterpart
     * of segment-level text dedup: keep only the globally-first occurrence
     * of each distinct sampled frame (ordered by doc, then frame position).

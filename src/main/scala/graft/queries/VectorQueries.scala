@@ -295,7 +295,8 @@ object VectorQueries extends QueryModule {
   /** The IVF cell structures shared by [[annIvf]] and [[annIvfPq]]:
     * (cellOf, probes) — every vector's nearest cell (with v/nrm riding
     * along for the exact re-rank) and each query's 2 probed cells. */
-  private def ivfParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  private def ivfParts(spark: SparkSession, sfDir: String,
+                       maxProbe: Int = 2): (DataFrame, DataFrame) = {
     val e = embs(spark, sfDir)
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
@@ -307,9 +308,11 @@ object VectorQueries extends QueryModule {
       .withColumn("crnk", rank().over(wAssign))
     val cellOf = assigned.filter(col("crnk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    // queries probe their 2 nearest cells
-    val probes = assigned.filter(col("vec_id") < 10 && col("crnk") <= 2)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    // queries probe their maxProbe nearest cells (crnk rides along so the
+    // probe-sweep eval can re-cut one candidate table per nprobe level)
+    val probes = assigned.filter(col("vec_id") < 10 && col("crnk") <= maxProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell"), col("crnk"))
     (cellOf, probes)
   }
 
@@ -330,6 +333,41 @@ object VectorQueries extends QueryModule {
       .withColumn("rnk", rank().over(wTop))
       .filter(col("rnk") <= 5)
       .orderBy(col("q_id"), col("rnk"), col("cand_id"))
+  }
+
+  /** IVF nprobe sweep — the tuning curve an operator reads before fixing
+    * nprobe in production: recall@5 vs the exact cosine ground truth at
+    * nprobe ∈ {1, 2, 4}, one row per level. ONE candidate table is scored
+    * (cells up to crnk ≤ 4, with the probe rank riding along) and each
+    * level is a FILTER over it — the sweep costs one scan + three window
+    * heads, not three index builds. The aggregated readout (total truth
+    * hits per level) is the capacity-planning number: it says exactly how
+    * much recall each extra probed cell buys for a linear cost increase. */
+  def annProbeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annBruteForce(spark, sfDir)
+      .select(col("q_id"), col("cand_id")).localCheckpoint()
+    val (cellOf, probes4) = ivfParts(spark, sfDir, maxProbe = 4)
+    val scored = cellOf.join(broadcast(probes4), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("crnk"), col("vec_id").as("cand_id"),
+        cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+      .localCheckpoint() // one scoring pass feeds all three sweep levels
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
+    val approx = Seq(1, 2, 4).map { n =>
+      scored.filter(col("crnk") <= n)
+        .withColumn("rnk", rank().over(w)).filter(col("rnk") <= 5)
+        .select(lit(n.toLong).as("nprobe"), col("q_id"), col("cand_id"))
+    }.reduce(_ union _).withColumn("hit", lit(1))
+    val truthL = Seq(1, 2, 4).map(n =>
+      truth.select(lit(n.toLong).as("nprobe"), col("q_id"), col("cand_id")))
+      .reduce(_ union _)
+    truthL.join(approx, Seq("nprobe", "q_id", "cand_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_truth"),
+           sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("nprobe"), col("n_truth"), col("n_hit"),
+        expr("10000 * n_hit div n_truth").as("recall_bp"))
+      .orderBy(col("nprobe"))
   }
 
   /** The IVF cell CTE chain (e → cents → assigned → cellof + probes),
@@ -369,6 +407,37 @@ object VectorQueries extends QueryModule {
       FROM scored
     ) WHERE rnk <= 5
     ORDER BY q_id, rnk, cand_id"""
+  }
+
+  val annProbeSweepSql: String = {
+    val dotPC = "list_reduce(list_transform(range(1, len(p.qv) + 1), i -> CAST(p.qv[i] AS double) * CAST(t.v[i] AS double)), (x, y) -> x + y)"
+    val levels = Seq(1, 2, 4).map(n => s"""
+      SELECT CAST($n AS bigint) AS nprobe, q_id, cand_id, 1 AS hit FROM (
+        SELECT q_id, cand_id,
+               rank() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, cand_id) AS rnk
+        FROM swscored WHERE crnk <= $n
+      ) WHERE rnk <= 5""").mkString("\n      UNION ALL ")
+    s"""
+    WITH $ivfCellCtes, probes4 AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell, crnk
+      FROM assigned WHERE vec_id < 10 AND crnk <= 4
+    ), swscored AS (
+      SELECT p.q_id, p.crnk, t.vec_id AS cand_id,
+             CAST(floor($dotPC * 10000.0 / (p.qn * t.nrm)) AS bigint) AS cos_bp
+      FROM cellof t JOIN probes4 p ON t.cell = p.cell AND t.vec_id <> p.q_id
+    ), truth AS (
+      SELECT q_id, cand_id FROM ($annBruteForceSql) t
+    ), truthl AS (
+      SELECT CAST(1 AS bigint) AS nprobe, q_id, cand_id FROM truth
+      UNION ALL SELECT CAST(2 AS bigint), q_id, cand_id FROM truth
+      UNION ALL SELECT CAST(4 AS bigint), q_id, cand_id FROM truth
+    ), approx AS ($levels)
+    SELECT nprobe, count(*) AS n_truth,
+           CAST(sum(coalesce(hit, 0)) AS bigint) AS n_hit,
+           (10000 * CAST(sum(coalesce(hit, 0)) AS bigint) // count(*)) AS recall_bp
+    FROM truthl LEFT JOIN approx USING (nprobe, q_id, cand_id)
+    GROUP BY nprobe
+    ORDER BY nprobe"""
   }
 
   // --------------------------------------------------------------------- PQ
@@ -1459,6 +1528,7 @@ object VectorQueries extends QueryModule {
     "e_ann_rerank_recall" -> (annRerankRecall _),
     "e_ann_ivfsq"       -> (annIvfSq _),
     "e_ann_ivfsq_recall" -> (annIvfSqRecall _),
+    "e_ann_probe_sweep" -> (annProbeSweep _),
     "e_ann_recall"      -> (annRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_semdedup"        -> (semDedup _),
@@ -1492,6 +1562,7 @@ object VectorQueries extends QueryModule {
     "e_ann_rerank_recall" -> annRerankRecallSql,
     "e_ann_ivfsq"       -> annIvfSqSql,
     "e_ann_ivfsq_recall" -> annIvfSqRecallSql,
+    "e_ann_probe_sweep" -> annProbeSweepSql,
     "e_ann_recall"      -> annRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_minhash_keep"    -> minhashKeepSql,

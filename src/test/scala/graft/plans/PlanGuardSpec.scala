@@ -30,7 +30,7 @@ class PlanGuardSpec extends SparkSpecBase {
                   "e_centroid_margin", "t_term_lift", "e_ann_ivfpq",
                   "d_containment", "d_semdedup", "d_semdedup_eval",
                   "e_ann_ivfpq_rerank", "e_ann_ivfsq", "t_tfidf_keywords",
-                  "d_minhash_keep"))
+                  "d_minhash_keep", "m_phash_dedup"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 

@@ -161,6 +161,27 @@ class SplitAndEvalSpec extends SparkSpecBase {
     }
   }
 
+  test("probe sweep recall is monotone in nprobe") {
+    // more probed cells can only add candidates — recall@5 must not
+    // decrease as nprobe grows (the curve's defining property)
+    val rows = VectorQueries.annProbeSweep(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    val recalls = rows.map(_.getLong(3))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b }, recalls.toSeq)
+  }
+
+  test("aHash is invariant to uniform brightness scaling, unlike md5") {
+    // the perceptual property exact hashing lacks: doubling every
+    // luminance preserves which blocks sit above the global mean
+    val px = Array.tabulate(4096)(i => if ((i / 64) % 2 == 0) 10.toByte else 200.toByte)
+    val brighter = px.map(b => ((b & 0xFF) * 2 / 3).toByte)
+    assert(graft.multimodal.Multimodal.aHashOf(px) ==
+           graft.multimodal.Multimodal.aHashOf(brighter))
+    assert(graft.multimodal.Multimodal.aHashOf(Array.emptyByteArray) == "")
+    val h = graft.multimodal.Multimodal.aHashOf(px)
+    assert(h.length == 64 && h.forall(c => c == '0' || c == '1'))
+  }
+
   test("sketch evals report hits within both pair sets") {
     for (q <- Seq(VectorQueries.minhashRecall _, VectorQueries.simhashEval _)) {
       val r = q(spark, Sf).collect().head
