@@ -196,6 +196,39 @@ object Analytics extends QueryModule {
     GROUP BY user_id, sid
     ORDER BY user_id, sid"""
 
+  /** Day-of-week × hour activity matrix — the seasonality heatmap behind
+    * capacity planning and anomaly baselines ("is this Tuesday-3am spike
+    * abnormal for Tuesday 3am?"). Time buckets are pure integer epoch
+    * math ((days+3) mod 7, 0 = Monday; hour = seconds-of-day div 3600) —
+    * engine-portable where dayofweek()'s origin is not — and the value
+    * sum is per-row integer cents, so the oracle is exact. Shape: one
+    * partial-agg shuffle onto a ≤168-row domain; n_users is the only
+    * non-combinable term and its domain is (bucket × user), bounded. */
+  def qEventsSeasonality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(unix_timestamp(col("ts")).as("t"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .select(expr("(t div 86400 + 3) % 7").as("dow"),
+        expr("(t % 86400) div 3600").as("hour"), col("user_id"), col("v_c"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           sum(col("v_c")).as("sum_value_c"))
+      .orderBy(col("dow"), col("hour"))
+
+  val qEventsSeasonalitySql: String = """
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS bigint) AS t, user_id,
+             CAST(floor(value * 100) AS bigint) AS v_c
+      FROM events
+    )
+    SELECT ((t // 86400) + 3) % 7 AS dow, (t % 86400) // 3600 AS hour,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           CAST(sum(v_c) AS bigint) AS sum_value_c
+    FROM e
+    GROUP BY 1, 2
+    ORDER BY dow, hour"""
+
   /** Session-shape distribution: exact p25/p50/p95 and max of per-session
     * event counts and durations over the gap-sessionized table — the
     * "did sessions get shorter" summary consulted after changing the gap
@@ -1236,6 +1269,7 @@ object Analytics extends QueryModule {
     "q_transitions"     -> (qTransitions _),
     "q_basket_pairs"    -> (qBasketPairs _),
     "q_events_dau"      -> (qEventsDau _),
+    "q_events_seasonality" -> (qEventsSeasonality _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "q1_agg"            -> (q1Agg _),
     "q3_join_topk"      -> (q3JoinTopK _),
@@ -1275,6 +1309,7 @@ object Analytics extends QueryModule {
     "q_transitions"     -> qTransitionsSql,
     "q_basket_pairs"    -> qBasketPairsSql,
     "q_events_dau"      -> qEventsDauSql,
+    "q_events_seasonality" -> qEventsSeasonalitySql,
     "q_percentiles_approx" -> qPercentilesApproxSql,
     "q1_agg"            -> q1AggSql,
     "q3_join_topk"      -> q3JoinTopKSql,
