@@ -454,6 +454,15 @@ object VectorQueries extends QueryModule {
   private val PqSubDim = 8
   private val PqK = 16
 
+  /** Codebook training-set bound (the FAISS posture: codebooks are fit on
+    * a bounded sample, never the corpus): the Lloyd update only sees the
+    * [[PqFitSample]] smallest vec_ids. At harness scale (≤2k vectors)
+    * this is the whole table — results unchanged — while at soak/corpus
+    * scale the two fit joins stop growing with the data; only the final
+    * code-assignment pass (inherently corpus-sized) remains. Deterministic
+    * (an id cut, not a random sample) so the oracle replays it. */
+  private val PqFitSample = 4096L
+
   /** The PQ artifacts shared by [[annPq]] and [[annIvfPq]]: (codes, lut)
     * — each vector's 8 subspace codes, and each query's exact subspace
     * distance to every codebook centroid. */
@@ -466,20 +475,23 @@ object VectorQueries extends QueryModule {
         floor(col("x").cast("double") * 1000000).cast("long").as("q"))
       .localCheckpoint() // feeds seeding, both assigns, the LUT and the scan
     val seeds = e.select(col("vec_id")).orderBy(col("vec_id")).limit(PqK)
+    val vfit = v.filter(col("vec_id") < PqFitSample)
     val c0 = v.join(broadcast(seeds), "vec_id")
       .select(col("sub"), col("vec_id").as("k"), col("spos"), col("q").as("c"))
-    def assign(cents: DataFrame): DataFrame =
-      v.join(broadcast(cents), Seq("sub", "spos"))
+    def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+      vecs.join(broadcast(cents), Seq("sub", "spos"))
         .groupBy(col("vec_id"), col("sub"), col("k"))
         .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("dist"), col("k"))).as("m"))
         .select(col("vec_id"), col("sub"), col("m.k").as("k"))
-    val c1 = assign(c0).join(v, Seq("vec_id", "sub"))
+    // Lloyd update over the bounded training set only (PqFitSample)
+    val c1 = assign(vfit, c0).join(vfit, Seq("vec_id", "sub"))
       .groupBy(col("sub"), col("k"), col("spos"))
       .agg(floor(sum(col("q")) * 1.0 / count(lit(1))).cast("long").as("c"))
       .localCheckpoint() // codebook: reused by codes, LUT (and tiny)
-    val codes = assign(c1)
+    // code assignment is the one inherently corpus-sized pass
+    val codes = assign(v, c1)
     val lut = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("sub"), col("spos"), col("q"))
       .join(broadcast(c1), Seq("sub", "spos"))
@@ -589,13 +601,13 @@ object VectorQueries extends QueryModule {
   /** The PQ CTE chain (q0 → v → seeds → c0 → a1 → c1 → codes + lut),
     * spliced by both the annPq and annIvfPq oracles. */
   private val pqCtes: String = {
-    def argminCte(name: String, cents: String) = s"""$name AS (
+    def argminCte(name: String, src: String, cents: String) = s"""$name AS (
       SELECT vec_id, sub, k FROM (
         SELECT vec_id, sub, k,
                row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, k) AS rn
         FROM (SELECT v.vec_id, v.sub, c.k,
                      CAST(sum((v.q - c.c) * (v.q - c.c)) AS bigint) AS dist
-              FROM v JOIN $cents c ON v.sub = c.sub AND v.spos = c.spos
+              FROM $src v JOIN $cents c ON v.sub = c.sub AND v.spos = c.spos
               GROUP BY v.vec_id, v.sub, c.k)
       ) WHERE rn = 1
     )"""
@@ -607,16 +619,18 @@ object VectorQueries extends QueryModule {
     ), v AS (
       SELECT vec_id, (pos - 1) // $PqSubDim AS sub, (pos - 1) % $PqSubDim AS spos, q
       FROM q0
+    ), vfit AS (
+      SELECT * FROM v WHERE vec_id < $PqFitSample
     ), seeds AS (
       SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK
     ), c0 AS (
       SELECT sub, vec_id AS k, spos, q AS c FROM v
       WHERE vec_id IN (SELECT vec_id FROM seeds)
-    ), ${argminCte("a1", "c0")}, c1 AS (
+    ), ${argminCte("a1", "vfit", "c0")}, c1 AS (
       SELECT a.sub, a.k, v.spos, CAST(floor(sum(v.q) * 1.0 / count(*)) AS bigint) AS c
-      FROM a1 a JOIN v ON a.vec_id = v.vec_id AND a.sub = v.sub
+      FROM a1 a JOIN vfit v ON a.vec_id = v.vec_id AND a.sub = v.sub
       GROUP BY a.sub, a.k, v.spos
-    ), ${argminCte("codes", "c1")}, lut AS (
+    ), ${argminCte("codes", "v", "c1")}, lut AS (
       SELECT v.vec_id AS q_id, c.sub, c.k,
              CAST(sum((v.q - c.c) * (v.q - c.c)) AS bigint) AS d2
       FROM v JOIN c1 c ON v.sub = c.sub AND v.spos = c.spos
