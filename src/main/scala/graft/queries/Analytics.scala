@@ -74,6 +74,44 @@ object Analytics extends QueryModule {
     ORDER BY revenue_c DESC, l_orderkey
     LIMIT 10"""
 
+  /** TPC-H Q10-flavored: top-20 customers by revenue lost to returned
+    * items in a six-month window — the "who should support call first"
+    * report. Shape: the date filter prunes orders AT THE SCAN
+    * (PushedFilters), the returnflag filter prunes lineitem likewise,
+    * the fact-fact join shuffles on the orderkey, customer attaches on
+    * the custkey, nation broadcasts, and the head is TakeOrdered — no
+    * global sort. Revenue in integer cents per row (oracle-exact). */
+  def q10ReturnedTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_c").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedTopSql: String = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS bigint)) AS bigint) AS revenue_c,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_c DESC, c_custkey
+    LIMIT 20"""
+
   /** TPC-H Q5-flavored: revenue by region/nation through the full dim chain.
     * All dims broadcast → the only shuffle is the final small groupBy. */
   def q5MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1264,6 +1302,7 @@ object Analytics extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> (q4OrderPriority _),
     "q8_market_share"   -> (q8MarketShare _),
+    "q10_returned_top"  -> (q10ReturnedTop _),
     "q_funnel"          -> (qFunnel _),
     "q_retention"       -> (qRetention _),
     "q_transitions"     -> (qTransitions _),
@@ -1304,6 +1343,7 @@ object Analytics extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q4_order_priority" -> q4OrderPrioritySql,
     "q8_market_share"   -> q8MarketShareSql,
+    "q10_returned_top"  -> q10ReturnedTopSql,
     "q_funnel"          -> qFunnelSql,
     "q_retention"       -> qRetentionSql,
     "q_transitions"     -> qTransitionsSql,

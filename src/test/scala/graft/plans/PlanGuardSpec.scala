@@ -30,7 +30,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "e_centroid_margin", "t_term_lift", "e_ann_ivfpq",
                   "d_containment", "d_semdedup", "d_semdedup_eval",
                   "e_ann_ivfpq_rerank", "e_ann_ivfsq", "t_tfidf_keywords",
-                  "d_minhash_keep", "m_phash_dedup"))
+                  "d_minhash_keep", "m_phash_dedup", "q10_returned_top",
+                  "q_events_seasonality"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
@@ -96,6 +97,13 @@ class PlanGuardSpec extends SparkSpecBase {
   test("top-k queries run as TakeOrderedAndProject, never a global sort") {
     assert(plan("q3_join_topk").contains("TakeOrderedAndProject"))
     assert(plan("t_vocab").contains("TakeOrderedAndProject"))
+    assert(plan("q10_returned_top").contains("TakeOrderedAndProject"))
+  }
+
+  test("q10_returned_top pushes both fact filters into the parquet scans") {
+    val p = plan("q10_returned_top")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag not pushed")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "date range not pushed")
   }
 
   test("q5_multijoin broadcasts every dimension side") {
