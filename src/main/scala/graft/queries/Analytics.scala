@@ -730,6 +730,80 @@ object Analytics extends QueryModule {
                 / (SELECT count(*) FROM d)) AS bigint) AS err_bp
     FROM kmin"""
 
+  /** Mergeable-sketch rollup — the backfill/incremental-aggregation
+    * pattern every 100 TB metrics pipeline lives on: per-DAY KMV
+    * distinct-user states (k = 64 smallest salted-md5 hashes, the
+    * [[qKmvDistinct]] recipe) are MERGED into per-week estimates without
+    * rescanning raw events — merge = k smallest distinct hashes of the
+    * union of the day states, the KMV union algebra. The DuckDB oracle
+    * deliberately computes the weekly sketch DIRECTLY from raw events, so
+    * the hash match is an executable proof of mergeability (day-state
+    * merge ≡ direct weekly computation), not just a spot check. Shape:
+    * day states are partial-aggregable (top-k per day), the merge touches
+    * |days|·k rows per week, and exact weekly counts ride the same
+    * distinct table — nothing driver-side. */
+  def qKmvMergeRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val maxH = (k - 1).toLong * (1L << 48)
+    val base = Tables.events(spark, sfDir)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+      .distinct()
+      .select(expr("day div 7").as("week"), col("day"),
+        conv(substring(md5(concat(lit("kmv_"), col("user_id").cast("string"))), 1, 12), 16, 10)
+          .cast("long").as("h"))
+    val wd = Window.partitionBy(col("day")).orderBy(col("h"))
+    val dayState = base.withColumn("rnk", row_number().over(wd))
+      .filter(col("rnk") <= k).select(col("week"), col("day"), col("h"))
+      .localCheckpoint() // the persisted "daily synopsis" both readouts reuse
+    val ww = Window.partitionBy(col("week")).orderBy(col("h"))
+    val merged = dayState.select(col("week"), col("h")).distinct()
+      .withColumn("rnk", row_number().over(ww)).filter(col("rnk") <= k)
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("h_k"))
+    val nDays = dayState.select(col("week"), col("day")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("n_days"))
+    val exact = Tables.events(spark, sfDir)
+      .select(expr("(unix_timestamp(ts) div 86400) div 7").as("week"), col("user_id"))
+      .distinct().groupBy(col("week")).agg(count(lit(1)).as("n_exact"))
+    merged.join(nDays, "week").join(exact, "week")
+      .select(col("week"), col("n_days"), col("n_exact"),
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(expr(s"$maxH div h_k")).as("n_est"))
+      .withColumn("err_bp",
+        floor(abs(col("n_est") - col("n_exact")) * 10000.0 / col("n_exact")).cast("long"))
+      .orderBy(col("week"))
+  }
+
+  /** Direct weekly computation (NO day-level merge) — equality with the
+    * Spark plan's day-state merge is the mergeability proof. */
+  val qKmvMergeRollupSql: String = s"""
+    WITH d AS (
+      SELECT DISTINCT (CAST(floor(epoch(ts)) AS bigint) // 86400) AS day, user_id
+      FROM events
+    ), hh AS (
+      SELECT DISTINCT day // 7 AS week,
+             CAST('0x' || substr(md5('kmv_' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+      FROM d
+    ), keep AS (
+      SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS rnk FROM hh
+    ), st AS (
+      SELECT week, count(*) AS n_seen, max(h) AS h_k
+      FROM keep WHERE rnk <= 64 GROUP BY week
+    ), dy AS (
+      SELECT day // 7 AS week, count(DISTINCT day) AS n_days FROM d GROUP BY 1
+    ), ex AS (
+      SELECT day // 7 AS week, count(DISTINCT user_id) AS n_exact FROM d GROUP BY 1
+    )
+    SELECT st.week, dy.n_days, ex.n_exact,
+           CASE WHEN n_seen < 64 THEN n_seen
+                ELSE ${63L * (1L << 48)} // h_k END AS n_est,
+           CAST(floor(abs((CASE WHEN n_seen < 64 THEN n_seen
+                ELSE ${63L * (1L << 48)} // h_k END) - ex.n_exact) * 10000.0
+                / ex.n_exact) AS bigint) AS err_bp
+    FROM st JOIN dy USING (week) JOIN ex USING (week)
+    ORDER BY week"""
+
   /** Cube over (region, event-less nation pair): all four grouping sets in
     * one pass (Expand + single aggregation shuffle — Spark never rescans
     * the input per set). Rollup's sibling; `q_rollup_region_nation` covers
@@ -1332,6 +1406,7 @@ object Analytics extends QueryModule {
     "q_percentiles"     -> (qPercentiles _),
     "q_pivot_events"    -> (qPivotEvents _),
     "q_kmv_distinct"    -> (qKmvDistinct _),
+    "q_kmv_merge_rollup" -> (qKmvMergeRollup _),
     "q_cube"            -> (qCube _),
     "q_moving_window"   -> (qMovingWindow _),
     "q_resample_ffill"  -> (qResampleFfill _),
@@ -1372,6 +1447,7 @@ object Analytics extends QueryModule {
     "q_percentiles"     -> qPercentilesSql,
     "q_pivot_events"    -> qPivotEventsSql,
     "q_kmv_distinct"    -> qKmvDistinctSql,
+    "q_kmv_merge_rollup" -> qKmvMergeRollupSql,
     "q_cube"            -> qCubeSql,
     "q_moving_window"   -> qMovingWindowSql,
     "q_resample_ffill"  -> qResampleFfillSql,
