@@ -335,6 +335,56 @@ object VectorQueries extends QueryModule {
       .orderBy(col("q_id"), col("rnk"), col("cand_id"))
   }
 
+  /** Filtered ANN — the vector-DB staple the plain index can't serve:
+    * top-5 nearest AMONG vectors matching a predicate (here: the query's
+    * own label — "my nearest same-class neighbors", the within-class
+    * dedup / retrieval shape). The filter is applied BEFORE ranking
+    * (pre-filtering): candidates are the probed cells' vectors
+    * restricted by the label equi-condition inside the same join, so a
+    * highly-selective predicate SHRINKS the scan instead of starving a
+    * post-filtered top-k. At 100 TB label joins the cell id as a
+    * partition/bucket column and this stays one equi-join. */
+  def annFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cellOf, probes) = ivfParts(spark, sfDir)
+    val lab = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val qlab = probes.join(
+      lab.withColumnRenamed("vec_id", "q_id").withColumnRenamed("label", "q_label"),
+      "q_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
+    cellOf.join(lab, "vec_id")
+      .join(broadcast(qlab), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("cand_id"),
+        cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"), col("cand_id"))
+  }
+
+  // lazy: ivfCellCtes is declared later in this object (a strict val here
+  // would interpolate null at object-init time — the kmeansCtes footgun)
+  lazy val annFilteredSql: String = {
+    val dotPC = "list_reduce(list_transform(range(1, len(p.qv) + 1), i -> CAST(p.qv[i] AS double) * CAST(t.v[i] AS double)), (x, y) -> x + y)"
+    s"""
+    WITH $ivfCellCtes, lab AS (
+      SELECT vec_id, CAST(label AS bigint) AS label FROM embeddings
+    ), fscored AS (
+      SELECT p.q_id, ql.label AS q_label, t.vec_id AS cand_id,
+             CAST(floor($dotPC * 10000.0 / (p.qn * t.nrm)) AS bigint) AS cos_bp
+      FROM cellof t
+      JOIN probes p ON t.cell = p.cell AND t.vec_id <> p.q_id
+      JOIN lab tl ON tl.vec_id = t.vec_id
+      JOIN lab ql ON ql.vec_id = p.q_id AND tl.label = ql.label
+    )
+    SELECT q_id, q_label, cand_id, cos_bp, rnk FROM (
+      SELECT q_id, q_label, cand_id, cos_bp,
+             rank() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, cand_id) AS rnk
+      FROM fscored
+    ) WHERE rnk <= 5
+    ORDER BY q_id, rnk, cand_id"""
+  }
+
   /** IVF nprobe sweep — the tuning curve an operator reads before fixing
     * nprobe in production: recall@5 vs the exact cosine ground truth at
     * nprobe ∈ {1, 2, 4}, one row per level. ONE candidate table is scored
@@ -1543,6 +1593,7 @@ object VectorQueries extends QueryModule {
     "e_ann_ivfsq"       -> (annIvfSq _),
     "e_ann_ivfsq_recall" -> (annIvfSqRecall _),
     "e_ann_probe_sweep" -> (annProbeSweep _),
+    "e_ann_filtered"    -> (annFiltered _),
     "e_ann_recall"      -> (annRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_semdedup"        -> (semDedup _),
@@ -1577,6 +1628,7 @@ object VectorQueries extends QueryModule {
     "e_ann_ivfsq"       -> annIvfSqSql,
     "e_ann_ivfsq_recall" -> annIvfSqRecallSql,
     "e_ann_probe_sweep" -> annProbeSweepSql,
+    "e_ann_filtered"    -> annFilteredSql,
     "e_ann_recall"      -> annRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_minhash_keep"    -> minhashKeepSql,

@@ -90,6 +90,47 @@ object EventsStream {
         .bloomHit(col("fp"), col("mask"), numBits, numHashes).cast("int"))
       .drop("_one", "mask")
 
+  case class KeyedId(event_type: String, user_id: Long)
+  case class KmvState(hs: Array[Long])
+  case class KmvRow(event_type: String, n_seen: Long, n_est: Long)
+
+  /** The batch KMV hash recipe (`Analytics.qKmvDistinct`), verbatim:
+    * first 12 hex chars of md5("kmv_" + id) as a 48-bit long. */
+  private[streaming] def kmvHash(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"kmv_$id".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Streaming distinct-count via a KMV sketch in group state — the
+    * unbounded-cardinality counterpart of the exact `userActivity`
+    * aggregation: per event type the state holds only the k smallest
+    * distinct 48-bit hashes (bounded at k longs FOREVER, however many
+    * users stream past — the property that makes streaming distinct
+    * viable at all), and each micro-batch folds its new hashes in with
+    * the same KMV union algebra `q_kmv_merge_rollup` proves against the
+    * batch oracle. Update-mode: one running-estimate row per type per
+    * batch. The hash recipe is the batch one verbatim, so the converged
+    * estimate equals the batch sketch on the same data exactly. */
+  def kmvDistinct(events: DataFrame, k: Int = 64): Dataset[KmvRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def step(key: String, rows: Iterator[KeyedId],
+             state: GroupState[KmvState]): KmvRow = {
+      val cur = state.getOption.map(_.hs).getOrElse(Array.empty[Long])
+      val merged = (cur ++ rows.map(r => kmvHash(r.user_id)))
+        .distinct.sorted.take(k)
+      state.update(KmvState(merged))
+      val nEst = if (merged.length < k) merged.length.toLong
+                 else (k - 1).toLong * (1L << 48) / merged.last
+      KmvRow(key, merged.length, nEst)
+    }
+    events.select(col("event_type"), col("user_id")).as[KeyedId]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class OpenSession(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,

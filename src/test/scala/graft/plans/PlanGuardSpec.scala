@@ -31,7 +31,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "d_containment", "d_semdedup", "d_semdedup_eval",
                   "e_ann_ivfpq_rerank", "e_ann_ivfsq", "t_tfidf_keywords",
                   "d_minhash_keep", "m_phash_dedup", "q10_returned_top",
-                  "q_events_seasonality", "q_kmv_merge_rollup"))
+                  "q_events_seasonality", "q_kmv_merge_rollup",
+                  "e_ann_filtered"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 

@@ -227,6 +227,38 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("streaming KMV distinct converges to the batch sketch across batch splits") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // 200 users in type a (> k=64, sketch saturates), 30 in type b
+    // (< k, estimate must be EXACT); re-deliveries must not move it
+    val a = (0 until 200).map(u => ("a", u.toLong))
+    val b = (0 until 30).map(u => ("b", 1000L + u))
+    val input = MemoryStream[(String, Long)]
+    val query = EventsStream.kmvDistinct(
+        input.toDF().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(a.take(100) ++ b.take(10): _*)
+      query.processAllAvailable()
+      input.addData(a.drop(100) ++ b.drop(10) ++ a.take(50): _*) // re-deliveries
+      query.processAllAvailable()
+      // last update per type is the converged estimate
+      val got = spark.table("kmv_stream").collect()
+        .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.last }
+      // type b: under k distinct -> exact
+      assert(got("b").getLong(1) == 30L && got("b").getLong(2) == 30L)
+      // type a: equals the batch KMV recipe on the same 200 ids
+      val hs = (0 until 200).map(u => EventsStream.kmvHash(u.toLong))
+        .distinct.sorted.take(64)
+      val expect = 63L * (1L << 48) / hs.last
+      assert(got("a").getLong(1) == 64L && got("a").getLong(2) == expect)
+    } finally query.stop()
+  }
+
   test("late events beyond the watermark are dropped in append mode") {
     val session = spark
     import session.implicits._
