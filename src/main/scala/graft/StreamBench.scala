@@ -68,6 +68,7 @@ object StreamBench {
       bench("user_activity", "update")(EventsStream.userActivity(_)),
       bench("dedup", "append")(EventsStream.dedupedEvents(_)),
       bench("sessionize", "append")(EventsStream.sessionize(_).toDF()),
+      bench("kmv_distinct", "update")(EventsStream.kmvDistinct(_).toDF()),
       bench("enriched", "append") { df =>
         val dim = spark.range(0, 1000)
           .select(col("id").as("user_id"), (col("id") % 7).as("segment"))
