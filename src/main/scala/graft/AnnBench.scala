@@ -35,24 +35,8 @@ object AnnBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = java.nio.file.Files.createTempDirectory("graft_annsoak").toString
-    def time[A](f: => A): (Double, A) = {
-      val t0 = System.nanoTime()
-      val a = f
-      ((System.nanoTime() - t0) / 1e9, a)
-    }
-
-    val reps = spark.range(mult).toDF("r")
-    val (tGen, nEmbs) = time {
-      graft.core.Tables.embeddings(spark, base)
-        .crossJoin(reps)
-        .select((col("vec_id") + col("r") * 1000000L).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x + pmod(col("vec_id") * 7 + col("r") * 13 + i, lit(1000))
-              .cast("float") / lit(1000000.0f)).cast("float")).as("embedding"),
-          col("label"))
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      spark.read.parquet(s"$dir/embeddings.parquet").count()
-    }
+    import SoakUtil.{time, ms3}
+    val (tGen, nEmbs) = time(SoakUtil.synthEmbeddings(spark, base, mult, dir))
 
     val families = Seq(
       "e_ann_ivf", "e_ann_pq", "e_ann_ivfpq", "e_ann_ivfsq",
@@ -66,11 +50,7 @@ object AnnBench {
       (name, sec, rows)
     }
 
-    import scala.jdk.CollectionConverters._
-    val peakHeapMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(_.getType == java.lang.management.MemoryType.HEAP)
-      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
-    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val peakHeapMb = SoakUtil.peakHeapMb
     val secs = timed.map { case (k, s, _) => s""""$k":${ms3(s)}""" }.mkString("{", ",", "}")
     val rows = timed.map { case (k, _, n) => s""""$k":$n""" }.mkString("{", ",", "}")
     println(s"""{"metric":"ann_soak","mult":$mult,"shuffle_partitions":$parts,""" +

@@ -44,12 +44,20 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $msg")
           failures += name -> msg
         case Right(first) =>
-          val all = (first +: Seq.fill(runs - 1)(once()).map(_.getOrElse(
-            Double.NaN))).filterNot(_.isNaN).sorted
-          val t = all(all.size / 2)
-          System.err.println(
-            f"[bench] $name%-28s $t%8.3f s  (min ${all.head}%.3f / max ${all.last}%.3f)")
-          timings += Timing(name, t, all.last, all.head)
+          // a failure on ANY retry is still a failure of record — an
+          // intermittent OOM must not hide behind run 1's lucky timing
+          val rest = Seq.fill(runs - 1)(once())
+          rest.collectFirst { case Left(msg) => msg } match {
+            case Some(msg) =>
+              System.err.println(s"[bench] $name FAILED on retry: $msg")
+              failures += name -> s"failed on retry: $msg"
+            case None =>
+              val all = (first +: rest.map(_.toOption.get)).sorted
+              val t = all(all.size / 2)
+              System.err.println(
+                f"[bench] $name%-28s $t%8.3f s  (min ${all.head}%.3f / max ${all.last}%.3f)")
+              timings += Timing(name, t, all.last, all.head)
+          }
       }
       // Drop anything this query persisted for itself (localCheckpoint'd
       // sketch tables etc.) — otherwise 40+ queries accumulate GBs of dead

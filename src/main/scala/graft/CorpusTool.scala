@@ -63,13 +63,10 @@ object CorpusTool {
     spark.sparkContext.setLogLevel("ERROR")
     try {
       val df = run(spark, cmd, dir, opts)
+      // -l is honored as given (unlike Tool's reference-parity 50-row
+      // floor): `-l 10` prints 10 rows
       val topN = opts.get("-l").map(_.toInt).getOrElse(20)
-      opts.getOrElse("-o", "txt") match {
-        case "txt" => println(ReportSink.text(df, maxRows = math.max(topN, 50)))
-        case "csv" => ReportSink.csv(df, opts.getOrElse("--out", "/tmp/graft_corpus_out"))
-        case "json" => ReportSink.json(df, opts.getOrElse("--out", "/tmp/graft_corpus_out"))
-        case f => throw new IllegalArgumentException(s"unknown format: $f")
-      }
+      ReportSink.emit(df, opts, "/tmp/graft_corpus_out", maxRows = topN)
     } finally spark.stop()
   }
 }

@@ -44,11 +44,7 @@ object PipelineBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = java.nio.file.Files.createTempDirectory("graft_plsoak").toString
-    def time[A](f: => A): (Double, A) = {
-      val t0 = System.nanoTime()
-      val a = f
-      ((System.nanoTime() - t0) / 1e9, a)
-    }
+    import SoakUtil.{time, ms3}
 
     // --- corpus synthesis (distributed: a crossJoin against the replica
     // range plus codegen'd string ops; nothing is collected driver-side)
@@ -66,16 +62,7 @@ object PipelineBench {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       spark.read.parquet(s"$dir/documents.parquet").count()
     }
-    val (tGenEmbs, nEmbs) = time {
-      graft.core.Tables.embeddings(spark, base)
-        .crossJoin(reps)
-        .select((col("vec_id") + col("r") * 1000000L).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x + pmod(col("vec_id") * 7 + col("r") * 13 + i, lit(1000))
-              .cast("float") / lit(1000000.0f)).cast("float")).as("embedding"))
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      spark.read.parquet(s"$dir/embeddings.parquet").count()
-    }
+    val (tGenEmbs, nEmbs) = time(SoakUtil.synthEmbeddings(spark, base, mult, dir))
     require(nDocs == mult.toLong * graft.core.Tables.documents(spark, base).count(),
       s"scaled corpus row count $nDocs != mult x base")
 
@@ -87,15 +74,7 @@ object PipelineBench {
     val (tMinhash, nMinhashPairs) = time(
       graft.queries.VectorQueries.dedupMinhash(spark, dir).count())
 
-    // Sum of per-pool peak heap since start (monotone, so the last sample
-    // covers the run). Per-pool G1 peaks need not coincide in time, so the
-    // SUM can read above -Xmx; the hard bound of record is -Xmx itself —
-    // a capped run that completes proves the whole workload fit.
-    import scala.jdk.CollectionConverters._
-    val peakHeapMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(_.getType == java.lang.management.MemoryType.HEAP)
-      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
-    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val peakHeapMb = SoakUtil.peakHeapMb
     val rows = stages.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val secs = stages.map { case (k, _, s) => s""""$k":${ms3(s)}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"pipeline_soak","mult":$mult,"shuffle_partitions":$parts,"docs":$nDocs,"embeddings":$nEmbs,""" +

@@ -181,12 +181,8 @@ object Tool {
       if (verbosity >= 2) df.explain("formatted")
       val topN = opts.get("-l").map(_.toInt).getOrElse(20)
 
-      opts.getOrElse("-o", "txt") match {
-        case "txt" => println(ReportSink.text(df, maxRows = math.max(topN, 50)))
-        case "csv" => ReportSink.csv(df, opts.getOrElse("--out", "/tmp/graft_tool_out"))
-        case "json" => ReportSink.json(df, opts.getOrElse("--out", "/tmp/graft_tool_out"))
-        case f => throw new IllegalArgumentException(s"unknown format: $f")
-      }
+      ReportSink.emit(df, opts, "/tmp/graft_tool_out",
+        maxRows = math.max(topN, 50))
     } finally spark.stop()
   }
 }

@@ -25,11 +25,18 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          // outDir reuse (SPARK_GRAFT_ONLY iteration): a marker left by a
+          // previous failing run must not shadow this run's green parquet
+          Files.deleteIfExists(Paths.get(s"$outDir/$name.FAILED"))
           None
         } catch { case e: Throwable =>
           val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
           System.err.println(s"[verify] $name FAILED: $msg")
           Files.writeString(Paths.get(s"$outDir/$name.FAILED"), msg)
+          // and symmetrically: a stale green parquet from a previous run
+          // must not let the gate compare outdated data for a now-red query
+          val old = new java.io.File(s"$outDir/$name")
+          if (old.exists()) org.apache.commons.io.FileUtils.deleteQuietly(old)
           Some(msg)
         }
       name -> err

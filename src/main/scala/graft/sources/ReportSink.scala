@@ -10,6 +10,17 @@ import org.apache.spark.sql.DataFrame
 object ReportSink {
 
   /** CSV with header — the tool's `-o csv`. */
+  /** Shared CLI output dispatch ([[graft.Tool]] / [[graft.CorpusTool]]):
+    * txt to stdout (row-capped), csv/json to `--out` or the default. */
+  def emit(df: DataFrame, opts: Map[String, String],
+           defaultOut: String, maxRows: Int): Unit =
+    opts.getOrElse("-o", "txt") match {
+      case "txt" => println(text(df, maxRows = maxRows))
+      case "csv" => csv(df, opts.getOrElse("--out", defaultOut))
+      case "json" => json(df, opts.getOrElse("--out", defaultOut))
+      case f => throw new IllegalArgumentException(s"unknown format: $f")
+    }
+
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

@@ -95,13 +95,20 @@ object EventsStream {
   case class KmvRow(event_type: String, n_seen: Long, n_est: Long)
 
   /** The batch KMV hash recipe (`Analytics.qKmvDistinct`), verbatim:
-    * first 12 hex chars of md5("kmv_" + id) as a 48-bit long. */
-  private[streaming] def kmvHash(id: Long): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"kmv_$id".getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16)
+    * first 12 hex chars of md5("kmv_" + id) = the first 6 digest bytes
+    * big-endian as a 48-bit long — computed with byte math (no hex
+    * string), and the digest instance is caller-supplied so the
+    * streaming hot path pays one allocation per micro-batch group, not
+    * one per event row. */
+  private[streaming] def kmvHash(md: java.security.MessageDigest, id: Long): Long = {
+    md.reset()
+    val d = md.digest(s"kmv_$id".getBytes("UTF-8"))
+    ((d(0) & 0xFFL) << 40) | ((d(1) & 0xFFL) << 32) | ((d(2) & 0xFFL) << 24) |
+      ((d(3) & 0xFFL) << 16) | ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
   }
+
+  private[streaming] def kmvHash(id: Long): Long =
+    kmvHash(java.security.MessageDigest.getInstance("MD5"), id)
 
   /** Streaming distinct-count via a KMV sketch in group state — the
     * unbounded-cardinality counterpart of the exact `userActivity`
@@ -118,8 +125,9 @@ object EventsStream {
     import spark.implicits._
     def step(key: String, rows: Iterator[KeyedId],
              state: GroupState[KmvState]): KmvRow = {
+      val md = java.security.MessageDigest.getInstance("MD5")
       val cur = state.getOption.map(_.hs).getOrElse(Array.empty[Long])
-      val merged = (cur ++ rows.map(r => kmvHash(r.user_id)))
+      val merged = (cur ++ rows.map(r => kmvHash(md, r.user_id)))
         .distinct.sorted.take(k)
       state.update(KmvState(merged))
       val nEst = if (merged.length < k) merged.length.toLong

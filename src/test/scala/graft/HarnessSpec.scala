@@ -28,12 +28,43 @@ class HarnessSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(s"$out/bad")))
   }
 
+  test("Verify.dump on outDir reuse clears stale markers and stale parquet") {
+    // the local-iteration flow: rerun into the SAME outDir after a fix
+    val out = Files.createTempDirectory("graft-verify").toString
+    Verify.dump(spark, Sf, out, Map("q" -> boom _))
+    assert(Files.exists(Paths.get(s"$out/q.FAILED")))
+    // query fixed -> marker must vanish, parquet must appear
+    Verify.dump(spark, Sf, out, Map("q" -> ok _))
+    assert(!Files.exists(Paths.get(s"$out/q.FAILED")), "stale marker kept")
+    assert(Files.exists(Paths.get(s"$out/q")))
+    // query regresses -> old green parquet must not survive beside the marker
+    Verify.dump(spark, Sf, out, Map("q" -> boom _))
+    assert(Files.exists(Paths.get(s"$out/q.FAILED")))
+    assert(!Files.exists(Paths.get(s"$out/q")), "stale parquet kept")
+  }
+
   test("Bench.timeAll excludes a broken query from timings and records it as failed") {
     val (timings, failures) = Bench.timeAll(spark, Sf,
       Seq("good" -> ok _, "bad" -> boom _), runs = 2)
     assert(timings.map(_.name) == Seq("good"))
     assert(failures.map(_._1) == Seq("bad"))
     assert(failures.head._2.contains("deliberately broken"))
+  }
+
+  test("Bench.timeAll records a query that fails only on a RETRY as failed") {
+    // intermittent failure: run 1 succeeds, run 2 throws — must NOT be
+    // reported as a healthy single-sample timing
+    var calls = 0
+    def flaky(s: SparkSession, dir: String): DataFrame = {
+      calls += 1
+      if (calls > 1) throw new IllegalStateException("flaky on retry")
+      ok(s, dir)
+    }
+    val (timings, failures) = Bench.timeAll(spark, Sf,
+      Seq("flaky" -> (flaky _)), runs = 3)
+    assert(timings.isEmpty)
+    assert(failures.map(_._1) == Seq("flaky"))
+    assert(failures.head._2.contains("retry"))
   }
 
   test("Bench.renderJson carries failed map and puts the median map last") {
