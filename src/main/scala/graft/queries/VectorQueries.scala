@@ -1059,7 +1059,10 @@ object VectorQueries extends QueryModule {
   /** The banded-LSH candidate pair table (doc_a, doc_b, n_bands) —
     * [[dedupMinhash]] is its sorted listing; [[minhashKeep]] feeds it to
     * connected components. */
-  private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The banded-signature table (doc_id, band, bh), checkpointed — both
+    * self-join sides of [[minhashPairs]] and both halves of
+    * [[minhashIncr]]'s corpus/batch split reuse it. */
+  private def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
     val numHashes = 12
     val bandSize = 2
     val sigCols = (0 until numHashes).map { i =>
@@ -1079,15 +1082,71 @@ object VectorQueries extends QueryModule {
       struct(lit(b).as("band"),
         conv(substring(md5(concat_ws("_", cols: _*)), 1, 15), 16, 10).cast("long").as("bh"))
     }
-    val exploded = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
       .localCheckpoint() // signature table built once, reused by both join sides
+  }
+
+  private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val exploded = minhashBands(spark, sfDir)
     exploded.as("x").join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
+
+  /** Incremental fuzzy dedup — "dedup the new crawl against the existing
+    * corpus", the arriving-batch counterpart of [[dedupBloom]]'s exact
+    * gate: batch docs (here the deterministic doc_id%5=0 slice) probe the
+    * CORPUS band table for near-dup matches; corpus-internal pairs are
+    * never generated, so per-batch cost is |batch bands| ⋈ the band
+    * index, not a corpus self-join. One row per batch doc: its best
+    * corpus match (most shared bands, ties to the smaller id) or
+    * dup_of = −1 when the batch doc is genuinely new. At 100 TB the
+    * corpus band table is the persistent index this query's shape
+    * maintains incrementally. */
+  def minhashIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = minhashBands(spark, sfDir)
+    val corpus = bands.filter(col("doc_id") % 5 =!= 0)
+    val batch = bands.filter(col("doc_id") % 5 === 0)
+    val best = corpus.as("x").join(batch.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .groupBy(col("y.doc_id").as("new_doc"), col("x.doc_id").as("dup_of"))
+      .agg(count(lit(1)).as("n_bands"))
+      .groupBy(col("new_doc"))
+      .agg(min(struct((-col("n_bands")).as("nb"), col("dup_of").as("d"))).as("k"))
+      .select(col("new_doc"), col("k.d").as("dup_of"), (-col("k.nb")).as("n_bands"))
+    Tables.documents(spark, sfDir).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("new_doc"))
+      .join(best, Seq("new_doc"), "left")
+      .select(col("new_doc").as("doc_id"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("n_bands"), lit(0L)).as("n_bands"),
+        col("dup_of").isNotNull.cast("int").as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: minhashCtes is declared later in this object (strict would
+  // interpolate null at init — the kmeansCtes footgun)
+  lazy val minhashIncrSql: String = s"""
+    WITH $minhashCtes, pr AS (
+      SELECT y.doc_id AS new_doc, x.doc_id AS dup_of, count(*) AS n_bands
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bh = y.bh
+       AND x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT new_doc, min({'nb': -n_bands, 'd': dup_of}) AS k
+      FROM pr GROUP BY new_doc
+    )
+    SELECT d.doc_id,
+           coalesce(k.d, -1) AS dup_of,
+           CAST(coalesce(-k.nb, 0) AS bigint) AS n_bands,
+           CAST(k.d IS NOT NULL AS int) AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN best ON best.new_doc = d.doc_id
+    ORDER BY doc_id"""
 
   /** The production fuzzy-dedup chain at 100 TB: banded-MinHash candidate
     * pairs ([[minhashPairs]] — sketch-sized state, no shingle self-join)
@@ -1600,6 +1659,7 @@ object VectorQueries extends QueryModule {
     "d_semdedup_eval"   -> (semDedupEval _),
     "d_dedup_minhash"   -> (dedupMinhash _),
     "d_minhash_keep"    -> (minhashKeep _),
+    "d_minhash_incr"    -> (minhashIncr _),
     "d_dedup_simhash"   -> (dedupSimhash _),
     "d_simhash_eval"    -> (simhashEval _),
     "e_label_centroids" -> (labelCentroids _),
@@ -1632,6 +1692,7 @@ object VectorQueries extends QueryModule {
     "e_ann_recall"      -> annRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_minhash_keep"    -> minhashKeepSql,
+    "d_minhash_incr"    -> minhashIncrSql,
     "d_dedup_simhash"   -> dedupSimhashSql,
     "d_simhash_eval"    -> simhashEvalSql,
     "e_label_centroids" -> labelCentroidsSql,

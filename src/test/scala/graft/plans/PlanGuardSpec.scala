@@ -32,7 +32,7 @@ class PlanGuardSpec extends SparkSpecBase {
                   "e_ann_ivfpq_rerank", "e_ann_ivfsq", "t_tfidf_keywords",
                   "d_minhash_keep", "m_phash_dedup", "q10_returned_top",
                   "q_events_seasonality", "q_kmv_merge_rollup",
-                  "e_ann_filtered"))
+                  "e_ann_filtered", "d_minhash_incr"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
