@@ -15,7 +15,8 @@ import graft.sources.ReportSink
   * usage: `runMain graft.CorpusTool <command> <corpusDir> [options]`
   *
   * commands: stats dedup minhash minhashkeep jaccard containment clusters
-  * keep semdedup semdedupeval quality langid keywords sample pack pii
+  * keep semdedup semdedupeval quality gopher dsir spandup langid keywords
+  * sample pack pii
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -34,6 +35,9 @@ object CorpusTool {
     "semdedup"    -> "d_semdedup",
     "semdedupeval" -> "d_semdedup_eval",
     "quality"     -> "t_quality_score",
+    "gopher"      -> "t_gopher_rules",
+    "dsir"        -> "t_dsir_weight",
+    "spandup"     -> "t_span_dup_rate",
     "langid"      -> "t_lang_id",
     "sample"      -> "t_quality_sample",
     "pack"        -> "t_pack_sequences",

@@ -1373,6 +1373,225 @@ object Analytics extends QueryModule {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  /** Theta/KMV sketch set INTERSECTION — the sketch-algebra step beyond
+    * single-set KMV (`q_kmv_distinct`) and union merge
+    * (`q_kmv_merge_rollup`): estimate |click-users ∩ purchase-users| from
+    * two k=64 KMV synopses alone (thresholded "big-click" vs "big-purchase" user sets, so the sets differ and, at sf0.1, both sketches are in the estimating regime). Textbook theta rule: θ = min over the
+    * two sketches of (h_k, or 2⁴⁸ when the sketch is exact), the sample is
+    * the common hashes below θ, and the estimate is n_common·2⁴⁸ div θ.
+    * Every step is md5/integer arithmetic → DuckDB re-derives it exactly.
+    * Scale shape: ONE distinct shuffle over (type, user); everything
+    * after runs on ≤2k sketch rows with the θ scalar broadcast. */
+  def qKmvIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val k = 64
+    val full = (1L << 48)
+    // value ≥ 150 makes "big-click users" and "big-purchase users"
+    // genuinely different sets (≈50/45/20% of users at sf0.01) — without
+    // it every user has every event type and the intersection is trivial
+    val pairs = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase") && col("value") >= 150)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(false) // feeds the sketches AND the exact readouts
+    val hashed = pairs.select(col("event_type"),
+      conv(substring(md5(concat(lit("kmv_"), col("user_id").cast("string"))), 1, 12), 16, 10)
+        .cast("long").as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val kept = hashed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k).select(col("event_type"), col("h"))
+      .localCheckpoint(false) // the two ≤k-row synopses
+    val theta = kept.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("h_k"))
+      .agg(min(when(col("n_seen") < k, full).otherwise(col("h_k"))).as("theta"))
+    val common = kept.filter(col("event_type") === "click").select(col("h"))
+      .join(kept.filter(col("event_type") === "purchase").select(col("h")), "h")
+      .crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_common"), max(col("theta")).as("theta"))
+    val exacts = pairs.groupBy(col("user_id")).agg(count(lit(1)).as("nt"))
+      .agg(sum(when(col("nt") === 2, 1L).otherwise(0L)).as("n_inter_exact"))
+      .crossJoin(pairs.filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n_a")))
+      .crossJoin(pairs.filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n_b")))
+    broadcast(exacts).crossJoin(common)
+      .select(lit(k.toLong).as("k"), col("n_a"), col("n_b"), col("n_inter_exact"),
+        col("n_common"), expr(s"n_common * $full div theta").as("n_inter_est"))
+      .withColumn("err_bp",
+        floor(abs(col("n_inter_est") - col("n_inter_exact")) * 10000.0 /
+          col("n_inter_exact")).cast("long"))
+  }
+
+  val qKmvIntersectSql: String = s"""
+    WITH p AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase') AND value >= 150
+    ), hh AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5('kmv_' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+      FROM p
+    ), keep AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+      FROM hh
+    ), th AS (
+      SELECT min(CASE WHEN n_seen < 64 THEN ${1L << 48} ELSE h_k END) AS theta
+      FROM (SELECT event_type, count(*) AS n_seen, max(h) AS h_k
+            FROM keep WHERE rnk <= 64 GROUP BY event_type)
+    ), com AS (
+      SELECT count(*) AS n_common, max(theta) AS theta
+      FROM (SELECT h FROM keep WHERE rnk <= 64 AND event_type = 'click') a
+      JOIN (SELECT h FROM keep WHERE rnk <= 64 AND event_type = 'purchase') b USING (h)
+      CROSS JOIN th
+      WHERE h < theta
+    ), ex AS (
+      SELECT CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS bigint) AS n_a,
+             CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS bigint) AS n_b
+      FROM p
+    ), exi AS (
+      SELECT CAST(count(*) AS bigint) AS n_inter_exact
+      FROM (SELECT user_id FROM p GROUP BY user_id HAVING count(*) = 2)
+    )
+    SELECT CAST(64 AS bigint) AS k, n_a, n_b, n_inter_exact,
+           CAST(n_common AS bigint) AS n_common,
+           CAST(n_common * ${1L << 48} // theta AS bigint) AS n_inter_est,
+           CAST(floor(abs(n_common * ${1L << 48} // theta - n_inter_exact) * 10000.0
+                / n_inter_exact) AS bigint) AS err_bp
+    FROM ex CROSS JOIN exi CROSS JOIN com"""
+
+  /** Robust anomaly detection: per event type, the exact median and MAD
+    * (median absolute deviation) of value cents, plus the count of events
+    * whose deviation exceeds 5×MAD — the robust-z outlier rule that, unlike
+    * mean/stddev, a single large outlier cannot drag. Both medians use the
+    * shared exact-rank pick (rn == ceil(0.5·n)) so every engine agrees
+    * bit-for-bit. Shuffle posture: two ranked passes partitioned by the
+    * 5-value event_type domain (same documented skew caveat as
+    * [[qPercentiles]] — the 100 TB path is the log-bucket sketch twin
+    * `q_percentiles_approx`); the 5-row median/MAD tables re-enter as
+    * broadcast joins, never a shuffle. */
+  def qAnomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("v"))
+    val w  = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val wn = Window.partitionBy(col("event_type"))
+    val med = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("event_type")).agg(exactPick(0.5).as("med_c"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med_c"), abs(col("v") - col("med_c")).as("v"))
+    val mad = dev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("event_type")).agg(exactPick(0.5).as("mad_c"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), max(col("med_c")).as("med_c"),
+        max(col("mad_c")).as("mad_c"),
+        sum(when(col("v") > lit(5) * col("mad_c"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val qAnomalyMadSql: String = """
+    WITH ev AS (
+      SELECT event_type, CAST(floor(value * 100) AS bigint) AS v FROM events
+    ), med AS (
+      SELECT event_type, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS bigint) THEN v END) AS med_c
+      FROM (SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM ev)
+      GROUP BY event_type
+    ), dev AS (
+      SELECT ev.event_type, med_c, abs(v - med_c) AS v
+      FROM ev JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS bigint) THEN v END) AS mad_c
+      FROM (SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev)
+      GROUP BY event_type
+    )
+    SELECT d.event_type, count(*) AS n_rows, max(d.med_c) AS med_c, max(m.mad_c) AS mad_c,
+           CAST(sum(CASE WHEN d.v > 5 * m.mad_c THEN 1 ELSE 0 END) AS bigint) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type"""
+
+  /** Triangle counting + global clustering coefficient over the co-order
+    * part graph (parts are connected when some order contains both). The
+    * scale-correct shape: per-order map-side pair expansion (orders hold
+    * ≤7 parts — never a corpus self-join) → distinct edge list → each edge
+    * ORIENTED from its lower (degree, id) endpoint to the higher, which
+    * turns every triangle into exactly one out-wedge + one closing edge
+    * and bounds any node's out-degree by O(√|E|) (Suri & Vassilvitskii,
+    * WWW'11) — the wedge join's blow-up is capped even on power-law hubs.
+    * Endpoint keys pack (degree, id) into one long so the wedge's two legs
+    * order identically to the closing edge's orientation. Output is one
+    * row: |V|, |E|, wedge count Σ C(deg,2), triangles, and the global
+    * clustering coefficient 3·T/wedges in basis points. */
+  def qGraphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val edges = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(QueryModule.sortedPairs(col("ps"))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .distinct()
+      .localCheckpoint(false) // feeds degrees, orientation, and the closing join
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(false) // feeds both endpoint joins + the wedge total
+    // (degree, id) packed into one orderable long: degree and partkey both
+    // fit in 31 bits at any TPC-H scale factor.
+    def key(d: Column, id: Column): Column = shiftleft(d, 32) + id
+    val keyed = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+      .select(col("u"), col("v"), key(col("du"), col("u")).as("ku"),
+        key(col("dv"), col("v")).as("kv"))
+    val oriented = keyed.select(
+        when(col("ku") < col("kv"), col("ku")).otherwise(col("kv")).as("src"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("dst"))
+      .localCheckpoint(false) // wedge legs ⋈ closing edges
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+    val tri = wedges.join(oriented, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val totals = edges.agg(count(lit(1)).as("n_edges")).crossJoin(
+      deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges")))
+    broadcast(totals).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        floor(lit(3) * col("n_triangles") * 10000.0 / col("n_wedges"))
+          .cast("long").as("global_cc_bp"))
+  }
+
+  val qGraphTrianglesSql: String = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3
+        ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS bigint) FROM deg) AS n_wedges,
+           n_triangles,
+           CAST(floor(3 * n_triangles * 10000.0 /
+                (SELECT sum(d * (d - 1) / 2) FROM deg)) AS bigint) AS global_cc_bp
+    FROM tri"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> (q4OrderPriority _),
     "q8_market_share"   -> (q8MarketShare _),
@@ -1381,6 +1600,9 @@ object Analytics extends QueryModule {
     "q_retention"       -> (qRetention _),
     "q_transitions"     -> (qTransitions _),
     "q_basket_pairs"    -> (qBasketPairs _),
+    "q_anomaly_mad"     -> (qAnomalyMad _),
+    "q_kmv_intersect"   -> (qKmvIntersect _),
+    "q_graph_triangles" -> (qGraphTriangles _),
     "q_events_dau"      -> (qEventsDau _),
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
@@ -1423,6 +1645,9 @@ object Analytics extends QueryModule {
     "q_retention"       -> qRetentionSql,
     "q_transitions"     -> qTransitionsSql,
     "q_basket_pairs"    -> qBasketPairsSql,
+    "q_anomaly_mad"     -> qAnomalyMadSql,
+    "q_kmv_intersect"   -> qKmvIntersectSql,
+    "q_graph_triangles" -> qGraphTrianglesSql,
     "q_events_dau"      -> qEventsDauSql,
     "q_events_seasonality" -> qEventsSeasonalitySql,
     "q_percentiles_approx" -> qPercentilesApproxSql,

@@ -1881,6 +1881,178 @@ object TextQueries extends QueryModule {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  // ----------------------------------------------------- span dup rate
+
+  /** Span-level duplication rate (the Lee et al. 2021 "deduplicating
+    * training data" corpus readout): for each doc, what fraction of its
+    * distinct 3-gram spans also occurs in at least one OTHER doc — the
+    * per-doc number that tells you how much of a document survives
+    * span-level dedup, as opposed to the pairwise views (`d_containment`)
+    * or the corpus-level hot-shingle list (`t_top_shingles`). Spans ride
+    * the shared 60-bit shingle keys; df ≥ 2 over per-doc-deduped keys ⇒
+    * the span exists elsewhere. Shuffle posture: one shingle-key groupBy
+    * for the df table, one equi-join back, one per-doc re-agg — the
+    * standard inverted-index shape; no self-join, and the df table stays
+    * key-partitioned (never collected or broadcast). */
+  def spanDupRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(graft.functions.word_shingle_keys(col("text"))).as("sh"))
+      .localCheckpoint() // feeds the df histogram AND the rejoin probe
+    val dfT = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    ex.join(dfT, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        floor(col("n_dup") * 10000.0 / col("n_spans")).cast("long").as("dup_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanDupRateSql: String = s"""
+    WITH ex AS (
+      SELECT doc_id, unnest(shs) AS sh FROM (
+        SELECT doc_id, ${shingleKeysSql("text")} AS shs
+        FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+      )
+    ), dfs AS (
+      SELECT sh, count(*) AS df FROM ex GROUP BY sh
+    )
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_dup,
+           CAST(floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS bigint) AS dup_bp
+    FROM ex JOIN dfs USING (sh)
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
+  // ------------------------------------------------------- gopher rules
+
+  /** Gopher-style quality-rule audit (Rae et al. 2021 §A1.1, re-expressed
+    * as integer predicates): per source, how many docs each rule would
+    * drop and how many pass all of them. Rules: word count outside
+    * [10, 1000]; mean word length outside [3, 10] (integer form:
+    * non-ws chars vs 3·nw / 10·nw); symbol-to-word ratio > 0.1 (ellipsis
+    * or '#'); < 80% of words containing an alphabetic char; fewer than 2
+    * distinct stopwords present. Per-row predicate evaluation, one
+    * map-side-combined shuffle onto the |sources| domain — scale-free. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(words(col("text")), w => length(w) > lit(0))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val d = Tables.documents(spark, sfDir).select(
+      col("source"),
+      size(toks).cast("long").as("nw"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("nc"),
+      regexp_count(col("text"), lit("(\\.\\.\\.|#)")).cast("long").as("nsym"),
+      size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("long").as("nalpha"),
+      size(filter(stopArr, s => array_contains(words(lower(col("text"))), s)))
+        .cast("long").as("nstop"))
+    val fWc    = col("nw") < 10 || col("nw") > 1000
+    val fMwl   = col("nc") < lit(3) * col("nw") || col("nc") > lit(10) * col("nw")
+    val fSym   = lit(10) * col("nsym") > col("nw")
+    val fAlpha = lit(5) * col("nalpha") < lit(4) * col("nw")
+    val fStop  = col("nstop") < 2
+    def cnt(f: Column): Column = sum(when(f, 1L).otherwise(0L))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(fWc).as("n_fail_wc"), cnt(fMwl).as("n_fail_mwl"),
+        cnt(fSym).as("n_fail_sym"), cnt(fAlpha).as("n_fail_alpha"),
+        cnt(fStop).as("n_fail_stop"),
+        cnt(!(fWc || fMwl || fSym || fAlpha || fStop)).as("n_pass"))
+      .orderBy(col("source"))
+  }
+
+  val gopherRulesSql: String = s"""
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS bigint) AS nw,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS bigint) AS nc,
+             CAST(len(regexp_extract_all(text, '(\\.\\.\\.|#)')) AS bigint) AS nsym,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  w -> regexp_matches(w, '[a-zA-Z]'))) AS bigint) AS nalpha,
+             CAST(len(list_filter($stopListSql,
+                                  s -> list_contains(string_split_regex(lower(text), '\\s+'), s))) AS bigint) AS nstop
+      FROM documents
+    ), f AS (
+      SELECT source,
+             (nw < 10 OR nw > 1000) AS f_wc,
+             (nc < 3 * nw OR nc > 10 * nw) AS f_mwl,
+             (10 * nsym > nw) AS f_sym,
+             (5 * nalpha < 4 * nw) AS f_alpha,
+             (nstop < 2) AS f_stop
+      FROM d
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS bigint) AS n_fail_wc,
+           CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS bigint) AS n_fail_mwl,
+           CAST(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS bigint) AS n_fail_sym,
+           CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS bigint) AS n_fail_alpha,
+           CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS bigint) AS n_fail_stop,
+           CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop)
+                    THEN 1 ELSE 0 END) AS bigint) AS n_pass
+    FROM f
+    GROUP BY source
+    ORDER BY source"""
+
+  // ---------------------------------------------------------- DSIR weights
+
+  /** DSIR-style importance readout (Xie et al. 2023, hashed-n-gram
+    * importance sampling) with an integer-exact scoring rule: tokens hash
+    * into 64 md5 buckets; per-bucket counts are taken for the "target"
+    * style corpus (sources src0–src3) and the rest; each doc scores
+    * +1/−1/0 per token for buckets over/under/at-parity between target and
+    * raw, compared by integer cross-multiplication (cnt_t·tot_r vs
+    * cnt_r·tot_t — no float log-ratios, so the oracle re-derives it
+    * bit-for-bit; at real scale you'd switch the sign test to the
+    * log-likelihood-ratio sum, same plan shape). Shuffle posture: one
+    * token explode feeding (a) the 64-row bucket table — broadcast back —
+    * and (b) the per-doc re-agg with map-side combine. Never a corpus
+    * self-join. */
+  def dsirWeight(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val TargetSrcs = Seq("src0", "src1", "src2", "src3")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        col("source").isInCollection(TargetSrcs).as("is_t"),
+        explode(filter(words(lower(col("text"))), w => length(w) > lit(0))).as("tok"))
+      .withColumn("b", conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long") % 64)
+      .localCheckpoint(false) // feeds the bucket histogram AND the per-doc score
+    val buckets = toks.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("cnt_r"))
+    val tot = buckets.agg(sum(col("cnt_t")).as("tot_t"), sum(col("cnt_r")).as("tot_r"))
+    val bt = broadcast(buckets.crossJoin(broadcast(tot)))
+    toks.join(bt, "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("cnt_t") * col("tot_r") > col("cnt_r") * col("tot_t"), 1L)
+          .when(col("cnt_t") * col("tot_r") < col("cnt_r") * col("tot_t"), -1L)
+          .otherwise(0L)).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightSql: String = """
+    WITH toks AS (
+      SELECT doc_id, source, (source IN ('src0', 'src1', 'src2', 'src3')) AS is_t,
+             CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 64 AS b
+      FROM (SELECT doc_id, source,
+                   unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ), buckets AS (
+      SELECT b,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS bigint) AS cnt_t,
+             CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS bigint) AS cnt_r
+      FROM toks GROUP BY b
+    ), tot AS (
+      SELECT sum(cnt_t) AS tot_t, sum(cnt_r) AS tot_r FROM buckets
+    )
+    SELECT doc_id, source, CAST(count(*) AS bigint) AS n_toks,
+           CAST(sum(CASE WHEN cnt_t * tot_r > cnt_r * tot_t THEN 1
+                         WHEN cnt_t * tot_r < cnt_r * tot_t THEN -1
+                         ELSE 0 END) AS bigint) AS score
+    FROM toks JOIN buckets USING (b) CROSS JOIN tot
+    GROUP BY doc_id, source
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_chunk"         -> (chunk _),
     "t_bm25_search"   -> (bm25Search _),
@@ -1922,6 +2094,9 @@ object TextQueries extends QueryModule {
     "t_pii_scrub"     -> (piiScrub _),
     "t_pack_sequences" -> (packSequences _),
     "t_tfidf_keywords" -> (tfidfKeywords _),
+    "t_gopher_rules"  -> (gopherRules _),
+    "t_span_dup_rate" -> (spanDupRate _),
+    "t_dsir_weight"   -> (dsirWeight _),
     "t_normalize"     -> (normalizeText _))
 
   val oracles: Map[String, String] = Map(
@@ -1965,5 +2140,8 @@ object TextQueries extends QueryModule {
     "t_pii_scrub"     -> piiScrubSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_tfidf_keywords" -> tfidfKeywordsSql,
+    "t_gopher_rules"  -> gopherRulesSql,
+    "t_span_dup_rate" -> spanDupRateSql,
+    "t_dsir_weight"   -> dsirWeightSql,
     "t_normalize"     -> normalizeTextSql)
 }

@@ -1633,8 +1633,64 @@ object VectorQueries extends QueryModule {
     GROUP BY pos
     ORDER BY pos"""
 
+  /** Exact ROC-AUC per label, one-vs-rest, via the Mann–Whitney rank sum
+    * — the eval every retrieval/quality scorer feeding a data pipeline
+    * needs. Score = Σ floor(eᵢ·10⁶) per vector (integer-exact in both
+    * engines — per-element IEEE double multiply then floor, summed as
+    * longs, no order-dependent float accumulation). Tie handling is the
+    * textbook average-rank rule kept in integers: a row in a score-group
+    * of size n starting at cumulative rank c−n+1 has 2·avgRank =
+    * 2c−n+1, so AUC_bp = 10⁴·(Σ2R₊ − p(p+1)) div (2pq). Shuffle posture:
+    * one groupBy(score) histogram, one cumulative window over the
+    * DISTINCT-score domain (eval-sized by definition; the raw corpus
+    * never sorts globally), then a per-label re-agg; the 1-row total is
+    * a broadcast. Integer range: 10⁴·Σ2R ≲ 2·10⁴·N² — fine to ~10⁷
+    * rows; past that, switch the final ratio to doubles (same plan). */
+  def aucLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("label"),
+        aggregate(vec(col("embedding")), lit(0L),
+          (acc, x) => acc + floor(x * 1e6).cast("long")).as("score"))
+    val byScore = scored.groupBy(col("score")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("score"))))
+    val bySL = scored.groupBy(col("score"), col("label")).agg(count(lit(1)).as("cnt"))
+    val tot = scored.agg(count(lit(1)).as("n_total"))
+    bySL.join(byScore, "score")
+      .select(col("label"), col("cnt"),
+        (col("cnt") * (lit(2) * col("cum") - col("n") + 1)).as("sum2r"))
+      .groupBy(col("label"))
+      .agg(sum(col("cnt")).as("n_pos"), sum(col("sum2r")).as("sum_2r"))
+      .crossJoin(broadcast(tot))
+      .select(col("label"), col("n_pos"), (col("n_total") - col("n_pos")).as("n_neg"),
+        expr("(10000 * (sum_2r - n_pos * (n_pos + 1))) div (2 * n_pos * (n_total - n_pos))")
+          .as("auc_bp"))
+      .orderBy(col("label"))
+  }
+
+  val aucLabelSql: String = """
+    WITH scored AS (
+      SELECT CAST(label AS bigint) AS label,
+             CAST(list_sum(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint))) AS bigint) AS score
+      FROM embeddings
+    ), by_score AS (
+      SELECT score, count(*) AS n FROM scored GROUP BY score
+    ), cum AS (
+      SELECT score, n, sum(n) OVER (ORDER BY score) AS cum FROM by_score
+    ), by_sl AS (
+      SELECT score, label, count(*) AS cnt FROM scored GROUP BY score, label
+    ), tot AS (SELECT count(*) AS n_total FROM scored)
+    SELECT label, CAST(sum(cnt) AS bigint) AS n_pos,
+           CAST(max(n_total) - sum(cnt) AS bigint) AS n_neg,
+           CAST((10000 * (sum(cnt * (2 * cum - n + 1)) - sum(cnt) * (sum(cnt) + 1)))
+                // (2 * sum(cnt) * (max(n_total) - sum(cnt))) AS bigint) AS auc_bp
+    FROM by_sl JOIN cum USING (score) CROSS JOIN tot
+    GROUP BY label
+    ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_dim_stats"       -> (dimStats _),
+    "e_auc_label"       -> (aucLabel _),
     "d_minhash_recall"  -> (minhashRecall _),
     "e_quantize_int8"   -> (quantizeInt8 _),
     "e_kmeans"          -> (kmeans _),
@@ -1668,6 +1724,7 @@ object VectorQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "e_dim_stats"       -> dimStatsSql,
+    "e_auc_label"       -> aucLabelSql,
     "d_minhash_recall"  -> minhashRecallSql,
     "e_quantize_int8"   -> quantizeInt8Sql,
     "e_kmeans"          -> kmeansSql,

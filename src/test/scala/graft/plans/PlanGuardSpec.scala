@@ -32,8 +32,39 @@ class PlanGuardSpec extends SparkSpecBase {
                   "e_ann_ivfpq_rerank", "e_ann_ivfsq", "t_tfidf_keywords",
                   "d_minhash_keep", "m_phash_dedup", "q10_returned_top",
                   "q_events_seasonality", "q_kmv_merge_rollup",
-                  "e_ann_filtered", "d_minhash_incr"))
+                  "e_ann_filtered", "d_minhash_incr",
+                  "q_anomaly_mad", "t_gopher_rules", "t_dsir_weight",
+                  "t_span_dup_rate", "e_auc_label", "q_kmv_intersect"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
+  }
+
+  test("t_span_dup_rate joins the df table by shingle key, never nested-loop") {
+    // the rejoin must stay an equi-join KEYED on the shingle hash (at
+    // sf0.001 the planner may broadcast the tiny df table — fine; at
+    // corpus scale stats keep it shuffled). A dropped key would degrade
+    // to a nested-loop over the whole inverted index.
+    val p = plan("t_span_dup_rate")
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[sh#".r
+      .findFirstIn(p).isDefined, "shingle-key equi-join missing in t_span_dup_rate")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in t_span_dup_rate")
+  }
+
+  test("q_graph_triangles closes wedges with an equi-join, not all-pairs") {
+    // the wedge legs join on src and the closing edge joins on (src, dst)
+    // — both hash/merge equi-joins; the only nested-loop allowed is the
+    // broadcast single-row totals cross-join
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct"), "cartesian in q_graph_triangles")
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[src#".r
+      .findFirstIn(p).isDefined, "wedge equi-join missing in q_graph_triangles")
+  }
+
+  test("t_dsir_weight rejoins the bucket table as a broadcast") {
+    // the 64-row bucket histogram must come back to the token stream as a
+    // broadcast hash join — a shuffled join here would re-shuffle the
+    // whole token explode on the 64-value bucket key (max parallelism 64)
+    assert(plan("t_dsir_weight").contains("BroadcastHashJoin"),
+      "bucket broadcast missing in t_dsir_weight")
   }
 
   test("e_ann_ivfsq candidates come from the cell equi-join, not all-pairs") {
