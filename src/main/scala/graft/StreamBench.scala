@@ -69,6 +69,7 @@ object StreamBench {
       bench("dedup", "append")(EventsStream.dedupedEvents(_)),
       bench("sessionize", "append")(EventsStream.sessionize(_).toDF()),
       bench("kmv_distinct", "update")(EventsStream.kmvDistinct(_).toDF()),
+      bench("heavy_hitters", "update")(EventsStream.heavyHitters(_).toDF()),
       bench("enriched", "append") { df =>
         val dim = spark.range(0, 1000)
           .select(col("id").as("user_id"), (col("id") % 7).as("segment"))

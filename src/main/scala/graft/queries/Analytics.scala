@@ -1570,6 +1570,79 @@ object Analytics extends QueryModule {
           .cast("long").as("global_cc_bp"))
   }
 
+  /** PageRank (5 power iterations, damping 0.85) over the undirected
+    * co-order part graph, in INTEGER arithmetic so DuckDB re-derives every
+    * iteration bit-for-bit: total mass 10¹², rank_{i+1}(v) =
+    * (15·S) div (100·N) + (85·Σᵤ rank_i(u) div deg(u)) div 100. The
+    * Spark-first iterative-graph shape: the (u,v,outd) edge table is
+    * materialized ONCE (localCheckpoint) and each iteration is one
+    * equi-join + one map-side-combined groupBy on the destination,
+    * checkpointed to cut the 5-deep lineage — the plan per iteration
+    * stays constant-depth, no recursive blow-up. The 1-row node count
+    * rides along as a broadcast. Top-20 by rank via TakeOrdered. */
+  def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val S = 1000000000000L
+    val iters = 5
+    val und = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(QueryModule.sortedPairs(col("ps"))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .distinct()
+    val e = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("outd"))
+    val er = e.join(deg, "u").localCheckpoint() // reused by all 5 iterations
+    val n = deg.agg(count(lit(1)).as("nn"))
+    var r = deg.select(col("u").as("node")).crossJoin(broadcast(n))
+      .select(col("node"), expr(s"$S div nn").as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      r = er.join(r, er("u") === r("node"))
+        .groupBy(col("v"))
+        .agg(sum(expr("rank div outd")).as("m"))
+        .crossJoin(broadcast(n))
+        .select(col("v").as("node"),
+          expr(s"(15 * $S) div (100 * nn) + (85 * m) div 100").as("rank"))
+        .localCheckpoint()
+    }
+    r.orderBy(col("rank").desc, col("node")).limit(20)
+  }
+
+  val qPagerankSql: String = {
+    val S = "1000000000000"
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+        SELECT e.v AS node,
+               CAST((15 * $S) // (100 * nn)
+                    + (85 * CAST(sum($prev.rank // d.outd) AS bigint)) // 100
+                 AS bigint) AS rank
+        FROM e JOIN $prev ON e.u = $prev.node JOIN deg d ON e.u = d.node
+        CROSS JOIN n GROUP BY e.v, nn
+      )"""
+    s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), e AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), deg AS (
+      SELECT u AS node, count(*) AS outd FROM e GROUP BY u
+    ), n AS (SELECT count(*) AS nn FROM deg),
+    r0 AS (
+      SELECT node, CAST($S // nn AS bigint) AS rank FROM deg CROSS JOIN n
+    ),
+    ${iter("r0", "r1")},
+    ${iter("r1", "r2")},
+    ${iter("r2", "r3")},
+    ${iter("r3", "r4")},
+    ${iter("r4", "r5")}
+    SELECT node, rank FROM r5
+    ORDER BY rank DESC, node
+    LIMIT 20"""
+  }
+
   val qGraphTrianglesSql: String = """
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (
@@ -1603,6 +1676,7 @@ object Analytics extends QueryModule {
     "q_anomaly_mad"     -> (qAnomalyMad _),
     "q_kmv_intersect"   -> (qKmvIntersect _),
     "q_graph_triangles" -> (qGraphTriangles _),
+    "q_pagerank"        -> (qPagerank _),
     "q_events_dau"      -> (qEventsDau _),
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
@@ -1648,6 +1722,7 @@ object Analytics extends QueryModule {
     "q_anomaly_mad"     -> qAnomalyMadSql,
     "q_kmv_intersect"   -> qKmvIntersectSql,
     "q_graph_triangles" -> qGraphTrianglesSql,
+    "q_pagerank"        -> qPagerankSql,
     "q_events_dau"      -> qEventsDauSql,
     "q_events_seasonality" -> qEventsSeasonalitySql,
     "q_percentiles_approx" -> qPercentilesApproxSql,

@@ -139,6 +139,46 @@ object EventsStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
   }
 
+  case class HHState(keys: Array[Long], counts: Array[Long])
+  case class HHRow(event_type: String, user_id: Long, est_count: Long)
+
+  /** Streaming heavy hitters per event type via a Misra–Gries summary in
+    * group state — the frequent-items counterpart of [[kmvDistinct]]'s
+    * bounded-state posture: at most `m` (key, count) pairs live per type
+    * FOREVER, whatever the key cardinality, and the classic guarantee
+    * holds across micro-batches because the state IS the running summary
+    * the next batch folds into: any key with true frequency > n/m is
+    * guaranteed present, and every emitted estimate undercounts by at
+    * most n/m (n = total events seen for the type). Update-mode: each
+    * batch emits the current candidate set, largest first. */
+  def heavyHitters(events: DataFrame, m: Int = 8): Dataset[HHRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def step(key: String, rows: Iterator[KeyedId],
+             state: GroupState[HHState]): Iterator[HHRow] = {
+      val acc = scala.collection.mutable.LongMap.empty[Long]
+      state.getOption.foreach(s => s.keys.zip(s.counts).foreach(kv => acc += kv))
+      rows.foreach { r =>
+        val id = r.user_id
+        if (acc.contains(id)) acc(id) += 1
+        else if (acc.size < m) acc(id) = 1L
+        else {
+          // decrement-all: the O(m) step that buys the n/m error bound
+          val dead = Array.newBuilder[Long]
+          acc.foreachEntry { (k, v) => if (v == 1L) dead += k else acc(k) = v - 1 }
+          dead.result().foreach(acc -= _)
+        }
+      }
+      val kept = acc.toArray.sortBy { case (k, v) => (-v, k) }
+      state.update(HHState(kept.map(_._1), kept.map(_._2)))
+      kept.iterator.map { case (id, c) => HHRow(key, id, c) }
+    }
+    events.select(col("event_type"), col("user_id")).as[KeyedId]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(step)
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class OpenSession(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,

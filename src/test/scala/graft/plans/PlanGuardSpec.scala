@@ -34,7 +34,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_events_seasonality", "q_kmv_merge_rollup",
                   "e_ann_filtered", "d_minhash_incr",
                   "q_anomaly_mad", "t_gopher_rules", "t_dsir_weight",
-                  "t_span_dup_rate", "e_auc_label", "q_kmv_intersect"))
+                  "t_span_dup_rate", "e_auc_label", "q_kmv_intersect",
+                  "q_pagerank"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 

@@ -259,6 +259,41 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("streaming heavy hitters keep the Misra-Gries guarantee across batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // user 7 dominates (300 of 680 events); 19 background users ≤ 20 each.
+    // MG with m=8 guarantees: any key with true count > n/m = 85 is
+    // PRESENT, and estimates undercount by at most n/m.
+    val heavy = Seq.fill(300)(("a", 7L))
+    val rest = (0 until 19).filter(_ != 7).flatMap(u => Seq.fill(20)(("a", u.toLong)))
+    // arrival order is arbitrary for the MG guarantee; fixed seed anyway
+    val all = new scala.util.Random(42).shuffle(heavy ++ rest)
+    val input = MemoryStream[(String, Long)]
+    val query = EventsStream.heavyHitters(
+        input.toDF().toDF("event_type", "user_id"), m = 8)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(all.take(400): _*)
+      query.processAllAvailable()
+      val nFirst = spark.table("hh_stream").count().toInt
+      input.addData(all.drop(400): _*)
+      query.processAllAvailable()
+      // the final batch's emission is the live candidate set
+      val last = spark.table("hh_stream").collect().drop(nFirst)
+        .map(r => (r.getLong(1), r.getLong(2))).toMap
+      val n = all.size
+      assert(last.contains(7L), s"true heavy hitter absent: $last")
+      val est = last(7L)
+      assert(est <= 300, s"MG must undercount, got $est")
+      assert(est >= 300 - n / 8, s"error bound violated: $est < ${300 - n / 8}")
+      assert(last.size <= 8, s"state exceeded m: ${last.size} candidates")
+    } finally query.stop()
+  }
+
   test("late events beyond the watermark are dropped in append mode") {
     val session = spark
     import session.implicits._
