@@ -15,7 +15,7 @@ import graft.sources.ReportSink
   * usage: `runMain graft.CorpusTool <command> <corpusDir> [options]`
   *
   * commands: stats dedup minhash minhashkeep jaccard containment clusters
-  * keep semdedup semdedupeval quality gopher dsir spandup langid keywords
+  * keep semdedup semdedupeval quality gopher dsir spandup curriculum langid keywords
   * sample pack pii
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
@@ -38,6 +38,7 @@ object CorpusTool {
     "gopher"      -> "t_gopher_rules",
     "dsir"        -> "t_dsir_weight",
     "spandup"     -> "t_span_dup_rate",
+    "curriculum"  -> "t_curriculum",
     "langid"      -> "t_lang_id",
     "sample"      -> "t_quality_sample",
     "pack"        -> "t_pack_sequences",

@@ -1881,6 +1881,44 @@ object TextQueries extends QueryModule {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  // ------------------------------------------------------- curriculum
+
+  /** Curriculum-stage assignment: quartile-bucket the corpus by quality
+    * score (ntile over the fully-tied-broken (q_bp, doc_id) order — both
+    * engines agree exactly) and report each stage's size, score range,
+    * and token budget — the table a curriculum scheduler consumes to
+    * order training from easy/clean to hard/noisy data. The global ntile
+    * sort is the exact-order-statistics posture (same as
+    * `q_percentiles`); at corpus scale the cutpoints would come from the
+    * log-bucket sketch instead and the stage gate becomes a per-row
+    * comparison — the readout below is identical either way. */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), qualityBp(col("text")).as("q_bp"),
+        size(words(col("text"))).cast("long").as("n_toks"))
+    d.withColumn("stage",
+        ntile(4).over(Window.orderBy(col("q_bp"), col("doc_id"))).cast("long"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), min(col("q_bp")).as("min_q_bp"),
+        max(col("q_bp")).as("max_q_bp"), sum(col("n_toks")).as("n_toks"))
+      .orderBy(col("stage"))
+  }
+
+  val curriculumSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, $qualityBpSql AS q_bp,
+             CAST(len(string_split_regex(text, '\\s+')) AS bigint) AS n_toks
+      FROM documents
+    )
+    SELECT stage, count(*) AS n_docs,
+           min(q_bp) AS min_q_bp, max(q_bp) AS max_q_bp,
+           CAST(sum(n_toks) AS bigint) AS n_toks
+    FROM (SELECT CAST(ntile(4) OVER (ORDER BY q_bp, doc_id) AS bigint) AS stage,
+                 q_bp, n_toks
+          FROM d)
+    GROUP BY stage
+    ORDER BY stage"""
+
   // ----------------------------------------------------- span dup rate
 
   /** Span-level duplication rate (the Lee et al. 2021 "deduplicating
@@ -2096,6 +2134,7 @@ object TextQueries extends QueryModule {
     "t_tfidf_keywords" -> (tfidfKeywords _),
     "t_gopher_rules"  -> (gopherRules _),
     "t_span_dup_rate" -> (spanDupRate _),
+    "t_curriculum"    -> (curriculum _),
     "t_dsir_weight"   -> (dsirWeight _),
     "t_normalize"     -> (normalizeText _))
 
@@ -2142,6 +2181,7 @@ object TextQueries extends QueryModule {
     "t_tfidf_keywords" -> tfidfKeywordsSql,
     "t_gopher_rules"  -> gopherRulesSql,
     "t_span_dup_rate" -> spanDupRateSql,
+    "t_curriculum"    -> curriculumSql,
     "t_dsir_weight"   -> dsirWeightSql,
     "t_normalize"     -> normalizeTextSql)
 }

@@ -362,6 +362,54 @@ object VectorQueries extends QueryModule {
       .orderBy(col("q_id"), col("rnk"), col("cand_id"))
   }
 
+  /** Hard-negative mining — the contrastive-training counterpart of
+    * [[annFiltered]]: for each query vector, the top-3 most-similar
+    * candidates with a DIFFERENT label (high cosine, wrong class — the
+    * negatives that actually teach a metric-learning objective; random
+    * negatives are trivially separable). Same pre-filtered IVF shape:
+    * the label inequality rides the probed-cell join, so candidate
+    * generation stays sublinear and no post-filter starves the top-k. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cellOf, probes) = ivfParts(spark, sfDir)
+    val lab = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val qlab = probes.join(
+      lab.withColumnRenamed("vec_id", "q_id").withColumnRenamed("label", "q_label"),
+      "q_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
+    cellOf.join(lab, "vec_id")
+      .join(broadcast(qlab), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("cand_id"),
+        col("label").as("neg_label"),
+        cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("q_id"), col("rnk"), col("cand_id"))
+  }
+
+  lazy val hardNegativesSql: String = {
+    val dotPC = "list_reduce(list_transform(range(1, len(p.qv) + 1), i -> CAST(p.qv[i] AS double) * CAST(t.v[i] AS double)), (x, y) -> x + y)"
+    s"""
+    WITH $ivfCellCtes, lab AS (
+      SELECT vec_id, CAST(label AS bigint) AS label FROM embeddings
+    ), fscored AS (
+      SELECT p.q_id, ql.label AS q_label, t.vec_id AS cand_id,
+             tl.label AS neg_label,
+             CAST(floor($dotPC * 10000.0 / (p.qn * t.nrm)) AS bigint) AS cos_bp
+      FROM cellof t
+      JOIN probes p ON t.cell = p.cell AND t.vec_id <> p.q_id
+      JOIN lab tl ON tl.vec_id = t.vec_id
+      JOIN lab ql ON ql.vec_id = p.q_id AND tl.label <> ql.label
+    )
+    SELECT q_id, q_label, cand_id, neg_label, cos_bp, rnk FROM (
+      SELECT q_id, q_label, cand_id, neg_label, cos_bp,
+             rank() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, cand_id) AS rnk
+      FROM fscored
+    ) WHERE rnk <= 3
+    ORDER BY q_id, rnk, cand_id"""
+  }
+
   // lazy: ivfCellCtes is declared later in this object (a strict val here
   // would interpolate null at object-init time — the kmeansCtes footgun)
   lazy val annFilteredSql: String = {
@@ -1709,6 +1757,7 @@ object VectorQueries extends QueryModule {
     "e_ann_ivfsq_recall" -> (annIvfSqRecall _),
     "e_ann_probe_sweep" -> (annProbeSweep _),
     "e_ann_filtered"    -> (annFiltered _),
+    "e_hard_negatives"  -> (hardNegatives _),
     "e_ann_recall"      -> (annRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_semdedup"        -> (semDedup _),
@@ -1746,6 +1795,7 @@ object VectorQueries extends QueryModule {
     "e_ann_ivfsq_recall" -> annIvfSqRecallSql,
     "e_ann_probe_sweep" -> annProbeSweepSql,
     "e_ann_filtered"    -> annFilteredSql,
+    "e_hard_negatives"  -> hardNegativesSql,
     "e_ann_recall"      -> annRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_minhash_keep"    -> minhashKeepSql,

@@ -7,7 +7,7 @@ class CorpusToolSpec extends SparkSpecBase {
   test("every corpus command runs and returns rows") {
     val cmds = Seq("stats", "dedup", "minhash", "minhashkeep", "jaccard",
       "containment", "clusters", "keep", "semdedup", "semdedupeval",
-      "quality", "gopher", "dsir", "spandup", "langid", "keywords",
+      "quality", "gopher", "dsir", "spandup", "curriculum", "langid", "keywords",
       "sample", "pack", "pii")
     for (c <- cmds)
       assert(CorpusTool.run(spark, c, Sf, Map.empty).count() > 0, s"$c returned 0 rows")

@@ -35,7 +35,7 @@ class PlanGuardSpec extends SparkSpecBase {
                   "e_ann_filtered", "d_minhash_incr",
                   "q_anomaly_mad", "t_gopher_rules", "t_dsir_weight",
                   "t_span_dup_rate", "e_auc_label", "q_kmv_intersect",
-                  "q_pagerank"))
+                  "q_pagerank", "e_hard_negatives", "t_curriculum"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
