@@ -192,6 +192,100 @@ object Multimodal {
     WHERE start + 16 <= n_bytes
     ORDER BY doc_id, frame_no"""
 
+  /** Audio-side codec: payload bytes → signed 16-bit little-endian PCM
+    * amplitudes. The stub IS the production wire format for raw PCM, so
+    * unlike the image stub nothing is faked — only the sample rate is
+    * notional. A real compressed-audio decoder would slot in exactly like
+    * [[ImageIOCodec]] does for images. */
+  trait AudioCodec extends Serializable {
+    def decode(payload: Array[Byte]): Array[Int]
+  }
+
+  object PcmCodec extends AudioCodec {
+    def decode(payload: Array[Byte]): Array[Int] =
+      Array.tabulate(payload.length / 2) { i =>
+        (payload(2 * i + 1) << 8) | (payload(2 * i) & 0xFF) // sign from the high byte
+      }
+  }
+
+  case class AudioFeature(doc_id: Long, n_frames: Long, peak_frame: Long,
+                          peak_amp_m: Long, mean_amp_m: Long)
+
+  /** Frame-energy extraction: 64-sample frames (complete frames only),
+    * per-frame mean |amplitude| (integer div), per-doc peak frame
+    * (ties → lowest index) and overall mean — the VAD/segmentation
+    * pre-pass an audio training pipeline runs before transcription.
+    * Same mapPartitions batch posture as [[extractFeatures]]; the byte
+    * math is deterministic, so the DuckDB oracle replays the full
+    * decode from hex pairs ([[audioEnergySql]]). */
+  def extractAudioFeatures(media: DataFrame,
+                           codec: AudioCodec = PcmCodec): Dataset[AudioFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "mime", "width", "height", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        batch.flatMap { m =>
+          val samples = codec.decode(m.payload)
+          val nFrames = samples.length / 64
+          if (nFrames == 0) None
+          else {
+            var peakFrame = 0L; var peakAmp = -1L; var total = 0L
+            var f = 0
+            while (f < nFrames) {
+              var s = 0L; var i = f * 64
+              while (i < (f + 1) * 64) { s += math.abs(samples(i)); i += 1 }
+              total += s
+              val ampM = s / 64
+              if (ampM > peakAmp) { peakAmp = ampM; peakFrame = f }
+              f += 1
+            }
+            Some(AudioFeature(m.doc_id, nFrames, peakFrame, peakAmp,
+              total / (nFrames * 64L)))
+          }
+        }
+      }
+  }
+
+  /** [[extractAudioFeatures]] over the media table (payload bytes as raw
+    * PCM), oracle-checked via [[audioEnergySql]]. */
+  def audioEnergyQuery(spark: SparkSession, sfDir: String): DataFrame =
+    extractAudioFeatures(mediaTable(spark, sfDir))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  val audioEnergySql: String = """
+    WITH m AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents
+      WHERE octet_length(encode(text)) >= 128
+    ), s AS (
+      SELECT doc_id, i // 64 AS frame,
+             abs((CASE WHEN hb >= 128 THEN hb - 256 ELSE hb END) * 256 + lb) AS amp
+      FROM (
+        SELECT doc_id, unnest(range(0, (len // 128) * 64)) AS i, hx FROM m
+      ) t,
+      LATERAL (SELECT CAST('0x' || substr(hx, CAST(i * 4 + 3 AS int), 2) AS BIGINT) AS hb,
+                      CAST('0x' || substr(hx, CAST(i * 4 + 1 AS int), 2) AS BIGINT) AS lb)
+    ), f AS (
+      SELECT doc_id, frame, CAST(sum(amp) // 64 AS bigint) AS amp_m,
+             CAST(sum(amp) AS bigint) AS amp_sum
+      FROM s GROUP BY doc_id, frame
+    )
+    SELECT doc_id, CAST(count(*) AS bigint) AS n_frames,
+           CAST(min(CASE WHEN rnk = 1 THEN frame END) AS bigint) AS peak_frame,
+           CAST(min(CASE WHEN rnk = 1 THEN amp_m END) AS bigint) AS peak_amp_m,
+           CAST(sum(amp_sum) // (count(*) * 64) AS bigint) AS mean_amp_m
+    FROM (
+      SELECT doc_id, frame, amp_m, amp_sum,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY amp_m DESC, frame) AS rnk
+      FROM f
+    )
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   /** 64-bit average-hash (aHash) of a decoded pixel array — the classic
     * perceptual image fingerprint (LAION-style image dedup): split the
     * pixels into 64 equal blocks, bit j = 1 iff block j's mean luminance

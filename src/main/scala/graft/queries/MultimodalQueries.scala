@@ -10,12 +10,14 @@ object MultimodalQueries extends QueryModule {
     "m_multimodal_features" -> (Multimodal.featureQuery _),
     "m_multimodal_frames"   -> (Multimodal.frameSampleQuery _),
     "m_frame_dedup"         -> (Multimodal.frameDedupQuery _),
-    "m_phash_dedup"         -> (Multimodal.phashDedupQuery _))
+    "m_phash_dedup"         -> (Multimodal.phashDedupQuery _),
+    "m_audio_energy"        -> (Multimodal.audioEnergyQuery _))
 
   val oracles: Map[String, String] = Map(
     "m_multimodal_meta"     -> Multimodal.metaQuerySql,
     "m_multimodal_features" -> Multimodal.featureQuerySql,
     "m_multimodal_frames"   -> Multimodal.frameSampleSql,
     "m_frame_dedup"         -> Multimodal.frameDedupSql,
-    "m_phash_dedup"         -> Multimodal.phashDedupSql)
+    "m_phash_dedup"         -> Multimodal.phashDedupSql,
+    "m_audio_energy"        -> Multimodal.audioEnergySql)
 }

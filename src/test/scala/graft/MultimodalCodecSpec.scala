@@ -84,4 +84,33 @@ class MultimodalCodecSpec extends SparkSpecBase {
     assert(viaDefault.mean_byte == viaStub.mean_byte &&
       viaDefault.feature.toSeq == viaStub.feature.toSeq)
   }
+
+  test("PcmCodec + extractAudioFeatures find the loud frame in a known waveform") {
+    val session = spark
+    import session.implicits._
+    // 3 complete frames (64 samples = 128 bytes each) + a dangling half
+    // frame that must be ignored: frame 0 silent, frame 1 all +1000,
+    // frame 2 all -2000 (negative amplitudes count via abs)
+    def pcm(v: Int): Array[Byte] =
+      Array.fill(64)(Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).flatten
+    val payload = pcm(0) ++ pcm(1000) ++ pcm(-2000) ++ Array.fill(60)(7.toByte)
+    val rows = Seq(MediaRow(1L, payload, "audio/pcm", 0, 0, payload.length.toLong),
+      MediaRow(2L, Array[Byte](1, 2, 3), "audio/pcm", 0, 0, 3L)) // sub-frame: dropped
+    val got = Multimodal.extractAudioFeatures(rows.toDF()).collect()
+    assert(got.length == 1)
+    val f = got.head
+    assert(f.doc_id == 1L && f.n_frames == 3L)
+    assert(f.peak_frame == 2L && f.peak_amp_m == 2000L)
+    assert(f.mean_amp_m == (0L + 1000 * 64 + 2000 * 64) / (3 * 64))
+  }
+
+  test("PcmCodec decodes signed 16-bit little-endian including the extremes") {
+    import graft.multimodal.Multimodal.PcmCodec
+    val bytes = Array[Byte](
+      0x00, 0x00,              // 0
+      0xFF.toByte, 0x7F,       // 32767
+      0x00, 0x80.toByte,       // -32768
+      0x01, 0xFF.toByte)       // -255
+    assert(PcmCodec.decode(bytes).toSeq == Seq(0, 32767, -32768, -255))
+  }
 }
