@@ -121,7 +121,10 @@ object Bench {
     val (timings, failures) = timeAll(spark, sfDir, selected, runs = 3, keep = keep)
     val line = renderJson(timings, failures, sfDir)
     // Untruncatable artifact of record, written by Bench itself (ADVICE r5).
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+    // Subset (SPARK_GRAFT_ONLY) iteration runs must not clobber it — only a
+    // full-surface run is the artifact of record.
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
     println(line)
     spark.stop()
   }

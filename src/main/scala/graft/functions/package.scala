@@ -52,6 +52,14 @@ package object functions {
   def word_shingles(text: Column): Column =
     transform(word_shingles_raw(text), s => md5(s))
 
+  /** Ordered word-3gram shingle keys with duplicates KEPT (the
+    * [[word_shingle_keys]] 60-bit hash recipe without the distinct) —
+    * for position-sensitive consumers like winnowing, where the k-th
+    * shingle's identity matters, not just set membership. */
+  def word_shingle_seq(text: Column): Column =
+    transform(word_shingles_raw(text),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+
   /** DISTINCT word-3gram shingles as 60-bit longs: the raw 3-grams are
     * deduped BEFORE hashing (md5 runs once per distinct shingle, not per
     * occurrence — repetitive corpora repeat shingles heavily), then md5

@@ -1665,7 +1665,64 @@ object Analytics extends QueryModule {
                 (SELECT sum(d * (d - 1) / 2) FROM deg)) AS bigint) AS global_cc_bp
     FROM tri"""
 
+  /** Count-Min sketch heavy-hitter readout — the counting member of the
+    * mergeable-sketch family here (KMV = distinct, theta = intersection,
+    * Misra-Gries = streaming top-k): depth d=4 salted-md5 hash rows ×
+    * width w=256 counters; estimate(key) = min over rows of the addressed
+    * counter, always ≥ the true count. The sketch is built FROM the exact
+    * per-user count table (increment-by-count ≡ increment-per-event), so
+    * building costs one user_id shuffle with partial combine and the
+    * d·w = 1024-row counter table merges across shards/days by cell-wise
+    * sum — the algebra a streaming CM sketch keeps. The readout joins the
+    * top users back to the BROADCAST counter table and reports each
+    * overestimate in basis points; every step is md5/integer arithmetic,
+    * so the oracle re-derives the identical sketch bit-for-bit. */
+  def qCmSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val (d, w) = (4, 256)
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint(false) // feeds the sketch AND the readout join
+    val cells = counts
+      .select(col("user_id"), col("n_exact"),
+        explode(sequence(lit(0), lit(d - 1))).as("depth"))
+      .select(col("user_id"), col("n_exact"), col("depth"),
+        (conv(substring(md5(concat(lit("cm"), col("depth"), lit("_"),
+          col("user_id").cast("string"))), 1, 12), 16, 10)
+          .cast("long") % w).as("bucket"))
+    val sketch = cells.groupBy(col("depth"), col("bucket"))
+      .agg(sum(col("n_exact")).as("cnt"))
+    cells.join(broadcast(sketch), Seq("depth", "bucket"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n_exact")).as("n_exact"), min(col("cnt")).as("n_est"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+      .withColumn("over_bp",
+        floor((col("n_est") - col("n_exact")) * 10000.0 / col("n_exact")).cast("long"))
+  }
+
+  val qCmSketchSql: String = """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS bigint) AS n_exact FROM events GROUP BY user_id
+    ), cell AS (
+      SELECT user_id, n_exact, depth,
+             CAST('0x' || substr(md5('cm' || CAST(depth AS varchar) || '_'
+               || CAST(user_id AS varchar)), 1, 12) AS BIGINT) % 256 AS bucket
+      FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS depth) dd
+    ), sk AS (
+      SELECT depth, bucket, sum(n_exact) AS cnt FROM cell GROUP BY depth, bucket
+    ), est AS (
+      SELECT user_id, max(n_exact) AS n_exact, CAST(min(cnt) AS bigint) AS n_est
+      FROM cell JOIN sk USING (depth, bucket)
+      GROUP BY user_id
+    )
+    SELECT user_id, n_exact, n_est,
+           CAST(floor((n_est - n_exact) * 10000.0 / n_exact) AS bigint) AS over_bp
+    FROM est
+    ORDER BY n_exact DESC, user_id
+    LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cm_sketch"       -> (qCmSketch _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q8_market_share"   -> (q8MarketShare _),
     "q10_returned_top"  -> (q10ReturnedTop _),
@@ -1721,6 +1778,7 @@ object Analytics extends QueryModule {
     "q_basket_pairs"    -> qBasketPairsSql,
     "q_anomaly_mad"     -> qAnomalyMadSql,
     "q_kmv_intersect"   -> qKmvIntersectSql,
+    "q_cm_sketch"       -> qCmSketchSql,
     "q_graph_triangles" -> qGraphTrianglesSql,
     "q_pagerank"        -> qPagerankSql,
     "q_events_dau"      -> qEventsDauSql,

@@ -2091,7 +2091,135 @@ object TextQueries extends QueryModule {
     GROUP BY doc_id, source
     ORDER BY doc_id"""
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer–Wilkerson–Aiken,
+    * MOSS): per document, the shingle-hash SEQUENCE (order kept,
+    * duplicates kept) is scanned with a sliding window of w = 4 hashes
+    * and each window's minimum is selected; the distinct selected hashes
+    * are the document's fingerprints — ~1/w the shingle count, with the
+    * winnowing guarantee that any shared run of ≥ w+2 consecutive words
+    * yields at least one shared fingerprint. Docs are then paired on
+    * shared fingerprints exactly like the jaccard candidate generator
+    * (df-capped equi-join on the 60-bit key, never all-pairs) and scored
+    * by containment over the SMALLER fingerprint set. The point at 100 TB:
+    * the pair join runs over a table w× smaller than the full shingle
+    * index, trading guaranteed-bounded recall loss for a 4× cut in join
+    * input — the standard plagiarism/CC-pipeline posture. Windows
+    * partition by doc_id (per-doc sequences, bounded by doc length);
+    * everything is md5/integer arithmetic, oracle-exact. */
+  def winnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.word_shingle_seq(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("m"),
+        posexplode(col("shs")).as(Seq("pos", "sh")))
+      .withColumn("wmin", min(col("sh")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.currentRow, 3)))
+      .filter(col("pos") <= greatest(col("m") - 4, lit(0)))
+      .select(col("doc_id"), col("wmin").as("sh")).distinct()
+      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint() // feeds the df window AND both join sides
+    val kept = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= graft.operators.Dedup.DefaultMaxShingleDf)
+      .drop("df")
+    kept.as("x").join(kept.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("x.n_fp")).as("nfa"), first(col("y.n_fp")).as("nfb"))
+      .filter(col("n_shared") >= 2)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        floor(col("n_shared") * 10000.0 / least(col("nfa"), col("nfb")))
+          .cast("long").as("overlap_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val winnowSql: String = s"""
+    WITH seq AS (
+      SELECT doc_id,
+             list_transform(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [text] END,
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS shs
+      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+    ), s0 AS (
+      SELECT doc_id, len(shs) AS m,
+             unnest(range(1, len(shs) + 1)) AS pos, unnest(shs) AS sh
+      FROM seq
+    ), fp AS (
+      SELECT DISTINCT doc_id, wmin AS sh FROM (
+        SELECT doc_id, pos, m,
+               min(sh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM s0
+      ) WHERE pos <= greatest(m - 3, 1)
+    ), fpn AS (
+      SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n_fp FROM fp
+    ), kept AS (
+      SELECT doc_id, sh, n_fp FROM (
+        SELECT doc_id, sh, n_fp, count(*) OVER (PARTITION BY sh) AS df FROM fpn
+      ) WHERE df <= ${graft.operators.Dedup.DefaultMaxShingleDf}
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(floor(n_shared * 10000.0 / least(nfa, nfb)) AS bigint) AS overlap_bp
+    FROM (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CAST(count(*) AS bigint) AS n_shared,
+             any_value(x.n_fp) AS nfa, any_value(y.n_fp) AS nfb
+      FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    WHERE n_shared >= 2
+    ORDER BY doc_a, doc_b"""
+
+  /** BPE first-merge mining — the pair-counting step at the heart of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016):
+    * adjacent character-pair frequencies over the corpus, each pair
+    * weighted by the corpus frequency of the word forms it occurs in;
+    * the top pair is the merge a BPE trainer would perform first, and
+    * repeating this readout after applying a merge IS the training loop.
+    * Shuffle posture — the reason BPE training is tractable at 100 TB:
+    * one token shuffle builds the VOCABULARY (word form → corpus count,
+    * a domain bounded by |vocab|, not corpus tokens), the char-pair
+    * expansion then runs map-side over vocab rows only (each distinct
+    * word form is scanned once no matter how often it occurs), and the
+    * final count shuffles the pair domain (≤ |vocab|·max_len) with
+    * partial combine. Top-20 is TakeOrdered; n_forms = distinct word
+    * forms containing the pair. */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(words(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("term")) >= 2)
+      .select(col("term"), col("freq"), explode(transform(
+        sequence(lit(1), length(col("term")) - 1),
+        i => col("term").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("n_occ"), countDistinct(col("term")).as("n_forms"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(20)
+
+  val bpeMergesSql: String = """
+    WITH v AS (
+      SELECT term, CAST(count(*) AS bigint) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents)
+      GROUP BY term
+    ), p AS (
+      SELECT term, freq,
+             unnest(list_transform(range(1, length(term)),
+                                   i -> substr(term, CAST(i AS int), 2))) AS pair
+      FROM v WHERE length(term) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS bigint) AS n_occ,
+           CAST(count(DISTINCT term) AS bigint) AS n_forms
+    FROM p GROUP BY pair
+    ORDER BY n_occ DESC, pair
+    LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bpe_merges"    -> (bpeMerges _),
+    "d_winnow"        -> (winnow _),
     "t_chunk"         -> (chunk _),
     "t_bm25_search"   -> (bm25Search _),
     "t_mix_weights"   -> (mixWeights _),
@@ -2139,6 +2267,8 @@ object TextQueries extends QueryModule {
     "t_normalize"     -> (normalizeText _))
 
   val oracles: Map[String, String] = Map(
+    "t_bpe_merges"    -> bpeMergesSql,
+    "d_winnow"        -> winnowSql,
     "t_chunk"         -> chunkSql,
     "t_bm25_search"   -> bm25SearchSql,
     "t_mix_weights"   -> mixWeightsSql,

@@ -1736,7 +1736,103 @@ object VectorQueries extends QueryModule {
     GROUP BY label
     ORDER BY label"""
 
+  /** IVF cell-balance audit — the index-health readout behind every IVF
+    * deployment decision (FAISS's "imbalance factor"): per-cell
+    * populations with corpus share and load factor (10⁴ = perfectly
+    * balanced; a cell at 5·10⁴ serves 5× the scan work its probe share
+    * predicts). Probing nprobe/ncells of the cells only bounds the scan
+    * fraction if cells are near-balanced — this query turns that
+    * assumption into a tracked number, the same way `e_ann_recall`
+    * tracks sketch quality. Shape: one groupBy on the 16-cell domain
+    * over the assignment table; the 1-row total re-enters broadcast. */
+  def ivfBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val (cellOf, _) = ivfParts(spark, sfDir)
+    val counts = cellOf.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        floor(col("n_vecs") * 10000.0 / col("n_total")).cast("long").as("share_bp"),
+        floor(col("n_vecs") * col("n_cells") * 10000.0 / col("n_total"))
+          .cast("long").as("load_bp"))
+      .orderBy(col("cell"))
+  }
+
+  lazy val ivfBalanceSql: String = s"""
+    WITH $ivfCellCtes, counts AS (
+      SELECT cell, CAST(count(*) AS bigint) AS n_vecs FROM cellof GROUP BY cell
+    ), tot AS (
+      SELECT CAST(sum(n_vecs) AS bigint) AS n_total,
+             CAST(count(*) AS bigint) AS n_cells
+      FROM counts
+    )
+    SELECT cell, n_vecs,
+           CAST(floor(n_vecs * 10000.0 / n_total) AS bigint) AS share_bp,
+           CAST(floor(n_vecs * n_cells * 10000.0 / n_total) AS bigint) AS load_bp
+    FROM counts CROSS JOIN tot
+    ORDER BY cell"""
+
+  /** Top dimension-covariance pairs over the leading 16 embedding dims —
+    * the redundancy audit run before PQ subspace splits or dimension
+    * truncation (two strongly covarying dims carry one dim of signal;
+    * PQ groups want them in the SAME subspace, truncation wants one of
+    * them dropped). Integer-exact: values quantized to milli-units
+    * (floor(x·10³), the dimStats recipe) so cov_num = n·Σab − Σa·Σb is
+    * order-independent long arithmetic (bound: |cov_num| ≤ n²·10⁸ →
+    * exact to n ≈ 3·10⁵ vectors; at larger n the same plan runs in
+    * centi-units). Shape: the d²/2 = 120 pair products expand MAP-SIDE
+    * per row and collapse to the 120-key domain in the partial agg —
+    * the corpus never self-joins (the oracle's vec_id join is the
+    * SQL-only mirror); per-dim sums ride a 16-row broadcast. */
+  def covPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val D = 16
+    val base = Tables.embeddings(spark, sfDir)
+      .select(transform(slice(col("embedding"), 1, D),
+        x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+      .localCheckpoint(false) // feeds the pair agg AND the per-dim sums
+    val pairAgg = base
+      .select(explode(flatten(transform(col("q"), (x, i) =>
+        transform(slice(col("q"), i + 2, lit(D)), (y, j) =>
+          struct((i + 1).cast("long").as("pos_a"),
+            (i + j + 2).cast("long").as("pos_b"), (x * y).as("xy")))))).as("c"))
+      .groupBy(col("c.pos_a").as("pos_a"), col("c.pos_b").as("pos_b"))
+      .agg(count(lit(1)).as("n"), sum(col("c.xy")).as("sum_ab"))
+    val dims = base.select(posexplode(col("q")).as(Seq("p0", "v")))
+      .groupBy((col("p0") + 1).cast("long").as("pos")).agg(sum(col("v")).as("s"))
+    pairAgg
+      .join(broadcast(dims.select(col("pos").as("pos_a"), col("s").as("sa"))), "pos_a")
+      .join(broadcast(dims.select(col("pos").as("pos_b"), col("s").as("sb"))), "pos_b")
+      .select(col("pos_a"), col("pos_b"), col("n"), col("sum_ab"),
+        (col("n") * col("sum_ab") - col("sa") * col("sb")).as("cov_num"))
+      .orderBy(abs(col("cov_num")).desc, col("pos_a"), col("pos_b"))
+      .limit(20)
+  }
+
+  val covPairsSql: String = """
+    WITH q AS (
+      SELECT vec_id, CAST(unnest(range(1, 17)) AS bigint) AS pos,
+             unnest(list_transform(embedding[1:16],
+               x -> CAST(floor(CAST(x AS double) * 1000) AS BIGINT))) AS v
+      FROM embeddings
+    ), pair AS (
+      SELECT a.pos AS pos_a, b.pos AS pos_b,
+             CAST(count(*) AS bigint) AS n, CAST(sum(a.v * b.v) AS bigint) AS sum_ab
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos < b.pos
+      GROUP BY 1, 2
+    ), d AS (
+      SELECT pos, CAST(sum(v) AS bigint) AS s FROM q GROUP BY pos
+    )
+    SELECT pos_a, pos_b, n, sum_ab,
+           n * sum_ab - da.s * db.s AS cov_num
+    FROM pair JOIN d da ON pair.pos_a = da.pos JOIN d db ON pair.pos_b = db.pos
+    ORDER BY abs(n * sum_ab - da.s * db.s) DESC, pos_a, pos_b
+    LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_cov_pairs"       -> (covPairs _),
+    "e_ivf_balance"     -> (ivfBalance _),
     "e_dim_stats"       -> (dimStats _),
     "e_auc_label"       -> (aucLabel _),
     "d_minhash_recall"  -> (minhashRecall _),
@@ -1772,6 +1868,8 @@ object VectorQueries extends QueryModule {
     "e_knn_classify"    -> (knnClassify _))
 
   val oracles: Map[String, String] = Map(
+    "e_cov_pairs"       -> covPairsSql,
+    "e_ivf_balance"     -> ivfBalanceSql,
     "e_dim_stats"       -> dimStatsSql,
     "e_auc_label"       -> aucLabelSql,
     "d_minhash_recall"  -> minhashRecallSql,

@@ -139,6 +139,62 @@ object EventsStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
   }
 
+  /** The batch CM hash recipe (`Analytics.qCmSketch`), verbatim: first
+    * 12 hex chars of md5("cm" + depth + "_" + id) as a 48-bit big-endian
+    * long, mod the counter width — byte math, caller-supplied digest
+    * (one allocation per micro-batch group, not per row). */
+  private[streaming] def cmHash(md: java.security.MessageDigest,
+                                depth: Int, id: Long, width: Int): Int = {
+    md.reset()
+    val d = md.digest(s"cm${depth}_$id".getBytes("UTF-8"))
+    val h = ((d(0) & 0xFFL) << 40) | ((d(1) & 0xFFL) << 32) |
+      ((d(2) & 0xFFL) << 24) | ((d(3) & 0xFFL) << 16) |
+      ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
+    (h % width).toInt
+  }
+
+  case class CmState(counters: Array[Long])
+  case class CmRow(event_type: String, user_id: Long, n_est: Long)
+
+  /** Streaming Count-Min sketch per event type — the frequency-estimate
+    * counterpart of [[kmvDistinct]] (distinct) and [[heavyHitters]]
+    * (top-k): group state is the d×w counter grid (4×256 longs = 8 KiB
+    * per type, bounded FOREVER whatever the key cardinality). Each
+    * micro-batch increments the d addressed counters per row — fold
+    * order never matters because the grid is a sum, so ANY batch split
+    * of the same rows converges to the identical grid (the mergeability
+    * the batch twin `q_cm_sketch` proves against DuckDB). Update-mode:
+    * one row per user seen in the batch with its current running
+    * estimate (≥ the true running count, the CM guarantee). Unlike the
+    * dedup'ing KMV, CM counts deliveries — it sits behind the
+    * exactly-once sink/dedup stage, not in front of it. */
+  def cmSketch(events: DataFrame, depth: Int = 4, width: Int = 256): Dataset[CmRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def step(key: String, rows: Iterator[KeyedId],
+             state: GroupState[CmState]): Iterator[CmRow] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val c = state.getOption.map(_.counters).getOrElse(new Array[Long](depth * width))
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      rows.foreach { r =>
+        seen += r.user_id
+        var dd = 0
+        while (dd < depth) { c(dd * width + cmHash(md, dd, r.user_id, width)) += 1; dd += 1 }
+      }
+      state.update(CmState(c))
+      seen.iterator.map { id =>
+        var est = Long.MaxValue
+        var dd = 0
+        while (dd < depth) { est = math.min(est, c(dd * width + cmHash(md, dd, id, width))); dd += 1 }
+        CmRow(key, id, est)
+      }
+    }
+    events.select(col("event_type"), col("user_id")).as[KeyedId]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(step)
+  }
+
   case class HHState(keys: Array[Long], counts: Array[Long])
   case class HHRow(event_type: String, user_id: Long, est_count: Long)
 

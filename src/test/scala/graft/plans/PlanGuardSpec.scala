@@ -35,7 +35,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "e_ann_filtered", "d_minhash_incr",
                   "q_anomaly_mad", "t_gopher_rules", "t_dsir_weight",
                   "t_span_dup_rate", "e_auc_label", "q_kmv_intersect",
-                  "q_pagerank", "e_hard_negatives", "t_curriculum"))
+                  "q_pagerank", "e_hard_negatives", "t_curriculum",
+                  "q_cm_sketch", "t_bpe_merges", "d_winnow", "e_ivf_balance"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
@@ -58,6 +59,47 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), "cartesian in q_graph_triangles")
     assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[src#".r
       .findFirstIn(p).isDefined, "wedge equi-join missing in q_graph_triangles")
+  }
+
+  test("q_cm_sketch reads the counter table back as a broadcast and bounds its head") {
+    // the 1024-row (depth, bucket) counter table must come back to the
+    // keyed counts as a broadcast hash join — a shuffled join would cap
+    // parallelism at the d·w cell domain — and the readout must stay a
+    // TakeOrdered head, never a global sort
+    val p = plan("q_cm_sketch")
+    assert(p.contains("BroadcastHashJoin"), "counter broadcast missing in q_cm_sketch")
+    assert(p.contains("TakeOrderedAndProject"), "global sort in q_cm_sketch")
+  }
+
+  test("t_bpe_merges expands pairs over the vocab table and bounds its head") {
+    // the char-pair explode must sit ABOVE the vocab aggregate (expansion
+    // over |vocab| rows, not corpus tokens): in the string plan the
+    // pair-generate's child chain must contain the term hash-aggregate
+    val p = plan("t_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"), "global sort in t_bpe_merges")
+    val gen = p.linesIterator.indexWhere(l => l.contains("Generate") && l.contains("substr"))
+    val agg = p.linesIterator.indexWhere(l => l.contains("HashAggregate") && l.contains("keys=[term"))
+    assert(gen >= 0 && agg > gen, s"pair expansion not over the vocab aggregate (gen=$gen agg=$agg)")
+  }
+
+  test("d_winnow pairs join on the fingerprint key, never nested-loop") {
+    // same contract as the jaccard candidate generator: the pair join
+    // must stay an equi-join keyed on the winnowed fingerprint hash
+    val p = plan("d_winnow")
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[sh#".r
+      .findFirstIn(p).isDefined, "fingerprint equi-join missing in d_winnow")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in d_winnow")
+  }
+
+  test("e_cov_pairs expands pair products map-side, never a vec_id self-join") {
+    // the d²/2 products must come from the per-row Generate (partial-agg
+    // collapses them to the 120-key domain); the only joins are the two
+    // 16-row dim-sum broadcasts
+    val p = plan("e_cov_pairs")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus-scale join in e_cov_pairs")
+    assert(p.contains("BroadcastHashJoin"), "dim-sum broadcast missing in e_cov_pairs")
+    assert(p.contains("TakeOrderedAndProject"), "global sort in e_cov_pairs")
   }
 
   test("t_dsir_weight rejoins the bucket table as a broadcast") {

@@ -1,0 +1,41 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** Corner cases for the Count-Min sketch and BPE merge-mining queries —
+  * the DuckDB oracle is the value check; these pin the algorithmic
+  * invariants a hash match can't localize when it breaks. */
+class SketchAndBpeSpec extends SparkSpecBase {
+
+  test("q_cm_sketch never underestimates and is exact when collision-free") {
+    val rows = Analytics.qCmSketch(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (exact, est, overBp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CM underestimated ${r.get(0)}: $est < $exact")
+      assert(overBp >= 0L)
+      assert(overBp == math.floor((est - exact) * 10000.0 / exact).toLong)
+    }
+  }
+
+  test("bpeMerges finds the engineered dominant pair with exact weights") {
+    import spark.implicits._
+    // "abab" contributes pairs ab, ba, ab per occurrence; corpus freq 3.
+    // "zq" appears once; single-char "a" is excluded by the len>=2 gate.
+    val dir = Files.createTempDirectory("bpe").toString
+    Seq(
+      (1L, "abab abab zq", "en", "web", 12L),
+      (2L, "abab a", "en", "web", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.bpeMerges(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // ab: 2 slots per "abab" form × freq 3 = 6 occurrences, 1 word form
+    assert(out.head == (("ab", 6L, 1L)), out.mkString(", "))
+    assert(out.map(t => t._1 -> t._2).toMap.apply("ba") == 3L)
+    assert(out.map(_._1).contains("zq"))
+    assert(!out.map(_._1).exists(_.contains("a ")), "pairs must not cross words")
+  }
+}
