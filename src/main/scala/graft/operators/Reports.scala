@@ -432,4 +432,43 @@ object Reports {
       .orderBy(col("bytes_added").desc, col("dir"))
       .limit(topN)
   }
+
+  /** Storage-concentration report: the Lorenz curve (per-decile share of
+    * total file bytes, users ordered poorest-first) plus the exact Gini
+    * coefficient in basis points — the one-number "is capacity
+    * concentrated in a few tenants" check behind quota planning (Gini 0 =
+    * everyone equal, 10⁴ = one user owns everything). Integer-exact: with
+    * users ranked i = 1..n by (bytes, owner), G_bp = ⌊(2·Σi·xᵢ −
+    * (n+1)·Σx)·10⁴ / (n·Σx)⌋ — the closed-form rank identity, no float
+    * accumulation (bound: Σi·xᵢ ≤ n·Σbytes must fit a long — fine to
+    * ~10⁶ users of ~10 TB each; past that the same plan runs on MiB
+    * units). Shuffle posture: one groupBy onto the |users| domain, then
+    * rank/decile windows over that BOUNDED aggregate (the q_percentiles
+    * posture — the raw inode table never sorts globally); the 1-row
+    * total and gini re-enter broadcast. */
+  def giniReport(inodes: DataFrame): DataFrame = {
+    val byUser = inodes.filter(col("ftype") === "F")
+      .groupBy(col("owner")).agg(sum(col("size")).as("bytes"))
+    val ranked = byUser
+      .withColumn("i", row_number().over(Window.orderBy(col("bytes"), col("owner"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .localCheckpoint(false) // feeds the gini scalar AND the decile rows
+    val gini = ranked
+      .agg(max(col("n")).as("n"), sum(col("bytes")).as("tot"),
+        sum(col("i") * col("bytes")).as("swx"))
+      .select(col("n"), col("tot"),
+        floor((lit(2) * col("swx") - (col("n") + 1) * col("tot")) * 10000.0 /
+          (col("n") * col("tot"))).cast("long").as("gini_bp"))
+    val deciles = ranked
+      .select(expr("(i - 1) * 10 div n + 1").as("decile"), col("bytes"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("bytes")).as("sum_bytes"))
+      .withColumn("cum_bytes", sum(col("sum_bytes")).over(
+        Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    deciles.crossJoin(broadcast(gini))
+      .select(col("decile"), col("n_users"), col("sum_bytes"),
+        floor(col("cum_bytes") * 10000.0 / col("tot")).cast("long").as("cum_share_bp"),
+        col("gini_bp"))
+      .orderBy(col("decile"))
+  }
 }

@@ -228,6 +228,39 @@ object NamespaceQueries extends QueryModule {
     ORDER BY sum_size DESC, dir
     LIMIT 20"""
 
+  /** Storage-concentration Lorenz/Gini readout ([[Reports.giniReport]]):
+    * per-decile byte shares + exact integer Gini in bp. */
+  def giniReport(spark: SparkSession, sfDir: String): DataFrame =
+    Reports.giniReport(inodes(spark, sfDir))
+
+  val giniReportSql: String = NamespaceSql.cte + """
+    , by_user AS (
+      SELECT owner, CAST(sum(size) AS bigint) AS bytes
+      FROM inodes WHERE ftype = 'F' GROUP BY owner
+    ), ranked AS (
+      SELECT bytes, row_number() OVER (ORDER BY bytes, owner) AS i,
+             count(*) OVER () AS n
+      FROM by_user
+    ), gini AS (
+      SELECT max(n) AS n, CAST(sum(bytes) AS bigint) AS tot,
+             CAST(floor((2 * sum(i * bytes) - (max(n) + 1) * sum(bytes)) * 10000.0
+                  / (max(n) * sum(bytes))) AS bigint) AS gini_bp
+      FROM ranked
+    ), deciles AS (
+      SELECT (i - 1) * 10 // n + 1 AS decile,
+             count(*) AS n_users, CAST(sum(bytes) AS bigint) AS sum_bytes
+      FROM ranked GROUP BY 1
+    ), cum AS (
+      SELECT decile, n_users, sum_bytes,
+             CAST(sum(sum_bytes) OVER (ORDER BY decile) AS bigint) AS cum_bytes
+      FROM deciles
+    )
+    SELECT decile, n_users, sum_bytes,
+           CAST(floor(cum_bytes * 10000.0 / tot) AS bigint) AS cum_share_bp,
+           gini_bp
+    FROM cum CROSS JOIN gini
+    ORDER BY decile"""
+
   // ------------------------------------------------------------ path report
 
   /** PathReportCommand: inode listing filtered by user regex
@@ -392,6 +425,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_small_files_hotspots" -> (smallFilesHotspots _),
     "q_ns_small_files_user_hotspots" -> (smallFilesUserHotspots _),
     "q_ns_user_usage"         -> (userUsage _),
+    "q_ns_gini"               -> (giniReport _),
     "q_ns_path_report"        -> (pathReport _),
     "q_ns_inode_lookup"       -> (inodeLookup _),
     "q_ns_subtree"            -> (subtree _),
@@ -413,6 +447,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_small_files_hotspots" -> smallFilesHotspotsSql,
     "q_ns_small_files_user_hotspots" -> smallFilesUserHotspotsSql,
     "q_ns_user_usage"         -> userUsageSql,
+    "q_ns_gini"               -> giniReportSql,
     "q_ns_path_report"        -> pathReportSql,
     "q_ns_inode_lookup"       -> inodeLookupSql,
     "q_ns_subtree"            -> subtreeSql,

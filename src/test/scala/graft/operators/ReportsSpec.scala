@@ -55,6 +55,25 @@ class ReportsSpec extends SparkSpecBase {
       ("log", 2L, 800L, 8000L), ("", 1L, 100L, 1000L), ("gz", 1L, 100L, 1000L)))
   }
 
+  test("giniReport: perfect equality scores 0, total concentration near 10^4") {
+    val session = spark
+    import session.implicits._
+    def owned(rows: (String, String, Long)*) =
+      rows.toSeq.toDF("path", "owner", "size")
+        .withColumn("name", col("path")).withColumn("ftype", lit("F"))
+    // 4 users, 100 bytes each → every Lorenz decile on the diagonal, G = 0
+    val equal = owned(("/a", "u1", 100L), ("/b", "u2", 100L),
+      ("/c", "u3", 100L), ("/d", "u4", 100L))
+    val g0 = Reports.giniReport(equal).collect()
+    assert(g0.forall(_.getLong(4) == 0L), "gini must be 0 under equality")
+    assert(g0.last.getLong(3) == 10000L, "last decile must reach full share")
+    // one user owns everything else near-zero → G = (n-1)/n·10⁴ = 7500
+    val conc = owned(("/a", "u1", 0L), ("/b", "u2", 0L),
+      ("/c", "u3", 0L), ("/d", "u4", 1000L))
+    val g1 = Reports.giniReport(conc).collect()
+    assert(g1.head.getLong(4) == 7500L, s"got ${g1.head.getLong(4)}")
+  }
+
   test("duReport caps the key domain at maxDepth and keeps subtree totals") {
     val df = inodes(
       ("/a/b/c/deep", "deep", 10L),

@@ -36,7 +36,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_anomaly_mad", "t_gopher_rules", "t_dsir_weight",
                   "t_span_dup_rate", "e_auc_label", "q_kmv_intersect",
                   "q_pagerank", "e_hard_negatives", "t_curriculum",
-                  "q_cm_sketch", "t_bpe_merges", "d_winnow", "e_ivf_balance"))
+                  "q_cm_sketch", "t_bpe_merges", "d_winnow", "e_ivf_balance",
+                  "q_topk_merge_rollup"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 

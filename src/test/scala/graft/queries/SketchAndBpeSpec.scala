@@ -20,6 +20,19 @@ class SketchAndBpeSpec extends SparkSpecBase {
     }
   }
 
+  test("qTopkMergeRollup bounds hold: est_min <= exact <= est_min + err_max") {
+    val rows = Analytics.qTopkMergeRollup(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (estMin, errMax, exact, ok) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(errMax >= 0L)
+      assert(estMin <= exact && exact <= estMin + errMax,
+        s"bound violated: $estMin <= $exact <= ${estMin + errMax}")
+      assert(ok, "ok column must certify the bound")
+    }
+  }
+
   test("bpeMerges finds the engineered dominant pair with exact weights") {
     import spark.implicits._
     // "abab" contributes pairs ab, ba, ab per occurrence; corpus freq 3.
