@@ -1458,6 +1458,89 @@ object Analytics extends QueryModule {
                 / n_inter_exact) AS bigint) AS err_bp
     FROM ex CROSS JOIN exi CROSS JOIN com"""
 
+  /** Theta-sketch set DIFFERENCE — completes the sketch set algebra
+    * (union = `q_kmv_merge_rollup`, intersection = `q_kmv_intersect`,
+    * difference here): estimate |A∖B| (big-click users who never
+    * big-purchase) from the same two k=64 synopses via an ANTI-join of
+    * the common-θ samples — A-hashes below θ absent from B's sketch are
+    * a uniform sample of A∖B, so est = n_only·2⁴⁸ div θ. Same md5/
+    * integer arithmetic → oracle re-derives the estimate exactly; same
+    * shuffle posture as the intersection (ONE distinct shuffle, then
+    * ≤2k-row sketch algebra with θ broadcast). */
+  def qKmvDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val k = 64
+    val full = (1L << 48)
+    val pairs = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase") && col("value") >= 150)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(false) // feeds the sketches AND the exact readouts
+    val hashed = pairs.select(col("event_type"),
+      conv(substring(md5(concat(lit("kmv_"), col("user_id").cast("string"))), 1, 12), 16, 10)
+        .cast("long").as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val kept = hashed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k).select(col("event_type"), col("h"))
+      .localCheckpoint(false)
+    val theta = kept.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("h_k"))
+      .agg(min(when(col("n_seen") < k, full).otherwise(col("h_k"))).as("theta"))
+    val only = kept.filter(col("event_type") === "click").select(col("h"))
+      .crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
+      .join(kept.filter(col("event_type") === "purchase").select(col("h")),
+        Seq("h"), "left_anti")
+      .agg(count(lit(1)).as("n_only"))
+      .crossJoin(broadcast(theta))
+    val exacts = pairs.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+      .agg(sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n_diff_exact"),
+        sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+    broadcast(exacts).crossJoin(only)
+      .select(lit(k.toLong).as("k"), col("n_a"), col("n_b"), col("n_diff_exact"),
+        col("n_only"), expr(s"n_only * $full div theta").as("n_diff_est"))
+      .withColumn("err_bp",
+        floor(abs(col("n_diff_est") - col("n_diff_exact")) * 10000.0 /
+          col("n_diff_exact")).cast("long"))
+  }
+
+  val qKmvDiffSql: String = s"""
+    WITH p AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase') AND value >= 150
+    ), hh AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5('kmv_' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+      FROM p
+    ), keep AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+      FROM hh
+    ), th AS (
+      SELECT min(CASE WHEN n_seen < 64 THEN ${1L << 48} ELSE h_k END) AS theta
+      FROM (SELECT event_type, count(*) AS n_seen, max(h) AS h_k
+            FROM keep WHERE rnk <= 64 GROUP BY event_type)
+    ), dif AS (
+      SELECT count(*) AS n_only, max(theta) AS theta
+      FROM (SELECT h FROM keep WHERE rnk <= 64 AND event_type = 'click') a
+      CROSS JOIN th
+      WHERE h < theta AND h NOT IN
+        (SELECT h FROM keep WHERE rnk <= 64 AND event_type = 'purchase')
+    ), ex AS (
+      SELECT CAST(sum(a) AS bigint) AS n_a, CAST(sum(b) AS bigint) AS n_b,
+             CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS bigint) AS n_diff_exact
+      FROM (SELECT user_id,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+            FROM p GROUP BY user_id)
+    )
+    SELECT CAST(64 AS bigint) AS k, n_a, n_b, n_diff_exact,
+           CAST(n_only AS bigint) AS n_only,
+           CAST(n_only * ${1L << 48} // theta AS bigint) AS n_diff_est,
+           CAST(floor(abs(n_only * ${1L << 48} // theta - n_diff_exact) * 10000.0
+                / n_diff_exact) AS bigint) AS err_bp
+    FROM ex CROSS JOIN dif"""
+
   /** Robust anomaly detection: per event type, the exact median and MAD
     * (median absolute deviation) of value cents, plus the count of events
     * whose deviation exceeds 5×MAD — the robust-z outlier rule that, unlike
@@ -1834,6 +1917,7 @@ object Analytics extends QueryModule {
     "q_basket_pairs"    -> (qBasketPairs _),
     "q_anomaly_mad"     -> (qAnomalyMad _),
     "q_kmv_intersect"   -> (qKmvIntersect _),
+    "q_kmv_diff"        -> (qKmvDiff _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_pagerank"        -> (qPagerank _),
     "q_events_dau"      -> (qEventsDau _),
@@ -1880,6 +1964,7 @@ object Analytics extends QueryModule {
     "q_basket_pairs"    -> qBasketPairsSql,
     "q_anomaly_mad"     -> qAnomalyMadSql,
     "q_kmv_intersect"   -> qKmvIntersectSql,
+    "q_kmv_diff"        -> qKmvDiffSql,
     "q_cm_sketch"       -> qCmSketchSql,
     "q_topk_merge_rollup" -> qTopkMergeRollupSql,
     "q_graph_triangles" -> qGraphTrianglesSql,

@@ -1736,6 +1736,57 @@ object VectorQueries extends QueryModule {
     GROUP BY label
     ORDER BY label"""
 
+  /** Reciprocal-rank fusion of two retrieval rankings (Cormack et al.'s
+    * RRF, the hybrid-search default in every vector DB): the exact-cosine
+    * top-5 and the PQ-ADC top-5 fuse per query by score(c) =
+    * Σ_lists 10⁶ div (60 + rank_list(c)) — rank-only fusion, so the two
+    * lists' incomparable score scales (cosine bp vs ADC distance) never
+    * need calibration, and a candidate surfaced by BOTH views outranks
+    * either view's solo picks. Integer div keeps it oracle-exact.
+    * Shape: both inputs are existing top-5 plans (≤ 5·|queries| rows
+    * each); the fusion is one union + one groupBy + one rank window on
+    * the query domain — free at any corpus size. */
+  def rankFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = annBruteForce(spark, sfDir).select(col("q_id"), col("cand_id"), col("rnk"))
+    val b = annPq(spark, sfDir).select(col("q_id"), col("cand_id"), col("rnk"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("cand_id"))
+    a.union(b)
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(expr("1000000 div (60 + rnk)")).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("frnk", rank().over(w))
+      .filter(col("frnk") <= 5)
+      .orderBy(col("q_id"), col("frnk"), col("cand_id"))
+  }
+
+  lazy val rankFusionSql: String = s"""
+    WITH la AS ($annBruteForceSql), lb AS ($annPqSql),
+    u AS (
+      SELECT q_id, cand_id, rnk FROM la
+      UNION ALL SELECT q_id, cand_id, rnk FROM lb
+    ), s AS (
+      SELECT q_id, cand_id,
+             CAST(sum(1000000 // (60 + rnk)) AS bigint) AS rrf,
+             CAST(count(*) AS bigint) AS n_lists
+      FROM u GROUP BY 1, 2
+    )
+    SELECT q_id, cand_id, rrf, n_lists, frnk FROM (
+      SELECT q_id, cand_id, rrf, n_lists,
+             rank() OVER (PARTITION BY q_id ORDER BY rrf DESC, cand_id) AS frnk
+      FROM s
+    ) WHERE frnk <= 5
+    ORDER BY q_id, frnk, cand_id"""
+
+  /** Winnowing-fingerprint candidate quality vs exact Jaccard — the
+    * [[minhashRecall]] twin for the winnowed (1/w-compressed) index:
+    * prices exactly what the 4× join-input cut costs in recall and what
+    * the containment scoring admits in precision, over the same exact
+    * ground truth as the minhash/simhash evals. */
+  def winnowEval(spark: SparkSession, sfDir: String): DataFrame =
+    sketchEval(spark, sfDir, TextQueries.winnow(spark, sfDir))
+
+  val winnowEvalSql: String = sketchEvalSql(TextQueries.winnowSql)
+
   /** IVF cell-balance audit — the index-health readout behind every IVF
     * deployment decision (FAISS's "imbalance factor"): per-cell
     * populations with corpus share and load factor (10⁴ = perfectly
@@ -1833,6 +1884,8 @@ object VectorQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_cov_pairs"       -> (covPairs _),
     "e_ivf_balance"     -> (ivfBalance _),
+    "e_rank_fusion"     -> (rankFusion _),
+    "d_winnow_eval"     -> (winnowEval _),
     "e_dim_stats"       -> (dimStats _),
     "e_auc_label"       -> (aucLabel _),
     "d_minhash_recall"  -> (minhashRecall _),
@@ -1870,6 +1923,8 @@ object VectorQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "e_cov_pairs"       -> covPairsSql,
     "e_ivf_balance"     -> ivfBalanceSql,
+    "e_rank_fusion"     -> rankFusionSql,
+    "d_winnow_eval"     -> winnowEvalSql,
     "e_dim_stats"       -> dimStatsSql,
     "e_auc_label"       -> aucLabelSql,
     "d_minhash_recall"  -> minhashRecallSql,

@@ -33,6 +33,35 @@ class SketchAndBpeSpec extends SparkSpecBase {
     }
   }
 
+  test("qKmvDiff and qKmvIntersect partition the A side exactly") {
+    // |A∖B| + |A∩B| = |A| on the exact columns — the two sketch queries
+    // must agree on the ground truth they price their estimates against
+    val d = Analytics.qKmvDiff(spark, Sf).collect().head
+    val i = Analytics.qKmvIntersect(spark, Sf).collect().head
+    assert(d.getAs[Long]("n_a") == i.getAs[Long]("n_a"))
+    assert(d.getAs[Long]("n_diff_exact") + i.getAs[Long]("n_inter_exact")
+      == d.getAs[Long]("n_a"))
+  }
+
+  test("rankFusion scores are exactly the RRF of the two source lists") {
+    val a = VectorQueries.annBruteForce(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number]("rnk").longValue).toMap
+    val b = VectorQueries.annPq(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number]("rnk").longValue).toMap
+    val fused = VectorQueries.rankFusion(spark, Sf).collect()
+    assert(fused.nonEmpty)
+    for (r <- fused) {
+      val key = (r.getLong(0), r.getLong(1))
+      val expect = a.get(key).map(rk => 1000000L / (60 + rk)).getOrElse(0L) +
+        b.get(key).map(rk => 1000000L / (60 + rk)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf") == expect, s"rrf drift at $key")
+      val expectLists = Seq(a.contains(key), b.contains(key)).count(identity).toLong
+      assert(r.getAs[Long]("n_lists") == expectLists)
+    }
+    // a both-lists candidate must outrank a single-list one at equal ranks
+    assert(fused.forall(_.getAs[Long]("n_lists") >= 1L))
+  }
+
   test("bpeMerges finds the engineered dominant pair with exact weights") {
     import spark.implicits._
     // "abab" contributes pairs ab, ba, ab per occurrence; corpus freq 3.
