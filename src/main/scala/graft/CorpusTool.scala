@@ -16,7 +16,7 @@ import graft.sources.ReportSink
   *
   * commands: stats dedup minhash minhashkeep jaccard containment clusters
   * keep semdedup semdedupeval quality gopher dsir spandup curriculum langid keywords
-  * sample pack pii
+  * sample pack pii winnow winnoweval bpe
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -42,7 +42,10 @@ object CorpusTool {
     "langid"      -> "t_lang_id",
     "sample"      -> "t_quality_sample",
     "pack"        -> "t_pack_sequences",
-    "pii"         -> "t_pii_scrub")
+    "pii"         -> "t_pii_scrub",
+    "winnow"      -> "d_winnow",
+    "winnoweval"  -> "d_winnow_eval",
+    "bpe"         -> "t_bpe_merges")
 
   def run(spark: SparkSession, cmd: String, dir: String,
           opts: Map[String, String]): DataFrame = cmd match {

@@ -433,6 +433,26 @@ object Reports {
       .limit(topN)
   }
 
+  /** Empty-subtree report: directories with NO file anywhere beneath them
+    * — the cleanup targets a `count -q`-style listing can't surface
+    * directly (a dir whose every child is itself empty is still empty).
+    * Shape: occupied dirs = the DISTINCT file parents exploded to their
+    * ancestors (distinct BEFORE the explode, so the explode input is
+    * #occupied-dirs, not #files), then an anti-join from the dir table —
+    * both sides keyed on the path string, one shuffle each. Top-N by
+    * path keeps the output bounded at fleet scale. */
+  def emptyDirs(inodes: DataFrame, topN: Int = 50): DataFrame = {
+    val occupied = inodes.filter(col("ftype") === "F")
+      .select(parentDir.as("pdir")).distinct()
+      .select(explode(selfAndAncestors(col("pdir"))).as("dir"))
+      .distinct()
+    inodes.filter(col("ftype") === "D")
+      .join(occupied, col("path") === col("dir"), "left_anti")
+      .select(col("path"), col("owner"), col("mtime_sec"))
+      .orderBy(col("path"))
+      .limit(topN)
+  }
+
   /** Storage-concentration report: the Lorenz curve (per-decile share of
     * total file bytes, users ordered poorest-first) plus the exact Gini
     * coefficient in basis points — the one-number "is capacity

@@ -1458,6 +1458,39 @@ object Analytics extends QueryModule {
                 / n_inter_exact) AS bigint) AS err_bp
     FROM ex CROSS JOIN exi CROSS JOIN com"""
 
+  /** Top event-type paths of length 3 — the sequence-mining readout
+    * behind funnel design (which 3-step journeys actually happen, vs
+    * the ones `q_funnel` assumes): per user, consecutive event-type
+    * trigrams via two lead windows over the (ts, event_id)-deterministic
+    * order, counted on the |event_types|³ ≤ 125 domain. ONE shuffle on
+    * user_id (both leads share the window sort), partial-combined count,
+    * TakeOrdered head. */
+  def qEventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  val qEventPathsSql: String = """
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS bigint) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 20"""
+
   /** Theta-sketch set DIFFERENCE — completes the sketch set algebra
     * (union = `q_kmv_merge_rollup`, intersection = `q_kmv_intersect`,
     * difference here): estimate |A∖B| (big-click users who never
@@ -1914,6 +1947,7 @@ object Analytics extends QueryModule {
     "q_funnel"          -> (qFunnel _),
     "q_retention"       -> (qRetention _),
     "q_transitions"     -> (qTransitions _),
+    "q_event_paths"     -> (qEventPaths _),
     "q_basket_pairs"    -> (qBasketPairs _),
     "q_anomaly_mad"     -> (qAnomalyMad _),
     "q_kmv_intersect"   -> (qKmvIntersect _),
@@ -1961,6 +1995,7 @@ object Analytics extends QueryModule {
     "q_funnel"          -> qFunnelSql,
     "q_retention"       -> qRetentionSql,
     "q_transitions"     -> qTransitionsSql,
+    "q_event_paths"     -> qEventPathsSql,
     "q_basket_pairs"    -> qBasketPairsSql,
     "q_anomaly_mad"     -> qAnomalyMadSql,
     "q_kmv_intersect"   -> qKmvIntersectSql,

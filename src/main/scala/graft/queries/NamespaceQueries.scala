@@ -228,6 +228,29 @@ object NamespaceQueries extends QueryModule {
     ORDER BY sum_size DESC, dir
     LIMIT 20"""
 
+  /** Empty-subtree directories ([[Reports.emptyDirs]]): no file anywhere
+    * beneath — the cleanup-target listing. */
+  def emptyDirs(spark: SparkSession, sfDir: String): DataFrame =
+    Reports.emptyDirs(inodes(spark, sfDir))
+
+  // ancestorsSql's fixed-depth slots yield NULL past pdir's depth, and
+  // `NOT IN` against a NULL-bearing set is three-valued-logic quicksand —
+  // the occupied set filters them explicitly.
+  val emptyDirsSql: String = NamespaceSql.cte + s"""
+    , fp AS (
+      SELECT DISTINCT substr(path, 1, greatest(length(path) - length(name) - 1, 1)) AS pdir
+      FROM inodes WHERE ftype = 'F'
+    ), occ AS (
+      SELECT DISTINCT dir FROM (
+        SELECT unnest(list_distinct(list_append($ancestorsSql, pdir))) AS dir
+        FROM (SELECT pdir, string_split(pdir, '/') AS sp FROM fp)
+      ) WHERE dir IS NOT NULL
+    )
+    SELECT path, owner, mtime_sec FROM inodes
+    WHERE ftype = 'D' AND path NOT IN (SELECT dir FROM occ)
+    ORDER BY path
+    LIMIT 50"""
+
   /** Storage-concentration Lorenz/Gini readout ([[Reports.giniReport]]):
     * per-decile byte shares + exact integer Gini in bp. */
   def giniReport(spark: SparkSession, sfDir: String): DataFrame =
@@ -426,6 +449,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_small_files_user_hotspots" -> (smallFilesUserHotspots _),
     "q_ns_user_usage"         -> (userUsage _),
     "q_ns_gini"               -> (giniReport _),
+    "q_ns_empty_dirs"         -> (emptyDirs _),
     "q_ns_path_report"        -> (pathReport _),
     "q_ns_inode_lookup"       -> (inodeLookup _),
     "q_ns_subtree"            -> (subtree _),
@@ -448,6 +472,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_small_files_user_hotspots" -> smallFilesUserHotspotsSql,
     "q_ns_user_usage"         -> userUsageSql,
     "q_ns_gini"               -> giniReportSql,
+    "q_ns_empty_dirs"         -> emptyDirsSql,
     "q_ns_path_report"        -> pathReportSql,
     "q_ns_inode_lookup"       -> inodeLookupSql,
     "q_ns_subtree"            -> subtreeSql,

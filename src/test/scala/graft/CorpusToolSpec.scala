@@ -8,7 +8,7 @@ class CorpusToolSpec extends SparkSpecBase {
     val cmds = Seq("stats", "dedup", "minhash", "minhashkeep", "jaccard",
       "containment", "clusters", "keep", "semdedup", "semdedupeval",
       "quality", "gopher", "dsir", "spandup", "curriculum", "langid", "keywords",
-      "sample", "pack", "pii")
+      "sample", "pack", "pii", "winnow", "winnoweval", "bpe")
     for (c <- cmds)
       assert(CorpusTool.run(spark, c, Sf, Map.empty).count() > 0, s"$c returned 0 rows")
   }

@@ -55,6 +55,22 @@ class ReportsSpec extends SparkSpecBase {
       ("log", 2L, 800L, 8000L), ("", 1L, 100L, 1000L), ("gz", 1L, 100L, 1000L)))
   }
 
+  test("emptyDirs flags transitively-empty subtrees only") {
+    val session = spark
+    import session.implicits._
+    // /warm holds a file deep down → /warm and /warm/mid are occupied;
+    // /cold's only child is itself an empty dir → BOTH are empty
+    val rows = Seq(
+      ("/warm", "warm", "D"), ("/warm/mid", "mid", "D"),
+      ("/warm/mid/f", "f", "F"),
+      ("/cold", "cold", "D"), ("/cold/sub", "sub", "D"))
+      .toDF("path", "name", "ftype")
+      .withColumn("owner", lit("u")).withColumn("size", lit(1L))
+      .withColumn("mtime_sec", lit(0L))
+    val got = Reports.emptyDirs(rows).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("/cold", "/cold/sub"), got.mkString(", "))
+  }
+
   test("giniReport: perfect equality scores 0, total concentration near 10^4") {
     val session = spark
     import session.implicits._

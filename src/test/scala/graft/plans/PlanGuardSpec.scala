@@ -37,7 +37,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "t_span_dup_rate", "e_auc_label", "q_kmv_intersect",
                   "q_pagerank", "e_hard_negatives", "t_curriculum",
                   "q_cm_sketch", "t_bpe_merges", "d_winnow", "e_ivf_balance",
-                  "q_topk_merge_rollup", "e_rank_fusion", "d_winnow_eval"))
+                  "q_topk_merge_rollup", "e_rank_fusion", "d_winnow_eval",
+                  "q_event_paths", "q_ns_empty_dirs"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
