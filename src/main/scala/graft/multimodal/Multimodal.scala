@@ -406,4 +406,48 @@ object Multimodal {
            CAST(doc_id = kp.d AND frame_no = kp.f AS int) AS kept
     FROM f JOIN k USING (frame_hex)
     ORDER BY doc_id, frame_no"""
+
+  /** Scene-cut detection over the sampled frame sequence — the shot-
+    * boundary pass a video pipeline runs before per-shot sampling
+    * (consecutive-frame feature delta above a threshold = a cut). Frame
+    * "energy" here is the byte-sum of the 16-byte stub frame (the
+    * deterministic stand-in the real codec path swaps for a histogram/
+    * embedding delta — the plan is identical either way): per doc, a lag
+    * window over frame_no scores |eₜ − eₜ₋₁|, and the report is per-doc
+    * cut counts + the largest delta. Windows partition by doc (bounded
+    * frame count); one shuffle. */
+  def sceneCutsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = 300L
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    frameSampleQuery(spark, sfDir)
+      .withColumn("energy", expr(
+        "aggregate(transform(sequence(0, 15), i -> conv(substr(frame_hex, i*2+1, 2), 16, 10)), " +
+          "0L, (a, x) -> a + cast(x as long))"))
+      .withColumn("delta", abs(col("energy") - lag(col("energy"), 1).over(w)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") > cut, 1L).otherwise(0L)).as("n_cuts"),
+        max(coalesce(col("delta"), lit(0L))).as("max_delta"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sceneCutsSql: String = s"""
+    WITH f AS ($frameSampleSql),
+    e AS (
+      SELECT doc_id, frame_no,
+             CAST(list_sum(list_transform(range(0, 16),
+               i -> CAST('0x' || substr(frame_hex, CAST(i*2+1 AS int), 2) AS BIGINT))) AS bigint) AS energy
+      FROM f
+    ), d AS (
+      SELECT doc_id,
+             abs(energy - lag(energy, 1) OVER (PARTITION BY doc_id ORDER BY frame_no)) AS delta
+      FROM e
+    )
+    SELECT doc_id, CAST(count(*) AS bigint) AS n_frames,
+           CAST(sum(CASE WHEN delta > 300 THEN 1 ELSE 0 END) AS bigint) AS n_cuts,
+           CAST(max(coalesce(delta, 0)) AS bigint) AS max_delta
+    FROM d
+    GROUP BY doc_id
+    ORDER BY doc_id"""
 }

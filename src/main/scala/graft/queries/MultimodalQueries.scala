@@ -11,7 +11,8 @@ object MultimodalQueries extends QueryModule {
     "m_multimodal_frames"   -> (Multimodal.frameSampleQuery _),
     "m_frame_dedup"         -> (Multimodal.frameDedupQuery _),
     "m_phash_dedup"         -> (Multimodal.phashDedupQuery _),
-    "m_audio_energy"        -> (Multimodal.audioEnergyQuery _))
+    "m_audio_energy"        -> (Multimodal.audioEnergyQuery _),
+    "m_scene_cuts"          -> (Multimodal.sceneCutsQuery _))
 
   val oracles: Map[String, String] = Map(
     "m_multimodal_meta"     -> Multimodal.metaQuerySql,
@@ -19,5 +20,6 @@ object MultimodalQueries extends QueryModule {
     "m_multimodal_frames"   -> Multimodal.frameSampleSql,
     "m_frame_dedup"         -> Multimodal.frameDedupSql,
     "m_phash_dedup"         -> Multimodal.phashDedupSql,
-    "m_audio_energy"        -> Multimodal.audioEnergySql)
+    "m_audio_energy"        -> Multimodal.audioEnergySql,
+    "m_scene_cuts"          -> Multimodal.sceneCutsSql)
 }

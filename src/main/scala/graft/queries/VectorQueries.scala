@@ -564,7 +564,10 @@ object VectorQueries extends QueryModule {
   /** The PQ artifacts shared by [[annPq]] and [[annIvfPq]]: (codes, lut)
     * — each vector's 8 subspace codes, and each query's exact subspace
     * distance to every codebook centroid. */
-  private def pqParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  /** The PQ training/encoding core shared by the search paths and the
+    * distortion audit: (v = quantized subvector table, c1 = trained
+    * codebook, codes = per-(vec, sub) assignments). */
+  private def pqCore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, sfDir)
     val v = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
       .select(col("vec_id"),
@@ -590,6 +593,11 @@ object VectorQueries extends QueryModule {
       .localCheckpoint() // codebook: reused by codes, LUT (and tiny)
     // code assignment is the one inherently corpus-sized pass
     val codes = assign(v, c1)
+    (v, c1, codes)
+  }
+
+  private def pqParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val (v, c1, codes) = pqCore(spark, sfDir)
     val lut = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("sub"), col("spos"), col("q"))
       .join(broadcast(c1), Seq("sub", "spos"))
@@ -597,6 +605,39 @@ object VectorQueries extends QueryModule {
       .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
     (codes, lut)
   }
+
+  /** PQ distortion audit — the index-health number for the code family
+    * (the [[ivfBalance]] twin for PQ): per-subspace reconstruction SSE
+    * and mean per-vector quantization error, in exact integer micro²
+    * units. High distortion in one subspace means its 16 codes can't
+    * span that slice of the space (re-split or train longer); the ADC
+    * ranking `e_ann_pq_recall` prices is exactly this error's effect.
+    * Shape: codes ⋈ quantized table on (vec, sub), codebook broadcast,
+    * one groupBy on the 8-subspace domain. */
+  def pqDistortion(spark: SparkSession, sfDir: String): DataFrame = {
+    val (v, c1, codes) = pqCore(spark, sfDir)
+    v.join(codes, Seq("vec_id", "sub"))
+      .join(broadcast(c1), Seq("sub", "k", "spos"))
+      .groupBy(col("sub"))
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        sum((col("q") - col("c")) * (col("q") - col("c"))).as("sse"))
+      .select(col("sub"), col("n_vecs"), col("sse"),
+        expr("sse div n_vecs").as("mean_d2"))
+      .orderBy(col("sub"))
+  }
+
+  lazy val pqDistortionSql: String = s"""
+    WITH $pqCtes, agg AS (
+      SELECT d.sub, CAST(count(DISTINCT v.vec_id) AS bigint) AS n_vecs,
+             CAST(sum((v.q - c.c) * (v.q - c.c)) AS bigint) AS sse
+      FROM codes d
+      JOIN v ON v.vec_id = d.vec_id AND v.sub = d.sub
+      JOIN c1 c ON c.sub = d.sub AND c.k = d.k AND c.spos = v.spos
+      GROUP BY d.sub
+    )
+    SELECT sub, n_vecs, sse, sse // n_vecs AS mean_d2
+    FROM agg
+    ORDER BY sub"""
 
   /** ADC top-5 over a scored (q_id, vec_id, adc_d2) table. */
   private def adcTop5(scored: DataFrame): DataFrame = {
@@ -1885,6 +1926,7 @@ object VectorQueries extends QueryModule {
     "e_cov_pairs"       -> (covPairs _),
     "e_ivf_balance"     -> (ivfBalance _),
     "e_rank_fusion"     -> (rankFusion _),
+    "e_pq_distortion"   -> (pqDistortion _),
     "d_winnow_eval"     -> (winnowEval _),
     "e_dim_stats"       -> (dimStats _),
     "e_auc_label"       -> (aucLabel _),
@@ -1924,6 +1966,7 @@ object VectorQueries extends QueryModule {
     "e_cov_pairs"       -> covPairsSql,
     "e_ivf_balance"     -> ivfBalanceSql,
     "e_rank_fusion"     -> rankFusionSql,
+    "e_pq_distortion"   -> pqDistortionSql,
     "d_winnow_eval"     -> winnowEvalSql,
     "e_dim_stats"       -> dimStatsSql,
     "e_auc_label"       -> aucLabelSql,
