@@ -1436,7 +1436,11 @@ object VectorQueries extends QueryModule {
     * `fin` (vec_id, k, dist — the final assignment), shared by the kmeans,
     * cluster-quality and medoid oracles so all three replay the one
     * integer-exact trajectory. */
-  private[queries] val kmeansCtes: String = {
+  private[queries] val kmeansCtes: String = kmeansCtesFor(KmeansK)
+
+  /** [[kmeansCtes]] parameterized on k — the elbow sweep runs the chain
+    * at several k values, each inside its own subquery scope. */
+  private[queries] def kmeansCtesFor(kk: Int): String = {
     // the same iteration unrolled as a CTE chain: a_i assigns against c_{i-1},
     // c_i re-averages; `fin` is the (iters+1)-th assignment
     def assignCte(name: String, cents: String) = s"""$name AS (
@@ -1462,7 +1466,7 @@ object VectorQueries extends QueryModule {
              unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint))) AS q
       FROM embeddings
     ), seeds AS (
-      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KmeansK
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kk
     ), c0 AS (
       SELECT v.vec_id AS k, v.pos, v.q AS c FROM q v
       WHERE v.vec_id IN (SELECT vec_id FROM seeds)
@@ -1473,6 +1477,31 @@ object VectorQueries extends QueryModule {
   val kmeansSql: String =
     s"""$kmeansCtes
     SELECT vec_id, k AS cluster, dist FROM fin ORDER BY vec_id"""
+
+  /** Inertia-vs-k elbow sweep — the [[annProbeSweep]] pattern for the
+    * clustering knob: the full integer-exact Lloyd chain at k ∈ {2,4,8},
+    * reporting total within-cluster SSE (inertia), surviving-cluster
+    * count and size. The one-number-per-k readout that picks k before
+    * committing an IVF/SemDeDup build to it; each run is the already-
+    * benched k-means shape, and the three runs share nothing but the
+    * (checkpointed) input — embarrassingly parallel across k on a
+    * cluster. */
+  def kmeansElbow(spark: SparkSession, sfDir: String): DataFrame =
+    Seq(2, 4, 8).map { k =>
+      graft.operators.KMeans.fit(Tables.embeddings(spark, sfDir), k, KmeansIters)
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("cluster")).as("n_live"),
+          sum(col("dist")).as("inertia"))
+        .select(lit(k.toLong).as("k"), col("n_vecs"), col("n_live"), col("inertia"))
+    }.reduce(_ union _).orderBy(col("k"))
+
+  lazy val kmeansElbowSql: String = Seq(2, 4, 8).map { k =>
+    s"""SELECT * FROM (${kmeansCtesFor(k)}
+      SELECT CAST($k AS bigint) AS k, CAST(count(*) AS bigint) AS n_vecs,
+             CAST(count(DISTINCT fin.k) AS bigint) AS n_live,
+             CAST(sum(dist) AS bigint) AS inertia
+      FROM fin)"""
+  }.mkString("\n    UNION ALL\n    ") + "\n    ORDER BY k"
 
   // ------------------------------------------------------ cluster quality
 
@@ -1818,6 +1847,49 @@ object VectorQueries extends QueryModule {
     ) WHERE frnk <= 5
     ORDER BY q_id, frnk, cand_id"""
 
+  /** Edit-distance verification of the MinHash candidate pairs — the
+    * final stage of the classic fuzzy-dedup cascade (cheap sketch →
+    * candidate pairs → exact-ish verify on the SURVIVORS only): each
+    * banded-LSH pair gets a Levenshtein similarity over the first 500
+    * chars, sim_bp = ⌊(m − lev)·10⁴ / m⌋ with m = the longer prefix, and
+    * a dup verdict at ≥ 0.8. The O(len²) edit DP runs |candidates| times
+    * — never corpus-quadratic, which is the whole point of the cascade —
+    * and the 500-char cap bounds the worst case per pair (both engines
+    * truncate identically, so the oracle is exact). Shape: the small
+    * pair table joins the corpus twice on doc_id (at scale: batched
+    * point lookups against the primary store). */
+  def editVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, 500).as("t"))
+    minhashPairs(spark, sfDir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("m"))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        floor((col("m") - col("lev")) * 10000.0 / col("m")).cast("long").as("sim_bp"))
+      .withColumn("dup", (col("sim_bp") >= 8000).cast("int"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  lazy val editVerifySql: String = s"""
+    WITH cand AS ($dedupMinhashSql),
+    d AS (SELECT doc_id, substr(text, 1, 500) AS t FROM documents),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(a.t, b.t) AS bigint) AS lev,
+             CAST(greatest(length(a.t), length(b.t)) AS bigint) AS m
+      FROM cand c
+      JOIN d a ON c.doc_a = a.doc_id
+      JOIN d b ON c.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, lev,
+           CAST(floor((m - lev) * 10000.0 / m) AS bigint) AS sim_bp,
+           CAST(floor((m - lev) * 10000.0 / m) >= 8000 AS int) AS dup
+    FROM scored
+    ORDER BY doc_a, doc_b"""
+
   /** Winnowing-fingerprint candidate quality vs exact Jaccard — the
     * [[minhashRecall]] twin for the winnowed (1/w-compressed) index:
     * prices exactly what the 4× join-input cut costs in recall and what
@@ -1927,6 +1999,8 @@ object VectorQueries extends QueryModule {
     "e_ivf_balance"     -> (ivfBalance _),
     "e_rank_fusion"     -> (rankFusion _),
     "e_pq_distortion"   -> (pqDistortion _),
+    "e_kmeans_elbow"    -> (kmeansElbow _),
+    "d_edit_verify"     -> (editVerify _),
     "d_winnow_eval"     -> (winnowEval _),
     "e_dim_stats"       -> (dimStats _),
     "e_auc_label"       -> (aucLabel _),
@@ -1967,6 +2041,8 @@ object VectorQueries extends QueryModule {
     "e_ivf_balance"     -> ivfBalanceSql,
     "e_rank_fusion"     -> rankFusionSql,
     "e_pq_distortion"   -> pqDistortionSql,
+    "e_kmeans_elbow"    -> kmeansElbowSql,
+    "d_edit_verify"     -> editVerifySql,
     "d_winnow_eval"     -> winnowEvalSql,
     "e_dim_stats"       -> dimStatsSql,
     "e_auc_label"       -> aucLabelSql,

@@ -38,7 +38,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_pagerank", "e_hard_negatives", "t_curriculum",
                   "q_cm_sketch", "t_bpe_merges", "d_winnow", "e_ivf_balance",
                   "q_topk_merge_rollup", "e_rank_fusion", "d_winnow_eval",
-                  "q_event_paths", "q_ns_empty_dirs", "m_scene_cuts"))
+                  "q_event_paths", "q_ns_empty_dirs", "m_scene_cuts",
+                  "d_edit_verify"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 

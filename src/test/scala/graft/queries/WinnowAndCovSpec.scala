@@ -48,6 +48,27 @@ class WinnowAndCovSpec extends SparkSpecBase {
     assert(rows.exists(_.getLong(3) >= 10000L) && rows.exists(_.getLong(3) <= 10000L))
   }
 
+  test("kmeansElbow: inertia decreases with k, population constant") {
+    val rows = VectorQueries.kmeansElbow(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    assert(rows.map(_.getLong(1)).distinct.length == 1, "n_vecs must not vary with k")
+    for (r <- rows) assert(r.getLong(2) <= r.getLong(0), "n_live <= k")
+    val inertia = rows.map(_.getLong(3))
+    assert(inertia.zip(inertia.tail).forall { case (a, b) => b < a },
+      s"inertia must fall as k grows: ${inertia.mkString(", ")}")
+  }
+
+  test("editVerify verdicts are consistent with the similarity formula") {
+    val rows = VectorQueries.editVerify(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (lev, simBp, dup) = (r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(lev >= 0L && simBp <= 10000L)
+      assert((dup == 1) == (simBp >= 8000L))
+      if (lev == 0L) assert(simBp == 10000L)
+    }
+  }
+
   test("covPairs ranks an engineered correlated pair first with exact sums") {
     import spark.implicits._
     // dims 1,2 perfectly correlated, dim 3 anti-correlated; dims 4..16
