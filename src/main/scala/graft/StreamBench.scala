@@ -70,6 +70,10 @@ object StreamBench {
       bench("sessionize", "append")(EventsStream.sessionize(_).toDF()),
       bench("kmv_distinct", "update")(EventsStream.kmvDistinct(_).toDF()),
       bench("heavy_hitters", "update")(EventsStream.heavyHitters(_).toDF()),
+      bench("cm_sketch", "update")(EventsStream.cmSketch(_).toDF()),
+      // session_window rejects update mode (sessions merge, so an update
+      // row could be superseded); complete re-emits the closed+open set
+      bench("session_window", "complete")(EventsStream.sessionWindowAgg(_)),
       bench("enriched", "append") { df =>
         val dim = spark.range(0, 1000)
           .select(col("id").as("user_id"), (col("id") % 7).as("segment"))

@@ -27,6 +27,25 @@ object EventsStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value_c"))
 
+  /** Gap-session aggregation via the BUILT-IN `session_window` — the
+    * declarative twin of the custom [[sessionize]] processor: Catalyst
+    * owns the session merge/expiry state machine (sessions merge when
+    * events land within the gap, close when the watermark passes), so
+    * this is the plan to prefer whenever per-session output = plain
+    * aggregates; the custom GroupState path earns its keep only for
+    * semantics aggregates can't express. Window end = last event + gap
+    * (the built-in's contract — differs from [[sessionize]]'s end = last
+    * event, by exactly the gap). State bounded by open sessions. */
+  def sessionWindowAgg(events: DataFrame,
+                       gap: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"))
+
   /** Running per-user event counters via stateful aggregation — streaming
     * upsert (Update mode) keyed by user; state is one row per user. */
   def userActivity(events: DataFrame, watermark: String = "1 hour"): DataFrame =

@@ -49,6 +49,41 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("built-in session_window aggregation matches the batch plan") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // hourly events with a 30-min gap → every event is its own session;
+    // plus a burst (3 events 5 min apart) that must merge into one
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val burst = (0 until 3).map(i =>
+      Ev(new Timestamp(base + i * 300L * 1000), "click", 99L, 1.0))
+    val evs = mkEvents.take(20) ++ burst
+    val input = MemoryStream[Ev]
+    val query = EventsStream.sessionWindowAgg(input.toDF())
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    try {
+      input.addData(evs.take(10))
+      query.processAllAvailable()
+      input.addData(evs.drop(10))
+      query.processAllAvailable()
+      val streamed = spark.table("sess_win")
+        .orderBy("user_id", "start").collect()
+      val batch = evs.toDF()
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("start"),
+          col("session_window.end").as("end"), col("n_events"))
+        .orderBy("user_id", "start").collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+      // the burst merged: user 99 has ONE session of 3 events
+      val u99 = streamed.filter(_.getLong(0) == 99L)
+      assert(u99.length == 1 && u99.head.getLong(3) == 3L)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids within the watermark") {
     val session = spark
     import session.implicits._
