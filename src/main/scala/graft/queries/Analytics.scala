@@ -1458,6 +1458,55 @@ object Analytics extends QueryModule {
                 / n_inter_exact) AS bigint) AS err_bp
     FROM ex CROSS JOIN exi CROSS JOIN com"""
 
+  /** RFM customer segmentation — the classic recency/frequency/monetary
+    * quintile grid behind lifecycle marketing and cohort pricing: per
+    * customer, recency = last order epoch, frequency = order count,
+    * monetary = lifetime cents; each scored 1-5 by ntile over a
+    * deterministic total order (metric, custkey — ANSI ntile splits
+    * identically in both engines given a total order), reported as the
+    * 125-cell segment grid with sizes and per-cell monetary mass.
+    * Shuffle posture: one groupBy onto |customers|, three ntile windows
+    * over that bounded aggregate (the q_percentiles posture — raw orders
+    * never globally sort), final count on the ≤125-cell domain. */
+  def qRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(max(unix_timestamp(col("o_orderdate"))).as("last_epoch"),
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val scored = base
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy(col("last_epoch"), col("o_custkey"))))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy(col("n_orders"), col("o_custkey"))))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy(col("cents"), col("o_custkey"))))
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val qRfmSql: String = """
+    WITH base AS (
+      SELECT o_custkey,
+             CAST(max(floor(epoch(o_orderdate))) AS bigint) AS last_epoch,
+             CAST(count(*) AS bigint) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS bigint)) AS bigint) AS cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT ntile(5) OVER (ORDER BY last_epoch, o_custkey) AS r_q,
+             ntile(5) OVER (ORDER BY n_orders, o_custkey) AS f_q,
+             ntile(5) OVER (ORDER BY cents, o_custkey) AS m_q,
+             cents
+      FROM base
+    )
+    SELECT r_q, f_q, m_q, CAST(count(*) AS bigint) AS n_customers,
+           CAST(sum(cents) AS bigint) AS sum_cents
+    FROM scored
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q"""
+
   /** Top event-type paths of length 3 — the sequence-mining readout
     * behind funnel design (which 3-step journeys actually happen, vs
     * the ones `q_funnel` assumes): per user, consecutive event-type
@@ -1948,6 +1997,7 @@ object Analytics extends QueryModule {
     "q_retention"       -> (qRetention _),
     "q_transitions"     -> (qTransitions _),
     "q_event_paths"     -> (qEventPaths _),
+    "q_rfm"             -> (qRfm _),
     "q_basket_pairs"    -> (qBasketPairs _),
     "q_anomaly_mad"     -> (qAnomalyMad _),
     "q_kmv_intersect"   -> (qKmvIntersect _),
@@ -1996,6 +2046,7 @@ object Analytics extends QueryModule {
     "q_retention"       -> qRetentionSql,
     "q_transitions"     -> qTransitionsSql,
     "q_event_paths"     -> qEventPathsSql,
+    "q_rfm"             -> qRfmSql,
     "q_basket_pairs"    -> qBasketPairsSql,
     "q_anomaly_mad"     -> qAnomalyMadSql,
     "q_kmv_intersect"   -> qKmvIntersectSql,

@@ -2091,6 +2091,76 @@ object TextQueries extends QueryModule {
     GROUP BY doc_id, source
     ORDER BY doc_id"""
 
+  /** GPT-3-style 13-gram eval decontamination (Brown et al. appendix C):
+    * flag every TRAINING doc sharing at least one exact word-13-gram
+    * with the eval split — the canonical long-window variant next to
+    * [[decontaminate]]'s 3-gram containment score (13-grams barely ever
+    * collide by chance, so ANY hit is verbatim leakage; no threshold
+    * tuning). Same shuffle posture: one shingle explode materialized
+    * once, eval grams broadcast (eval sets are small by construction),
+    * per-train-doc hit counts on the doc key. Docs under 13 words fall
+    * back to a whole-text hash — identical in both engines. */
+  def decontaminate13(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    val grams = when(size(w) >= 13,
+      transform(sequence(lit(1), size(w) - 12),
+        i => conv(substring(md5(array_join(slice(w, i, lit(13)), " ")), 1, 15), 16, 10)
+          .cast("long")))
+      .otherwise(array(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")))
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(grams)).as("g"))
+      .localCheckpoint()
+    val ev = base.filter(col("source") === "src0").select(col("g")).distinct()
+    base.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), col("g"))
+      .join(broadcast(ev), "g")
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("train_id"))
+  }
+
+  val decontaminate13Sql: String = """
+    WITH g0 AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               CASE WHEN len(w) >= 13
+                 THEN list_transform(range(1, len(w) - 11),
+                   i -> CAST('0x' || substr(md5(array_to_string(w[i:i+12], ' ')), 1, 15) AS BIGINT))
+                 ELSE [CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)] END)) AS g
+      FROM (SELECT doc_id, source, text, string_split_regex(text, '\s+') AS w FROM documents)
+    ), ev AS (
+      SELECT DISTINCT g FROM g0 WHERE source = 'src0'
+    )
+    SELECT doc_id AS train_id, CAST(count(*) AS bigint) AS n_hits
+    FROM g0 JOIN ev USING (g)
+    WHERE source <> 'src0'
+    GROUP BY doc_id
+    ORDER BY train_id"""
+
+  /** Dedup cluster-size histogram — the one-glance shape readout over
+    * the connected-component clustering (how much of the corpus sits in
+    * big dup families vs singletons; the number that decides whether
+    * keep-one dedup is worth a pipeline stage). Derived entirely from
+    * the audited [[dedupClusters]] plan; the histogram is a groupBy on
+    * the bounded size domain. */
+  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  lazy val clusterSizesSql: String = s"""
+    WITH cl AS ($dedupClustersSql)
+    SELECT cluster_size, CAST(count(DISTINCT cluster_id) AS bigint) AS n_clusters,
+           CAST(cluster_size * count(DISTINCT cluster_id) AS bigint) AS n_docs
+    FROM cl
+    GROUP BY cluster_size
+    ORDER BY cluster_size"""
+
   /** Winnowing fingerprint near-dup pairs (Schleimer–Wilkerson–Aiken,
     * MOSS): per document, the shingle-hash SEQUENCE (order kept,
     * duplicates kept) is scanned with a sliding window of w = 4 hashes
@@ -2219,6 +2289,8 @@ object TextQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_merges"    -> (bpeMerges _),
+    "t_decontaminate13" -> (decontaminate13 _),
+    "d_cluster_sizes" -> (clusterSizes _),
     "d_winnow"        -> (winnow _),
     "t_chunk"         -> (chunk _),
     "t_bm25_search"   -> (bm25Search _),
@@ -2268,6 +2340,8 @@ object TextQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "t_bpe_merges"    -> bpeMergesSql,
+    "t_decontaminate13" -> decontaminate13Sql,
+    "d_cluster_sizes" -> clusterSizesSql,
     "d_winnow"        -> winnowSql,
     "t_chunk"         -> chunkSql,
     "t_bm25_search"   -> bm25SearchSql,

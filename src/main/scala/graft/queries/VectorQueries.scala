@@ -1806,6 +1806,52 @@ object VectorQueries extends QueryModule {
     GROUP BY label
     ORDER BY label"""
 
+  /** Embedding drift monitor — per-dimension mean shift between two
+    * deterministic halves of the corpus (even vs odd vec_id — in
+    * production the split key is ingestion day/batch): the cheap canary
+    * that catches upstream encoder or feature-pipeline changes before
+    * they silently rot an ANN index built on the old distribution. Means
+    * in exact integer micro-units (the dimStats recipe: quantize BEFORE
+    * summing, floor-div per half), shift = mean_a − mean_b. One
+    * posexplode + one groupBy on the (pos, half) domain. */
+  def embedDrift(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select((col("vec_id") % 2).as("half"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("half"), (col("pos0") + 1).cast("long").as("pos"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("q"))
+      .groupBy(col("pos"))
+      // floor(sum·1.0/n), the k-means centroid recipe: Spark `div`
+      // truncates toward zero while DuckDB `//` floors, so raw integer
+      // division would diverge on the negative sums embeddings produce
+      .agg(
+        floor(sum(when(col("half") === 0, col("q")).otherwise(0L)) * 1.0 /
+          sum(when(col("half") === 0, 1L).otherwise(0L))).cast("long").as("mean_a_micro"),
+        floor(sum(when(col("half") === 1, col("q")).otherwise(0L)) * 1.0 /
+          sum(when(col("half") === 1, 1L).otherwise(0L))).cast("long").as("mean_b_micro"))
+      .withColumn("shift_micro", col("mean_a_micro") - col("mean_b_micro"))
+      .orderBy(col("pos"))
+
+  val embedDriftSql: String = """
+    WITH agg AS (
+      SELECT pos,
+             CAST(floor(sum(CASE WHEN half = 0 THEN q ELSE 0 END) * 1.0
+                  / sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)) AS bigint) AS mean_a_micro,
+             CAST(floor(sum(CASE WHEN half = 1 THEN q ELSE 0 END) * 1.0
+                  / sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)) AS bigint) AS mean_b_micro
+      FROM (
+      SELECT vec_id % 2 AS half,
+             CAST(unnest(range(1, len(embedding) + 1)) AS bigint) AS pos,
+             unnest(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS double) * 1000000) AS BIGINT))) AS q
+      FROM embeddings
+      )
+      GROUP BY pos
+    )
+    SELECT pos, mean_a_micro, mean_b_micro,
+           mean_a_micro - mean_b_micro AS shift_micro
+    FROM agg
+    ORDER BY pos"""
+
   /** Reciprocal-rank fusion of two retrieval rankings (Cormack et al.'s
     * RRF, the hybrid-search default in every vector DB): the exact-cosine
     * top-5 and the PQ-ADC top-5 fuse per query by score(c) =
@@ -2000,6 +2046,7 @@ object VectorQueries extends QueryModule {
     "e_rank_fusion"     -> (rankFusion _),
     "e_pq_distortion"   -> (pqDistortion _),
     "e_kmeans_elbow"    -> (kmeansElbow _),
+    "e_embed_drift"     -> (embedDrift _),
     "d_edit_verify"     -> (editVerify _),
     "d_winnow_eval"     -> (winnowEval _),
     "e_dim_stats"       -> (dimStats _),
@@ -2042,6 +2089,7 @@ object VectorQueries extends QueryModule {
     "e_rank_fusion"     -> rankFusionSql,
     "e_pq_distortion"   -> pqDistortionSql,
     "e_kmeans_elbow"    -> kmeansElbowSql,
+    "e_embed_drift"     -> embedDriftSql,
     "d_edit_verify"     -> editVerifySql,
     "d_winnow_eval"     -> winnowEvalSql,
     "e_dim_stats"       -> dimStatsSql,
