@@ -1458,6 +1458,46 @@ object Analytics extends QueryModule {
                 / n_inter_exact) AS bigint) AS err_bp
     FROM ex CROSS JOIN exi CROSS JOIN com"""
 
+  /** Sample-ratio-mismatch (SRM) guardrail for the A/B assignment — the
+    * check every experimentation platform runs BEFORE reading
+    * `q_events_lift`: with a 50/50 md5 split, a lopsided realized user
+    * count means the assignment (not the treatment) is broken and every
+    * lift number downstream is garbage. Emits the exact chi-square
+    * numerator in micro-units — χ²·10⁶ = Σ(obs − exp)²·4·10⁶ / n over
+    * the two arms (exp = n/2, so the two terms collapse to
+    * (u_t − u_c)²·10⁶ / n) — plus the 3.84 critical-value verdict
+    * (α = 0.05, 1 dof), all integer arithmetic. One distinct on (user)
+    * then a single-row aggregate. */
+  def qAbSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val bp = TextQueries.hashGateBp("exp_", col("user_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .select((bp < 5000L).cast("long").as("treat"))
+      .agg(sum(col("treat")).as("u_treat"),
+        sum(lit(1L) - col("treat")).as("u_ctrl"))
+      .select(col("u_treat"), col("u_ctrl"),
+        ((col("u_treat") - col("u_ctrl")) * (col("u_treat") - col("u_ctrl")) * 1000000L /
+          (col("u_treat") + col("u_ctrl"))).cast("long").as("chi2_micro"))
+      .withColumn("srm_flag",
+        (col("chi2_micro") > 3841459L).cast("int")) // χ²₀.₉₅,₁ = 3.841459
+  }
+
+  val qAbSrmSql: String = s"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), arms AS (
+      SELECT CAST(sum(t) AS bigint) AS u_treat,
+             CAST(sum(1 - t) AS bigint) AS u_ctrl
+      FROM (SELECT CASE WHEN ${TextQueries.hashGateBpSql("exp_", "user_id")} < 5000
+                   THEN 1 ELSE 0 END AS t FROM u)
+    )
+    SELECT u_treat, u_ctrl,
+           CAST((u_treat - u_ctrl) * (u_treat - u_ctrl) * 1000000
+                // (u_treat + u_ctrl) AS bigint) AS chi2_micro,
+           CAST((u_treat - u_ctrl) * (u_treat - u_ctrl) * 1000000
+                // (u_treat + u_ctrl) > 3841459 AS int) AS srm_flag
+    FROM arms"""
+
   /** RFM customer segmentation — the classic recency/frequency/monetary
     * quintile grid behind lifecycle marketing and cohort pricing: per
     * customer, recency = last order epoch, frequency = order count,
@@ -1998,6 +2038,7 @@ object Analytics extends QueryModule {
     "q_transitions"     -> (qTransitions _),
     "q_event_paths"     -> (qEventPaths _),
     "q_rfm"             -> (qRfm _),
+    "q_ab_srm"          -> (qAbSrm _),
     "q_basket_pairs"    -> (qBasketPairs _),
     "q_anomaly_mad"     -> (qAnomalyMad _),
     "q_kmv_intersect"   -> (qKmvIntersect _),
@@ -2047,6 +2088,7 @@ object Analytics extends QueryModule {
     "q_transitions"     -> qTransitionsSql,
     "q_event_paths"     -> qEventPathsSql,
     "q_rfm"             -> qRfmSql,
+    "q_ab_srm"          -> qAbSrmSql,
     "q_basket_pairs"    -> qBasketPairsSql,
     "q_anomaly_mad"     -> qAnomalyMadSql,
     "q_kmv_intersect"   -> qKmvIntersectSql,

@@ -33,6 +33,28 @@ class SketchAndBpeSpec extends SparkSpecBase {
     }
   }
 
+  test("qAbSrm flags an engineered one-sided assignment and passes the real one") {
+    import java.security.MessageDigest
+    import spark.implicits._
+    def gateBp(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"exp_$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) * 10000L / 16777216L
+    }
+    // the real corpus: a healthy md5 split must not trip the guardrail
+    val real = Analytics.qAbSrm(spark, Sf).collect().head
+    assert(real.getInt(3) == 0, s"false SRM alarm: $real")
+    // doctored events: 40 users, ALL on the treatment side of the gate
+    val treatIds = (1L to 10000L).filter(gateBp(_) < 5000).take(40)
+    val dir = java.nio.file.Files.createTempDirectory("srm").toString
+    treatIds.map(u => (u, new java.sql.Timestamp(86400000L), "click", 1.0, u))
+      .toDF("user_id", "ts", "event_type", "value", "event_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rigged = Analytics.qAbSrm(spark, dir).collect().head
+    assert(rigged.getLong(0) == 40L && rigged.getLong(1) == 0L)
+    assert(rigged.getInt(3) == 1, s"SRM must fire on a one-sided split: $rigged")
+  }
+
   test("qKmvDiff and qKmvIntersect partition the A side exactly") {
     // |A∖B| + |A∩B| = |A| on the exact columns — the two sketch queries
     // must agree on the ground truth they price their estimates against
