@@ -35,13 +35,19 @@ object GraphBench {
     // mult× orders: fresh order ids per replica; part keys remapped by a
     // per-replica affine map over a 200k-part universe, so replica r's
     // baskets pair DIFFERENT parts (new distinct edges) with the same
-    // basket-size distribution. Distributed synthesis, nothing collected.
+    // basket-size distribution. The multiplier must be COPRIME to
+    // 200000 = 2⁶·5⁵ or the remap collapses the part universe (2r+1 with
+    // r = 2, 7, … is divisible by 5): take the r-th odd non-multiple of
+    // 5 — period-10 pattern {1, 3, 7, 9} — which is always a bijection.
+    // Distributed synthesis, nothing collected.
     val (tSynth, nRows) = time {
       graft.core.Tables.lineitem(spark, base)
         .select(col("l_orderkey"), col("l_partkey"))
         .crossJoin(spark.range(mult).toDF("r"))
+        .withColumn("m", expr(
+          "10 * (r div 4) + element_at(array(1, 3, 7, 9), cast(r % 4 as int) + 1)"))
         .select((col("l_orderkey") + col("r") * 100000000L).as("l_orderkey"),
-          (pmod(col("l_partkey") * (col("r") * 2 + 1) + col("r") * 7919,
+          (pmod(col("l_partkey") * col("m") + col("r") * 7919,
             lit(200000L)) + 1).as("l_partkey"))
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       spark.read.parquet(s"$dir/lineitem.parquet").count()

@@ -25,17 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** The quantized (vec_id, pos, q) table [[fit]] iterates over,
+    * checkpointed — expose it so multi-k sweeps (`e_kmeans_elbow`) pay
+    * the corpus explode/materialization once, not per k. */
+  def quantize(embeddings: DataFrame): DataFrame = embeddings
+    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+    .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+      floor(col("x").cast("double") * 1000000).cast("long").as("q"))
+    .localCheckpoint() // scanned by every iteration — materialize once
+
   /** @param embeddings (vec_id, embedding: array<float>)
     * @return (vec_id, cluster, dist) after `iters` centroid updates and a
     *         final assignment; dist = exact squared L2 in millionths²
     */
-  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val vecs = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
-        floor(col("x").cast("double") * 1000000).cast("long").as("q"))
-      .localCheckpoint() // scanned by every iteration — materialize once
-    val seeds = embeddings.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    fitQuantized(quantize(embeddings), k, iters)
+
+  /** [[fit]] over a pre-[[quantize]]d table. */
+  def fitQuantized(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val seeds = vecs.select(col("vec_id")).distinct().orderBy(col("vec_id")).limit(k)
     var cents = vecs.join(broadcast(seeds), "vec_id")
       .select(col("vec_id").as("k"), col("pos"), col("q").as("c"))
 

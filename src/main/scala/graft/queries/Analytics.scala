@@ -1382,13 +1382,20 @@ object Analytics extends QueryModule {
     * Every step is md5/integer arithmetic → DuckDB re-derives it exactly.
     * Scale shape: ONE distinct shuffle over (type, user); everything
     * after runs on ≤2k sketch rows with the θ scalar broadcast. */
-  def qKmvIntersect(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
-    val k = 64
+  /** The two-set KMV synopsis core shared by [[qKmvIntersect]] and
+    * [[qKmvDiff]] — one recipe (k, salt, hex width, value cut, θ rule)
+    * so the intersection and difference can never disagree on their
+    * common sketches. Returns (pairs, kept, theta):
+    * pairs = the distinct (event_type, user) table feeding both the
+    * sketches and the exact readouts; kept = the two ≤k-row synopses;
+    * theta = the 1-row common threshold. */
+  private def kmvSketchParts(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val k = KmvSketchK
     val full = (1L << 48)
     // value ≥ 150 makes "big-click users" and "big-purchase users"
     // genuinely different sets (≈50/45/20% of users at sf0.01) — without
-    // it every user has every event type and the intersection is trivial
+    // it every user has every event type and the overlap is trivial
     val pairs = Tables.events(spark, sfDir)
       .filter(col("event_type").isin("click", "purchase") && col("value") >= 150)
       .select(col("event_type"), col("user_id")).distinct()
@@ -1403,26 +1410,14 @@ object Analytics extends QueryModule {
     val theta = kept.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_seen"), max(col("h")).as("h_k"))
       .agg(min(when(col("n_seen") < k, full).otherwise(col("h_k"))).as("theta"))
-    val common = kept.filter(col("event_type") === "click").select(col("h"))
-      .join(kept.filter(col("event_type") === "purchase").select(col("h")), "h")
-      .crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
-      .agg(count(lit(1)).as("n_common"), max(col("theta")).as("theta"))
-    val exacts = pairs.groupBy(col("user_id")).agg(count(lit(1)).as("nt"))
-      .agg(sum(when(col("nt") === 2, 1L).otherwise(0L)).as("n_inter_exact"))
-      .crossJoin(pairs.filter(col("event_type") === "click")
-        .agg(count(lit(1)).as("n_a")))
-      .crossJoin(pairs.filter(col("event_type") === "purchase")
-        .agg(count(lit(1)).as("n_b")))
-    broadcast(exacts).crossJoin(common)
-      .select(lit(k.toLong).as("k"), col("n_a"), col("n_b"), col("n_inter_exact"),
-        col("n_common"), expr(s"n_common * $full div theta").as("n_inter_est"))
-      .withColumn("err_bp",
-        floor(abs(col("n_inter_est") - col("n_inter_exact")) * 10000.0 /
-          col("n_inter_exact")).cast("long"))
+    (pairs, kept, theta)
   }
 
-  val qKmvIntersectSql: String = s"""
-    WITH p AS (
+  private val KmvSketchK = 64
+
+  /** The p/hh/keep/th CTE chain — the ONE DuckDB twin of
+    * [[kmvSketchParts]], spliced by both set-algebra oracles. */
+  private val kmvSketchCtes: String = s"""p AS (
       SELECT DISTINCT event_type, user_id FROM events
       WHERE event_type IN ('click', 'purchase') AND value >= 150
     ), hh AS (
@@ -1434,11 +1429,44 @@ object Analytics extends QueryModule {
              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
       FROM hh
     ), th AS (
-      SELECT min(CASE WHEN n_seen < 64 THEN ${1L << 48} ELSE h_k END) AS theta
+      SELECT min(CASE WHEN n_seen < $KmvSketchK THEN ${1L << 48} ELSE h_k END) AS theta
       FROM (SELECT event_type, count(*) AS n_seen, max(h) AS h_k
-            FROM keep WHERE rnk <= 64 GROUP BY event_type)
-    ), com AS (
-      SELECT count(*) AS n_common, max(theta) AS theta
+            FROM keep WHERE rnk <= $KmvSketchK GROUP BY event_type)
+    )"""
+
+  def qKmvIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val k = KmvSketchK
+    val full = (1L << 48)
+    val (pairs, kept, theta) = kmvSketchParts(spark, sfDir)
+    // theta re-attached AFTER the count: max(theta) inside the aggregate
+    // would be NULL when the sample is empty (a legitimate disjoint-sets
+    // outcome), nulling the estimate instead of reporting 0
+    val common = kept.filter(col("event_type") === "click").select(col("h"))
+      .join(kept.filter(col("event_type") === "purchase").select(col("h")), "h")
+      .crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_common"))
+      .crossJoin(broadcast(theta))
+    val exacts = pairs.groupBy(col("user_id")).agg(count(lit(1)).as("nt"))
+      .agg(sum(when(col("nt") === 2, 1L).otherwise(0L)).as("n_inter_exact"))
+      .crossJoin(pairs.filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n_a")))
+      .crossJoin(pairs.filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n_b")))
+    broadcast(exacts).crossJoin(common)
+      .select(lit(k.toLong).as("k"), col("n_a"), col("n_b"), col("n_inter_exact"),
+        col("n_common"), expr(s"n_common * $full div theta").as("n_inter_est"))
+      .withColumn("err_bp",
+        // a legitimately empty intersection must report null, not divide
+        // by zero (ANSI would abort the whole query)
+        when(col("n_inter_exact") === 0, lit(null).cast("long"))
+          .otherwise(floor(abs(col("n_inter_est") - col("n_inter_exact")) * 10000.0 /
+            col("n_inter_exact")).cast("long")))
+  }
+
+  val qKmvIntersectSql: String = s"""
+    WITH $kmvSketchCtes, com AS (
+      SELECT count(*) AS n_common
       FROM (SELECT h FROM keep WHERE rnk <= 64 AND event_type = 'click') a
       JOIN (SELECT h FROM keep WHERE rnk <= 64 AND event_type = 'purchase') b USING (h)
       CROSS JOIN th
@@ -1454,9 +1482,10 @@ object Analytics extends QueryModule {
     SELECT CAST(64 AS bigint) AS k, n_a, n_b, n_inter_exact,
            CAST(n_common AS bigint) AS n_common,
            CAST(n_common * ${1L << 48} // theta AS bigint) AS n_inter_est,
-           CAST(floor(abs(n_common * ${1L << 48} // theta - n_inter_exact) * 10000.0
-                / n_inter_exact) AS bigint) AS err_bp
-    FROM ex CROSS JOIN exi CROSS JOIN com"""
+           CASE WHEN n_inter_exact = 0 THEN NULL
+                ELSE CAST(floor(abs(n_common * ${1L << 48} // theta - n_inter_exact)
+                     * 10000.0 / n_inter_exact) AS bigint) END AS err_bp
+    FROM ex CROSS JOIN exi CROSS JOIN com CROSS JOIN th"""
 
   /** Sample-ratio-mismatch (SRM) guardrail for the A/B assignment — the
     * check every experimentation platform runs BEFORE reading
@@ -1475,9 +1504,14 @@ object Analytics extends QueryModule {
       .select((bp < 5000L).cast("long").as("treat"))
       .agg(sum(col("treat")).as("u_treat"),
         sum(lit(1L) - col("treat")).as("u_ctrl"))
+      // exact ⌊d²·10⁶/n⌋ without overflowing d²·10⁶: split into quotient
+      // and remainder parts (d² = qn + r → d²·10⁶/n = q·10⁶ + r·10⁶/n);
+      // all operands nonnegative so Spark `div` (truncating) and DuckDB
+      // `//` (flooring) agree. Exact to d ≈ 3·10⁹ users.
       .select(col("u_treat"), col("u_ctrl"),
-        ((col("u_treat") - col("u_ctrl")) * (col("u_treat") - col("u_ctrl")) * 1000000L /
-          (col("u_treat") + col("u_ctrl"))).cast("long").as("chi2_micro"))
+        expr("""((u_treat - u_ctrl) * (u_treat - u_ctrl) div (u_treat + u_ctrl)) * 1000000
+                + ((u_treat - u_ctrl) * (u_treat - u_ctrl) % (u_treat + u_ctrl)) * 1000000
+                  div (u_treat + u_ctrl)""").as("chi2_micro"))
       .withColumn("srm_flag",
         (col("chi2_micro") > 3841459L).cast("int")) // χ²₀.₉₅,₁ = 3.841459
   }
@@ -1491,12 +1525,15 @@ object Analytics extends QueryModule {
       FROM (SELECT CASE WHEN ${TextQueries.hashGateBpSql("exp_", "user_id")} < 5000
                    THEN 1 ELSE 0 END AS t FROM u)
     )
-    SELECT u_treat, u_ctrl,
-           CAST((u_treat - u_ctrl) * (u_treat - u_ctrl) * 1000000
-                // (u_treat + u_ctrl) AS bigint) AS chi2_micro,
-           CAST((u_treat - u_ctrl) * (u_treat - u_ctrl) * 1000000
-                // (u_treat + u_ctrl) > 3841459 AS int) AS srm_flag
-    FROM arms"""
+    SELECT u_treat, u_ctrl, chi2_micro,
+           CAST(chi2_micro > 3841459 AS int) AS srm_flag
+    FROM (
+      SELECT u_treat, u_ctrl,
+             CAST(((u_treat - u_ctrl) * (u_treat - u_ctrl) // (u_treat + u_ctrl)) * 1000000
+                  + ((u_treat - u_ctrl) * (u_treat - u_ctrl) % (u_treat + u_ctrl)) * 1000000
+                    // (u_treat + u_ctrl) AS bigint) AS chi2_micro
+      FROM arms
+    )"""
 
   /** RFM customer segmentation — the classic recency/frequency/monetary
     * quintile grid behind lifecycle marketing and cohort pricing: per
@@ -1591,22 +1628,11 @@ object Analytics extends QueryModule {
     * ≤2k-row sketch algebra with θ broadcast). */
   def qKmvDiff(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val k = 64
     val full = (1L << 48)
-    val pairs = Tables.events(spark, sfDir)
-      .filter(col("event_type").isin("click", "purchase") && col("value") >= 150)
-      .select(col("event_type"), col("user_id")).distinct()
-      .localCheckpoint(false) // feeds the sketches AND the exact readouts
-    val hashed = pairs.select(col("event_type"),
-      conv(substring(md5(concat(lit("kmv_"), col("user_id").cast("string"))), 1, 12), 16, 10)
-        .cast("long").as("h"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-    val kept = hashed.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k).select(col("event_type"), col("h"))
-      .localCheckpoint(false)
-    val theta = kept.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("h_k"))
-      .agg(min(when(col("n_seen") < k, full).otherwise(col("h_k"))).as("theta"))
+    val (pairs, kept, theta) = kmvSketchParts(spark, sfDir)
+    // theta re-attached AFTER the count (the qKmvIntersect empty-sample
+    // posture): A ⊆ B is a legitimate funnel shape, and it must estimate
+    // 0, not NULL
     val only = kept.filter(col("event_type") === "click").select(col("h"))
       .crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
       .join(kept.filter(col("event_type") === "purchase").select(col("h")),
@@ -1619,31 +1645,17 @@ object Analytics extends QueryModule {
       .agg(sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n_diff_exact"),
         sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
     broadcast(exacts).crossJoin(only)
-      .select(lit(k.toLong).as("k"), col("n_a"), col("n_b"), col("n_diff_exact"),
+      .select(lit(KmvSketchK.toLong).as("k"), col("n_a"), col("n_b"), col("n_diff_exact"),
         col("n_only"), expr(s"n_only * $full div theta").as("n_diff_est"))
       .withColumn("err_bp",
-        floor(abs(col("n_diff_est") - col("n_diff_exact")) * 10000.0 /
-          col("n_diff_exact")).cast("long"))
+        when(col("n_diff_exact") === 0, lit(null).cast("long"))
+          .otherwise(floor(abs(col("n_diff_est") - col("n_diff_exact")) * 10000.0 /
+            col("n_diff_exact")).cast("long")))
   }
 
   val qKmvDiffSql: String = s"""
-    WITH p AS (
-      SELECT DISTINCT event_type, user_id FROM events
-      WHERE event_type IN ('click', 'purchase') AND value >= 150
-    ), hh AS (
-      SELECT event_type,
-             CAST('0x' || substr(md5('kmv_' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
-      FROM p
-    ), keep AS (
-      SELECT event_type, h,
-             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
-      FROM hh
-    ), th AS (
-      SELECT min(CASE WHEN n_seen < 64 THEN ${1L << 48} ELSE h_k END) AS theta
-      FROM (SELECT event_type, count(*) AS n_seen, max(h) AS h_k
-            FROM keep WHERE rnk <= 64 GROUP BY event_type)
-    ), dif AS (
-      SELECT count(*) AS n_only, max(theta) AS theta
+    WITH $kmvSketchCtes, dif AS (
+      SELECT count(*) AS n_only
       FROM (SELECT h FROM keep WHERE rnk <= 64 AND event_type = 'click') a
       CROSS JOIN th
       WHERE h < theta AND h NOT IN
@@ -1659,9 +1671,10 @@ object Analytics extends QueryModule {
     SELECT CAST(64 AS bigint) AS k, n_a, n_b, n_diff_exact,
            CAST(n_only AS bigint) AS n_only,
            CAST(n_only * ${1L << 48} // theta AS bigint) AS n_diff_est,
-           CAST(floor(abs(n_only * ${1L << 48} // theta - n_diff_exact) * 10000.0
-                / n_diff_exact) AS bigint) AS err_bp
-    FROM ex CROSS JOIN dif"""
+           CASE WHEN n_diff_exact = 0 THEN NULL
+                ELSE CAST(floor(abs(n_only * ${1L << 48} // theta - n_diff_exact)
+                     * 10000.0 / n_diff_exact) AS bigint) END AS err_bp
+    FROM ex CROSS JOIN dif CROSS JOIN th"""
 
   /** Robust anomaly detection: per event type, the exact median and MAD
     * (median absolute deviation) of value cents, plus the count of events

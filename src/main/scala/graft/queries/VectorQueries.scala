@@ -1483,17 +1483,20 @@ object VectorQueries extends QueryModule {
     * reporting total within-cluster SSE (inertia), surviving-cluster
     * count and size. The one-number-per-k readout that picks k before
     * committing an IVF/SemDeDup build to it; each run is the already-
-    * benched k-means shape, and the three runs share nothing but the
-    * (checkpointed) input — embarrassingly parallel across k on a
-    * cluster. */
-  def kmeansElbow(spark: SparkSession, sfDir: String): DataFrame =
+    * benched k-means shape over ONE shared quantized table
+    * ([[graft.operators.KMeans.quantize]] — the corpus explode and its
+    * checkpoint are paid once, not per k), and the three Lloyd chains
+    * are embarrassingly parallel across k on a cluster. */
+  def kmeansElbow(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = graft.operators.KMeans.quantize(Tables.embeddings(spark, sfDir))
     Seq(2, 4, 8).map { k =>
-      graft.operators.KMeans.fit(Tables.embeddings(spark, sfDir), k, KmeansIters)
+      graft.operators.KMeans.fitQuantized(vecs, k, KmeansIters)
         .agg(count(lit(1)).as("n_vecs"),
           countDistinct(col("cluster")).as("n_live"),
           sum(col("dist")).as("inertia"))
         .select(lit(k.toLong).as("k"), col("n_vecs"), col("n_live"), col("inertia"))
     }.reduce(_ union _).orderBy(col("k"))
+  }
 
   lazy val kmeansElbowSql: String = Seq(2, 4, 8).map { k =>
     s"""SELECT * FROM (${kmeansCtesFor(k)}
