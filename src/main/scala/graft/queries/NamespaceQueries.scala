@@ -228,6 +228,29 @@ object NamespaceQueries extends QueryModule {
     ORDER BY sum_size DESC, dir
     LIMIT 20"""
 
+  /** Namespace depth histogram — files/dirs/bytes per tree depth, the
+    * shape readout behind block-report sizing and du-depth choices (a
+    * namespace with its mass at depth 7 wants different partitioning
+    * than one flat at depth 2). One groupBy onto the bounded depth
+    * domain with map-side combine. */
+  def depthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    inodes(spark, sfDir)
+      .groupBy(col("depth"))
+      .agg(
+        sum(when(col("ftype") === "D", 1L).otherwise(0L)).as("n_dirs"),
+        sum(when(col("ftype") === "F", 1L).otherwise(0L)).as("n_files"),
+        sum(when(col("ftype") === "F", col("size")).otherwise(0L)).as("sum_size"))
+      .orderBy(col("depth"))
+
+  val depthHistogramSql: String = NamespaceSql.cte + """
+    SELECT depth,
+           CAST(sum(CASE WHEN ftype = 'D' THEN 1 ELSE 0 END) AS bigint) AS n_dirs,
+           CAST(sum(CASE WHEN ftype = 'F' THEN 1 ELSE 0 END) AS bigint) AS n_files,
+           CAST(sum(CASE WHEN ftype = 'F' THEN size ELSE 0 END) AS bigint) AS sum_size
+    FROM inodes
+    GROUP BY depth
+    ORDER BY depth"""
+
   /** Empty-subtree directories ([[Reports.emptyDirs]]): no file anywhere
     * beneath — the cleanup-target listing. */
   def emptyDirs(spark: SparkSession, sfDir: String): DataFrame =
@@ -450,6 +473,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_user_usage"         -> (userUsage _),
     "q_ns_gini"               -> (giniReport _),
     "q_ns_empty_dirs"         -> (emptyDirs _),
+    "q_ns_depth_histogram"    -> (depthHistogram _),
     "q_ns_path_report"        -> (pathReport _),
     "q_ns_inode_lookup"       -> (inodeLookup _),
     "q_ns_subtree"            -> (subtree _),
@@ -473,6 +497,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_user_usage"         -> userUsageSql,
     "q_ns_gini"               -> giniReportSql,
     "q_ns_empty_dirs"         -> emptyDirsSql,
+    "q_ns_depth_histogram"    -> depthHistogramSql,
     "q_ns_path_report"        -> pathReportSql,
     "q_ns_inode_lookup"       -> inodeLookupSql,
     "q_ns_subtree"            -> subtreeSql,

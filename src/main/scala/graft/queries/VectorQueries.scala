@@ -1809,6 +1809,39 @@ object VectorQueries extends QueryModule {
     GROUP BY label
     ORDER BY label"""
 
+  /** Per-dimension variance audit — the diagonal [[covPairs]] never
+    * reports: exact integer variance numerator n·Σq² − (Σq)² per
+    * dimension in milli-units (the covPairs quantization, same long
+    * bound), plus the zero-variance dead-dim flag. Dead or
+    * near-constant dims waste PQ codebook entries and ANN distance
+    * budget — this is the drop list. One posexplode + one groupBy on
+    * the dim domain. */
+  def dimVar(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select((col("pos0") + 1).cast("long").as("pos"),
+        floor(col("x").cast("double") * 1000).cast("long").as("q"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("s2"))
+      .select(col("pos"), col("n"),
+        (col("n") * col("s2") - col("s") * col("s")).as("var_num"),
+        (col("n") * col("s2") - col("s") * col("s") === 0L).cast("int").as("dead"))
+      .orderBy(col("pos"))
+
+  val dimVarSql: String = """
+    SELECT pos, CAST(count(*) AS bigint) AS n,
+           CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS bigint) AS var_num,
+           CAST(count(*) * sum(q * q) - sum(q) * sum(q) = 0 AS int) AS dead
+    FROM (
+      SELECT CAST(unnest(range(1, len(embedding) + 1)) AS bigint) AS pos,
+             unnest(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS double) * 1000) AS BIGINT))) AS q
+      FROM embeddings
+    )
+    GROUP BY pos
+    ORDER BY pos"""
+
   /** Embedding drift monitor — per-dimension mean shift between two
     * deterministic halves of the corpus (even vs odd vec_id — in
     * production the split key is ingestion day/batch): the cheap canary
@@ -2050,6 +2083,7 @@ object VectorQueries extends QueryModule {
     "e_pq_distortion"   -> (pqDistortion _),
     "e_kmeans_elbow"    -> (kmeansElbow _),
     "e_embed_drift"     -> (embedDrift _),
+    "e_dim_var"         -> (dimVar _),
     "d_edit_verify"     -> (editVerify _),
     "d_winnow_eval"     -> (winnowEval _),
     "e_dim_stats"       -> (dimStats _),
@@ -2093,6 +2127,7 @@ object VectorQueries extends QueryModule {
     "e_pq_distortion"   -> pqDistortionSql,
     "e_kmeans_elbow"    -> kmeansElbowSql,
     "e_embed_drift"     -> embedDriftSql,
+    "e_dim_var"         -> dimVarSql,
     "d_edit_verify"     -> editVerifySql,
     "d_winnow_eval"     -> winnowEvalSql,
     "e_dim_stats"       -> dimStatsSql,

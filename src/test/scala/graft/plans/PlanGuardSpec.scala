@@ -40,7 +40,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_topk_merge_rollup", "e_rank_fusion", "d_winnow_eval",
                   "q_event_paths", "q_ns_empty_dirs", "m_scene_cuts",
                   "d_edit_verify", "t_decontaminate13", "d_cluster_sizes",
-                  "q_rfm", "e_embed_drift"))
+                  "q_rfm", "e_embed_drift", "e_dim_var",
+                  "q_ns_depth_histogram"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
