@@ -39,11 +39,15 @@ object KMeans {
     *         final assignment; dist = exact squared L2 in millionths²
     */
   def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
-    fitQuantized(quantize(embeddings), k, iters)
+    fitQuantized(quantize(embeddings), embeddings, k, iters)
 
-  /** [[fit]] over a pre-[[quantize]]d table. */
-  def fitQuantized(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
-    val seeds = vecs.select(col("vec_id")).distinct().orderBy(col("vec_id")).limit(k)
+  /** [[fit]] over a pre-[[quantize]]d table. Seeds still come from the
+    * EMBEDDINGS table (TakeOrdered over n_vecs rows, no shuffle — and
+    * the DuckDB twin's `seeds` CTE selects from embeddings, so an empty
+    * embedding array among the k smallest ids counts as a seed slot in
+    * both engines rather than only in the oracle). */
+  def fitQuantized(vecs: DataFrame, embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val seeds = embeddings.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
     var cents = vecs.join(broadcast(seeds), "vec_id")
       .select(col("vec_id").as("k"), col("pos"), col("q").as("c"))
 

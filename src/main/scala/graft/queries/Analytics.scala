@@ -1467,8 +1467,8 @@ object Analytics extends QueryModule {
   val qKmvIntersectSql: String = s"""
     WITH $kmvSketchCtes, com AS (
       SELECT count(*) AS n_common
-      FROM (SELECT h FROM keep WHERE rnk <= 64 AND event_type = 'click') a
-      JOIN (SELECT h FROM keep WHERE rnk <= 64 AND event_type = 'purchase') b USING (h)
+      FROM (SELECT h FROM keep WHERE rnk <= $KmvSketchK AND event_type = 'click') a
+      JOIN (SELECT h FROM keep WHERE rnk <= $KmvSketchK AND event_type = 'purchase') b USING (h)
       CROSS JOIN th
       WHERE h < theta
     ), ex AS (
@@ -1479,7 +1479,7 @@ object Analytics extends QueryModule {
       SELECT CAST(count(*) AS bigint) AS n_inter_exact
       FROM (SELECT user_id FROM p GROUP BY user_id HAVING count(*) = 2)
     )
-    SELECT CAST(64 AS bigint) AS k, n_a, n_b, n_inter_exact,
+    SELECT CAST($KmvSketchK AS bigint) AS k, n_a, n_b, n_inter_exact,
            CAST(n_common AS bigint) AS n_common,
            CAST(n_common * ${1L << 48} // theta AS bigint) AS n_inter_est,
            CASE WHEN n_inter_exact = 0 THEN NULL
@@ -1656,10 +1656,10 @@ object Analytics extends QueryModule {
   val qKmvDiffSql: String = s"""
     WITH $kmvSketchCtes, dif AS (
       SELECT count(*) AS n_only
-      FROM (SELECT h FROM keep WHERE rnk <= 64 AND event_type = 'click') a
+      FROM (SELECT h FROM keep WHERE rnk <= $KmvSketchK AND event_type = 'click') a
       CROSS JOIN th
       WHERE h < theta AND h NOT IN
-        (SELECT h FROM keep WHERE rnk <= 64 AND event_type = 'purchase')
+        (SELECT h FROM keep WHERE rnk <= $KmvSketchK AND event_type = 'purchase')
     ), ex AS (
       SELECT CAST(sum(a) AS bigint) AS n_a, CAST(sum(b) AS bigint) AS n_b,
              CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS bigint) AS n_diff_exact
@@ -1668,7 +1668,7 @@ object Analytics extends QueryModule {
                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
             FROM p GROUP BY user_id)
     )
-    SELECT CAST(64 AS bigint) AS k, n_a, n_b, n_diff_exact,
+    SELECT CAST($KmvSketchK AS bigint) AS k, n_a, n_b, n_diff_exact,
            CAST(n_only AS bigint) AS n_only,
            CAST(n_only * ${1L << 48} // theta AS bigint) AS n_diff_est,
            CASE WHEN n_diff_exact = 0 THEN NULL

@@ -1488,9 +1488,10 @@ object VectorQueries extends QueryModule {
     * checkpoint are paid once, not per k), and the three Lloyd chains
     * are embarrassingly parallel across k on a cluster. */
   def kmeansElbow(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = graft.operators.KMeans.quantize(Tables.embeddings(spark, sfDir))
+    val e = Tables.embeddings(spark, sfDir)
+    val vecs = graft.operators.KMeans.quantize(e)
     Seq(2, 4, 8).map { k =>
-      graft.operators.KMeans.fitQuantized(vecs, k, KmeansIters)
+      graft.operators.KMeans.fitQuantized(vecs, e, k, KmeansIters)
         .agg(count(lit(1)).as("n_vecs"),
           countDistinct(col("cluster")).as("n_live"),
           sum(col("dist")).as("inertia"))
