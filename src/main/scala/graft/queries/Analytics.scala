@@ -1487,6 +1487,57 @@ object Analytics extends QueryModule {
                      * 10000.0 / n_inter_exact) AS bigint) END AS err_bp
     FROM ex CROSS JOIN exi CROSS JOIN com CROSS JOIN th"""
 
+  /** Churn-risk banding — the lifecycle readout next to [[qRfm]]: users
+    * bucketed by days idle relative to the corpus horizon (the max event
+    * time — production uses now()), with per-band user counts, event
+    * mass, and the band's share of users in bp. Active < 1 day idle ≤
+    * at-risk < 2 ≤ churned (the thresholds are the banding knobs; the
+    * harness corpus spans days, production spans months). One
+    * groupBy onto |users|, horizon broadcast, final agg on the 3-band
+    * domain. */
+  def qChurnRisk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val lastSeen = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(unix_timestamp(col("ts"))).as("last_epoch"),
+        count(lit(1)).as("n_events"))
+    val horizon = lastSeen.agg(max(col("last_epoch")).as("now_epoch"))
+    val banded = lastSeen.crossJoin(broadcast(horizon))
+      .select(col("n_events"),
+        expr("(now_epoch - last_epoch) div 86400").as("idle_days"))
+      .select(col("n_events"),
+        when(col("idle_days") < 1, "active")
+          .when(col("idle_days") < 2, "at_risk")
+          .otherwise("churned").as("band"))
+    val total = sum(col("n_users")).over(Window.partitionBy())
+    banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .withColumn("share_bp", floor(col("n_users") * 10000.0 / total).cast("long"))
+      .orderBy(col("band"))
+  }
+
+  val qChurnRiskSql: String = """
+    WITH ls AS (
+      SELECT user_id, CAST(max(floor(epoch(ts))) AS bigint) AS last_epoch,
+             CAST(count(*) AS bigint) AS n_events
+      FROM events GROUP BY user_id
+    ), hz AS (SELECT max(last_epoch) AS now_epoch FROM ls),
+    banded AS (
+      SELECT n_events,
+             CASE WHEN (now_epoch - last_epoch) // 86400 < 1 THEN 'active'
+                  WHEN (now_epoch - last_epoch) // 86400 < 2 THEN 'at_risk'
+                  ELSE 'churned' END AS band
+      FROM ls CROSS JOIN hz
+    ), agg AS (
+      SELECT band, CAST(count(*) AS bigint) AS n_users,
+             CAST(sum(n_events) AS bigint) AS n_events
+      FROM banded GROUP BY band
+    )
+    SELECT band, n_users, n_events,
+           CAST(floor(n_users * 10000.0 / (SELECT sum(n_users) FROM agg)) AS bigint) AS share_bp
+    FROM agg
+    ORDER BY band"""
+
   /** Sample-ratio-mismatch (SRM) guardrail for the A/B assignment — the
     * check every experimentation platform runs BEFORE reading
     * `q_events_lift`: with a 50/50 md5 split, a lopsided realized user
@@ -2052,6 +2103,7 @@ object Analytics extends QueryModule {
     "q_event_paths"     -> (qEventPaths _),
     "q_rfm"             -> (qRfm _),
     "q_ab_srm"          -> (qAbSrm _),
+    "q_churn_risk"      -> (qChurnRisk _),
     "q_basket_pairs"    -> (qBasketPairs _),
     "q_anomaly_mad"     -> (qAnomalyMad _),
     "q_kmv_intersect"   -> (qKmvIntersect _),
@@ -2102,6 +2154,7 @@ object Analytics extends QueryModule {
     "q_event_paths"     -> qEventPathsSql,
     "q_rfm"             -> qRfmSql,
     "q_ab_srm"          -> qAbSrmSql,
+    "q_churn_risk"      -> qChurnRiskSql,
     "q_basket_pairs"    -> qBasketPairsSql,
     "q_anomaly_mad"     -> qAnomalyMadSql,
     "q_kmv_intersect"   -> qKmvIntersectSql,

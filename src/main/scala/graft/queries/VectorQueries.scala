@@ -1810,6 +1810,46 @@ object VectorQueries extends QueryModule {
     GROUP BY label
     ORDER BY label"""
 
+  /** Vector-norm histogram — the index-health readout that decides
+    * between inner-product and cosine retrieval (a wide norm spread
+    * makes raw IP rankings length-dominated; near-constant norms make
+    * the two equivalent and the cheaper IP safe). Exact integer: squared
+    * L2 norm in milli-units² per vector, bucketed by ⌊log₂⌋ (the
+    * q_percentiles_approx recipe — mergeable, partial-aggregable), with
+    * per-bucket counts and exact min/max. Per-row map + one groupBy on
+    * the ≤64-bucket domain. */
+  def normHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(aggregate(
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * 1000).cast("long")),
+        lit(0L), (a, q) => a + q * q).as("n2"))
+      // ⌊log₂⌋ via binary-string length (the q_percentiles_approx recipe)
+      // — float log2 at exact powers of two is engine-dependent
+      .select(col("n2"),
+        when(col("n2") <= 0, lit(-1L))
+          .otherwise((length(conv(col("n2"), 10, 2)) - 1).cast("long")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"))
+      .orderBy(col("bucket"))
+
+  val normHistogramSql: String = """
+    WITH n AS (
+      SELECT CAST(list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS double) * 1000) AS BIGINT)
+                    * CAST(floor(CAST(x AS double) * 1000) AS BIGINT))) AS bigint) AS n2
+      FROM embeddings
+    )
+    SELECT CASE WHEN n2 <= 0 THEN -1
+                ELSE CAST(length(to_base(n2, 2)) - 1 AS bigint) END AS bucket,
+           CAST(count(*) AS bigint) AS n_vecs,
+           CAST(min(n2) AS bigint) AS min_n2,
+           CAST(max(n2) AS bigint) AS max_n2
+    FROM n
+    GROUP BY 1
+    ORDER BY bucket"""
+
   /** Per-dimension variance audit — the diagonal [[covPairs]] never
     * reports: exact integer variance numerator n·Σq² − (Σq)² per
     * dimension in milli-units (the covPairs quantization, same long
@@ -2085,6 +2125,7 @@ object VectorQueries extends QueryModule {
     "e_kmeans_elbow"    -> (kmeansElbow _),
     "e_embed_drift"     -> (embedDrift _),
     "e_dim_var"         -> (dimVar _),
+    "e_norm_histogram"  -> (normHistogram _),
     "d_edit_verify"     -> (editVerify _),
     "d_winnow_eval"     -> (winnowEval _),
     "e_dim_stats"       -> (dimStats _),
@@ -2129,6 +2170,7 @@ object VectorQueries extends QueryModule {
     "e_kmeans_elbow"    -> kmeansElbowSql,
     "e_embed_drift"     -> embedDriftSql,
     "e_dim_var"         -> dimVarSql,
+    "e_norm_histogram"  -> normHistogramSql,
     "d_edit_verify"     -> editVerifySql,
     "d_winnow_eval"     -> winnowEvalSql,
     "e_dim_stats"       -> dimStatsSql,
