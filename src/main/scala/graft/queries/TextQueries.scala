@@ -2091,6 +2091,40 @@ object TextQueries extends QueryModule {
     GROUP BY doc_id, source
     ORDER BY doc_id"""
 
+  /** Per-document type-token ratio — the lexical-diversity quality
+    * signal (low TTR = chant-like repetition even when no single n-gram
+    * dominates; the per-DOC complement of the per-source
+    * `t_ngram_diversity`): distinct words / total words in bp, plus a
+    * hapax share (words occurring once — the vocabulary-richness end).
+    * Shuffle-free per-row map over codegen'd array ops. */
+  def ttr(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = words(lower(col("text")))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        size(filter(array_distinct(toks),
+          w => size(filter(toks, t => t === w)) === 1)).cast("long").as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        floor(col("n_types") * 10000.0 / col("n_tokens")).cast("long").as("ttr_bp"),
+        floor(col("n_hapax") * 10000.0 / col("n_tokens")).cast("long").as("hapax_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ttrSql: String = """
+    SELECT doc_id, n_tokens, n_types,
+           CAST(floor(n_types * 10000.0 / n_tokens) AS bigint) AS ttr_bp,
+           CAST(floor(n_hapax * 10000.0 / n_tokens) AS bigint) AS hapax_bp
+    FROM (
+      SELECT doc_id,
+             CAST(len(w) AS bigint) AS n_tokens,
+             CAST(len(list_distinct(w)) AS bigint) AS n_types,
+             CAST(len(list_filter(list_distinct(w),
+               x -> len(list_filter(w, t -> t = x)) = 1)) AS bigint) AS n_hapax
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents)
+    )
+    ORDER BY doc_id"""
+
   /** GPT-3-style 13-gram eval decontamination (Brown et al. appendix C):
     * flag every TRAINING doc sharing at least one exact word-13-gram
     * with the eval split — the canonical long-window variant next to
@@ -2290,6 +2324,7 @@ object TextQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_merges"    -> (bpeMerges _),
     "t_decontaminate13" -> (decontaminate13 _),
+    "t_ttr"           -> (ttr _),
     "d_cluster_sizes" -> (clusterSizes _),
     "d_winnow"        -> (winnow _),
     "t_chunk"         -> (chunk _),
@@ -2341,6 +2376,7 @@ object TextQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "t_bpe_merges"    -> bpeMergesSql,
     "t_decontaminate13" -> decontaminate13Sql,
+    "t_ttr"           -> ttrSql,
     "d_cluster_sizes" -> clusterSizesSql,
     "d_winnow"        -> winnowSql,
     "t_chunk"         -> chunkSql,

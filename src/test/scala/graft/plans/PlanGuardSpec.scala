@@ -41,7 +41,7 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_event_paths", "q_ns_empty_dirs", "m_scene_cuts",
                   "d_edit_verify", "t_decontaminate13", "d_cluster_sizes",
                   "q_rfm", "e_embed_drift", "e_dim_var",
-                  "q_ns_depth_histogram", "e_norm_histogram"))
+                  "q_ns_depth_histogram", "e_norm_histogram", "t_ttr"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
