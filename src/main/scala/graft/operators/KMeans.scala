@@ -46,21 +46,19 @@ object KMeans {
     * the DuckDB twin's `seeds` CTE selects from embeddings, so an empty
     * embedding array among the k smallest ids counts as a seed slot in
     * both engines rather than only in the oracle). */
-  def fitQuantized(vecs: DataFrame, embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  def fitQuantized(vecs: DataFrame, embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    assign(vecs, finalCentroids(vecs, embeddings, k, iters))
+      .select(col("vec_id"), col("k").as("cluster"), col("dist"))
+
+  /** The (k, pos, c) centroid table after `iters` Lloyd updates — the
+    * trajectory [[fitQuantized]] assigns against, exposed so multi-probe
+    * assignment ([[assignTop]]) shares the identical centroids. */
+  def finalCentroids(vecs: DataFrame, embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val seeds = embeddings.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
     var cents = vecs.join(broadcast(seeds), "vec_id")
       .select(col("vec_id").as("k"), col("pos"), col("q").as("c"))
-
-    def assign(c: DataFrame): DataFrame =
-      vecs.join(broadcast(c), Seq("pos"))
-        .groupBy(col("vec_id"), col("k"))
-        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("k"))).as("m"))
-        .select(col("vec_id"), col("m.k").as("k"), col("m.dist").as("dist"))
-
     (0 until iters).foreach { _ =>
-      val a = assign(cents)
+      val a = assign(vecs, cents)
       cents = a.join(vecs, "vec_id")
         .groupBy(col("k"), col("pos"))
         .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
@@ -68,6 +66,36 @@ object KMeans {
           floor(col("s") * 1.0 / col("n")).cast("long").as("c"))
         .localCheckpoint()
     }
-    assign(cents).select(col("vec_id"), col("k").as("cluster"), col("dist"))
+    cents
+  }
+
+  private def assign(vecs: DataFrame, c: DataFrame): DataFrame =
+    vecs.join(broadcast(c), Seq("pos"))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("k"))).as("m"))
+      .select(col("vec_id"), col("m.k").as("k"), col("m.dist").as("dist"))
+
+  /** Multi-probe assignment: each vector's `p` NEAREST centroids (ties to
+    * the smaller cluster id, like [[fitQuantized]]'s argmin), as
+    * (vec_id, cluster, dist, rnk ∈ 1..p). rnk=1 rows ARE [[fitQuantized]]'s
+    * assignment over the same centroids — the nearest-2-centroid probe
+    * SemDeDup/IVF use to catch near-dups that straddle a cell boundary. */
+  def assignTop(vecs: DataFrame, cents: DataFrame, p: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vecs.join(broadcast(cents), Seq("pos"))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("k"))))
+      .filter(col("rnk") <= p)
+      .select(col("vec_id"), col("k").as("cluster"), col("dist"), col("rnk"))
+  }
+
+  /** [[fit]] with `p`-probe assignment over the same trajectory. */
+  def fitTop(embeddings: DataFrame, k: Int, iters: Int, p: Int): DataFrame = {
+    val vecs = quantize(embeddings)
+    assignTop(vecs, finalCentroids(vecs, embeddings, k, iters), p)
   }
 }

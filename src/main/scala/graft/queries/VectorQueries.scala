@@ -197,6 +197,131 @@ object VectorQueries extends QueryModule {
            (10000 * CAST(sum(CASE WHEN fa.k = fb.k THEN 1 ELSE 0 END) AS bigint) // count(*)) AS recall_bp
     FROM p JOIN fin fa ON p.id_a = fa.vec_id JOIN fin fb ON p.id_b = fb.vec_id"""
 
+  // ------------------------------------- SemDeDup at the production cut
+
+  /** Production SemDeDup eval knobs: cos ≥ 0.9 near-dups, k doubled to 16
+    * (the corpus doubles when the twins land, and the paper's recipe
+    * grows k with n so cells stay bounded), nearest-2-centroid
+    * multi-probe. */
+  private[graft] val SemDedup09CosBp = 9000L
+  private[graft] val SemDedup09K = 16
+  private[graft] val SemDedup09Probes = 2
+  private val TwinIdOffset = 1000000L
+
+  /** The synthetic embeddings carry no organic cos ≥ 0.9 pairs (the r6
+    * eval measured the bucketing at a deliberately-weak 0.30 cut for that
+    * reason), so the production-regime eval PLANTS them: every 4th vector
+    * gets a twin whose elements are scaled by (1 + εᵢ), εᵢ ∈ {−2s…2s}
+    * cycling per position with a per-doc amplitude s = (1 + id mod 6)/16.
+    * E[ε²] = 2s² puts the twin cosine at ≈ 1/√(1+2s²) — a spread over
+    * ~0.86…0.997, so the truth set straddles the 0.9 boundary instead of
+    * sitting at a single trivial similarity. All constants are dyadic
+    * (k/16) and the perturbed element is ONE IEEE multiply, so DuckDB
+    * reproduces every planted double bit-for-bit. */
+  private def augmentedEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+    // src_id rename first: Spark 4 resolves a col("vec_id") inside this
+    // select against the LATERAL alias (the +offset value), not the input
+    // column, silently shifting every ε — the twin must perturb by the
+    // ORIGINAL id, like the oracle's e.vec_id
+    val twins = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding"))
+      .select((col("src_id") + lit(TwinIdOffset)).as("vec_id"),
+        transform(col("embedding"), (x, i0) =>
+          x.cast("double") * (lit(1.0) +
+            ((col("src_id") * 7 + (i0 + 1)) % 5 - 2).cast("double") *
+              ((col("src_id") % 6 + 1).cast("double") * lit(0.0625)))).as("embedding"))
+    base.unionByName(twins)
+  }
+
+  private val augmentedSql: String = s"""aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT e.vec_id + $TwinIdOffset AS vec_id,
+             list_transform(range(1, len(e.embedding) + 1), i ->
+               CAST(e.embedding[i] AS double) * (CAST(1.0 AS double) +
+                 CAST((e.vec_id * 7 + i) % 5 - 2 AS double) *
+                   (CAST(e.vec_id % 6 + 1 AS double) * CAST(0.0625 AS double)))) AS embedding
+      FROM embeddings e WHERE e.vec_id % 4 = 0
+    )"""
+
+  /** SemDeDup bucketing recall in the PRODUCTION regime (cos ≥ 0.9) over
+    * the planted-twin corpus, at both probe depths: `recall_bp_p1` is the
+    * plain argmin bucketing (what [[semDedupEval]] measures at 0.30),
+    * `recall_bp_p2` the nearest-2-centroid multi-probe — a pair is visible
+    * iff the two ends share ANY probed cell, which is exactly the pair
+    * scan [[semDedup]] would run with multi-probe assignment. The number
+    * that licenses retiring the quadratic baseline where it matters: the
+    * ≥ 0.9 near-dup regime. Truth side carries the quadratic guard (eval
+    * scale only); the operator chain itself stays equi-join-bucketed. */
+  def semDedupEval09(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = augmentedEmbeddings(spark, sfDir)
+    val e = graft.operators.Dedup.guardQuadratic(
+      aug.select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))),
+      "semDedupEval09", "d_semdedup (bucketed scan)", DedupBruteConf, DedupBruteDefault)
+      .localCheckpoint()
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosBp(col("va"), col("vb"), col("na"), col("nb")).as("cos_bp"))
+      .filter(col("cos_bp") >= SemDedup09CosBp)
+      .localCheckpoint()
+    val fit = graft.operators.KMeans
+      .fitTop(aug, SemDedup09K, KmeansIters, SemDedup09Probes)
+      .select(col("vec_id"), col("cluster"), col("rnk"))
+      .localCheckpoint() // one fit, probed by both pair ends at both depths
+    def captured(probes: Int): DataFrame = {
+      val fa = fit.filter(col("rnk") <= probes)
+        .select(col("vec_id").as("id_a"), col("cluster"))
+      val fb = fit.filter(col("rnk") <= probes)
+        .select(col("vec_id").as("id_b"), col("cluster"))
+      truth.join(fa, "id_a").join(fb, Seq("id_b", "cluster"))
+        .select(col("id_a"), col("id_b")).distinct()
+    }
+    val n1 = captured(1).count()
+    val n2 = captured(SemDedup09Probes).count()
+    truth.agg(count(lit(1)).as("n_pairs"))
+      .select(col("n_pairs"),
+        lit(n1).as("n_cap_p1"), expr(s"10000 * $n1 div n_pairs").as("recall_bp_p1"),
+        lit(n2).as("n_cap_p2"), expr(s"10000 * $n2 div n_pairs").as("recall_bp_p2"))
+  }
+
+  lazy val semDedupEval09Sql: String = {
+    val dotAug = "list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+    s"""
+    WITH $augmentedSql,
+    ${kmeansChain(SemDedup09K, "aug", SemDedup09Probes)},
+    ev AS (
+      SELECT vec_id, embedding AS v,
+             sqrt(${dotSqlOf("embedding", "embedding")}) AS nrm
+      FROM aug
+    ), truth AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+      WHERE floor($dotAug * 10000.0 / (a.nrm * b.nrm)) >= $SemDedup09CosBp
+    ), cap1 AS (
+      SELECT DISTINCT t.id_a, t.id_b
+      FROM truth t
+      JOIN fin fa ON t.id_a = fa.vec_id AND fa.rn = 1
+      JOIN fin fb ON t.id_b = fb.vec_id AND fb.rn = 1 AND fb.k = fa.k
+    ), cap2 AS (
+      SELECT DISTINCT t.id_a, t.id_b
+      FROM truth t
+      JOIN fin fa ON t.id_a = fa.vec_id
+      JOIN fin fb ON t.id_b = fb.vec_id AND fb.k = fa.k
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_pairs,
+           (SELECT count(*) FROM cap1) AS n_cap_p1,
+           (10000 * (SELECT count(*) FROM cap1) // (SELECT count(*) FROM truth)) AS recall_bp_p1,
+           (SELECT count(*) FROM cap2) AS n_cap_p2,
+           (10000 * (SELECT count(*) FROM cap2) // (SELECT count(*) FROM truth)) AS recall_bp_p2"""
+  }
+
   // ------------------------------------------------------------- LSH / ANN
 
   /** Deterministic random hyperplanes (seeded driver-side, shipped as
@@ -1440,38 +1565,49 @@ object VectorQueries extends QueryModule {
 
   /** [[kmeansCtes]] parameterized on k — the elbow sweep runs the chain
     * at several k values, each inside its own subquery scope. */
-  private[queries] def kmeansCtesFor(kk: Int): String = {
+  private[queries] def kmeansCtesFor(kk: Int): String =
+    "\n    WITH " + kmeansChain(kk, "embeddings", 1)
+
+  /** The trajectory CTE body WITHOUT the leading `WITH`, parameterized on
+    * the source relation (a base table or an earlier CTE — e.g. the
+    * planted-near-dup corpus of [[semDedupEval09]]) and the probe depth of
+    * the final assignment: finRnMax = 1 reproduces [[kmeansCtesFor]]'s
+    * argmin `fin`; finRnMax = p keeps each vector's p nearest centroids
+    * with their rank (the [[graft.operators.KMeans.assignTop]] twin). */
+  private[queries] def kmeansChain(kk: Int, src: String, finRnMax: Int): String = {
     // the same iteration unrolled as a CTE chain: a_i assigns against c_{i-1},
     // c_i re-averages; `fin` is the (iters+1)-th assignment
-    def assignCte(name: String, cents: String) = s"""$name AS (
-      SELECT vec_id, k, dist FROM (
+    def assignCte(name: String, cents: String, rnMax: Int) = {
+      val proj = if (rnMax == 1) "vec_id, k, dist" else "vec_id, k, dist, rn"
+      s"""$name AS (
+      SELECT $proj FROM (
         SELECT vec_id, k, dist,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
         FROM (SELECT v.vec_id, c.k, CAST(sum((v.q - c.c) * (v.q - c.c)) AS bigint) AS dist
               FROM q v JOIN $cents c ON v.pos = c.pos
               GROUP BY v.vec_id, c.k)
-      ) WHERE rn = 1
+      ) WHERE rn <= $rnMax
     )"""
+    }
     def centCte(i: Int) = s"""c$i AS (
       SELECT a.k, v.pos, CAST(floor(sum(v.q) * 1.0 / count(*)) AS bigint) AS c
       FROM a$i a JOIN q v ON a.vec_id = v.vec_id
       GROUP BY a.k, v.pos
     )"""
     val chain = (1 to KmeansIters).map(i =>
-      assignCte(s"a$i", s"c${i - 1}") + ", " + centCte(i)).mkString(", ")
-    s"""
-    WITH q AS (
+      assignCte(s"a$i", s"c${i - 1}", 1) + ", " + centCte(i)).mkString(", ")
+    s"""q AS (
       SELECT vec_id,
              CAST(unnest(range(1, len(embedding) + 1)) AS bigint) AS pos,
              unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint))) AS q
-      FROM embeddings
+      FROM $src
     ), seeds AS (
-      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kk
+      SELECT vec_id FROM $src ORDER BY vec_id LIMIT $kk
     ), c0 AS (
       SELECT v.vec_id AS k, v.pos, v.q AS c FROM q v
       WHERE v.vec_id IN (SELECT vec_id FROM seeds)
     ), $chain,
-    ${assignCte("fin", s"c$KmeansIters")}"""
+    ${assignCte("fin", s"c$KmeansIters", finRnMax)}"""
   }
 
   val kmeansSql: String =
@@ -2153,6 +2289,7 @@ object VectorQueries extends QueryModule {
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_semdedup"        -> (semDedup _),
     "d_semdedup_eval"   -> (semDedupEval _),
+    "d_semdedup_eval09" -> (semDedupEval09 _),
     "d_dedup_minhash"   -> (dedupMinhash _),
     "d_minhash_keep"    -> (minhashKeep _),
     "d_minhash_incr"    -> (minhashIncr _),
@@ -2184,6 +2321,7 @@ object VectorQueries extends QueryModule {
     "d_dedup_embedding" -> dedupEmbeddingSql,
     "d_semdedup"        -> semDedupSql,
     "d_semdedup_eval"   -> semDedupEvalSql,
+    "d_semdedup_eval09" -> semDedupEval09Sql,
     "e_ann_lsh"         -> annLshSql,
     "e_ann_ivf"         -> annIvfSql,
     "e_ann_pq"          -> annPqSql,

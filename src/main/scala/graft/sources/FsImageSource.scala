@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.RandomAccessFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.sources.fsimage.FsImageFormat
 import graft.sources.fsimage.FsImageFormat._
 
@@ -17,17 +17,24 @@ import graft.sources.fsimage.FsImageFormat._
   *    FsImageLoader is fully in-memory, lib/.../core/FsImageLoader.java:286).
   *    Right for ad-hoc images up to a few million inodes.
   *  - [[inodesDistributed]]: the scale path. The driver never materializes
-  *    a section: it streams the INODE/INODE_DIR sections once to find
-  *    message-aligned chunk boundaries (O(buffer) memory,
-  *    [[FsImageFormat.scanRanges]]), then ships only (start,end) offset
-  *    pairs; each executor reads its own byte range of the image via the
-  *    Hadoop FileSystem API ([[FsImageFormat.readRange]] — works for both
-  *    file:// and DFS paths). Only the directory tree (~1% of inodes) and
-  *    the string table are collected/broadcast. Zlib images are not
-  *    splittable, so their sections are inflated once, streaming, to a
-  *    side file that the ranged reads then target — on a cluster, point
-  *    the side file at shared storage (or store scale images uncompressed,
-  *    which is also the Hadoop default for large fsimages).
+  *    a section OR the directory tree: it streams the INODE/INODE_DIR
+  *    sections once to find message-aligned chunk boundaries (O(buffer)
+  *    memory, [[FsImageFormat.scanRanges]]), then ships only (start,end)
+  *    offset pairs; each executor reads its own byte range of the image
+  *    via the Hadoop FileSystem API ([[FsImageFormat.readRange]] — works
+  *    for both file:// and DFS paths). Directory paths are resolved
+  *    DISTRIBUTIVELY — O(tree depth) iterative parent equi-joins over the
+  *    dir table with per-round lineage checkpoints (the
+  *    [[graft.operators.Dedup.connectedComponents]] posture), then file
+  *    paths attach by one parent-id join — so driver state is only the
+  *    string table plus the range scan buffer, never O(#dirs): a
+  *    10⁸-inode fleet image (~10⁶–10⁷ dirs × ~100 B paths) loads under a
+  *    2 GiB driver cap where a dir collect + path-map broadcast would be
+  *    a multi-GB driver materialization. Zlib images are not splittable,
+  *    so their sections are inflated once, streaming, to a side file that
+  *    the ranged reads then target — on a cluster, point the side file at
+  *    shared storage (or store scale images uncompressed, which is also
+  *    the Hadoop default for large fsimages).
   */
 object FsImageSource {
 
@@ -194,18 +201,62 @@ object FsImageSource {
     }
   }
 
-  /** Builds dir id → absolute path from the collected dir inodes plus the
-    * dir→parent edges. */
-  private def dirPaths(dirRows: Array[RawInode],
-                       parentOf: java.util.HashMap[Long, Long]): Map[Long, String] = {
-    val byId = dirRows.map(d => d.id -> d).toMap
-    val resolve = pathResolver(byId,
-      id => if (parentOf.containsKey(id)) Some(parentOf.get(id).longValue()) else None)
-    dirRows.map(d => d.id -> resolve(d.id)).toMap
+  /** Hard cap on directory-tree depth for the distributed path walk —
+    * far above HDFS reality (dfs.namenode.fs-limits.max-directory-items
+    * trees run ~10–40 deep); hitting it means the image's parent edges
+    * form a cycle, and the walk raises the same diagnosis the driver
+    * loader's [[pathResolver]] cycle guard does instead of looping. */
+  private val MaxTreeDepth = 1024
+
+  /** Distributed dir id → absolute path: O(tree depth) iterative parent
+    * equi-joins, each round shrinking to the still-unresolved rows and
+    * truncating lineage with an eager localCheckpoint (the
+    * [[graft.operators.Dedup.connectedComponents]] pattern). No driver
+    * materialization — the only per-round driver values are a count and
+    * the loop guard.
+    *
+    * @param dirs (id, name, parent) for every non-root directory; parent
+    *             is RootInodeId when the image carries no edge for it
+    * @return (id, path) for every dir INCLUDING root ("/"); a dir whose
+    *         parent chain leaves the dir table attaches at root, exactly
+    *         like the driver loader's [[pathResolver]]
+    */
+  private def dirPathsDistributed(spark: SparkSession, dirs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, concat, lit, when}
+    import spark.implicits._
+    // join side, reused every round: non-root dirs keyed by id
+    val parentSide = dirs.select(col("id").as("cursor"),
+      col("name").as("p_name"), col("parent").as("p_parent"))
+      .localCheckpoint()
+    // state: path = <unresolved prefix of cursor> + suffix; done ⇔ cursor=root
+    var active = dirs
+      .select(col("id"), concat(lit("/"), col("name")).as("suffix"),
+        col("parent").as("cursor"))
+      .localCheckpoint()
+    var done = List.empty[DataFrame]
+    var rounds = 0
+    while (!active.isEmpty) {
+      rounds += 1
+      if (rounds > MaxTreeDepth) throw new IllegalStateException(
+        s"fsimage directory tree has a parent cycle (depth > $MaxTreeDepth)")
+      val stepped = active.join(parentSide, Seq("cursor"), "left_outer")
+        .select(col("id"),
+          when(col("p_name").isNull, col("suffix"))
+            .otherwise(concat(lit("/"), col("p_name"), col("suffix"))).as("suffix"),
+          // unmatched cursor = root or a dangling parent → attach at root
+          coalesce(col("p_parent"), lit(RootInodeId)).as("cursor"))
+        .localCheckpoint()
+      done ::= stepped.filter(col("cursor") === RootInodeId)
+        .select(col("id"), col("suffix").as("path"))
+      active = stepped.filter(col("cursor") =!= RootInodeId)
+    }
+    val root = Seq((RootInodeId, "/")).toDF("id", "path")
+    done.foldLeft(root)(_ unionByName _).localCheckpoint()
   }
 
   /** Scale-path loader — see the object scaladoc for the design. Driver
-    * memory is O(#dirs + string table + scan buffer), never O(section). */
+    * memory is O(string table + scan buffer), never O(section) or
+    * O(#dirs). */
   def inodesDistributed(spark: SparkSession, imagePath: String,
                         parallelism: Int = 0,
                         targetChunkBytes: Long = 32L << 20): DataFrame = {
@@ -312,56 +363,70 @@ object FsImageSource {
       while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
       b.result()
     }
-    // persisted: each RDD feeds two jobs (dir collect + final DataFrame) —
-    // without persist the dominant cost (ranged I/O + protobuf parse of
-    // both sections) would run twice per load
+    // persisted: each RDD feeds several jobs (dir-path resolution + final
+    // DataFrame) — without persist the dominant cost (ranged I/O +
+    // protobuf parse of both sections) would run per consumer. DISK_ONLY,
+    // not MEMORY_AND_DISK_SER: blocks stream straight to the disk store,
+    // so caching N concurrent 32 MB parse ranges never competes with
+    // execution memory — the difference between completing and OOMing
+    // under a 2 GiB cap at 10⁷–10⁸ inodes; the re-read is sequential
+    // local-disk I/O, far cheaper than a re-parse.
     import org.apache.spark.storage.StorageLevel
     val parsedInodes = sc.parallelize(inodeRanges.toSeq, math.max(1, inodeRanges.length))
       .flatMap { case (from, to) =>
         val n = java.lang.Math.toIntExact(to - from)
         FsImageFormat.parseInodeRange(FsImageFormat.readRange(ip, from, n, hconf.value), 0, n)
       }
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(StorageLevel.DISK_ONLY)
     val dirEntries = sc.parallelize(dirRanges.toSeq, math.max(1, dirRanges.length))
       .flatMap { case (from, to) =>
         val n = java.lang.Math.toIntExact(to - from)
         FsImageFormat.parseDirRange(FsImageFormat.readRange(dp, from, n, hconf.value), 0, n)
       }
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(StorageLevel.DISK_ONLY)
 
-    // Directory tree: dirs are ~1% of inodes → collect + broadcast.
-    val dirRows = parsedInodes.filter(_.inodeType == 2).collect()
-    val dirIds = dirRows.map(_.id).toSet
-    val bcDirIds = sc.broadcast(dirIds)
-    val dirParentOf = {
-      val m = new java.util.HashMap[Long, Long]()
-      dirEntries
-        .flatMap(e => e.children.filter(bcDirIds.value.contains).map(c => (c, e.parent)))
-        .collect()
-        .foreach { case (c, p) => m.put(c, p) }
-      m
-    }
-    val bcDirPaths = sc.broadcast(dirPaths(dirRows, dirParentOf))
     val bcStrings = sc.broadcast(strings)
 
-    // Files + symlinks: distributed join on the parent edge, then path =
-    // broadcast dir path + name (root-attached when no edge exists).
+    // Directory tree: resolved DISTRIBUTIVELY — no collect, no path-map
+    // broadcast. Edges are (child, parent) from the INODE_DIR section;
+    // the dir table is (id, name, parent) with parent root-attached when
+    // the image carries no edge (same semantics as the driver loader).
     val edges = dirEntries
       .flatMap(d => d.children.map(c => (c, d.parent)))
       .toDF("child_id", "parent_id")
+    val dirMeta = parsedInodes.filter(_.inodeType == 2)
+      .map(i => (i.id, i.name))
+      .toDF("id", "name")
+    val dirTable = dirMeta.filter(col("id") =!= RootInodeId)
+      .join(edges, col("id") === col("child_id"), "left_outer")
+      .select(col("id"), col("name"),
+        org.apache.spark.sql.functions.coalesce(col("parent_id"), lit(RootInodeId)).as("parent"))
+    val dirPathsDf = dirPathsDistributed(spark, dirTable)
+
+    // Dir rows: attach each RawInode dir to its resolved path by id join.
+    val dirDs = parsedInodes.filter(_.inodeType == 2)
+      .map(i => (i.id, i))
+      .toDF("id", "inode")
+      .join(dirPathsDf, Seq("id"))
+      .select(col("inode").as("_1"), col("path").as("_2"))
+      .as[(RawInode, String)]
+      .map { case (i, p) => toInode(i, p, bcStrings.value) }
+
+    // Files + symlinks: parent edge join, then parent path by join (a
+    // left-join miss = no edge or non-dir parent → root-attached).
     val nonDirs = parsedInodes.filter(_.inodeType != 2)
       .map(i => (i.id, i))
       .toDF("id", "inode")
       .join(edges, col("id") === col("child_id"), "left_outer")
-      .select(col("inode").as("_1"), col("parent_id").as("_2"))
-      .as[(RawInode, Option[Long])]
-      .map { case (i, parent) =>
-        val pp = bcDirPaths.value.getOrElse(parent.getOrElse(RootInodeId), "/")
+      .join(dirPathsDf.select(col("id").as("parent_id"), col("path").as("pp")),
+        Seq("parent_id"), "left_outer")
+      .select(col("inode").as("_1"),
+        org.apache.spark.sql.functions.coalesce(col("pp"), lit("/")).as("_2"))
+      .as[(RawInode, String)]
+      .map { case (i, pp) =>
         toInode(i, (if (pp == "/") "" else pp) + "/" + i.name, bcStrings.value)
       }
 
-    val dirPathMap = bcDirPaths.value
-    val dirDs = spark.createDataset(dirRows.toSeq.map(d => toInode(d, dirPathMap(d.id), strings)))
     nonDirs.unionByName(dirDs).toDF()
   }
 

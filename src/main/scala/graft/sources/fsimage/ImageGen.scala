@@ -1,6 +1,6 @@
 package graft.sources.fsimage
 
-import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream}
+import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream, OutputStream}
 
 /** Synthetic fsimage writer — the engine's counterpart of the reference's
   * `fsimage-generator` module (reference fsimage-generator/README.md): it
@@ -41,8 +41,24 @@ object ImageGen {
   /** XAttr name serials added to the string table (kind 3 entries). */
   val XAttrNameSerials: Seq[(Long, String)] = Seq(1L -> "policy", 2L -> "origin")
 
-  private class W {
-    val out = new ByteArrayOutputStream()
+  /** Byte-counting pass-through — section lengths/offsets for the tail
+    * FileSummary without buffering a section in memory. */
+  private class CountingStream(sink: OutputStream) extends OutputStream {
+    var count = 0L
+    override def write(b: Int): Unit = { sink.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      sink.write(b, off, len); count += len
+    }
+  }
+
+  /** Protobuf wire writer. Top-level (section) writers stream straight to
+    * the image file — O(1) generator memory at any inode count; only the
+    * small per-message inner writers buffer (a message body needs its
+    * length before its bytes). */
+  private class W(val out: OutputStream = new ByteArrayOutputStream()) {
+    private def inner(f: W => Unit): Array[Byte] = {
+      val i = new W(); f(i); i.out.asInstanceOf[ByteArrayOutputStream].toByteArray
+    }
     def varint(v0: Long): W = {
       var v = v0
       while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
@@ -57,10 +73,10 @@ object ImageGen {
     }
     def bytes(field: Int, b: Array[Byte]): W = { tag(field, 2); varint(b.length); out.write(b); this }
     def str(field: Int, s: String): W = bytes(field, s.getBytes("UTF-8"))
-    def msg(field: Int)(f: W => Unit): W = { val i = new W; f(i); bytes(field, i.out.toByteArray) }
+    def msg(field: Int)(f: W => Unit): W = bytes(field, inner(f))
     def delimited(f: W => Unit): W = {
-      val i = new W; f(i)
-      varint(i.out.toByteArray.length); out.write(i.out.toByteArray); this
+      val b = inner(f)
+      varint(b.length); out.write(b); this
     }
   }
 
@@ -81,9 +97,11 @@ object ImageGen {
   def write(path: String, spec: GenSpec): GenSummary = {
     import spec._
     val ec = FsImageFormat.EcPoliciesById(1) // RS-6-3-1024k
-    val dirIds = (0 until nDirs).map(i => RootId + 1 + i)
-    val fileIds = (0 until nFiles).map(i => RootId + 1 + nDirs + i)
-    val linkIds = (0 until nSymlinks).map(i => RootId + 1 + nDirs + nFiles + i)
+    // ids are computed, never materialized: a 10⁸-inode generation must
+    // not hold 10⁸ boxed longs (or a grouped edge list) on the heap
+    def dirId(i: Int): Long = RootId + 1 + i
+    def fileId(i: Int): Long = RootId + 1 + nDirs + i
+    def linkId(i: Int): Long = RootId + 1 + nDirs + nFiles + i
 
     def perm(user: Long, group: Long, mode: Int): Long =
       (user << 40) | (group << 16) | mode
@@ -106,7 +124,28 @@ object ImageGen {
         }
       })
 
-    val inodes = new W
+    // The image streams to disk section by section (sections land in the
+    // file in exactly the order they're generated); the tail FileSummary
+    // needs only the (name, length, offset) triples.
+    val fos = new FileOutputStream(path)
+    val buf = new java.io.BufferedOutputStream(fos, 1 << 20)
+    buf.write("HDFSIMG1".getBytes("ASCII"))
+    var offset = 8L
+    val located = Seq.newBuilder[(String, Long, Long)]
+    def section(name: String)(f: W => Unit): Unit = {
+      val cs = new CountingStream(buf)
+      f(new W(cs))
+      located += ((name, cs.count, offset))
+      offset += cs.count
+    }
+
+    var sumSize = 0L
+    var sumConsumed = 0L
+    var nEc = 0
+    var nAcl = 0
+    var nXattr = 0
+
+    section("INODE") { inodes =>
     inodes.delimited { h =>
       h.tag(1, 0).varint(RootId + nDirs + nFiles + nSymlinks)
       h.tag(2, 0).varint(1 + nDirs + nFiles + nSymlinks)
@@ -115,7 +154,8 @@ object ImageGen {
       m.tag(1, 0).varint(2); m.tag(2, 0).varint(RootId); m.str(3, "")
       m.msg(5)(d => { d.tag(1, 0).varint(1700000000000L); d.tag(4, 1).fixed64(perm(1, 1, 0x1ED)) })
     }
-    dirIds.zipWithIndex.foreach { case (id, i) =>
+    (0 until nDirs).foreach { i =>
+      val id = dirId(i)
       inodes.delimited { m =>
         m.tag(1, 0).varint(2); m.tag(2, 0).varint(id); m.str(3, s"dir_$i")
         m.msg(5) { d =>
@@ -134,12 +174,8 @@ object ImageGen {
         }
       }
     }
-    var sumSize = 0L
-    var sumConsumed = 0L
-    var nEc = 0
-    var nAcl = 0
-    var nXattr = 0
-    fileIds.zipWithIndex.foreach { case (id, i) =>
+    (0 until nFiles).foreach { i =>
+      val id = fileId(i)
       val size = 1024L * (1 + i % 3000)
       val isEc = ecEvery > 0 && i % ecEvery == 0
       val hasAcl = aclEvery > 0 && i % aclEvery == 0
@@ -170,7 +206,8 @@ object ImageGen {
         }
       }
     }
-    linkIds.zipWithIndex.foreach { case (id, i) =>
+    (0 until nSymlinks).foreach { i =>
+      val id = linkId(i)
       inodes.delimited { m =>
         m.tag(1, 0).varint(3); m.tag(2, 0).varint(id); m.str(3, s"link_$i")
         m.msg(6) { s =>
@@ -181,35 +218,44 @@ object ImageGen {
         }
       }
     }
+    } // section INODE
 
-    val dirSection = new W
     // Directory edges: the first `chainDirs` dirs nest as a chain
     // root→dir_0→dir_1→… (deep-path coverage for the resolver); the rest
     // plus all symlinks hang off root.
     val chain = math.min(math.max(chainDirs, 0), nDirs)
-    val rootDirs = if (chain == 0) dirIds else dirIds.take(1) ++ dirIds.drop(chain)
+    section("INODE_DIR") { dirSection =>
     dirSection.delimited { m =>
       m.tag(1, 0).varint(RootId)
-      m.msg(2)(p => { rootDirs.foreach(p.varint); linkIds.foreach(p.varint) })
+      m.msg(2) { p =>
+        if (nDirs > 0) {
+          p.varint(dirId(0))
+          ((if (chain == 0) 1 else chain) until nDirs).foreach(i => p.varint(dirId(i)))
+        }
+        (0 until nSymlinks).foreach(i => p.varint(linkId(i)))
+      }
     }
     (1 until chain).foreach { i =>
       dirSection.delimited { m =>
-        m.tag(1, 0).varint(dirIds(i - 1))
-        m.msg(2)(p => p.varint(dirIds(i)))
+        m.tag(1, 0).varint(dirId(i - 1))
+        m.msg(2)(p => p.varint(dirId(i)))
       }
     }
     // files round-robin under dirs
     if (nDirs > 0) {
-      val byDir = fileIds.zipWithIndex.groupBy(_._2 % nDirs)
-      byDir.toSeq.sortBy(_._1).foreach { case (d, fs) =>
+      (0 until math.min(nDirs, math.max(nFiles, 0))).foreach { d =>
         dirSection.delimited { m =>
-          m.tag(1, 0).varint(dirIds(d))
-          m.msg(2)(p => fs.foreach(f => p.varint(f._1)))
+          m.tag(1, 0).varint(dirId(d))
+          m.msg(2) { p =>
+            var i = d
+            while (i < nFiles) { p.varint(fileId(i)); i += nDirs }
+          }
         }
       }
     }
+    } // section INODE_DIR
 
-    val strings = new W
+    section("STRING_TABLE") { strings =>
     strings.delimited { h => h.tag(1, 0).varint(33); h.tag(2, 0).varint(3) }
     (1 to 20).foreach(i => strings.delimited { e => e.tag(1, 0).varint((1L << 29) | i); e.str(2, s"user$i") })
     strings.delimited { e => e.tag(1, 0).varint((1L << 29) | AclUserSerial); e.str(2, AclUserName) }
@@ -217,22 +263,22 @@ object ImageGen {
     XAttrNameSerials.foreach { case (s, n) =>
       strings.delimited { e => e.tag(1, 0).varint((3L << 29) | s); e.str(2, n) }
     }
+    } // section STRING_TABLE
 
     // SNAPSHOT section: header {snapshotCounter, snapshottableDir packed,
     // numSnapshots} + one Snapshot{id, root INode} per snapshot of dir_0;
     // the root carries the snapshot's name (Hadoop freezes the dir there)
-    val snapSection = new W
-    if (nSnapshots > 0 && nDirs > 0) {
+    if (nSnapshots > 0 && nDirs > 0) section("SNAPSHOT") { snapSection =>
       snapSection.delimited { h =>
         h.tag(1, 0).varint(nSnapshots)
-        h.msg(2)(p => p.varint(dirIds.head))
+        h.msg(2)(p => p.varint(dirId(0)))
         h.tag(3, 0).varint(nSnapshots)
       }
       (0 until nSnapshots).foreach { i =>
         snapSection.delimited { s =>
           s.tag(1, 0).varint(i)
           s.msg(2) { m =>
-            m.tag(1, 0).varint(2); m.tag(2, 0).varint(dirIds.head); m.str(3, s"snap_$i")
+            m.tag(1, 0).varint(2); m.tag(2, 0).varint(dirId(0)); m.str(3, s"snap_$i")
             m.msg(5)(d => { d.tag(1, 0).varint(1700000000000L); d.tag(4, 1).fixed64(perm(1, 1, 0x1ED)) })
           }
         }
@@ -243,11 +289,10 @@ object ImageGen {
     // odd entries model the with-name side (old name kept alive inside a
     // snapshot → lastSnapshotId set), even entries the dst-reference side
     // (new live path → dstSnapshotId set); both refer to real file inodes
-    val refSection = new W
-    if (nRefs > 0 && nFiles > 0) {
+    if (nRefs > 0 && nFiles > 0) section("INODE_REFERENCE") { refSection =>
       (0 until nRefs).foreach { i =>
         refSection.delimited { r =>
-          r.tag(1, 0).varint(fileIds(i % nFiles))
+          r.tag(1, 0).varint(fileId(i % nFiles))
           r.str(2, if (i % 2 == 1) s"old_name_$i.dat" else s"f_${i % nFiles}.dat")
           if (i % 2 == 0) r.tag(3, 0).varint(i % math.max(nSnapshots, 1))
           else r.tag(4, 0).varint(i % math.max(nSnapshots, 1))
@@ -258,14 +303,13 @@ object ImageGen {
     // SNAPSHOT_DIFF section: alternating FileDiff / DirectoryDiff entries
     // in Hadoop's exact stream shape — DiffEntry header, then its diff
     // messages, then (dirs only) the trailing CreatedListEntry stream
-    val diffSection = new W
-    if (nDiffs > 0 && nFiles > 0 && nDirs > 0) {
+    if (nDiffs > 0 && nFiles > 0 && nDirs > 0) section("SNAPSHOT_DIFF") { diffSection =>
       (0 until nDiffs).foreach { i =>
         val sid = i % math.max(nSnapshots, 1)
         if (i % 2 == 0) { // FILEDIFF on file i%nFiles
           diffSection.delimited { e =>
             e.tag(1, 0).varint(1)
-            e.tag(2, 0).varint(fileIds(i % nFiles))
+            e.tag(2, 0).varint(fileId(i % nFiles))
             e.tag(3, 0).varint(1)
           }
           diffSection.delimited { d =>
@@ -276,14 +320,14 @@ object ImageGen {
         } else { // DIRECTORYDIFF on dir i%nDirs, 2 created + 2 deleted
           diffSection.delimited { e =>
             e.tag(1, 0).varint(2)
-            e.tag(2, 0).varint(dirIds(i % nDirs))
+            e.tag(2, 0).varint(dirId(i % nDirs))
             e.tag(3, 0).varint(1)
           }
           diffSection.delimited { d =>
             d.tag(1, 0).varint(sid)
             d.str(4, s"dir_${i % nDirs}")
             d.tag(6, 0).varint(2)
-            d.msg(7)(p => { p.varint(fileIds(i % nFiles)); p.varint(fileIds((i + 1) % nFiles)) })
+            d.msg(7)(p => { p.varint(fileId(i % nFiles)); p.varint(fileId((i + 1) % nFiles)) })
           }
           diffSection.delimited(c => c.str(1, s"created_a_$i"))
           diffSection.delimited(c => c.str(1, s"created_b_$i"))
@@ -291,30 +335,16 @@ object ImageGen {
       }
     }
 
-    val fos = new FileOutputStream(path)
-    val dos = new DataOutputStream(fos)
-    dos.write("HDFSIMG1".getBytes("ASCII"))
-    var offset = 8L
-    val sections = Seq("INODE" -> inodes, "INODE_DIR" -> dirSection, "STRING_TABLE" -> strings) ++
-      (if (nSnapshots > 0 && nDirs > 0) Seq("SNAPSHOT" -> snapSection) else Nil) ++
-      (if (nRefs > 0 && nFiles > 0) Seq("INODE_REFERENCE" -> refSection) else Nil) ++
-      (if (nDiffs > 0 && nFiles > 0 && nDirs > 0) Seq("SNAPSHOT_DIFF" -> diffSection) else Nil)
-    val located = sections.map { case (name, w) =>
-      val b = w.out.toByteArray
-      dos.write(b)
-      val s = (name, b.length.toLong, offset)
-      offset += b.length
-      s
-    }
-    val summary = new W
+    val summary = new W()
     summary.delimited { fsm =>
       fsm.tag(1, 0).varint(1)
       fsm.tag(2, 0).varint(0xFFFFFFBFL) // layout -65 as uint
-      located.foreach { case (name, len, off) =>
+      located.result().foreach { case (name, len, off) =>
         fsm.msg(4)(sec => { sec.str(1, name); sec.tag(2, 0).varint(len); sec.tag(3, 0).varint(off) })
       }
     }
-    val sb = summary.out.toByteArray
+    val sb = summary.out.asInstanceOf[ByteArrayOutputStream].toByteArray
+    val dos = new DataOutputStream(buf)
     dos.write(sb)
     dos.writeInt(sb.length)
     dos.close()
