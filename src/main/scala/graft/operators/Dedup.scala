@@ -227,8 +227,36 @@ object Dedup {
   private def shl1(bits: Column): Column =
     ExpressionUtils.column(ShiftLeft(Literal(1L), ExpressionUtils.expression(bits)))
 
+  /** Sizing rule for [[bloomGate]]/[[bloomMask]]: at least this many bits
+    * per corpus key before the filter is accepted (m/n = 10 with k = 4
+    * hashes ⇒ ~1.2% false-positive rate; at saturation every probe reads
+    * positive and the gate silently stops deduplicating). Set the conf to
+    * 0 to accept saturation deliberately (e.g. the saturation spec). */
+  val BloomBitsPerKeyConf = "graft.dedup.bloomBitsPerKey"
+  val BloomBitsPerKeyDefault = 10L
+
+  /** Refuses a corpus too large for `numBits` — the 10⁹-keys-into-2¹⁶-bits
+    * misuse fails loudly instead of returning all-positive garbage. Row
+    * count is the (conservative) cardinality proxy; the check reads at
+    * most maxKeys+1 rows. */
+  private def guardBloomSized(corpus: DataFrame, numBits: Int): Unit = {
+    val bpk = corpus.sparkSession.conf.getOption(BloomBitsPerKeyConf)
+      .map(_.toLong).getOrElse(BloomBitsPerKeyDefault)
+    if (bpk > 0) {
+      val maxKeys = numBits / bpk
+      val n = corpus.limit(java.lang.Math.toIntExact(
+        math.min(maxKeys + 1, Int.MaxValue.toLong))).count()
+      require(n <= maxKeys,
+        s"bloom: corpus has >$maxKeys rows but a $numBits-bit filter supports only " +
+        s"~$maxKeys keys at $bpk bits/key (the false-positive rate blows up toward " +
+        s"saturation past that). Size numBits >= ${bpk}x the expected distinct keys, " +
+        s"or set $BloomBitsPerKeyConf=0 to accept the rate")
+    }
+  }
+
   def bloomGate(corpus: DataFrame, batch: DataFrame,
                 numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    guardBloomSized(corpus, numBits)
     def positions(fp: Column): Column = bloomPositions(fp, numBits, numHashes)
     val bits = corpus.select(explode(positions(col("fp"))).as("pos")).distinct()
     val hits = batch.select(col("id"), explode(positions(col("fp"))).as("pos"))
@@ -248,12 +276,14 @@ object Dedup {
     * or persist it as the incremental-dedup checkpoint between pipeline
     * runs. Same md5 hash family as [[bloomGate]], so the two agree
     * bit-for-bit (false positives included). */
-  def bloomMask(corpus: DataFrame, numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame =
+  def bloomMask(corpus: DataFrame, numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    guardBloomSized(corpus, numBits)
     corpus.select(explode(bloomPositions(col("fp"), numBits, numHashes)).as("pos"))
       .select(shiftright(col("pos"), 6).cast("int").as("word"),
         shl1(expr("CAST(pos % 64 AS INT)")).as("bit"))
       .groupBy(col("word")).agg(bit_or(col("bit")).as("bits"))
       .agg(map_from_arrays(collect_list(col("word")), collect_list(col("bits"))).as("mask"))
+  }
 
   /** True iff every probe bit of `fp` is set in `mask` (a [[bloomMask]]
     * map column) — the per-row, join-free membership test. */

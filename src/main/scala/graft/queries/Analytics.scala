@@ -525,13 +525,29 @@ object Analytics extends QueryModule {
     SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
     FROM events GROUP BY event_type ORDER BY event_type"""
 
-  /** Approximate distinct via HLL — engine-specific sketch, rows-only check.
-    * At 100 TB this replaces the exact shuffle-heavy distinct. */
+  /** Approximate distinct via HLL++ — at 100 TB this replaces the exact
+    * shuffle-heavy distinct. The sketch itself is engine-specific, so the
+    * oracle-checkable CONTRACT is the q_topk_merge_rollup `ok`-column
+    * pattern: emit the exact count and a `within_bound` verdict asserting
+    * the HLL estimate landed inside 3σ of its configured rsd (0.01 → 3%).
+    * The oracle predicts verdict 1 for every group — an HLL drift beyond
+    * bound flips the flag and hash-fails the row. (The exact countDistinct
+    * here is the EVAL posture, like d_minhash_recall's truth side; the
+    * production query would ship only the sketch.) */
   def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+           countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("approx_users") - col("n_exact"))
+          <= col("n_exact") * lit(0.03)).cast("int").as("within_bound"))
       .orderBy(col("event_type"))
+
+  val qApproxDistinctSql: String = """
+    SELECT event_type, count(DISTINCT user_id) AS n_exact,
+           CAST(1 AS int) AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type"""
 
   /** Left-semi join: customers with purchase activity, counted per market
     * segment. Semi join ships only the distinct key column. */
@@ -2180,6 +2196,7 @@ object Analytics extends QueryModule {
     "q_json_props"      -> qJsonPropsSql,
     "q_rollup_region_nation" -> qRollupSql,
     "q_distinct_users"  -> qDistinctUsersSql,
+    "q_approx_distinct" -> qApproxDistinctSql,
     "q_anti_join"       -> qAntiJoinSql,
     "q_semi_join"       -> qSemiJoinSql,
     "q_topk_groupwise"  -> qTopkGroupwiseSql,

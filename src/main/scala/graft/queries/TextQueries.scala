@@ -1046,13 +1046,19 @@ object TextQueries extends QueryModule {
     * the existing data. An exact distinct-fp membership column rides along,
     * so the result also quantifies the filter's false positives — exactly
     * reproducible here because the md5 hash family is engine-portable. */
+  /** 2²⁰ bits (128 KiB mask): ≥10 bits/key up to ~10⁵ corpus keys, so the
+    * query clears [[graft.operators.Dedup.BloomBitsPerKeyConf]]'s sizing
+    * guard through sf1; beyond that the guard correctly demands a bigger
+    * filter. Interpolated into the oracle so both engines mod identically. */
+  private val BloomQueryBits = 1 << 20
+
   def dedupBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
     val corpus = docs.filter(col("source") =!= "src0").select(col("fp"))
     val batch = docs.filter(col("source") === "src0")
       .select(col("doc_id").as("id"), col("fp"))
-    val gated = graft.operators.Dedup.bloomGate(corpus, batch)
+    val gated = graft.operators.Dedup.bloomGate(corpus, batch, numBits = BloomQueryBits)
     val exact = corpus.distinct().withColumn("exact_dup", lit(1))
     gated.join(exact, Seq("fp"), "left")
       .select(col("id").as("doc_id"), col("n_hit"),
@@ -1060,16 +1066,16 @@ object TextQueries extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  val dedupBloomSql: String = """
+  val dedupBloomSql: String = s"""
     WITH docs AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
     corpus AS (SELECT fp FROM docs WHERE source <> 'src0'),
     batch AS (SELECT doc_id AS id, fp FROM docs WHERE source = 'src0'),
     hs AS (SELECT unnest([0,1,2,3]) AS i),
     bits AS (
-      SELECT DISTINCT (CAST('0x' || substr(fp, 1 + 8*i, 8) AS BIGINT) % 65536) AS pos
+      SELECT DISTINCT (CAST('0x' || substr(fp, 1 + 8*i, 8) AS BIGINT) % $BloomQueryBits) AS pos
       FROM corpus CROSS JOIN hs
     ), bpos AS (
-      SELECT id, (CAST('0x' || substr(fp, 1 + 8*i, 8) AS BIGINT) % 65536) AS pos
+      SELECT id, (CAST('0x' || substr(fp, 1 + 8*i, 8) AS BIGINT) % $BloomQueryBits) AS pos
       FROM batch CROSS JOIN hs
     ), hits AS (
       SELECT id, count(*) AS n_hit FROM bpos

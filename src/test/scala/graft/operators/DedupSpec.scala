@@ -137,13 +137,31 @@ class DedupSpec extends SparkSpecBase {
     gated.unpersist()
 
     // a tiny filter saturates: the bit table stays bounded by numBits and
-    // everything reads as a (false) positive — the documented trade
-    val tiny = Dedup.bloomGate(corpus, batch, numBits = 8, numHashes = 2)
-    assert(tiny.filter(col("bloom_dup") =!= 1).count() == 0)
+    // everything reads as a (false) positive — the documented trade,
+    // reachable only by explicitly disabling the sizing guard
+    spark.conf.set(Dedup.BloomBitsPerKeyConf, "0")
+    try {
+      val tiny = Dedup.bloomGate(corpus, batch, numBits = 8, numHashes = 2)
+      assert(tiny.filter(col("bloom_dup") =!= 1).count() == 0)
+    } finally spark.conf.unset(Dedup.BloomBitsPerKeyConf)
 
     intercept[IllegalArgumentException] {
       Dedup.bloomGate(corpus, batch, numHashes = 5)
     }
+
+    // sizing guard: 400 corpus keys need >= 4000 bits at the default 10
+    // bits/key — an undersized filter refuses with the sizing rule, for
+    // the gate AND the shippable mask form
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.bloomGate(corpus, batch, numBits = 1 << 10)
+    }
+    assert(e1.getMessage.contains("bits/key"))
+    intercept[IllegalArgumentException] { Dedup.bloomMask(corpus, numBits = 1 << 10) }
+    // ...and the conf override accepts the same call
+    spark.conf.set(Dedup.BloomBitsPerKeyConf, "2")
+    try assert(Dedup.bloomGate(corpus, batch, numBits = 1 << 10)
+      .filter(col("id") < 50 && col("bloom_dup") =!= 1).count() == 0)
+    finally spark.conf.unset(Dedup.BloomBitsPerKeyConf)
   }
 
   test("quadratic guard refuses oversized inputs and respects the conf") {
