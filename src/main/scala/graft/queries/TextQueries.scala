@@ -2102,15 +2102,28 @@ object TextQueries extends QueryModule {
     * dominates; the per-DOC complement of the per-source
     * `t_ngram_diversity`): distinct words / total words in bp, plus a
     * hapax share (words occurring once — the vocabulary-richness end).
-    * Shuffle-free per-row map over codegen'd array ops. */
+    * Shuffle-free per-row map over codegen'd array ops; hapax counting is
+    * sort + adjacent-run scan, O(n log n) per document — never the
+    * nested per-type rescan, which is quadratic for long documents.
+    * (Adjacency equality is order-independent, so engine collation
+    * differences in the sort can't shift the count.) CASE guards keep
+    * the i±1 probes lazy — ANSI Spark would otherwise raise on the
+    * boundary element_at. */
   def ttr(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = words(lower(col("text")))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_types"),
-        size(filter(array_distinct(toks),
-          w => size(filter(toks, t => t === w)) === 1)).cast("long").as("n_hapax"))
+        array_sort(toks).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("""CASE WHEN n_tokens = 0 THEN CAST(0 AS bigint)
+          ELSE CAST(size(filter(sequence(1, CAST(n_tokens AS int)), i ->
+            (CASE WHEN i = 1 THEN true
+                  ELSE element_at(s, i) <> element_at(s, i - 1) END) AND
+            (CASE WHEN i = CAST(n_tokens AS int) THEN true
+                  ELSE element_at(s, i) <> element_at(s, i + 1) END))) AS bigint)
+          END""").as("n_hapax"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         floor(col("n_types") * 10000.0 / col("n_tokens")).cast("long").as("ttr_bp"),
         floor(col("n_hapax") * 10000.0 / col("n_tokens")).cast("long").as("hapax_bp"))
@@ -2125,9 +2138,14 @@ object TextQueries extends QueryModule {
       SELECT doc_id,
              CAST(len(w) AS bigint) AS n_tokens,
              CAST(len(list_distinct(w)) AS bigint) AS n_types,
-             CAST(len(list_filter(list_distinct(w),
-               x -> len(list_filter(w, t -> t = x)) = 1)) AS bigint) AS n_hapax
-      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents)
+             CASE WHEN len(w) = 0 THEN CAST(0 AS bigint)
+                  ELSE CAST(len(list_filter(range(1, len(w) + 1), i ->
+                    (CASE WHEN i = 1 THEN true ELSE s[i] <> s[i - 1] END) AND
+                    (CASE WHEN i = len(w) THEN true ELSE s[i] <> s[i + 1] END)))
+                    AS bigint)
+             END AS n_hapax
+      FROM (SELECT doc_id, w, list_sort(w) AS s
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents))
     )
     ORDER BY doc_id"""
 

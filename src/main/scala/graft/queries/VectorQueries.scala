@@ -2235,7 +2235,11 @@ object VectorQueries extends QueryModule {
 
   val covPairsSql: String = """
     WITH q AS (
-      SELECT vec_id, CAST(unnest(range(1, 17)) AS bigint) AS pos,
+      -- range capped at len(embedding): zipping a fixed range(1,17)
+      -- against embedding[1:16] would pad NULL v rows on a <16-dim
+      -- vector while the Spark slice just produces fewer positions
+      SELECT vec_id,
+             CAST(unnest(range(1, least(len(embedding), 16) + 1)) AS bigint) AS pos,
              unnest(list_transform(embedding[1:16],
                x -> CAST(floor(CAST(x AS double) * 1000) AS BIGINT))) AS v
       FROM embeddings

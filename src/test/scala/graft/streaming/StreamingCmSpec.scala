@@ -36,31 +36,43 @@ class StreamingCmSpec extends SparkSpecBase {
       .writeStream.format("memory").queryName("cm_stream")
       .outputMode("update").start()
     try {
-      input.addData(all.take(60): _*)
-      query.processAllAvailable()
-      input.addData(all.drop(60): _*)
-      query.processAllAvailable()
-      // last emission per (type, user) carries the final running estimate
+      val batches = Seq(all.take(60), all.drop(60))
+      batches.foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      // Final estimate per (type, user): CM running estimates are
+      // MONOTONE nondecreasing across batches (cells only increment), so
+      // the max over a key's emissions IS its last emission — no
+      // dependence on memory-sink row order (the r6 ADVICE brittleness).
       val got = spark.table("cm_stream").collect()
         .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
-        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
       val exact = all.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
       // never underestimate, for every user that got an emission
       for (((t, u), est) <- got)
         assert(est >= exact((t, u)), s"underestimate for $t/$u: $est")
-      // single-fold reference grid via the same hash recipe
+      // reference grids folded batch-by-batch with the same hash recipe;
+      // a key's expected value is the grid readout AFTER ITS LAST-SEEN
+      // batch (update mode emits a key only in batches that touch it, so
+      // later growth of shared cells must not leak into the expectation)
       val md = java.security.MessageDigest.getInstance("MD5")
       val grid = collection.mutable.Map.empty[String, Array[Long]]
-      for ((t, u) <- all) {
-        val c = grid.getOrElseUpdate(t, new Array[Long](4 * 256))
-        for (d <- 0 until 4) c(d * 256 + EventsStream.cmHash(md, d, u, 256)) += 1
+      val expectAt = collection.mutable.Map.empty[(String, Long), Long]
+      for (batch <- batches) {
+        for ((t, u) <- batch) {
+          val c = grid.getOrElseUpdate(t, new Array[Long](4 * 256))
+          for (d <- 0 until 4) c(d * 256 + EventsStream.cmHash(md, d, u, 256)) += 1
+        }
+        for ((t, u) <- batch.distinct) {
+          val c = grid(t)
+          expectAt((t, u)) = (0 until 4)
+            .map(d => c(d * 256 + EventsStream.cmHash(md, d, u, 256))).min
+        }
       }
-      for (((t, u), est) <- got) {
-        val c = grid(t)
-        val expect = (0 until 4)
-          .map(d => c(d * 256 + EventsStream.cmHash(md, d, u, 256))).min
-        assert(est == expect, s"batch-split drift for $t/$u: $est != $expect")
-      }
+      assert(got.keySet == expectAt.keySet)
+      for (((t, u), est) <- got)
+        assert(est == expectAt((t, u)), s"batch-split drift for $t/$u: $est != ${expectAt((t, u))}")
       // type isolation: b's single event estimates exactly 1
       assert(got(("b", 7L)) == 1L)
     } finally query.stop()
