@@ -631,10 +631,10 @@ object TextQueries extends QueryModule {
 
   /** The jaccard-pair oracle at an arbitrary threshold — reused by the
     * minhash-recall eval, which re-derives the exact pair set at 0.5. */
-  def ngramJaccardSqlAt(minBp: Long): String = s"""
+  def ngramJaccardSqlAt(minBp: Long, src: String = "documents"): String = s"""
     WITH sh0 AS (
       SELECT doc_id, unnest(${shingleKeysSql("text")}) AS sh
-      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM $src)
     ), counts AS (
       SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id
     ), sh AS (

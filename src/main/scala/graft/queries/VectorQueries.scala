@@ -1796,11 +1796,29 @@ object VectorQueries extends QueryModule {
     * set; reports counts + recall/precision in bp. Each pair set feeds
     * its own count AND the semi-join — checkpoint so the expensive
     * self-join+agg subplans run once, not twice. */
-  private def sketchEval(spark: SparkSession, sfDir: String, candPairs: DataFrame): DataFrame = {
-    val cand = candPairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+  private def sketchEval(spark: SparkSession, sfDir: String, candPairs: DataFrame,
+                         sampleBp: Int = 10000): DataFrame = {
+    // sampleBp < 10000: the corpus-scale posture — exact Jaccard truth is
+    // computed only over a deterministic md5 doc sample (the
+    // t_sample_stratified gate recipe, its own 'evl_' salt), and the
+    // sketch's candidate pairs are restricted to both-ends-sampled, so
+    // recall/precision stay oracle-checkable while the truth cost drops
+    // with the SQUARE of the sample rate. The sketch chain itself still
+    // runs on the full corpus — only its eval is sampled.
+    val docs0 = graft.core.Tables.documents(spark, sfDir)
+    val docs =
+      if (sampleBp >= 10000) docs0
+      else docs0.filter(TextQueries.hashGateBp("evl_", col("doc_id")) < sampleBp)
+    val cand0 = candPairs.select(col("doc_a"), col("doc_b"))
+    val cand = (if (sampleBp >= 10000) cand0
+      else {
+        val ids = docs.select(col("doc_id")).localCheckpoint()
+        cand0
+          .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+          .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      }).localCheckpoint()
     val exact = graft.operators.Dedup
-      .ngramJaccardPairs(graft.core.Tables.documents(spark, sfDir),
-        minJaccardBp = 5000, sorted = false)
+      .ngramJaccardPairs(docs, minJaccardBp = 5000, sorted = false)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
@@ -1819,11 +1837,17 @@ object VectorQueries extends QueryModule {
   /** The ONE DuckDB twin of [[sketchEval]], parameterized on the
     * candidate pair SQL — minhash and simhash evals splice it so the
     * eval arithmetic can never drift between the two. */
-  private def sketchEvalSql(candSql: String): String = s"""
-    WITH cand AS (
-      SELECT doc_a, doc_b FROM ($candSql)
+  private def sketchEvalSql(candSql: String, sampleBp: Int = 10000): String = s"""
+    WITH ${if (sampleBp >= 10000) "" else
+      s"""sdocs AS (
+      SELECT * FROM documents WHERE ${TextQueries.hashGateBpSql("evl_")} < $sampleBp
+    ), """}cand AS (
+      SELECT doc_a, doc_b FROM ($candSql) c${if (sampleBp >= 10000) "" else """
+      WHERE doc_a IN (SELECT doc_id FROM sdocs)
+        AND doc_b IN (SELECT doc_id FROM sdocs)"""}
     ), ex AS (
-      SELECT doc_a, doc_b FROM (${TextQueries.ngramJaccardSqlAt(5000)})
+      SELECT doc_a, doc_b FROM (${TextQueries.ngramJaccardSqlAt(5000,
+        if (sampleBp >= 10000) "documents" else "sdocs")})
     ), hit AS (
       SELECT 1 FROM ex JOIN cand USING (doc_a, doc_b)
     )
@@ -1859,6 +1883,29 @@ object VectorQueries extends QueryModule {
     sketchEval(spark, sfDir, simhashPairs(spark, sfDir))
 
   val simhashEvalSql: String = sketchEvalSql(dedupSimhashSql)
+
+  /** Sampled-truth eval knob for the exact-Jaccard ground truth, in bp of
+    * docs kept: at corpus scale the exact truth is unaffordable, so the
+    * production posture evaluates the sketch on a deterministic md5
+    * sample — 2500 bp (25% of docs ⇒ ~6% of the truth's pair cost) keeps
+    * the estimate stable at test scale while exercising the gate. */
+  private[graft] val EvalSampleBp = 2500
+
+  /** [[minhashRecall]] under the sampled-truth posture ([[EvalSampleBp]]):
+    * exact Jaccard runs only over the md5-sampled docs, candidates
+    * restricted to both-ends-sampled. The recall/precision readout a
+    * 100 TB corpus can actually afford — and it stays oracle-checked
+    * because the oracle re-derives the identical sample. */
+  def minhashRecallSampled(spark: SparkSession, sfDir: String): DataFrame =
+    sketchEval(spark, sfDir, dedupMinhash(spark, sfDir), sampleBp = EvalSampleBp)
+
+  val minhashRecallSampledSql: String = sketchEvalSql(dedupMinhashSql, EvalSampleBp)
+
+  /** [[winnowEval]]'s sampled-truth twin — same gate, winnowed index. */
+  def winnowEvalSampled(spark: SparkSession, sfDir: String): DataFrame =
+    sketchEval(spark, sfDir, TextQueries.winnow(spark, sfDir), sampleBp = EvalSampleBp)
+
+  val winnowEvalSampledSql: String = sketchEvalSql(TextQueries.winnowSql, EvalSampleBp)
 
   /** Per-dimension embedding statistics — the index-health check run
     * before building ANN structures (a dead dimension: min == max; a
@@ -2268,6 +2315,8 @@ object VectorQueries extends QueryModule {
     "e_norm_histogram"  -> (normHistogram _),
     "d_edit_verify"     -> (editVerify _),
     "d_winnow_eval"     -> (winnowEval _),
+    "d_winnow_eval_sampled" -> (winnowEvalSampled _),
+    "d_minhash_recall_sampled" -> (minhashRecallSampled _),
     "e_dim_stats"       -> (dimStats _),
     "e_auc_label"       -> (aucLabel _),
     "d_minhash_recall"  -> (minhashRecall _),
@@ -2314,6 +2363,8 @@ object VectorQueries extends QueryModule {
     "e_norm_histogram"  -> normHistogramSql,
     "d_edit_verify"     -> editVerifySql,
     "d_winnow_eval"     -> winnowEvalSql,
+    "d_winnow_eval_sampled" -> winnowEvalSampledSql,
+    "d_minhash_recall_sampled" -> minhashRecallSampledSql,
     "e_dim_stats"       -> dimStatsSql,
     "e_auc_label"       -> aucLabelSql,
     "d_minhash_recall"  -> minhashRecallSql,
