@@ -122,9 +122,15 @@ object Bench {
     val line = renderJson(timings, failures, sfDir)
     // Untruncatable artifact of record, written by Bench itself (ADVICE r5).
     // Subset (SPARK_GRAFT_ONLY) iteration runs must not clobber it — only a
-    // full-surface run is the artifact of record.
-    if (only.isEmpty)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+    // full-surface run is the artifact of record. Non-default scale factors
+    // (the r7 linearity study) write a suffixed artifact so an sf1 run can
+    // never clobber the sf0.1 record.
+    if (only.isEmpty) {
+      val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val artifact =
+        if (sfBase == "sf0.1") "BENCH_SELF.json" else s"BENCH_SELF_$sfBase.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), line + "\n")
+    }
     println(line)
     spark.stop()
   }

@@ -27,9 +27,16 @@ object StreamBench {
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, value: Double)
 
+  /** Per-operator readout: wall seconds, input rows, and the state-store
+    * footprint (max rows / max bytes across micro-batches, from
+    * StreamingQueryProgress.stateOperators) — the boundedness evidence:
+    * a SKETCH op's state must stay O(sketch), never O(input). */
+  final case class OpStats(sec: Double, rows: Long,
+                           stateRows: Long, stateBytes: Long)
+
   /** Runs every streaming operator over `sfDir`'s events; returns
-    * op → (seconds, input rows). */
-  def run(spark: SparkSession, sfDir: String, chunks: Int = 10): Map[String, (Double, Long)] = {
+    * op → [[OpStats]]. */
+  def run(spark: SparkSession, sfDir: String, chunks: Int = 10): Map[String, OpStats] = {
     import spark.implicits._
     val rows = graft.core.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -42,7 +49,7 @@ object StreamBench {
     }
 
     def bench(name: String, outputMode: String)
-             (mk: DataFrame => DataFrame): (String, (Double, Long)) = {
+             (mk: DataFrame => DataFrame): (String, OpStats) = {
       val input = MemoryStream[Ev](spark)
       // every addData call becomes one micro-batch block; feed BEFORE the
       // query starts so AvailableNow's end-offset snapshot covers them all
@@ -59,8 +66,12 @@ object StreamBench {
       val processed = q.recentProgress.map(_.numInputRows).sum
       require(processed == rows.length,
         s"stream bench $name processed $processed of ${rows.length} rows")
-      System.err.println(f"[stream-bench] $name%-18s $t%8.3f s  ${rows.length / t}%11.0f rows/s")
-      name -> ((t, rows.length.toLong))
+      val states = q.recentProgress.flatMap(_.stateOperators)
+      val stateRows = if (states.isEmpty) 0L else states.map(_.numRowsTotal).max
+      val stateBytes = if (states.isEmpty) 0L else states.map(_.memoryUsedBytes).max
+      System.err.println(f"[stream-bench] $name%-18s $t%8.3f s  ${rows.length / t}%11.0f rows/s" +
+        f"  state $stateRows%8d rows ${stateBytes / 1024}%9d KiB")
+      name -> OpStats(t, rows.length.toLong, stateRows, stateBytes)
     }
 
     Map(
@@ -118,10 +129,11 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     val results = run(spark, sfDir, chunks)
     def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val ops = results.toSeq.sortBy(_._1).map { case (k, (t, n)) =>
-      s""""$k":{"sec":${ms3(t)},"rows_per_sec":${math.round(n / t)}}"""
+    val ops = results.toSeq.sortBy(_._1).map { case (k, s) =>
+      s""""$k":{"sec":${ms3(s.sec)},"rows_per_sec":${math.round(s.rows / s.sec)},""" +
+        s""""state_rows":${s.stateRows},"state_kib":${s.stateBytes / 1024}}"""
     }.mkString("{", ",", "}")
-    val total = ms3(results.values.map(_._1).sum)
+    val total = ms3(results.values.map(_.sec).sum)
     println(s"""{"metric":"stream_total","value":$total,"unit":"sec","ops":$ops,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1574,9 +1574,13 @@ object VectorQueries extends QueryModule {
     * the final assignment: finRnMax = 1 reproduces [[kmeansCtesFor]]'s
     * argmin `fin`; finRnMax = p keeps each vector's p nearest centroids
     * with their rank (the [[graft.operators.KMeans.assignTop]] twin). */
-  private[queries] def kmeansChain(kk: Int, src: String, finRnMax: Int): String = {
+  private[queries] def kmeansChain(kk: Int, src: String, finRnMax: Int,
+                                   prefix: String = ""): String = {
     // the same iteration unrolled as a CTE chain: a_i assigns against c_{i-1},
-    // c_i re-averages; `fin` is the (iters+1)-th assignment
+    // c_i re-averages; `fin` is the (iters+1)-th assignment. `prefix`
+    // namespaces every CTE so two trajectories (e.g. base index + full
+    // rebuild in e_ann_ivf_incr) compose in one query.
+    val p = prefix
     def assignCte(name: String, cents: String, rnMax: Int) = {
       val proj = if (rnMax == 1) "vec_id, k, dist" else "vec_id, k, dist, rn"
       s"""$name AS (
@@ -1584,30 +1588,30 @@ object VectorQueries extends QueryModule {
         SELECT vec_id, k, dist,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
         FROM (SELECT v.vec_id, c.k, CAST(sum((v.q - c.c) * (v.q - c.c)) AS bigint) AS dist
-              FROM q v JOIN $cents c ON v.pos = c.pos
+              FROM ${p}q v JOIN $cents c ON v.pos = c.pos
               GROUP BY v.vec_id, c.k)
       ) WHERE rn <= $rnMax
     )"""
     }
-    def centCte(i: Int) = s"""c$i AS (
+    def centCte(i: Int) = s"""${p}c$i AS (
       SELECT a.k, v.pos, CAST(floor(sum(v.q) * 1.0 / count(*)) AS bigint) AS c
-      FROM a$i a JOIN q v ON a.vec_id = v.vec_id
+      FROM ${p}a$i a JOIN ${p}q v ON a.vec_id = v.vec_id
       GROUP BY a.k, v.pos
     )"""
     val chain = (1 to KmeansIters).map(i =>
-      assignCte(s"a$i", s"c${i - 1}", 1) + ", " + centCte(i)).mkString(", ")
-    s"""q AS (
+      assignCte(s"${p}a$i", s"${p}c${i - 1}", 1) + ", " + centCte(i)).mkString(", ")
+    s"""${p}q AS (
       SELECT vec_id,
              CAST(unnest(range(1, len(embedding) + 1)) AS bigint) AS pos,
              unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint))) AS q
       FROM $src
-    ), seeds AS (
+    ), ${p}seeds AS (
       SELECT vec_id FROM $src ORDER BY vec_id LIMIT $kk
-    ), c0 AS (
-      SELECT v.vec_id AS k, v.pos, v.q AS c FROM q v
-      WHERE v.vec_id IN (SELECT vec_id FROM seeds)
+    ), ${p}c0 AS (
+      SELECT v.vec_id AS k, v.pos, v.q AS c FROM ${p}q v
+      WHERE v.vec_id IN (SELECT vec_id FROM ${p}seeds)
     ), $chain,
-    ${assignCte("fin", s"c$KmeansIters", finRnMax)}"""
+    ${assignCte(s"${p}fin", s"${p}c$KmeansIters", finRnMax)}"""
   }
 
   val kmeansSql: String =
@@ -1906,6 +1910,74 @@ object VectorQueries extends QueryModule {
     sketchEval(spark, sfDir, TextQueries.winnow(spark, sfDir), sampleBp = EvalSampleBp)
 
   val winnowEvalSampledSql: String = sketchEvalSql(TextQueries.winnowSql, EvalSampleBp)
+
+  /** Incremental IVF index maintenance — [[dedupMinhash]]'s `d_minhash_incr`
+    * twin for the vector index: a new batch (vec_id ≡ 3 mod 10) is inserted
+    * into a PERSISTED index (Lloyd codebooks fit on the base corpus only)
+    * by assigning the batch against the FROZEN centroids — O(|batch|·k)
+    * map-side work with the centroid table broadcast, the base cell rows
+    * untouched; no refit. The readout compares the incrementally-updated
+    * index against a FULL rebuild (refit over base+batch): per cell,
+    * total/inserted populations and how many of its members the rebuild
+    * agrees on — the drift number that tells an operator when accumulated
+    * inserts warrant a re-fit (FAISS's add-vs-train distinction). Cluster
+    * ids ARE seed vec_ids, so a rebuild whose seed set shifts (the batch
+    * holds ids below the old seeds) relabels some cells wholesale —
+    * n_rebuild_same measures agreement under the honest id contract, label
+    * drift included, exactly what a persisted-index operator sees. All
+    * integer-exact, so the oracle replays both trajectories. */
+  def annIvfIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.KMeans
+    val all = Tables.embeddings(spark, sfDir)
+    val base = all.filter(col("vec_id") % 10 =!= 3)
+    val batch = all.filter(col("vec_id") % 10 === 3)
+    val baseVecs = KMeans.quantize(base)
+    val cents = KMeans.finalCentroids(baseVecs, base, KmeansK, KmeansIters)
+      .localCheckpoint() // the persisted codebook, shared by both assigns
+    val baseAsn = KMeans.assignTop(baseVecs, cents, 1)
+      .select(col("vec_id"), col("cluster"))
+    val batchAsn = KMeans.assignTop(KMeans.quantize(batch), cents, 1)
+      .select(col("vec_id"), col("cluster"))
+    val merged = baseAsn.unionByName(batchAsn)
+    val rebuild = KMeans.fit(all, KmeansK, KmeansIters)
+      .select(col("vec_id"), col("cluster").as("rk"))
+    merged.join(rebuild, "vec_id")
+      .groupBy(col("cluster").as("cell"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("vec_id") % 10 === 3, 1L).otherwise(0L)).as("n_inserted"),
+        sum(when(col("rk") === col("cluster"), 1L).otherwise(0L)).as("n_rebuild_same"))
+      .orderBy(col("cell"))
+  }
+
+  lazy val annIvfIncrSql: String = s"""
+    WITH bse AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 3
+    ),
+    ${kmeansChain(KmeansK, "bse", 1, prefix = "b")},
+    bq2 AS (
+      SELECT vec_id,
+             CAST(unnest(range(1, len(embedding) + 1)) AS bigint) AS pos,
+             unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint))) AS q
+      FROM embeddings WHERE vec_id % 10 = 3
+    ), basn AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM (SELECT v.vec_id, c.k, CAST(sum((v.q - c.c) * (v.q - c.c)) AS bigint) AS dist
+              FROM bq2 v JOIN bc$KmeansIters c ON v.pos = c.pos
+              GROUP BY v.vec_id, c.k)
+      ) WHERE rn = 1
+    ), merged AS (
+      SELECT vec_id, k FROM bfin UNION ALL SELECT vec_id, k FROM basn
+    ),
+    ${kmeansChain(KmeansK, "embeddings", 1, prefix = "f")}
+    SELECT m.k AS cell,
+           CAST(count(*) AS bigint) AS n_total,
+           CAST(sum(CASE WHEN m.vec_id % 10 = 3 THEN 1 ELSE 0 END) AS bigint) AS n_inserted,
+           CAST(sum(CASE WHEN f.k = m.k THEN 1 ELSE 0 END) AS bigint) AS n_rebuild_same
+    FROM merged m JOIN ffin f ON m.vec_id = f.vec_id
+    GROUP BY 1
+    ORDER BY cell"""
 
   /** Per-dimension embedding statistics — the index-health check run
     * before building ANN structures (a dead dimension: min == max; a
@@ -2317,6 +2389,7 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval"     -> (winnowEval _),
     "d_winnow_eval_sampled" -> (winnowEvalSampled _),
     "d_minhash_recall_sampled" -> (minhashRecallSampled _),
+    "e_ann_ivf_incr"    -> (annIvfIncr _),
     "e_dim_stats"       -> (dimStats _),
     "e_auc_label"       -> (aucLabel _),
     "d_minhash_recall"  -> (minhashRecall _),
@@ -2365,6 +2438,7 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval"     -> winnowEvalSql,
     "d_winnow_eval_sampled" -> winnowEvalSampledSql,
     "d_minhash_recall_sampled" -> minhashRecallSampledSql,
+    "e_ann_ivf_incr"    -> annIvfIncrSql,
     "e_dim_stats"       -> dimStatsSql,
     "e_auc_label"       -> aucLabelSql,
     "d_minhash_recall"  -> minhashRecallSql,
