@@ -1927,6 +1927,86 @@ object TextQueries extends QueryModule {
 
   // ----------------------------------------------------- span dup rate
 
+  /** ExactSubstr-style duplicated-span SCRUB (the materializer Lee et al.
+    * 2021 actually run, where [[spanDupRate]] is only the readout): every
+    * word-8-gram that occurs more than once corpus-wide keeps its single
+    * globally-first occurrence (ordered by doc_id, then position) and is
+    * REMOVED everywhere else — overlapping spans union into covered word
+    * intervals, and each doc is rebuilt from its surviving words. Output
+    * per doc: word counts, removed-word count, keep rate and the md5 of
+    * the rebuilt text (the cleaned corpus fingerprint, hash-checked
+    * against the oracle's independent rebuild).
+    *
+    * Scale shape: one shuffle keyed on the span hash (row_number window —
+    * the same first-occurrence recipe as `d_dedup_exact`), one explode of
+    * DUP spans only into covered indices, one (doc_id, idx) join back and
+    * one per-doc aggregation. No self-join, no driver state; the span
+    * domain is ~|corpus words| rows of 34 bytes. At 100 TB this is the
+    * canonical inverted-index + rebuild pipeline, partitioned end-to-end
+    * by span hash then doc_id. */
+  def substrScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 8
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .localCheckpoint() // feeds the span table AND the word rebuild
+    val spans = docs
+      .filter(size(col("ws")) >= K) // sequence(1, n<1) would step backwards
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - K + 1)).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("ws"), col("pos"), lit(K)))).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val cov = spans.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1) // dup spans: everything but the global first
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + K - 1)).as("idx"))
+      .distinct()
+    val wordRows = docs
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("idx"), col("w"))
+    wordRows.join(cov.withColumn("c", lit(1)), Seq("doc_id", "idx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the nulls → only surviving words, re-ordered
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("c").isNull, struct(col("idx"), col("w"))))),
+          s => s.getField("w")))).as("clean_md5"))
+      .select(col("doc_id"), col("n_words"), col("n_removed"),
+        floor((col("n_words") - col("n_removed")) * 10000.0 / col("n_words"))
+          .cast("long").as("keep_bp"),
+        col("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substrScrubSql: String = """
+    WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i AS bigint) AS pos,
+             md5(list_aggregate(ws[i:i+7], 'string_agg', ' ')) AS h
+      FROM w, unnest(range(1, len(ws) - 8 + 2)) AS t(i)
+    ), cov AS (
+      SELECT DISTINCT doc_id, CAST(j AS bigint) AS idx
+      FROM (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM g) r, unnest(range(r.pos, r.pos + 8)) AS u(j)
+      WHERE rn > 1
+    ), wr AS (
+      SELECT doc_id, CAST(i AS bigint) AS idx, ws[i] AS w
+      FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+    )
+    SELECT doc_id, n_words, n_removed,
+           CAST(floor((n_words - n_removed) * 10000.0 / n_words) AS bigint) AS keep_bp,
+           clean_md5
+    FROM (
+      SELECT wr.doc_id,
+             CAST(count(*) AS bigint) AS n_words,
+             CAST(sum(CASE WHEN cov.idx IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_removed,
+             md5(coalesce(string_agg(CASE WHEN cov.idx IS NULL THEN wr.w END, ' ' ORDER BY wr.idx), '')) AS clean_md5
+      FROM wr LEFT JOIN cov ON wr.doc_id = cov.doc_id AND wr.idx = cov.idx
+      GROUP BY wr.doc_id
+    )
+    ORDER BY doc_id"""
+
   /** Span-level duplication rate (the Lee et al. 2021 "deduplicating
     * training data" corpus readout): for each doc, what fraction of its
     * distinct 3-gram spans also occurs in at least one OTHER doc — the
@@ -2393,6 +2473,7 @@ object TextQueries extends QueryModule {
     "t_tfidf_keywords" -> (tfidfKeywords _),
     "t_gopher_rules"  -> (gopherRules _),
     "t_span_dup_rate" -> (spanDupRate _),
+    "t_substr_scrub"  -> (substrScrub _),
     "t_curriculum"    -> (curriculum _),
     "t_dsir_weight"   -> (dsirWeight _),
     "t_normalize"     -> (normalizeText _))
@@ -2445,6 +2526,7 @@ object TextQueries extends QueryModule {
     "t_tfidf_keywords" -> tfidfKeywordsSql,
     "t_gopher_rules"  -> gopherRulesSql,
     "t_span_dup_rate" -> spanDupRateSql,
+    "t_substr_scrub"  -> substrScrubSql,
     "t_curriculum"    -> curriculumSql,
     "t_dsir_weight"   -> dsirWeightSql,
     "t_normalize"     -> normalizeTextSql)

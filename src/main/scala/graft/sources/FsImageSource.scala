@@ -221,7 +221,8 @@ object FsImageSource {
     *         parent chain leaves the dir table attaches at root, exactly
     *         like the driver loader's [[pathResolver]]
     */
-  private def dirPathsDistributed(spark: SparkSession, dirs: DataFrame): DataFrame = {
+  private[sources] def dirPathsDistributed(spark: SparkSession, dirs: DataFrame,
+                                           maxDepth: Int = MaxTreeDepth): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, concat, lit, when}
     import spark.implicits._
     // join side, reused every round: non-root dirs keyed by id
@@ -237,8 +238,8 @@ object FsImageSource {
     var rounds = 0
     while (!active.isEmpty) {
       rounds += 1
-      if (rounds > MaxTreeDepth) throw new IllegalStateException(
-        s"fsimage directory tree has a parent cycle (depth > $MaxTreeDepth)")
+      if (rounds > maxDepth) throw new IllegalStateException(
+        s"fsimage directory tree has a parent cycle (depth > $maxDepth)")
       val stepped = active.join(parentSide, Seq("cursor"), "left_outer")
         .select(col("id"),
           when(col("p_name").isNull, col("suffix"))

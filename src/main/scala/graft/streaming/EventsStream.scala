@@ -254,6 +254,55 @@ object EventsStream {
         GroupStateTimeout.NoTimeout)(step)
   }
 
+  case class KeyedVal(event_type: String, value: Double)
+  case class QgState(counts: Array[Long])
+  case class QgRow(event_type: String, n_rows: Long,
+                   p50_up_cents: Long, p95_up_cents: Long, p99_up_cents: Long)
+
+  /** Streaming fixed-grid quantile sketch per event type — the rank-query
+    * member of the bounded-state sketch family ([[kmvDistinct]] distinct,
+    * [[heavyHitters]] top-k, [[cmSketch]] frequency): group state is a
+    * `buckets`-cell histogram over `value` quantized to integer cents
+    * (bucket = ⌊cents/widthCents⌋ clamped into the grid — 64 longs =
+    * 512 B per type, bounded FOREVER). A histogram is a sum, so any
+    * micro-batch split of the same rows folds to the identical grid
+    * (batch-split invariance, like the CM grid), and the emitted
+    * p50/p95/p99 are deterministic integer readouts: the UPPER EDGE (in
+    * cents) of the first bucket whose cumulative count reaches
+    * ⌈q·total⌉ — a true upper bound on the exact quantile whenever that
+    * quantile lands inside the grid, tight to one bucket width. The
+    * last bucket absorbs overflow (the sketch's documented saturation:
+    * estimates clamp to the grid ceiling, never silently wrong below
+    * it). Update-mode: one row per type per batch with the running
+    * readout. */
+  def quantileGrid(events: DataFrame, buckets: Int = 64,
+                   widthCents: Long = 1000): Dataset[QgRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def step(key: String, rows: Iterator[KeyedVal],
+             state: GroupState[QgState]): QgRow = {
+      val c = state.getOption.map(_.counts).getOrElse(new Array[Long](buckets))
+      rows.foreach { r =>
+        val cents = math.floor(r.value * 100).toLong
+        val b = math.min(buckets - 1L, math.max(0L, cents / widthCents)).toInt
+        c(b) += 1
+      }
+      state.update(QgState(c))
+      val total = c.sum
+      def q(p: Long): Long = {
+        val target = (p * total + 99) / 100 // ⌈p%·total⌉, integer-exact
+        var cum = 0L
+        var i = 0
+        while (i < buckets - 1 && cum + c(i) < target) { cum += c(i); i += 1 }
+        (i + 1L) * widthCents
+      }
+      QgRow(key, total, q(50), q(95), q(99))
+    }
+    events.select(col("event_type"), col("value")).as[KeyedVal]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class OpenSession(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,

@@ -38,4 +38,30 @@ class KMeansSpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Long]("cluster") == 0L))
     assert(out.forall(_.getAs[Long]("dist") == 0L))
   }
+
+  test("fitTop rnk=1 IS fit, over the same trajectory, with ranked runners-up") {
+    import spark.implicits._
+    val rows = cluster(0.0f, Seq(0L, 10, 13, 16)) ++
+      cluster(5.0f, Seq(1L, 11, 14, 17)) ++
+      cluster(-5.0f, Seq(2L, 12, 15, 18))
+    val df = rows.toDF("vec_id", "embedding")
+    val fit = KMeans.fit(df, k = 3, iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Long]("cluster"), r.getAs[Long]("dist")))
+      .toMap
+    val top = KMeans.fitTop(df, k = 3, iters = 2, p = 2).collect()
+    // rank-1 rows reproduce the argmin assignment exactly (same
+    // centroids, same tie rule) — the invariant multi-probe SemDeDup
+    // and incremental-IVF assignment rest on
+    val r1 = top.filter(_.getAs[Int]("rnk") == 1)
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Long]("cluster"), r.getAs[Long]("dist")))
+      .toMap
+    assert(r1 == fit)
+    // every vector carries exactly p probes, rank-2 strictly no closer
+    val byVec = top.groupBy(_.getAs[Long]("vec_id"))
+    assert(byVec.values.forall(_.length == 2))
+    byVec.values.foreach { probes =>
+      val Array(a, b) = probes.sortBy(_.getAs[Int]("rnk"))
+      assert(a.getAs[Long]("dist") <= b.getAs[Long]("dist"))
+    }
+  }
 }

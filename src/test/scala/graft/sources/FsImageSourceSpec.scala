@@ -407,4 +407,31 @@ class FsImageSourceSpec extends SparkSpecBase {
     assert(buckets.keySet == Set("mm", "root", "foo"))
     assert(buckets("foo") == 1) // one 160 MiB file → a single bucket
   }
+
+  test("distributed path walk: cycle guard raises instead of looping; dangling parent root-attaches") {
+    import spark.implicits._
+    // a → b → a parent cycle in the dir table: the frontier never drains,
+    // so the depth cap must raise the same diagnosis the driver loader's
+    // pathResolver cycle guard gives — never an infinite job loop
+    val cyc = Seq((20000L, "a", 20001L), (20001L, "b", 20000L))
+      .toDF("id", "name", "parent")
+    val e = intercept[IllegalStateException] {
+      FsImageSource.dirPathsDistributed(spark, cyc, maxDepth = 8).count()
+    }
+    assert(e.getMessage.contains("parent cycle"))
+
+    // a dir whose parent id is absent from the dir table attaches at
+    // root (the driver loader's semantics), and normal chains resolve
+    val dirs = Seq(
+      (20010L, "top", FsImageSource.RootInodeId),
+      (20011L, "mid", 20010L),
+      (20012L, "leaf", 20011L),
+      (20013L, "orphan", 99999L)) // dangling parent
+      .toDF("id", "name", "parent")
+    val paths = FsImageSource.dirPathsDistributed(spark, dirs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(paths(FsImageSource.RootInodeId) == "/")
+    assert(paths(20012L) == "/top/mid/leaf")
+    assert(paths(20013L) == "/orphan")
+  }
 }

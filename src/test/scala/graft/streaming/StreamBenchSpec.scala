@@ -11,13 +11,14 @@ class StreamBenchSpec extends SparkSpecBase {
     assert(results.keySet == Set(
       "windowed_counts", "user_activity", "dedup", "sessionize", "enriched",
       "bloom_gate", "kmv_distinct", "heavy_hitters", "cm_sketch",
-      "session_window", "user_totals", "user_type_counts", "sessionize_v2"))
+      "quantile_grid", "session_window", "user_totals", "user_type_counts",
+      "sessionize_v2"))
     assert(results.values.forall(s => s.sec > 0 && s.rows > 0))
     // all ops saw the same stream
     assert(results.values.map(_.rows).toSet.size == 1)
     // stateful ops surface a state footprint; sketch-family state stays
     // FAR below the input row count (the boundedness contract)
-    for (op <- Seq("kmv_distinct", "heavy_hitters", "cm_sketch")) {
+    for (op <- Seq("kmv_distinct", "heavy_hitters", "cm_sketch", "quantile_grid")) {
       assert(results(op).stateRows > 0, s"$op reported no state rows")
       assert(results(op).stateRows < results(op).rows / 10,
         s"$op state ${results(op).stateRows} not bounded vs ${results(op).rows} inputs")
