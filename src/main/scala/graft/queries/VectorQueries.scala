@@ -1911,6 +1911,74 @@ object VectorQueries extends QueryModule {
 
   val winnowEvalSampledSql: String = sketchEvalSql(TextQueries.winnowSql, EvalSampleBp)
 
+  /** Embedding-space (SEMANTIC) decontamination — the paraphrase-leakage
+    * catch that exact 13-gram matching (`t_decontaminate13`) structurally
+    * misses: flag every TRAIN vector whose cosine against ANY eval vector
+    * reaches the near-dup cut (0.9). Eval side = the planted twins of
+    * [[augmentedEmbeddings]] (each a perturbed paraphrase of a train
+    * vector — ground truth by construction); candidates come from the
+    * nearest-2-centroid multi-probe cells ([[graft.operators.KMeans
+    * .fitTop]]), so the scan is an equi-join on the cell id — the
+    * d_semdedup_eval09-measured 10000 bp recall regime — never
+    * train×eval. Output: each contaminated train vector with its
+    * best-matching eval vector and cosine (ties to the smaller eval id).
+    * At 100 TB the eval side is tiny and the train side is bucketed:
+    * per-cell work is |cell∩train|·|cell∩eval|. */
+  def embedDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = augmentedEmbeddings(spark, sfDir)
+    val fit = graft.operators.KMeans
+      .fitTop(aug, SemDedup09K, KmeansIters, SemDedup09Probes)
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint() // one fit; both sides probe it
+    val e = aug.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .join(fit, "vec_id") // ≤2 rows per vector: its probed cells
+    val train = e.filter(col("vec_id") < TwinIdOffset)
+      .select(col("cluster"), col("vec_id").as("train_id"),
+        col("v").as("tv"), col("nrm").as("tn"))
+    val eval = e.filter(col("vec_id") >= TwinIdOffset)
+      .select(col("cluster"), col("vec_id").as("eval_id"),
+        col("v").as("ev"), col("nrm").as("en"))
+    val hits = train.join(eval, "cluster")
+      .select(col("train_id"), col("eval_id"),
+        cosBp(col("tv"), col("ev"), col("tn"), col("en")).as("cos_bp"))
+      .filter(col("cos_bp") >= SemDedup09CosBp)
+      .distinct() // a pair can share both probed cells
+    val byTrain = Window.partitionBy(col("train_id"))
+    hits
+      .withColumn("n_eval_hits", count(lit(1)).over(byTrain))
+      .withColumn("rn", row_number().over(
+        byTrain.orderBy(col("cos_bp").desc, col("eval_id"))))
+      .filter(col("rn") === 1)
+      .select(col("train_id"), col("eval_id"), col("cos_bp"), col("n_eval_hits"))
+      .orderBy(col("train_id"))
+  }
+
+  lazy val embedDecontaminateSql: String = s"""
+    WITH $augmentedSql,
+    ${kmeansChain(SemDedup09K, "aug", SemDedup09Probes)},
+    ev AS (
+      SELECT vec_id, embedding AS v,
+             sqrt(${dotSqlOf("embedding", "embedding")}) AS nrm
+      FROM aug
+    ), cells AS (
+      SELECT e.vec_id, e.v, e.nrm, f.k AS cluster
+      FROM ev e JOIN fin f ON e.vec_id = f.vec_id
+    ), hits AS (
+      SELECT DISTINCT t.vec_id AS train_id, q.vec_id AS eval_id,
+             CAST(floor(${"list_reduce(list_transform(range(1, len(t.v) + 1), i -> t.v[i] * q.v[i]), (x, y) -> x + y)"} * 10000.0 / (t.nrm * q.nrm)) AS bigint) AS cos_bp
+      FROM cells t JOIN cells q
+        ON t.cluster = q.cluster AND t.vec_id < $TwinIdOffset AND q.vec_id >= $TwinIdOffset
+      WHERE floor(${"list_reduce(list_transform(range(1, len(t.v) + 1), i -> t.v[i] * q.v[i]), (x, y) -> x + y)"} * 10000.0 / (t.nrm * q.nrm)) >= $SemDedup09CosBp
+    )
+    SELECT train_id, eval_id, cos_bp, n_eval_hits FROM (
+      SELECT train_id, eval_id, cos_bp,
+             CAST(count(*) OVER (PARTITION BY train_id) AS bigint) AS n_eval_hits,
+             row_number() OVER (PARTITION BY train_id ORDER BY cos_bp DESC, eval_id) AS rn
+      FROM hits)
+    WHERE rn = 1
+    ORDER BY train_id"""
+
   /** Incremental IVF index maintenance — [[dedupMinhash]]'s `d_minhash_incr`
     * twin for the vector index: a new batch (vec_id ≡ 3 mod 10) is inserted
     * into a PERSISTED index (Lloyd codebooks fit on the base corpus only)
@@ -2390,6 +2458,7 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval_sampled" -> (winnowEvalSampled _),
     "d_minhash_recall_sampled" -> (minhashRecallSampled _),
     "e_ann_ivf_incr"    -> (annIvfIncr _),
+    "e_decontaminate"   -> (embedDecontaminate _),
     "e_dim_stats"       -> (dimStats _),
     "e_auc_label"       -> (aucLabel _),
     "d_minhash_recall"  -> (minhashRecall _),
@@ -2439,6 +2508,7 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval_sampled" -> winnowEvalSampledSql,
     "d_minhash_recall_sampled" -> minhashRecallSampledSql,
     "e_ann_ivf_incr"    -> annIvfIncrSql,
+    "e_decontaminate"   -> embedDecontaminateSql,
     "e_dim_stats"       -> dimStatsSql,
     "e_auc_label"       -> aucLabelSql,
     "d_minhash_recall"  -> minhashRecallSql,

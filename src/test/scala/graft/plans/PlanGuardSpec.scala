@@ -41,8 +41,32 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_event_paths", "q_ns_empty_dirs", "m_scene_cuts",
                   "d_edit_verify", "t_decontaminate13", "d_cluster_sizes",
                   "q_rfm", "e_embed_drift", "e_dim_var",
-                  "q_ns_depth_histogram", "e_norm_histogram", "t_ttr"))
+                  "q_ns_depth_histogram", "e_norm_histogram", "t_ttr",
+                  "t_substr_scrub", "e_ann_ivf_incr",
+                  "d_minhash_recall_sampled", "d_winnow_eval_sampled"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
+  }
+
+  test("t_substr_scrub stays an inverted-index pipeline: span-hash window, (doc,idx) equi-join, no nested-loop") {
+    val p = plan("t_substr_scrub")
+    // first-occurrence selection is a window over the span hash — the
+    // d_dedup_exact recipe, one shuffle keyed on h
+    assert(p.contains("row_number"), "first-occurrence window missing")
+    // the covered-index attach must be an equi-join on (doc_id, idx)
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[doc_id#\\d+L?, idx#".r
+      .findFirstIn(p).isDefined, "(doc_id, idx) equi-join missing")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in t_substr_scrub")
+  }
+
+  test("e_ann_ivf_incr assigns by broadcast centroid join; merge/rebuild compare is an id equi-join") {
+    val p = plan("e_ann_ivf_incr")
+    // pos-keyed centroid joins are broadcast (the codebook is k·dim rows)
+    assert("BroadcastHashJoin \\[pos#".r.findFirstIn(p).isDefined,
+      "broadcast centroid join missing")
+    // the incremental-vs-rebuild comparison joins on vec_id
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[vec_id#".r
+      .findFirstIn(p).isDefined, "vec_id equi-join missing")
+    assert(!p.contains("CartesianProduct"), "cartesian in e_ann_ivf_incr")
   }
 
   test("t_span_dup_rate joins the df table by shingle key, never nested-loop") {
