@@ -15,7 +15,8 @@ import graft.sources.ReportSink
   * usage: `runMain graft.CorpusTool <command> <corpusDir> [options]`
   *
   * commands: stats dedup minhash minhashkeep jaccard containment clusters
-  * keep semdedup semdedupeval quality gopher dsir spandup curriculum langid keywords
+  * keep semdedup semdedupeval semdedupeval09 substrscrub semdecon ivfincr
+  * quality gopher dsir spandup curriculum langid keywords
   * sample pack pii winnow winnoweval bpe
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
@@ -34,6 +35,10 @@ object CorpusTool {
     "keywords"    -> "t_tfidf_keywords",
     "semdedup"    -> "d_semdedup",
     "semdedupeval" -> "d_semdedup_eval",
+    "semdedupeval09" -> "d_semdedup_eval09",
+    "substrscrub" -> "t_substr_scrub",
+    "semdecon"    -> "e_decontaminate",
+    "ivfincr"     -> "e_ann_ivf_incr",
     "quality"     -> "t_quality_score",
     "gopher"      -> "t_gopher_rules",
     "dsir"        -> "t_dsir_weight",

@@ -7,6 +7,7 @@ class CorpusToolSpec extends SparkSpecBase {
   test("every corpus command runs and returns rows") {
     val cmds = Seq("stats", "dedup", "minhash", "minhashkeep", "jaccard",
       "containment", "clusters", "keep", "semdedup", "semdedupeval",
+      "semdedupeval09", "substrscrub", "semdecon", "ivfincr",
       "quality", "gopher", "dsir", "spandup", "curriculum", "langid", "keywords",
       "sample", "pack", "pii", "winnow", "winnoweval", "bpe")
     for (c <- cmds)
