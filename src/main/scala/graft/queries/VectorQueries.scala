@@ -257,10 +257,30 @@ object VectorQueries extends QueryModule {
     * that licenses retiring the quadratic baseline where it matters: the
     * ≥ 0.9 near-dup regime. Truth side carries the quadratic guard (eval
     * scale only); the operator chain itself stays equi-join-bucketed. */
-  def semDedupEval09(spark: SparkSession, sfDir: String): DataFrame = {
+  def semDedupEval09(spark: SparkSession, sfDir: String): DataFrame =
+    semDedupEval09At(spark, sfDir, sampleBp = 10000)
+
+  /** [[semDedupEval09]] under the sampled-truth posture ([[EvalSampleBp]]),
+    * the same affordability lever `d_minhash_recall_sampled` gives the
+    * sketch evals — this one for the r7 scaling table's worst row (the
+    * quadratic ≥ 0.9 truth scan, 87 s at sf1). The gate keys on the twin
+    * BASE id (`vec_id % TwinIdOffset`, shared by a vector and its planted
+    * twin), so planted truth pairs survive LINEARLY in the sample rate
+    * while the all-pairs truth cost still drops with its square; the
+    * k-means fit stays full-corpus (the production assignment being
+    * evaluated is never sampled). */
+  def semDedupEval09Sampled(spark: SparkSession, sfDir: String): DataFrame =
+    semDedupEval09At(spark, sfDir, sampleBp = EvalSampleBp)
+
+  private def semDedupEval09At(spark: SparkSession, sfDir: String,
+                               sampleBp: Int): DataFrame = {
     val aug = augmentedEmbeddings(spark, sfDir)
+    val truthSide =
+      if (sampleBp >= 10000) aug
+      else aug.filter(
+        TextQueries.hashGateBp("ev9_", col("vec_id") % TwinIdOffset) < sampleBp)
     val e = graft.operators.Dedup.guardQuadratic(
-      aug.select(col("vec_id"), col("embedding").as("v"))
+      truthSide.select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v")))),
       "semDedupEval09", "d_semdedup (bucketed scan)", DedupBruteConf, DedupBruteDefault)
       .localCheckpoint()
@@ -285,14 +305,26 @@ object VectorQueries extends QueryModule {
     }
     val n1 = captured(1).count()
     val n2 = captured(SemDedup09Probes).count()
+    // sampled truth CAN be empty at tiny scale — 0-recall then, not null/÷0
+    def recallBp(n: Long): Column =
+      when(col("n_pairs") === 0, lit(0L))
+        .otherwise(expr(s"10000 * $n div n_pairs"))
     truth.agg(count(lit(1)).as("n_pairs"))
       .select(col("n_pairs"),
-        lit(n1).as("n_cap_p1"), expr(s"10000 * $n1 div n_pairs").as("recall_bp_p1"),
-        lit(n2).as("n_cap_p2"), expr(s"10000 * $n2 div n_pairs").as("recall_bp_p2"))
+        lit(n1).as("n_cap_p1"), recallBp(n1).as("recall_bp_p1"),
+        lit(n2).as("n_cap_p2"), recallBp(n2).as("recall_bp_p2"))
   }
 
-  lazy val semDedupEval09Sql: String = {
+  lazy val semDedupEval09Sql: String = semDedupEval09SqlAt(10000)
+
+  lazy val semDedupEval09SampledSql: String = semDedupEval09SqlAt(EvalSampleBp)
+
+  private def semDedupEval09SqlAt(sampleBp: Int): String = {
     val dotAug = "list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+    val truthFrom =
+      if (sampleBp >= 10000) "ev"
+      else s"""(SELECT * FROM ev WHERE ${TextQueries.hashGateBpSql("ev9_",
+        s"(vec_id % $TwinIdOffset)")} < $sampleBp)"""
     s"""
     WITH $augmentedSql,
     ${kmeansChain(SemDedup09K, "aug", SemDedup09Probes)},
@@ -302,7 +334,7 @@ object VectorQueries extends QueryModule {
       FROM aug
     ), truth AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+      FROM $truthFrom a JOIN $truthFrom b ON a.vec_id < b.vec_id
       WHERE floor($dotAug * 10000.0 / (a.nrm * b.nrm)) >= $SemDedup09CosBp
     ), cap1 AS (
       SELECT DISTINCT t.id_a, t.id_b
@@ -2457,6 +2489,7 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval"     -> (winnowEval _),
     "d_winnow_eval_sampled" -> (winnowEvalSampled _),
     "d_minhash_recall_sampled" -> (minhashRecallSampled _),
+    "d_semdedup_eval09_sampled" -> (semDedupEval09Sampled _),
     "e_ann_ivf_incr"    -> (annIvfIncr _),
     "e_decontaminate"   -> (embedDecontaminate _),
     "e_dim_stats"       -> (dimStats _),
@@ -2507,6 +2540,7 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval"     -> winnowEvalSql,
     "d_winnow_eval_sampled" -> winnowEvalSampledSql,
     "d_minhash_recall_sampled" -> minhashRecallSampledSql,
+    "d_semdedup_eval09_sampled" -> semDedupEval09SampledSql,
     "e_ann_ivf_incr"    -> annIvfIncrSql,
     "e_decontaminate"   -> embedDecontaminateSql,
     "e_dim_stats"       -> dimStatsSql,
