@@ -1961,6 +1961,82 @@ object Analytics extends QueryModule {
                 (SELECT sum(d * (d - 1) / 2) FROM deg)) AS bigint) AS global_cc_bp
     FROM tri"""
 
+  /** k-core of the co-order part graph (k = 80, 8 peel rounds —
+    * measured cascade depth is 6 at both sf0.01 and sf0.1, so 8 gives
+    * convergence margin; see [[graft.operators.KCore]] for the peeling
+    * shape and its 100 TB posture). k = 80 sits in the degree
+    * distribution's lower quartile (median co-order degree ≈ 115 at
+    * every SF — the graph's density is scale-invariant), so the peel
+    * has a real cascade instead of a no-op or a collapse. Output is one
+    * summary row: k, round budget, core size (|V|, undirected |E|), the
+    * minimum in-core degree, and `stable` — the CERTIFICATE that the
+    * fixed round budget actually reached the fixpoint (min degree ≥ k;
+    * an empty core is stable by convention). DuckDB re-derives the
+    * identical 8 unrolled peels, so every intermediate round is
+    * hash-checked through the final counts. */
+  def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = KcoreK
+    val und = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(QueryModule.sortedPairs(col("ps"))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .distinct()
+    val core = graft.operators.KCore.peel(
+      und.union(und.select(col("v").as("u"), col("u").as("v"))),
+      k, KcoreRounds)
+    core.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_core_nodes"),
+        coalesce(sum(col("d")), lit(0L)).as("dir_deg"),
+        // empty core: min degree vacuously >= k (stable by convention)
+        coalesce(min(col("d")), lit(k.toLong)).as("min_core_deg"))
+      .select(lit(k.toLong).as("k"), lit(KcoreRounds.toLong).as("n_rounds"),
+        col("n_core_nodes"),
+        expr("dir_deg div 2").as("n_core_edges"),
+        col("min_core_deg"),
+        (col("min_core_deg") >= k).as("stable"))
+  }
+
+  private val KcoreK = 80
+  private val KcoreRounds = 8
+
+  val qKcoreSql: String = {
+    // each round references the previous round exactly ONCE (degrees via
+    // window functions on the symmetric table, du = dv = degree): a round
+    // written as prev ⋈ survivors ⋈ survivors touches prev 3× and, with
+    // DuckDB inlining non-materialized CTEs, re-evaluates the whole chain
+    // 3^rounds times (observed as an fd blowup) — the single-reference
+    // form keeps the unrolled plan linear in the round count
+    def peel(prev: String, cur: String): String =
+      s"""$cur AS (
+        SELECT u, v FROM (
+          SELECT u, v, count(*) OVER (PARTITION BY u) AS du,
+                       count(*) OVER (PARTITION BY v) AS dv
+          FROM $prev)
+        WHERE du >= $KcoreK AND dv >= $KcoreK
+      )"""
+    val rounds = (1 to KcoreRounds)
+      .map(i => peel(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+      .mkString(",\n    ")
+    s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), r0 AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ),
+    $rounds,
+    deg AS (SELECT u, count(*) AS d FROM r$KcoreRounds GROUP BY u)
+    SELECT CAST($KcoreK AS bigint) AS k,
+           CAST($KcoreRounds AS bigint) AS n_rounds,
+           count(*) AS n_core_nodes,
+           CAST(coalesce(sum(d), 0) // 2 AS bigint) AS n_core_edges,
+           CAST(coalesce(min(d), $KcoreK) AS bigint) AS min_core_deg,
+           coalesce(min(d), $KcoreK) >= $KcoreK AS stable
+    FROM deg"""
+  }
+
   /** Mergeable top-k rollup with tracked error bounds — the frequency
     * counterpart of `q_kmv_merge_rollup`'s distinct-count mergeability:
     * per-DAY bounded summaries (top m = 8 users by click count, plus the
@@ -2126,6 +2202,7 @@ object Analytics extends QueryModule {
     "q_kmv_diff"        -> (qKmvDiff _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_pagerank"        -> (qPagerank _),
+    "q_kcore"           -> (qKcore _),
     "q_events_dau"      -> (qEventsDau _),
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
@@ -2179,6 +2256,7 @@ object Analytics extends QueryModule {
     "q_topk_merge_rollup" -> qTopkMergeRollupSql,
     "q_graph_triangles" -> qGraphTrianglesSql,
     "q_pagerank"        -> qPagerankSql,
+    "q_kcore"           -> qKcoreSql,
     "q_events_dau"      -> qEventsDauSql,
     "q_events_seasonality" -> qEventsSeasonalitySql,
     "q_percentiles_approx" -> qPercentilesApproxSql,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+
+/** [[KCore.peel]] on a hand-built graph with a known core structure:
+  * a triangle {1,2,3} with a pendant path 3–4–5–6 hanging off it. The
+  * 2-core is exactly the triangle, and reaching it REQUIRES a cascade
+  * (6 falls first, which drops 5 to degree 1, which drops 4) — one
+  * round is provably not enough, so the test pins the iterative part,
+  * not just the degree filter. */
+class KCoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*): DataFrame =
+    (pairs ++ pairs.map { case (a, b) => (b, a) }).toDF("u", "v")
+
+  private val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+
+  private def nodes(e: DataFrame): Set[Long] =
+    e.select("u").as[Long].collect().toSet
+
+  test("2-core of triangle+path is the triangle, via a 3-deep cascade") {
+    assert(nodes(KCore.peel(g, k = 2, rounds = 3)) === Set(1L, 2L, 3L))
+    assert(KCore.peel(g, k = 2, rounds = 3).count() === 6) // 3 undirected edges
+    // one round only strips the leaf — the cascade is real
+    assert(nodes(KCore.peel(g, k = 2, rounds = 1)) === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("peeling is idempotent once converged and empties past the degeneracy") {
+    val core = KCore.peel(g, k = 2, rounds = 3)
+    assert(nodes(KCore.peel(core, k = 2, rounds = 1)) === nodes(core))
+    assert(KCore.peel(g, k = 3, rounds = 3).count() === 0) // triangle is only a 2-core
+  }
+
+  test("q_kcore summary certifies convergence at sf0.001") {
+    val row = graft.queries.Analytics.qKcore(spark, Sf).collect()(0)
+    assert(row.getAs[Boolean]("stable"))
+    // sf0.001's co-order graph collapses entirely at k=80 (measured in
+    // the oracle prototype); the empty core must still be a stable,
+    // well-formed summary row
+    assert(row.getAs[Long]("n_core_nodes") === 0L)
+    assert(row.getAs[Long]("n_core_edges") === 0L)
+    assert(row.getAs[Long]("min_core_deg") === 80L)
+  }
+}

@@ -43,7 +43,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_rfm", "e_embed_drift", "e_dim_var",
                   "q_ns_depth_histogram", "e_norm_histogram", "t_ttr",
                   "t_substr_scrub", "e_ann_ivf_incr",
-                  "d_minhash_recall_sampled", "d_winnow_eval_sampled"))
+                  "d_minhash_recall_sampled", "d_winnow_eval_sampled",
+                  "d_semdedup_eval09_sampled", "q_kcore"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
