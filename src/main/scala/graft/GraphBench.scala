@@ -66,11 +66,18 @@ object GraphBench {
     val (tTri, tri) = time {
       graft.queries.Analytics.qGraphTriangles(spark, dir).collect()
     }
+    dropCaches()
+    val (tCore, core) = time {
+      graft.queries.Analytics.qKcore(spark, dir).collect()
+    }
     val t = tri.head
+    val c = core.head
     println(s"""{"soak":"graph","mult":$mult,"parts":$parts,"rows":$nRows,""" +
       s""""n_nodes":${t.getAs[Long]("n_nodes")},"n_edges":${t.getAs[Long]("n_edges")},""" +
       s""""n_triangles":${t.getAs[Long]("n_triangles")},"top_rank":${topRank.head.getLong(1)},""" +
+      s""""n_core_nodes":${c.getAs[Long]("n_core_nodes")},"core_stable":${c.getAs[Boolean]("stable")},""" +
       s""""synth_s":${ms3(tSynth)},"pagerank_s":${ms3(tPr)},"triangles_s":${ms3(tTri)},""" +
+      s""""kcore_s":${ms3(tCore)},""" +
       s""""peak_heap_mb":${SoakUtil.peakHeapMb},"xmx_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)}}""")
     spark.stop()
   }
