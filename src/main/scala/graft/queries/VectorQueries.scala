@@ -263,7 +263,7 @@ object VectorQueries extends QueryModule {
   /** [[semDedupEval09]] under the sampled-truth posture ([[EvalSampleBp]]),
     * the same affordability lever `d_minhash_recall_sampled` gives the
     * sketch evals — this one for the r7 scaling table's worst row (the
-    * quadratic ≥ 0.9 truth scan, 87 s at sf1). The gate keys on the twin
+    * quadratic ≥ 0.9 truth scan, ~90 s at sf1; 19.9 s sampled). The gate keys on the twin
     * BASE id (`vec_id % TwinIdOffset`, shared by a vector and its planted
     * twin), so planted truth pairs survive LINEARLY in the sample rate
     * while the all-pairs truth cost still drops with its square; the
