@@ -33,6 +33,40 @@ class KCoreSpec extends SparkSpecBase {
     assert(KCore.peel(g, k = 3, rounds = 3).count() === 0) // triangle is only a 2-core
   }
 
+  test("matches a brute-force peel on seeded random graphs, all k") {
+    // in-memory reference: delete min-degree-< k nodes until fixpoint
+    def brute(edges: Set[(Long, Long)], k: Int): Set[Long] = {
+      var es = edges
+      var done = false
+      while (!done) {
+        val deg = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.collect { case (n, d) if d >= k => n }.toSet
+        val next = es.filter { case (a, b) => keep(a) && keep(b) }
+        done = next == es
+        es = next
+      }
+      es.flatMap { case (a, b) => Seq(a, b) }
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 6
+      val p = 0.12 + 0.08 * trial
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < p
+      } yield (a, b)).toSet
+      for (k <- 2 to 3) {
+        val expect = brute(edges, k)
+        // 10 rounds is a budget, not an assumption: if it were too few,
+        // the equality against the brute-force FIXPOINT fails loudly
+        val got =
+          if (edges.isEmpty) Set.empty[Long]
+          else nodes(KCore.peel(sym(edges.toSeq: _*), k, rounds = 10))
+        assert(got === expect, s"trial=$trial k=$k edges=${edges.size}")
+      }
+    }
+  }
+
   test("q_kcore summary certifies convergence at sf0.001") {
     val row = graft.queries.Analytics.qKcore(spark, Sf).collect()(0)
     assert(row.getAs[Boolean]("stable"))
