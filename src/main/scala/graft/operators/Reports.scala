@@ -347,9 +347,13 @@ object Reports {
       .groupBy(ext.as("ext"))
       .agg(count(lit(1)).as("n_files"), sum(col("size")).as("sum_size"),
         sum(col("csize")).as("sum_csize"))
-      .withColumn("size_share_bp",
-        floor(col("sum_size") * 10000.0 / sum(col("sum_size"))
-          .over(Window.partitionBy())).cast("long"))
+      // integer div, not a double floor: sum_size·10⁴ exceeds a double's
+      // 2⁵³ mantissa at fleet byte totals, and the rounding denied the
+      // 100%-share row its exact 10000 at sf0.1 (oracle re-derives the
+      // same exact division)
+      .withColumn("tot_size", sum(col("sum_size")).over(Window.partitionBy()))
+      .withColumn("size_share_bp", expr("sum_size * 10000 div tot_size"))
+      .drop("tot_size")
       .orderBy(col("sum_size").desc, col("ext"))
       .limit(topN)
   }
@@ -425,9 +429,13 @@ object Reports {
     files.join(broadcast(last), col("month") === col("last_month"))
       .groupBy(col("month"), col("dir"))
       .agg(count(lit(1)).as("n_files"), sum(col("size")).as("bytes_added"))
+      // byte-magnitude share: integer div (the double form loses bp once
+      // bytes·10⁴ passes 2⁵³ — same fix as extensionReport/giniReport)
+      .withColumn("tot_added", total)
       .withColumn("share_bp",
-        when(total === 0, lit(null).cast("long"))
-          .otherwise(floor(col("bytes_added") * 10000.0 / total).cast("long")))
+        when(col("tot_added") === 0, lit(null).cast("long"))
+          .otherwise(expr("bytes_added * 10000 div tot_added")))
+      .drop("tot_added")
       .select(col("month"), col("dir"), col("n_files"), col("bytes_added"), col("share_bp"))
       .orderBy(col("bytes_added").desc, col("dir"))
       .limit(topN)
@@ -477,8 +485,11 @@ object Reports {
       .agg(max(col("n")).as("n"), sum(col("bytes")).as("tot"),
         sum(col("i") * col("bytes")).as("swx"))
       .select(col("n"), col("tot"),
-        floor((lit(2) * col("swx") - (col("n") + 1) * col("tot")) * 10000.0 /
-          (col("n") * col("tot"))).cast("long").as("gini_bp"))
+        // exact integer Gini: the Lorenz numerator is ≥ 0 (ranks ascend by
+        // bytes), so div ≡ floor; the double form loses bp past 2⁵³. Long
+        // range holds while n_users·tot_bytes·10⁴ < 2⁶³ (ANSI mode makes
+        // an overflow loud, not silently wrong)
+        expr("(2 * swx - (n + 1) * tot) * 10000 div (n * tot)").as("gini_bp"))
     val deciles = ranked
       .select(expr("(i - 1) * 10 div n + 1").as("decile"), col("bytes"))
       .groupBy(col("decile"))
@@ -487,7 +498,7 @@ object Reports {
         Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     deciles.crossJoin(broadcast(gini))
       .select(col("decile"), col("n_users"), col("sum_bytes"),
-        floor(col("cum_bytes") * 10000.0 / col("tot")).cast("long").as("cum_share_bp"),
+        expr("cum_bytes * 10000 div tot").as("cum_share_bp"),
         col("gini_bp"))
       .orderBy(col("decile"))
   }

@@ -84,9 +84,13 @@ object TextQueries extends QueryModule {
     val w = Window.orderBy(col("n_tokens").desc, col("source"), col("lang"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     g.crossJoin(broadcast(g.agg(sum(col("n_tokens")).as("total"))))
+      // integer div, not a double floor — token·10⁴ products stay exact at
+      // any corpus size (the double form loses bp past 2⁵³; same fix as
+      // the byte-share reports)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-        floor(col("n_tokens") * 10000.0 / col("total")).cast("long").as("share_bp"),
-        floor(sum(col("n_tokens")).over(w) * 10000.0 / col("total")).cast("long").as("cum_share_bp"))
+        expr("n_tokens * 10000 div total").as("share_bp"),
+        expr("cum_tokens * 10000 div total").as("cum_share_bp"))
       .orderBy(col("n_tokens").desc, col("source"), col("lang"))
   }
 
@@ -97,10 +101,10 @@ object TextQueries extends QueryModule {
       FROM documents GROUP BY source, lang
     )
     SELECT source, lang, n_docs, n_tokens,
-           CAST(floor(n_tokens * 10000.0 / (SELECT sum(n_tokens) FROM g)) AS bigint) AS share_bp,
-           CAST(floor(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang
-                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      * 10000.0 / (SELECT sum(n_tokens) FROM g)) AS bigint) AS cum_share_bp
+           CAST(n_tokens * 10000 // (SELECT sum(n_tokens) FROM g) AS bigint) AS share_bp,
+           CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 10000 // (SELECT sum(n_tokens) FROM g) AS bigint) AS cum_share_bp
     FROM g
     ORDER BY n_tokens DESC, source, lang"""
 
