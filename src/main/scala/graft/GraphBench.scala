@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * are deterministically remapped, so distinct EDGES grow ~mult× (new
   * edge identities, same degree structure) instead of collapsing in the
   * distinct — then runs the full `q_pagerank` (5 integer power
-  * iterations) and `q_graph_triangles` plans over it under whatever -Xmx
-  * cap SPARK_DRIVER_MEM imposes. A capped run that COMPLETES is the
+  * iterations), `q_graph_triangles`, `q_kcore` and `q_lpa_communities`
+  * plans over it under whatever -Xmx cap SPARK_DRIVER_MEM imposes. A capped run that COMPLETES is the
   * proof the family holds its shape at scale: per-iteration state is the
   * checkpointed edge table + the |nodes|-row rank broadcast (never a
   * driver materialization), and the triangle count stays a
@@ -70,14 +70,19 @@ object GraphBench {
     val (tCore, core) = time {
       graft.queries.Analytics.qKcore(spark, dir).collect()
     }
+    dropCaches()
+    val (tLpa, lpa) = time {
+      graft.queries.Analytics.qLpaCommunities(spark, dir).collect()
+    }
     val t = tri.head
     val c = core.head
+    val nComms = lpa.map(_.getAs[Long]("n_comms")).sum
     println(s"""{"soak":"graph","mult":$mult,"parts":$parts,"rows":$nRows,""" +
       s""""n_nodes":${t.getAs[Long]("n_nodes")},"n_edges":${t.getAs[Long]("n_edges")},""" +
       s""""n_triangles":${t.getAs[Long]("n_triangles")},"top_rank":${topRank.head.getLong(1)},""" +
       s""""n_core_nodes":${c.getAs[Long]("n_core_nodes")},"core_stable":${c.getAs[Boolean]("stable")},""" +
       s""""synth_s":${ms3(tSynth)},"pagerank_s":${ms3(tPr)},"triangles_s":${ms3(tTri)},""" +
-      s""""kcore_s":${ms3(tCore)},""" +
+      s""""kcore_s":${ms3(tCore)},"lpa_s":${ms3(tLpa)},"n_communities":$nComms,""" +
       s""""peak_heap_mb":${SoakUtil.peakHeapMb},"xmx_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)}}""")
     spark.stop()
   }

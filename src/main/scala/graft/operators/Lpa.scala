@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Label propagation (Raghavan–Albert–Kumara 2007, the synchronous
+  * variant) — the community-detection counterpart to the repo's other
+  * iterative-graph primitives (triangles, PageRank, k-core,
+  * `Dedup.connectedComponents`): every node starts labeled with its own
+  * id, and each round adopts the MODE of its neighbors' labels. Dense
+  * intra-community edges amplify their majority label within a few
+  * rounds while sparse cut edges cannot, so labels converge to
+  * community markers without a target community count.
+  *
+  * Determinism (the property the DuckDB oracle needs): rounds are fully
+  * SYNCHRONOUS (every round-r label is computed from the complete
+  * round-(r−1) labeling, never a mix) and the mode tie-break is the
+  * MINIMUM label, so the entire trajectory is a pure function of the
+  * edge set — no randomized vertex order as in the asynchronous
+  * original. A FIXED round count keeps the computation expressible as
+  * unrolled SQL (same reasoning as `KCore.peel`); synchronous LPA can
+  * 2-cycle on bipartite cuts rather than converge, which a fixed-round
+  * snapshot sidesteps by construction.
+  *
+  * Distributed shape: per round, one equi-join of the symmetric edge
+  * table against the (|V|-sized, auto-broadcast) label table, one
+  * map-side-combined `groupBy(u, lbl)` count, and one per-node argmax
+  * folded into the same aggregation via `max(struct(cnt, -lbl))` — so a
+  * round costs exactly one O(|E|) shuffle. Labels are `localCheckpoint`ed
+  * every round to pin plan depth (the `connectedComponents` /
+  * `KCore.peel` lineage recipe). At 100 TB: |E|-linear per round with a
+  * bounded round count, label state lives as a DataFrame (no driver
+  * materialization), and the broadcast degrades gracefully to a shuffled
+  * join once |V| outgrows the broadcast threshold. */
+object Lpa {
+
+  /** Propagate labels over `sym` (a SYMMETRIZED directed edge table with
+    * long columns `u`, `v`; both (a,b) and (b,a) present, no self-loops)
+    * for exactly `rounds` synchronous rounds. Returns `(u, lbl)` — one
+    * row per node that has at least one neighbor. */
+  def propagate(sym: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"propagation rounds must be >= 1, got $rounds")
+    val e = sym.localCheckpoint()
+    var labels = e.select(col("u")).distinct()
+      .withColumn("lbl", col("u"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val l = labels.withColumnRenamed("u", "n")
+      labels = e.join(l, e("v") === l("n"))
+        .groupBy(e("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        // argmax by (count desc, label asc): struct max compares c first,
+        // then -lbl, so the winner on a count tie is the SMALLEST label
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("u"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+}

@@ -2037,6 +2037,69 @@ object Analytics extends QueryModule {
     FROM deg"""
   }
 
+  /** Community detection by synchronous label propagation over the
+    * co-order part graph (the fourth iterative-graph primitive after
+    * triangles, PageRank and k-core — see [[graft.operators.Lpa]] for
+    * the algorithm, determinism and 100 TB shape). Output is the
+    * community-SIZE histogram after [[LpaRounds]] rounds: one row per
+    * distinct community size — bounded regardless of |V|. The full
+    * label trajectory is deterministic (synchronous rounds, min-label
+    * tie-break), so the DuckDB oracle replays every round exactly. */
+  def qLpaCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(QueryModule.sortedPairs(col("ps"))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .distinct()
+    val labels = graft.operators.Lpa.propagate(
+      und.union(und.select(col("v").as("u"), col("u").as("v"))), LpaRounds)
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+      .groupBy(col("comm_size")).agg(count(lit(1)).as("n_comms"))
+      .select(lit(LpaRounds.toLong).as("n_rounds"), col("comm_size"),
+        col("n_comms"), (col("comm_size") * col("n_comms")).as("n_nodes"))
+      .orderBy(col("comm_size").desc)
+  }
+
+  private val LpaRounds = 4
+
+  val qLpaCommunitiesSql: String = {
+    // same unroll discipline as qKcoreSql: round i references round i-1
+    // exactly once (plus the shared symmetric edge table r0), so the
+    // inlined DuckDB plan stays linear in the round count
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+        SELECT u, lbl FROM (
+          SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+          FROM (SELECT e.u AS u, l.lbl AS lbl, count(*) AS c
+                FROM r0 e JOIN $prev l ON e.v = l.u
+                GROUP BY e.u, l.lbl))
+        WHERE rn = 1
+      )"""
+    val rounds = (1 to LpaRounds)
+      .map(i => round(if (i == 1) "l0" else s"l${i - 1}", s"l$i"))
+      .mkString(",\n    ")
+    s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), r0 AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), l0 AS (
+      SELECT DISTINCT u, u AS lbl FROM r0
+    ),
+    $rounds,
+    comms AS (SELECT lbl, count(*) AS comm_size FROM l$LpaRounds GROUP BY lbl)
+    SELECT CAST($LpaRounds AS bigint) AS n_rounds,
+           comm_size,
+           count(*) AS n_comms,
+           comm_size * count(*) AS n_nodes
+    FROM comms
+    GROUP BY comm_size
+    ORDER BY comm_size DESC"""
+  }
+
   /** Mergeable top-k rollup with tracked error bounds — the frequency
     * counterpart of `q_kmv_merge_rollup`'s distinct-count mergeability:
     * per-DAY bounded summaries (top m = 8 users by click count, plus the
@@ -2203,6 +2266,7 @@ object Analytics extends QueryModule {
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_pagerank"        -> (qPagerank _),
     "q_kcore"           -> (qKcore _),
+    "q_lpa_communities" -> (qLpaCommunities _),
     "q_events_dau"      -> (qEventsDau _),
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
@@ -2257,6 +2321,7 @@ object Analytics extends QueryModule {
     "q_graph_triangles" -> qGraphTrianglesSql,
     "q_pagerank"        -> qPagerankSql,
     "q_kcore"           -> qKcoreSql,
+    "q_lpa_communities" -> qLpaCommunitiesSql,
     "q_events_dau"      -> qEventsDauSql,
     "q_events_seasonality" -> qEventsSeasonalitySql,
     "q_percentiles_approx" -> qPercentilesApproxSql,

@@ -146,6 +146,201 @@ object TextQueries extends QueryModule {
     FROM h
     ORDER BY bucket"""
 
+  /** Fixed-grid width (chars) for the mergeable length-quantile sketch:
+    * the estimate's guaranteed error bound is one grid cell. */
+  private val QuantileGridW = 256L
+
+  /** Mergeable fixed-grid quantile sketch with a containment certificate —
+    * the QUANTILE member of the repo's sketch-algebra family (KMV
+    * union/intersect/diff, Count-Min, mergeable top-k): per-source
+    * document-length sketches are (bucket → count) grids over
+    * `n_chars div W`, and the corpus-level sketch is built by SUMMING the
+    * per-source grids — never rescanning raw documents (the mergeability
+    * claim, same posture as `q_topk_merge_rollup`). Each level answers
+    * p50/p90/p99 as the first grid cell whose cumulative count reaches
+    * rank ⌈q·n⌉; the cell provably CONTAINS the exact quantile, and the
+    * query emits that guarantee as an oracle-checked column
+    * (`ok = exact_q div W = est cell`) next to the exact rank-statistic
+    * truth. All rank math is integer (`(q_bp·n + 9999) div 10000`) — no
+    * float quantile semantics to diverge between engines. At 100 TB:
+    * the sketch side is one map-side-combined groupBy per level over
+    * bounded grids (≤ max-len/W cells), merges are count sums, and only
+    * the TRUTH side pays a per-level sort — exactly the cost the sketch
+    * exists to avoid, kept here as the audit. */
+  def lenQuantileRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = QuantileGridW
+    val docs = Tables.documents(spark, sfDir).select(col("source"), col("n_chars"))
+    val perSrc = docs.select(col("source"), expr(s"n_chars div $w").as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val merged = perSrc.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .select(lit("ALL").as("source"), col("bucket"), col("cnt"))
+    val grids = perSrc.select(col("source"), col("bucket"), col("cnt")).union(merged)
+    val cum = grids.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranks = grids.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+      .withColumn("q_bp", explode(array(lit(5000L), lit(9000L), lit(9900L))))
+      .withColumn("rk", expr("(q_bp * n + 9999) div 10000"))
+    val est = cum.join(broadcast(ranks), Seq("source"))
+      .filter(col("cum") >= col("rk"))
+      .groupBy(col("source"), col("q_bp"), col("n"))
+      .agg(min(col("bucket")).as("est_bucket"))
+    val lv = docs.union(docs.select(lit("ALL").as("source"), col("n_chars")))
+    val ranked = lv.withColumn("rn", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+    val exact = ranked.join(
+      broadcast(ranks.select(col("source").as("rsource"), col("q_bp"), col("rk"))),
+      col("source") === col("rsource") && col("rn") === col("rk"))
+      .select(col("source"), col("q_bp"), col("n_chars").as("exact_q"))
+    est.join(exact, Seq("source", "q_bp"))
+      .select(col("source").as("lvl"), col("q_bp"), col("n"),
+        lit(w).as("grid_w"), (col("est_bucket") * w).as("est_lo"),
+        col("exact_q"),
+        (expr(s"exact_q div $w") === col("est_bucket")).as("ok"))
+      .orderBy(col("lvl"), col("q_bp"))
+  }
+
+  val lenQuantileRollupSql: String = s"""
+    WITH d AS (SELECT source, n_chars FROM documents),
+    g AS (
+      SELECT source, n_chars // $QuantileGridW AS bucket,
+             CAST(count(*) AS bigint) AS cnt
+      FROM d GROUP BY source, bucket
+    ), grids AS (
+      SELECT source, bucket, cnt FROM g
+      UNION ALL
+      SELECT 'ALL' AS source, bucket, CAST(sum(cnt) AS bigint) AS cnt
+      FROM g GROUP BY bucket
+    ), ranks AS (
+      SELECT source, CAST(q_bp AS bigint) AS q_bp, n, (q_bp * n + 9999) // 10000 AS rk
+      FROM (SELECT source, CAST(sum(cnt) AS bigint) AS n FROM grids GROUP BY source)
+           CROSS JOIN (SELECT unnest([5000, 9000, 9900]) AS q_bp)
+    ), cum AS (
+      SELECT source, bucket,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum
+      FROM grids
+    ), est AS (
+      SELECT r.source, r.q_bp, r.n, min(c.bucket) AS est_bucket
+      FROM ranks r JOIN cum c ON c.source = r.source AND c.cum >= r.rk
+      GROUP BY r.source, r.q_bp, r.n
+    ), lv AS (
+      SELECT source, n_chars FROM d
+      UNION ALL SELECT 'ALL' AS source, n_chars FROM d
+    ), ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn
+      FROM lv
+    ), ex AS (
+      SELECT r.source, r.q_bp, k.n_chars AS exact_q
+      FROM ranks r JOIN ranked k ON k.source = r.source AND k.rn = r.rk
+    )
+    SELECT e.source AS lvl, e.q_bp, e.n,
+           CAST($QuantileGridW AS bigint) AS grid_w,
+           e.est_bucket * $QuantileGridW AS est_lo, x.exact_q,
+           x.exact_q // $QuantileGridW = e.est_bucket AS ok
+    FROM est e JOIN ex x ON x.source = e.source AND x.q_bp = e.q_bp
+    ORDER BY lvl, e.q_bp"""
+
+  private val PrioritySampleK = 100
+
+  /** Deterministic weighted sampling without replacement by PRIORITY
+    * (sequential Poisson sampling, Ohlsson 1998; the priority-sampling
+    * estimator analysis is Duffield–Lund–Thorup 2007): each document
+    * draws priority = u / w where u is a fixed-width uniform derived
+    * from md5(doc_id) and w its weight (chars here — any positive
+    * per-row weight works), and the sample is the k SMALLEST priorities,
+    * giving inclusion probability ≈ proportional to weight in ONE pass
+    * — the weighted companion to `t_sample_stratified`'s equal-rate
+    * sampling. Everything is integer (60-bit md5 prefix, integer
+    * division by the weight, doc_id tie-break), so the DuckDB oracle
+    * re-derives the identical sample row-for-row. At 100 TB: the plan is
+    * TakeOrdered — a per-partition top-k fold plus a k·partitions driver
+    * merge; no global sort, no shuffle of the corpus (PlanGuard-asserted). */
+  def prioritySample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("ps_"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("priority", expr("h div w"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(PrioritySampleK)
+      .select(col("doc_id"), col("w"), col("priority"))
+
+  val prioritySampleSql: String = s"""
+    SELECT doc_id, w, priority FROM (
+      SELECT doc_id, greatest(n_chars, 1) AS w,
+             CAST('0x' || substr(md5('ps_' || CAST(doc_id AS varchar)), 1, 15) AS bigint)
+               // greatest(n_chars, 1) AS priority
+      FROM documents)
+    ORDER BY priority, doc_id
+    LIMIT $PrioritySampleK"""
+
+  /** The priority hash is a 15-hex-char (60-bit) md5 prefix, so the
+    * implicit uniform draw lives in [0, 2⁶⁰). */
+  private val PriorityHashRange = 1L << 60
+
+  /** Prices the priority sample: the Duffield–Lund–Thorup estimator
+    * reconstructs the corpus TOTAL weight from the k-sample alone —
+    * with τ = the (k+1)-th smallest priority, Σ max(wᵢ, U div τ) over
+    * the sample is unbiased for Σ w (each term is the inverse inclusion
+    * probability; when the corpus has ≤ k docs the sample IS the corpus
+    * and the plain sum is exact). The measured err_bp is what the
+    * estimator costs on this corpus — same eval posture as
+    * `d_minhash_recall` / `d_semdedup_eval09`. Deterministic throughout,
+    * so the oracle replays τ, the estimate and the error exactly.
+    * Long-range note: each term is ≤ U = 2⁶⁰, so the k-term sum only
+    * approaches 2⁶³ if τ ≲ k — i.e. the (k+1)-th doc drew u ≤ k·w, a
+    * ~2⁻⁴⁰ event per doc; ANSI mode makes that overflow loud, never
+    * silently wrong. Truth side (exact Σ w) is one corpus agg. */
+  def prioritySampleEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = PrioritySampleK
+    val withP = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("ps_"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("priority", expr("h div w"))
+    val top = withP.orderBy(col("priority"), col("doc_id")).limit(k + 1)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("priority"), col("doc_id"))))
+    val tau = top.agg(
+      max(when(col("rn") === k + 1, col("priority"))).as("tau"))
+    val est = top.filter(col("rn") <= k)
+      .crossJoin(broadcast(tau))
+      .agg(sum(when(col("tau").isNull, col("w")).otherwise(
+        greatest(col("w"), expr(s"$PriorityHashRange div greatest(tau, 1)"))))
+        .as("est_w"))
+    val exact = withP.agg(count(lit(1)).as("n_docs"), sum(col("w")).as("exact_w"))
+    exact.crossJoin(broadcast(est))
+      .select(lit(k.toLong).as("k"), col("n_docs"), col("exact_w"), col("est_w"),
+        expr("abs(est_w - exact_w) * 10000 div exact_w").as("err_bp"))
+  }
+
+  val prioritySampleEvalSql: String = s"""
+    WITH p AS (
+      SELECT doc_id, greatest(n_chars, 1) AS w,
+             CAST('0x' || substr(md5('ps_' || CAST(doc_id AS varchar)), 1, 15) AS bigint)
+               // greatest(n_chars, 1) AS priority
+      FROM documents
+    ), top AS (
+      SELECT w, priority, row_number() OVER (ORDER BY priority, doc_id) AS rn
+      FROM p ORDER BY priority, doc_id LIMIT ${PrioritySampleK + 1}
+    ), tau AS (
+      SELECT max(CASE WHEN rn = ${PrioritySampleK + 1} THEN priority END) AS tau FROM top
+    ), est AS (
+      SELECT CAST(sum(CASE WHEN t.tau IS NULL THEN w
+                           ELSE greatest(w, $PriorityHashRange // greatest(t.tau, 1)) END)
+             AS bigint) AS est_w
+      FROM (SELECT w FROM top WHERE rn <= $PrioritySampleK) CROSS JOIN tau t
+    ), ex AS (
+      SELECT count(*) AS n_docs, CAST(sum(greatest(n_chars, 1)) AS bigint) AS exact_w
+      FROM documents
+    )
+    SELECT CAST($PrioritySampleK AS bigint) AS k, n_docs, exact_w, est_w,
+           abs(est_w - exact_w) * 10000 // exact_w AS err_bp
+    FROM ex CROSS JOIN est"""
+
   /** Zipf fit is computed over the top 2²⁰ ranks — the statistically
     * meaningful head, and the bound that keeps every least-squares sum
     * far under 2⁶³ at any corpus size. */
@@ -2459,6 +2654,9 @@ object TextQueries extends QueryModule {
     "d_source_overlap" -> (sourceOverlap _),
     "t_sqrt_sample"   -> (sqrtSample _),
     "t_len_histogram" -> (lenHistogram _),
+    "t_len_quantile_rollup" -> (lenQuantileRollup _),
+    "t_priority_sample" -> (prioritySample _),
+    "t_priority_sample_eval" -> (prioritySampleEval _),
     "t_zipf"          -> (zipf _),
     "t_novelty"       -> (novelty _),
     "t_vocab"         -> (vocab _),
@@ -2512,6 +2710,9 @@ object TextQueries extends QueryModule {
     "d_source_overlap" -> sourceOverlapSql,
     "t_sqrt_sample"   -> sqrtSampleSql,
     "t_len_histogram" -> lenHistogramSql,
+    "t_len_quantile_rollup" -> lenQuantileRollupSql,
+    "t_priority_sample" -> prioritySampleSql,
+    "t_priority_sample_eval" -> prioritySampleEvalSql,
     "t_zipf"          -> zipfSql,
     "t_novelty"       -> noveltySql,
     "t_vocab"         -> vocabSql,

@@ -9,7 +9,8 @@ class CorpusToolSpec extends SparkSpecBase {
       "containment", "clusters", "keep", "semdedup", "semdedupeval",
       "semdedupeval09", "substrscrub", "semdecon", "ivfincr",
       "quality", "gopher", "dsir", "spandup", "curriculum", "langid", "keywords",
-      "sample", "pack", "pii", "winnow", "winnoweval", "bpe")
+      "sample", "pack", "pii", "winnow", "winnoweval", "bpe",
+      "wsample", "lenquantile")
     for (c <- cmds)
       assert(CorpusTool.run(spark, c, Sf, Map.empty).count() > 0, s"$c returned 0 rows")
   }

@@ -44,7 +44,9 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_ns_depth_histogram", "e_norm_histogram", "t_ttr",
                   "t_substr_scrub", "e_ann_ivf_incr",
                   "d_minhash_recall_sampled", "d_winnow_eval_sampled",
-                  "d_semdedup_eval09_sampled", "q_kcore"))
+                  "d_semdedup_eval09_sampled", "q_kcore",
+                  "q_lpa_communities", "t_len_quantile_rollup",
+                  "t_priority_sample"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
@@ -173,6 +175,12 @@ class PlanGuardSpec extends SparkSpecBase {
   test("t_top_shingles and t_zipf bound their heads with TakeOrdered") {
     assert(plan("t_top_shingles").contains("TakeOrderedAndProject"))
     assert(plan("t_zipf").contains("TakeOrderedAndProject"))
+  }
+
+  test("t_priority_sample is one TakeOrdered pass — no global sort, no corpus shuffle") {
+    val p = plan("t_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), "global sort in t_priority_sample")
+    assert(!p.contains("Exchange hashpartitioning"), "corpus shuffle in t_priority_sample")
   }
 
   test("q_ns_compaction_plan takes its top-20 as TakeOrderedAndProject") {

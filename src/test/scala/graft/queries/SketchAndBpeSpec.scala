@@ -33,6 +33,39 @@ class SketchAndBpeSpec extends SparkSpecBase {
     }
   }
 
+  test("lenQuantileRollup: merged ALL grid equals a raw-rescan grid and every cell contains its exact quantile") {
+    val rows = TextQueries.lenQuantileRollup(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // every level answers all three quantiles
+    val all = rows.filter(_.getAs[String]("lvl") == "ALL")
+    assert(all.map(_.getAs[Long]("q_bp")).sorted.toSeq === Seq(5000L, 9000L, 9900L))
+    for (r <- rows) {
+      val (w, estLo, exact, ok) = (r.getAs[Long]("grid_w"), r.getAs[Long]("est_lo"),
+        r.getAs[Long]("exact_q"), r.getAs[Boolean]("ok"))
+      assert(ok, s"certificate must hold on ${r.getAs[String]("lvl")}")
+      assert(estLo <= exact && exact < estLo + w,
+        s"exact quantile $exact escaped its grid cell [$estLo, ${estLo + w})")
+    }
+    // mergeability: the ALL sketch (a sum of per-source grids) must agree
+    // with a sketch built by rescanning raw documents at the global level
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, Sf)
+    val direct = docs.select(expr("n_chars div 256").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val n = docs.count()
+    for (qBp <- Seq(5000L, 9000L, 9900L)) {
+      val rank = (qBp * n + 9999L) / 10000L
+      val estBucket = direct.orderBy(col("bucket")).collect()
+        .scanLeft((Long.MinValue, 0L)) { case ((_, cum), r) =>
+          (r.getAs[Long]("bucket"), cum + r.getAs[Long]("cnt")) }
+        .find(_._2 >= rank).get._1
+      val merged = rows.find(r =>
+        r.getAs[String]("lvl") == "ALL" && r.getAs[Long]("q_bp") == qBp).get
+      assert(merged.getAs[Long]("est_lo") === estBucket * 256L,
+        s"merged grid diverged from the raw-rescan grid at q=$qBp")
+    }
+  }
+
   test("qAbSrm flags an engineered one-sided assignment and passes the real one") {
     import java.security.MessageDigest
     import spark.implicits._
