@@ -17,7 +17,7 @@ import graft.sources.ReportSink
   * commands: stats dedup minhash minhashkeep jaccard containment clusters
   * keep semdedup semdedupeval semdedupeval09 substrscrub semdecon ivfincr
   * quality gopher dsir spandup curriculum langid keywords
-  * sample pack pii winnow winnoweval bpe wsample lenquantile
+  * sample pack pii winnow winnoweval bpe wsample lenquantile rproject
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -52,7 +52,8 @@ object CorpusTool {
     "winnoweval"  -> "d_winnow_eval",
     "bpe"         -> "t_bpe_merges",
     "wsample"     -> "t_priority_sample",
-    "lenquantile" -> "t_len_quantile_rollup")
+    "lenquantile" -> "t_len_quantile_rollup",
+    "rproject"    -> "e_rp_project")
 
   def run(spark: SparkSession, cmd: String, dir: String,
           opts: Map[String, String]): DataFrame = cmd match {

@@ -170,8 +170,13 @@ object TextQueries extends QueryModule {
   def lenQuantileRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val w = QuantileGridW
     val docs = Tables.documents(spark, sfDir).select(col("source"), col("n_chars"))
+    // the per-source sketches are checkpointed: they're the bounded
+    // artifact (≤ max-len/W cells per source) every downstream branch —
+    // the merge, the cum window, the rank table — reuses, so the corpus
+    // is scanned ONCE on the sketch side instead of once per reference
     val perSrc = docs.select(col("source"), expr(s"n_chars div $w").as("bucket"))
       .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val merged = perSrc.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
       .select(lit("ALL").as("source"), col("bucket"), col("cnt"))
     val grids = perSrc.select(col("source"), col("bucket"), col("cnt")).union(merged)
@@ -185,7 +190,9 @@ object TextQueries extends QueryModule {
       .filter(col("cum") >= col("rk"))
       .groupBy(col("source"), col("q_bp"), col("n"))
       .agg(min(col("bucket")).as("est_bucket"))
-    val lv = docs.union(docs.select(lit("ALL").as("source"), col("n_chars")))
+    // truth side: both levels from ONE scan (explode, not a self-union)
+    val lv = docs.select(explode(array(col("source"), lit("ALL"))).as("source"),
+      col("n_chars"))
     val ranked = lv.withColumn("rn", row_number().over(
       Window.partitionBy(col("source")).orderBy(col("n_chars"))))
     val exact = ranked.join(

@@ -2476,7 +2476,131 @@ object VectorQueries extends QueryModule {
     ORDER BY abs(n * sum_ab - da.s * db.s) DESC, pos_a, pos_b
     LIMIT 20"""
 
+  /** Fixed JL target dimension (64 → 16) and the deterministic audit
+    * sample size (md5-ordered TakeOrdered, so the sample is the SAME 32
+    * vectors at any corpus size — pairs stay 496, never corpus²). */
+  private val RpOutDims = 16
+  private val RpSampleN = 32
+
+  /** Deterministic md5-smallest sample of micro-quantized vectors — the
+    * shared input of both RP queries. 32 rows, localCheckpointed so the
+    * TakeOrdered scan runs once, not once per consumer branch. */
+  private def rpSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("q"),
+        conv(substring(md5(concat(lit("rps_"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(RpSampleN)
+      .select(col("vec_id"), col("q"))
+      .localCheckpoint(false)
+
+  /** The ±1 sign matrix S (64 in-dims × 16 out-dims), entry (i,j) drawn
+    * from one md5 hex digit — bit-identical in both engines, so the
+    * "random" projection is a pure function both can replay. */
+  private def rpSigns(spark: SparkSession): DataFrame =
+    spark.range(64).toDF("i")
+      .select(col("i"), explode(sequence(lit(0), lit(RpOutDims - 1))).as("j"))
+      .withColumn("s", lit(1L) - lit(2L) *
+        (conv(substring(md5(concat(lit("rp_"), col("i").cast("string"),
+          lit("_"), col("j").cast("string"))), 1, 1), 16, 10).cast("long") % 2))
+
+  private val rpSignExprSql =
+    "1 - 2 * (CAST('0x' || substr(md5('rp_' || CAST(i AS varchar) || '_' || CAST(j AS varchar)), 1, 1) AS bigint) % 2)"
+
+  private val rpSampleCte = s"""smp AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS double) * 1000000) AS bigint)) AS q
+      FROM embeddings
+      ORDER BY CAST('0x' || substr(md5('rps_' || CAST(vec_id AS varchar)), 1, 15) AS bigint),
+               vec_id
+      LIMIT $RpSampleN
+    ), dim AS (
+      SELECT vec_id, CAST(unnest(range(0, len(q))) AS bigint) AS i, unnest(q) AS qi
+      FROM smp
+    ), sgn AS (
+      SELECT CAST(i AS bigint) AS i, CAST(j AS bigint) AS j, $rpSignExprSql AS s
+      FROM range(64) t1(i) CROSS JOIN range($RpOutDims) t2(j)
+    ), proj AS (
+      SELECT d.vec_id, g.j, CAST(sum(g.s * d.qi) AS bigint) AS y
+      FROM dim d JOIN sgn g ON d.i = g.i
+      GROUP BY d.vec_id, g.j
+    )"""
+
+  /** Sign-random-projection (the database-friendly Johnson–Lindenstrauss
+    * transform, Achlioptas 2003): y = Sᵀq maps 64 micro-quantized dims to
+    * [[RpOutDims]] with ±1 entries — integer-exact, so the oracle replays
+    * every coordinate. Emitted over the deterministic 32-vector audit
+    * sample (bounded output; the map itself is a per-row transform at any
+    * scale: explode → broadcast sign join → (vec, j) partial agg, one
+    * shuffle of 16 rows per vector). */
+  def rpProject(spark: SparkSession, sfDir: String): DataFrame =
+    rpSample(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "qi")))
+      .join(broadcast(rpSigns(spark)), col("i0") === col("i"))
+      .groupBy(col("vec_id"), col("j").cast("long").as("j"))
+      .agg(sum(col("s") * col("qi")).as("y"))
+      .orderBy(col("vec_id"), col("j"))
+
+  val rpProjectSql: String = s"""
+    WITH $rpSampleCte
+    SELECT vec_id, j, y FROM proj ORDER BY vec_id, j"""
+
+  /** Prices the projection: exact squared L2 in 64-d vs projected squared
+    * L2 over the 496 sample pairs. With ±1 signs E[d²_proj] = k·d²_exact,
+    * so ratio_bp = d²_proj·(10⁴/k) div d²_exact concentrates at 10000 —
+    * the JL guarantee made an oracle-checked measurement (same pricing
+    * posture as e_pq_distortion). 625 = 10⁴/16 keeps the numerator
+    * ≤ ~2.6·10¹⁸ even for adversarial sign alignment (unit-norm micro
+    * vectors: d²_proj ≤ (8‖q‖)²·16 ≈ 4·10¹⁵); ANSI mode would make an
+    * overflow loud, never silently wrong. */
+  def rpDistortion(spark: SparkSession, sfDir: String): DataFrame = {
+    val sample = rpSample(spark, sfDir)
+    val proj = sample
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "qi")))
+      .join(broadcast(rpSigns(spark)), col("i0") === col("i"))
+      .groupBy(col("vec_id"), col("j")).agg(sum(col("s") * col("qi")).as("y"))
+    val dProj = proj.select(col("vec_id").as("a"), col("j"), col("y").as("ya"))
+      .join(proj.select(col("vec_id").as("b"), col("j"), col("y").as("yb")), Seq("j"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum((col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2_proj"))
+    val dims = sample.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "qi")))
+    val dExact = dims.select(col("vec_id").as("a"), col("i"), col("qi").as("qa"))
+      .join(dims.select(col("vec_id").as("b"), col("i"), col("qi").as("qb")), Seq("i"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("d2_exact"))
+    dProj.join(dExact, Seq("a", "b"))
+      .select(col("a"), col("b"), col("d2_exact"), col("d2_proj"),
+        when(col("d2_exact") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"d2_proj * ${10000 / RpOutDims} div d2_exact")).as("ratio_bp"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val rpDistortionSql: String = s"""
+    WITH $rpSampleCte, dp AS (
+      SELECT pa.vec_id AS a, pb.vec_id AS b,
+             CAST(sum((pa.y - pb.y) * (pa.y - pb.y)) AS bigint) AS d2_proj
+      FROM proj pa JOIN proj pb ON pa.j = pb.j AND pa.vec_id < pb.vec_id
+      GROUP BY 1, 2
+    ), de AS (
+      SELECT da.vec_id AS a, db.vec_id AS b,
+             CAST(sum((da.qi - db.qi) * (da.qi - db.qi)) AS bigint) AS d2_exact
+      FROM dim da JOIN dim db ON da.i = db.i AND da.vec_id < db.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT dp.a, dp.b, d2_exact, d2_proj,
+           CASE WHEN d2_exact = 0 THEN NULL
+                ELSE d2_proj * ${10000 / RpOutDims} // d2_exact END AS ratio_bp
+    FROM dp JOIN de ON dp.a = de.a AND dp.b = de.b
+    ORDER BY dp.a, dp.b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_rp_project"      -> (rpProject _),
+    "e_rp_distortion"   -> (rpDistortion _),
     "e_cov_pairs"       -> (covPairs _),
     "e_ivf_balance"     -> (ivfBalance _),
     "e_rank_fusion"     -> (rankFusion _),

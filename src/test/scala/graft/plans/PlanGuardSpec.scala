@@ -46,7 +46,7 @@ class PlanGuardSpec extends SparkSpecBase {
                   "d_minhash_recall_sampled", "d_winnow_eval_sampled",
                   "d_semdedup_eval09_sampled", "q_kcore",
                   "q_lpa_communities", "t_len_quantile_rollup",
-                  "t_priority_sample"))
+                  "t_priority_sample", "e_rp_project", "e_rp_distortion"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 

@@ -66,6 +66,22 @@ class SketchAndBpeSpec extends SparkSpecBase {
     }
   }
 
+  test("rpDistortion: JL ratio concentrates around 10000 bp and the projection is norm-preserving on average") {
+    val rows = VectorQueries.rpDistortion(spark, Sf).collect()
+    assert(rows.length === 32 * 31 / 2, "sample must yield exactly C(32,2) pairs")
+    val ratios = rows.map(_.getAs[Long]("ratio_bp"))
+    assert(!rows.exists(_.isNullAt(4)), "no degenerate zero-distance pairs expected")
+    // E[ratio] = 10000 by the JL lemma with +-1 signs; k=16 gives a wide
+    // per-pair spread but the MEAN over 496 pairs is tight. Deterministic
+    // data + deterministic signs => this is a fixed number, not a flake.
+    val mean = ratios.sum / ratios.length
+    assert(mean > 8000 && mean < 12000, s"JL mean ratio off: $mean bp")
+    // every pair stays within a loose multiplicative band (no catastrophic
+    // collapse of any single distance)
+    assert(ratios.forall(r => r > 1000 && r < 40000),
+      s"pair distortion escaped the sanity band: min=${ratios.min} max=${ratios.max}")
+  }
+
   test("qAbSrm flags an engineered one-sided assignment and passes the real one") {
     import java.security.MessageDigest
     import spark.implicits._
