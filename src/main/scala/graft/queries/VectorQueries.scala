@@ -2652,6 +2652,8 @@ object VectorQueries extends QueryModule {
     "e_knn_classify"    -> (knnClassify _))
 
   val oracles: Map[String, String] = Map(
+    "e_rp_project"      -> rpProjectSql,
+    "e_rp_distortion"   -> rpDistortionSql,
     "e_cov_pairs"       -> covPairsSql,
     "e_ivf_balance"     -> ivfBalanceSql,
     "e_rank_fusion"     -> rankFusionSql,
