@@ -347,12 +347,16 @@ object Reports {
       .groupBy(ext.as("ext"))
       .agg(count(lit(1)).as("n_files"), sum(col("size")).as("sum_size"),
         sum(col("csize")).as("sum_csize"))
-      // integer div, not a double floor: sum_size·10⁴ exceeds a double's
-      // 2⁵³ mantissa at fleet byte totals, and the rounding denied the
-      // 100%-share row its exact 10000 at sf0.1 (oracle re-derives the
-      // same exact division)
+      // exact integer div, not a double floor: sum_size·10⁴ exceeds a
+      // double's 2⁵³ mantissa at fleet byte totals, and the rounding
+      // denied the 100%-share row its exact 10000 at sf0.1 (oracle
+      // re-derives the same exact division). decimal(38,0) intermediate:
+      // a pure long product would overflow 2⁶³ past ~0.9 PB of accounted
+      // bytes — the very scale this report targets; `div` on decimals
+      // still returns an exact long quotient (≤ 10⁴ here)
       .withColumn("tot_size", sum(col("sum_size")).over(Window.partitionBy()))
-      .withColumn("size_share_bp", expr("sum_size * 10000 div tot_size"))
+      .withColumn("size_share_bp",
+        expr("CAST(sum_size AS decimal(38,0)) * 10000 div tot_size"))
       .drop("tot_size")
       .orderBy(col("sum_size").desc, col("ext"))
       .limit(topN)
@@ -429,12 +433,14 @@ object Reports {
     files.join(broadcast(last), col("month") === col("last_month"))
       .groupBy(col("month"), col("dir"))
       .agg(count(lit(1)).as("n_files"), sum(col("size")).as("bytes_added"))
-      // byte-magnitude share: integer div (the double form loses bp once
-      // bytes·10⁴ passes 2⁵³ — same fix as extensionReport/giniReport)
+      // byte-magnitude share: exact integer div (the double form loses bp
+      // once bytes·10⁴ passes 2⁵³; the decimal(38,0) intermediate keeps
+      // the product exact past the ~0.9 PB long ceiling — same recipe as
+      // extensionReport/giniReport)
       .withColumn("tot_added", total)
       .withColumn("share_bp",
         when(col("tot_added") === 0, lit(null).cast("long"))
-          .otherwise(expr("bytes_added * 10000 div tot_added")))
+          .otherwise(expr("CAST(bytes_added AS decimal(38,0)) * 10000 div tot_added")))
       .drop("tot_added")
       .select(col("month"), col("dir"), col("n_files"), col("bytes_added"), col("share_bp"))
       .orderBy(col("bytes_added").desc, col("dir"))
@@ -482,14 +488,18 @@ object Reports {
       .withColumn("n", count(lit(1)).over(Window.partitionBy()))
       .localCheckpoint(false) // feeds the gini scalar AND the decile rows
     val gini = ranked
+      // i·bytes in decimal(38,0): the per-row long product already
+      // overflows 2⁶³ at fleet scale (rank 10⁷ × petabyte owners)
       .agg(max(col("n")).as("n"), sum(col("bytes")).as("tot"),
-        sum(col("i") * col("bytes")).as("swx"))
+        sum(col("i").cast("decimal(38,0)") * col("bytes")).as("swx"))
       .select(col("n"), col("tot"),
         // exact integer Gini: the Lorenz numerator is ≥ 0 (ranks ascend by
-        // bytes), so div ≡ floor; the double form loses bp past 2⁵³. Long
-        // range holds while n_users·tot_bytes·10⁴ < 2⁶³ (ANSI mode makes
-        // an overflow loud, not silently wrong)
-        expr("(2 * swx - (n + 1) * tot) * 10000 div (n * tot)").as("gini_bp"))
+        // bytes), so div ≡ floor; the double form loses bp past 2⁵³ and a
+        // long numerator would overflow past n·tot·10⁴ ≈ 2⁶³ — decimal
+        // (38,0) intermediates keep every term exact to 10³⁸ while `div`
+        // still returns the long quotient (≤ 10⁴)
+        expr("(2 * swx - (CAST(n AS decimal(38,0)) + 1) * tot) * 10000" +
+          " div (CAST(n AS decimal(38,0)) * tot)").as("gini_bp"))
     val deciles = ranked
       .select(expr("(i - 1) * 10 div n + 1").as("decile"), col("bytes"))
       .groupBy(col("decile"))
@@ -498,7 +508,7 @@ object Reports {
         Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     deciles.crossJoin(broadcast(gini))
       .select(col("decile"), col("n_users"), col("sum_bytes"),
-        expr("cum_bytes * 10000 div tot").as("cum_share_bp"),
+        expr("CAST(cum_bytes AS decimal(38,0)) * 10000 div tot").as("cum_share_bp"),
         col("gini_bp"))
       .orderBy(col("decile"))
   }

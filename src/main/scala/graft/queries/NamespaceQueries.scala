@@ -167,7 +167,7 @@ object NamespaceQueries extends QueryModule {
 
   val extensionsSql: String = NamespaceSql.cte + """
     SELECT ext, n_files, sum_size, sum_csize,
-           CAST(sum_size * 10000 // sum(sum_size) OVER () AS bigint)
+           CAST(CAST(sum_size AS HUGEINT) * 10000 // sum(sum_size) OVER () AS bigint)
              AS size_share_bp
     FROM (
       SELECT CASE WHEN name LIKE '%.%'
@@ -289,7 +289,7 @@ object NamespaceQueries extends QueryModule {
       FROM by_user
     ), gini AS (
       SELECT max(n) AS n, CAST(sum(bytes) AS bigint) AS tot,
-             CAST((2 * sum(i * bytes) - (max(n) + 1) * sum(bytes)) * 10000
+             CAST((2 * sum(CAST(i AS HUGEINT) * bytes) - (max(n) + 1) * sum(bytes)) * 10000
                   // (max(n) * sum(bytes)) AS bigint) AS gini_bp
       FROM ranked
     ), deciles AS (
@@ -302,7 +302,7 @@ object NamespaceQueries extends QueryModule {
       FROM deciles
     )
     SELECT decile, n_users, sum_bytes,
-           CAST(cum_bytes * 10000 // tot AS bigint) AS cum_share_bp,
+           CAST(CAST(cum_bytes AS HUGEINT) * 10000 // tot AS bigint) AS cum_share_bp,
            gini_bp
     FROM cum CROSS JOIN gini
     ORDER BY decile"""
@@ -451,7 +451,7 @@ object NamespaceQueries extends QueryModule {
     )
     SELECT month, dir, n_files, bytes_added,
            CASE WHEN (SELECT sum(bytes_added) FROM g) = 0 THEN NULL
-                ELSE CAST(bytes_added * 10000 // (SELECT sum(bytes_added) FROM g) AS bigint)
+                ELSE CAST(CAST(bytes_added AS HUGEINT) * 10000 // (SELECT sum(bytes_added) FROM g) AS bigint)
            END AS share_bp
     FROM g
     ORDER BY bytes_added DESC, dir

@@ -84,13 +84,14 @@ object TextQueries extends QueryModule {
     val w = Window.orderBy(col("n_tokens").desc, col("source"), col("lang"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     g.crossJoin(broadcast(g.agg(sum(col("n_tokens")).as("total"))))
-      // integer div, not a double floor — token·10⁴ products stay exact at
-      // any corpus size (the double form loses bp past 2⁵³; same fix as
-      // the byte-share reports)
+      // exact integer div, not a double floor — token·10⁴ products lose
+      // bp past 2⁵³ as doubles, and the decimal(38,0) intermediate keeps
+      // them exact past the ~10¹⁵-token long ceiling too (same recipe as
+      // the byte-share reports); `div` on decimals still returns long
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-        expr("n_tokens * 10000 div total").as("share_bp"),
-        expr("cum_tokens * 10000 div total").as("cum_share_bp"))
+        expr("CAST(n_tokens AS decimal(38,0)) * 10000 div total").as("share_bp"),
+        expr("CAST(cum_tokens AS decimal(38,0)) * 10000 div total").as("cum_share_bp"))
       .orderBy(col("n_tokens").desc, col("source"), col("lang"))
   }
 
@@ -101,8 +102,8 @@ object TextQueries extends QueryModule {
       FROM documents GROUP BY source, lang
     )
     SELECT source, lang, n_docs, n_tokens,
-           CAST(n_tokens * 10000 // (SELECT sum(n_tokens) FROM g) AS bigint) AS share_bp,
-           CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang
+           CAST(CAST(n_tokens AS HUGEINT) * 10000 // (SELECT sum(n_tokens) FROM g) AS bigint) AS share_bp,
+           CAST(sum(CAST(n_tokens AS HUGEINT)) OVER (ORDER BY n_tokens DESC, source, lang
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 * 10000 // (SELECT sum(n_tokens) FROM g) AS bigint) AS cum_share_bp
     FROM g
@@ -169,7 +170,12 @@ object TextQueries extends QueryModule {
     * exists to avoid, kept here as the audit. */
   def lenQuantileRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val w = QuantileGridW
-    val docs = Tables.documents(spark, sfDir).select(col("source"), col("n_chars"))
+    // per-source levels are namespaced 'src:<source>' so the 'ALL' rollup
+    // sentinel can never collide with a real source literally named ALL
+    // (the collision would silently double-count that source's grid in
+    // both engines — invisible to the oracle)
+    val docs = Tables.documents(spark, sfDir)
+      .select(concat(lit("src:"), col("source")).as("source"), col("n_chars"))
     // the per-source sketches are checkpointed: they're the bounded
     // artifact (≤ max-len/W cells per source) every downstream branch —
     // the merge, the cum window, the rank table — reuses, so the corpus
@@ -208,7 +214,7 @@ object TextQueries extends QueryModule {
   }
 
   val lenQuantileRollupSql: String = s"""
-    WITH d AS (SELECT source, n_chars FROM documents),
+    WITH d AS (SELECT 'src:' || source AS source, n_chars FROM documents),
     g AS (
       SELECT source, n_chars // $QuantileGridW AS bucket,
              CAST(count(*) AS bigint) AS cnt
@@ -250,6 +256,24 @@ object TextQueries extends QueryModule {
 
   private val PrioritySampleK = 100
 
+  /** Shared priority derivation for `t_priority_sample` and its eval —
+    * ONE definition in each engine so the eval can never silently price
+    * a different sample than the sample query emits. */
+  private def withPriority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("ps_"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("priority", expr("h div w"))
+
+  private val prioritySqlCte = """p AS (
+      SELECT doc_id, greatest(n_chars, 1) AS w,
+             CAST('0x' || substr(md5('ps_' || CAST(doc_id AS varchar)), 1, 15) AS bigint)
+               // greatest(n_chars, 1) AS priority
+      FROM documents
+    )"""
+
   /** Deterministic weighted sampling without replacement by PRIORITY
     * (sequential Poisson sampling, Ohlsson 1998; the priority-sampling
     * estimator analysis is Duffield–Lund–Thorup 2007): each document
@@ -264,22 +288,14 @@ object TextQueries extends QueryModule {
     * TakeOrdered — a per-partition top-k fold plus a k·partitions driver
     * merge; no global sort, no shuffle of the corpus (PlanGuard-asserted). */
   def prioritySample(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
-      .withColumn("h",
-        conv(substring(md5(concat(lit("ps_"), col("doc_id").cast("string"))), 1, 15), 16, 10)
-          .cast("long"))
-      .withColumn("priority", expr("h div w"))
+    withPriority(spark, sfDir)
       .orderBy(col("priority"), col("doc_id"))
       .limit(PrioritySampleK)
       .select(col("doc_id"), col("w"), col("priority"))
 
   val prioritySampleSql: String = s"""
-    SELECT doc_id, w, priority FROM (
-      SELECT doc_id, greatest(n_chars, 1) AS w,
-             CAST('0x' || substr(md5('ps_' || CAST(doc_id AS varchar)), 1, 15) AS bigint)
-               // greatest(n_chars, 1) AS priority
-      FROM documents)
+    WITH $prioritySqlCte
+    SELECT doc_id, w, priority FROM p
     ORDER BY priority, doc_id
     LIMIT $PrioritySampleK"""
 
@@ -302,12 +318,7 @@ object TextQueries extends QueryModule {
     * silently wrong. Truth side (exact Σ w) is one corpus agg. */
   def prioritySampleEval(spark: SparkSession, sfDir: String): DataFrame = {
     val k = PrioritySampleK
-    val withP = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
-      .withColumn("h",
-        conv(substring(md5(concat(lit("ps_"), col("doc_id").cast("string"))), 1, 15), 16, 10)
-          .cast("long"))
-      .withColumn("priority", expr("h div w"))
+    val withP = withPriority(spark, sfDir)
     val top = withP.orderBy(col("priority"), col("doc_id")).limit(k + 1)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("priority"), col("doc_id"))))
@@ -321,16 +332,13 @@ object TextQueries extends QueryModule {
     val exact = withP.agg(count(lit(1)).as("n_docs"), sum(col("w")).as("exact_w"))
     exact.crossJoin(broadcast(est))
       .select(lit(k.toLong).as("k"), col("n_docs"), col("exact_w"), col("est_w"),
-        expr("abs(est_w - exact_w) * 10000 div exact_w").as("err_bp"))
+        // decimal(38,0): err·10⁴ would pass 2⁶³ on a ~1 PB-char corpus
+        expr("CAST(abs(est_w - exact_w) AS decimal(38,0)) * 10000 div exact_w")
+          .as("err_bp"))
   }
 
   val prioritySampleEvalSql: String = s"""
-    WITH p AS (
-      SELECT doc_id, greatest(n_chars, 1) AS w,
-             CAST('0x' || substr(md5('ps_' || CAST(doc_id AS varchar)), 1, 15) AS bigint)
-               // greatest(n_chars, 1) AS priority
-      FROM documents
-    ), top AS (
+    WITH $prioritySqlCte, top AS (
       SELECT w, priority, row_number() OVER (ORDER BY priority, doc_id) AS rn
       FROM p ORDER BY priority, doc_id LIMIT ${PrioritySampleK + 1}
     ), tau AS (
@@ -345,7 +353,7 @@ object TextQueries extends QueryModule {
       FROM documents
     )
     SELECT CAST($PrioritySampleK AS bigint) AS k, n_docs, exact_w, est_w,
-           abs(est_w - exact_w) * 10000 // exact_w AS err_bp
+           CAST(CAST(abs(est_w - exact_w) AS HUGEINT) * 10000 // exact_w AS bigint) AS err_bp
     FROM ex CROSS JOIN est"""
 
   /** Zipf fit is computed over the top 2²⁰ ranks — the statistically
