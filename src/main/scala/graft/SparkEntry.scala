@@ -11,6 +11,7 @@ import graft.queries.QueryModule
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.Analytics,
+    graft.queries.TpchFull,
     graft.queries.NamespaceQueries,
     graft.queries.TextQueries,
     graft.queries.VectorQueries,

@@ -46,7 +46,14 @@ class PlanGuardSpec extends SparkSpecBase {
                   "d_minhash_recall_sampled", "d_winnow_eval_sampled",
                   "d_semdedup_eval09_sampled", "q_kcore",
                   "q_lpa_communities", "t_len_quantile_rollup",
-                  "t_priority_sample", "e_rp_project", "e_rp_distortion"))
+                  "t_priority_sample", "e_rp_project", "e_rp_distortion",
+                  "q6_forecast_revenue", "q7_volume_shipping",
+                  "q9_product_profit", "q11_important_parts",
+                  "q12_late_lines", "q13_order_dist", "q14_promo_share",
+                  "q15_top_supplier", "q16_supplier_variety",
+                  "q18_large_orders", "q19_bracket_revenue",
+                  "q20_promo_suppliers", "q21_waiting_supplier",
+                  "q22_idle_customers"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
