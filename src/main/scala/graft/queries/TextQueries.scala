@@ -1106,7 +1106,10 @@ object TextQueries extends QueryModule {
     * bit-for-bit (no float log). Shape: one shuffle builds the tf table
     * (Zipf-small → broadcastable at any corpus size), one join back, one
     * per-doc aggregation. */
-  def lmSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared unigram-surprisal core: (doc_id, n_tokens, mean_surprisal_c)
+    * — feeds both the [[lmSurprisal]] outlier filter and the
+    * [[ccnetBucket]] per-language perplexity bucketing. */
+  private def docSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     // terms feeds BOTH the tf aggregation and the probe side of the join —
     // materialize once (exchange reuse does not dedupe the two branches,
     // same reasoning as ngramJaccardPairs' checkpointed shingle table)
@@ -1122,12 +1125,11 @@ object TextQueries extends QueryModule {
       .agg(count(lit(1)).as("n_tokens"), sum(col("surprisal")).as("sum_surprisal"))
       .select(col("doc_id"), col("n_tokens"),
         floor(col("sum_surprisal") * 100.0 / col("n_tokens")).cast("long").as("mean_surprisal_c"))
-      .withColumn("is_outlier", (col("mean_surprisal_c") >= 900).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
-  val lmSurprisalSql: String = """
-    WITH terms AS (
+  /** The shared CTE chain behind [[docSurprisal]], for oracle reuse. */
+  private val docSurprisalCteSql: String = """
+    terms AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
       FROM documents
     ), tf AS (
@@ -1138,13 +1140,61 @@ object TextQueries extends QueryModule {
       SELECT doc_id,
              CAST(length(to_base(total // tf, 2)) - 1 AS bigint) AS surprisal
       FROM terms JOIN tf USING (term) CROSS JOIN tot
-    )
-    SELECT doc_id, count(*) AS n_tokens,
-           CAST(floor(sum(surprisal) * 100.0 / count(*)) AS bigint) AS mean_surprisal_c,
-           CAST(floor(sum(surprisal) * 100.0 / count(*)) >= 900 AS int) AS is_outlier
-    FROM scored
-    GROUP BY doc_id
+    ), doc_surprisal AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(floor(sum(surprisal) * 100.0 / count(*)) AS bigint) AS mean_surprisal_c
+      FROM scored GROUP BY doc_id
+    )"""
+
+  def lmSurprisal(spark: SparkSession, sfDir: String): DataFrame =
+    docSurprisal(spark, sfDir)
+      .withColumn("is_outlier", (col("mean_surprisal_c") >= 900).cast("int"))
+      .orderBy(col("doc_id"))
+
+  val lmSurprisalSql: String = s"""
+    WITH $docSurprisalCteSql
+    SELECT doc_id, n_tokens, mean_surprisal_c,
+           CAST(mean_surprisal_c >= 900 AS int) AS is_outlier
+    FROM doc_surprisal
     ORDER BY doc_id"""
+
+  /** CCNet-style perplexity bucketing: within each language, split docs
+    * into head / middle / tail tertiles of mean unigram surprisal (the
+    * CCNet recipe — Wenzek et al. 2020 — with the shared [[docSurprisal]]
+    * integer-log2 model standing in for KenLM). head = lowest surprisal =
+    * most in-distribution. Shape: the surprisal table is per-doc-small;
+    * the ntile window shuffles once on lang (ties broken by doc_id, so
+    * both engines cut identical tertiles). At corpus scale the exact
+    * ntile becomes the mergeable fixed-grid quantile cut of
+    * `t_len_quantile_rollup`; the bucket CONTRACT here is the exact
+    * reference. */
+  def ccnetBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val lang = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    docSurprisal(spark, sfDir)
+      .join(broadcast(lang), "doc_id")
+      .withColumn("bucket",
+        ntile(3).over(Window.partitionBy(col("lang"))
+          .orderBy(col("mean_surprisal_c"), col("doc_id"))).cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("mean_surprisal_c")).as("min_surprisal_c"),
+        max(col("mean_surprisal_c")).as("max_surprisal_c"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val ccnetBucketSql: String = s"""
+    WITH $docSurprisalCteSql
+    SELECT lang, bucket, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS bigint) AS n_tokens,
+           min(mean_surprisal_c) AS min_surprisal_c,
+           max(mean_surprisal_c) AS max_surprisal_c
+    FROM (
+      SELECT d.lang, s.n_tokens, s.mean_surprisal_c,
+             CAST(ntile(3) OVER (PARTITION BY d.lang
+               ORDER BY s.mean_surprisal_c, s.doc_id) AS bigint) AS bucket
+      FROM doc_surprisal s JOIN documents d ON s.doc_id = d.doc_id)
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket"""
 
   /** Bigram conditional surprisal — the KenLM-flavored upgrade of
     * [[lmSurprisal]]: score each doc by the mean ⌊log2(n(prev·)/n(prev,
@@ -2639,7 +2689,92 @@ object TextQueries extends QueryModule {
     ORDER BY n_occ DESC, pair
     LIMIT 20"""
 
+  // ------------------------------------------------------------ source caps
+
+  /** Per-source document cap — the "no domain may dominate the mixture"
+    * pipeline stage (C4/Gopher-style per-domain limits): keep at most
+    * [[SourceCapK]] docs per source, chosen by a deterministic md5
+    * priority, and report per-source kept/dropped accounting. The kept
+    * set is selected by the bounded [[graft.operators.TopK]] aggregator —
+    * shuffle volume O(sources·k) with map-side bounded buffers, NOT a
+    * per-source row_number sort (the window form ships and sorts every
+    * row of a giant source; the aggregator form is the 100 TB plan). The
+    * kept ids (O(sources·k)) broadcast back for the chars accounting. */
+  val SourceCapK = 15
+
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("chars"),
+        conv(substring(md5(concat(lit("cap_"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("pri"))
+    // TopK keeps the LARGEST values; negate the 60-bit priority so the
+    // kept set is the k smallest (pri ASC, doc_id ASC on ties — mirrored
+    // by the oracle's row_number ORDER BY).
+    val kept = graft.operators.TopK.topK(
+      d.select(expr("CAST(substr(source, 4) AS long)").as("src_id"),
+        (-col("pri")).as("neg_pri"), col("doc_id")),
+      "src_id", "neg_pri", "doc_id", k = SourceCapK)
+    val perSource = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("total_chars"))
+    val keptAgg = d.join(broadcast(kept.select(col("doc_id"))), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("chars")).as("kept_chars"))
+    perSource.join(keptAgg, "source")
+      .select(col("source"), col("n_docs"), col("n_kept"), col("total_chars"),
+        col("kept_chars"),
+        expr(s"10000 * (n_docs - n_kept) div n_docs").as("drop_bp"))
+      .orderBy(col("source"))
+  }
+
+  val sourceCapSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(length(text) AS bigint) AS chars,
+             CAST('0x' || substr(md5('cap_' || CAST(doc_id AS varchar)), 1, 15) AS bigint) AS pri
+      FROM documents
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rk
+      FROM d)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= $SourceCapK THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+           CAST(sum(chars) AS bigint) AS total_chars,
+           CAST(sum(CASE WHEN rk <= $SourceCapK THEN chars ELSE 0 END) AS bigint) AS kept_chars,
+           CAST(10000 * (count(*) - sum(CASE WHEN rk <= $SourceCapK THEN 1 ELSE 0 END)) // count(*) AS bigint) AS drop_bp
+    FROM r GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------------------- fertility
+
+  /** Tokenizer-fertility profile per language: tokens per 10k chars and
+    * mean token length (centichars) — the "how expensive is this language
+    * for the tokenizer" audit that drives per-language token budgets. All
+    * ratios integer-DIV; one partial-agg shuffle onto |langs| rows. */
+  def fertility(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), size(words(col("text"))).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("CAST(n_tokens AS decimal(38,0)) * 10000 div n_chars").cast("long").as("tok_per_10k_chars"),
+        expr("CAST(n_chars AS decimal(38,0)) * 100 div n_tokens").cast("long").as("chars_per_tok_c"))
+      .orderBy(col("lang"))
+
+  val fertilitySql: String = """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(toks) AS bigint) AS n_tokens,
+           CAST(sum(chars) AS bigint) AS n_chars,
+           CAST(CAST(sum(toks) AS HUGEINT) * 10000 // sum(chars) AS bigint) AS tok_per_10k_chars,
+           CAST(CAST(sum(chars) AS HUGEINT) * 100 // sum(toks) AS bigint) AS chars_per_tok_c
+    FROM (SELECT lang,
+                 CAST(len(string_split_regex(text, '\s+')) AS bigint) AS toks,
+                 CAST(length(text) AS bigint) AS chars
+          FROM documents)
+    GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_ccnet_bucket"  -> (ccnetBucket _),
+    "t_source_cap"    -> (sourceCap _),
+    "t_fertility"     -> (fertility _),
     "t_bpe_merges"    -> (bpeMerges _),
     "t_decontaminate13" -> (decontaminate13 _),
     "t_ttr"           -> (ttr _),
@@ -2696,6 +2831,9 @@ object TextQueries extends QueryModule {
     "t_normalize"     -> (normalizeText _))
 
   val oracles: Map[String, String] = Map(
+    "t_ccnet_bucket"  -> ccnetBucketSql,
+    "t_source_cap"    -> sourceCapSql,
+    "t_fertility"     -> fertilitySql,
     "t_bpe_merges"    -> bpeMergesSql,
     "t_decontaminate13" -> decontaminate13Sql,
     "t_ttr"           -> ttrSql,

@@ -53,7 +53,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q15_top_supplier", "q16_supplier_variety",
                   "q18_large_orders", "q19_bracket_revenue",
                   "q20_promo_suppliers", "q21_waiting_supplier",
-                  "q22_idle_customers"))
+                  "q22_idle_customers", "t_ccnet_bucket", "t_source_cap",
+                  "t_fertility"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
@@ -88,6 +89,18 @@ class PlanGuardSpec extends SparkSpecBase {
     assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[sh#".r
       .findFirstIn(p).isDefined, "shingle-key equi-join missing in t_span_dup_rate")
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in t_span_dup_rate")
+  }
+
+  test("t_source_cap selects the kept set with the bounded TopK aggregator, not a per-source window sort") {
+    val p = plan("t_source_cap")
+    // the kept-set selection must be the Aggregator (bounded map-side
+    // buffers, O(sources·k) shuffle) — a row_number window over the
+    // corpus would ship and sort every row of a giant source
+    assert(!p.contains("RunningWindowFunction") && !p.toLowerCase.contains("window"),
+      "window sort leaked into t_source_cap")
+    // the O(sources·k) kept-id table attaches back by broadcast
+    assert("BroadcastHashJoin \\[doc_id#".r.findFirstIn(p).isDefined,
+      "kept-id broadcast join missing in t_source_cap")
   }
 
   test("q_graph_triangles closes wedges with an equi-join, not all-pairs") {
