@@ -18,6 +18,7 @@ import graft.sources.ReportSink
   * keep semdedup semdedupeval semdedupeval09 substrscrub semdecon ivfincr
   * quality gopher dsir spandup curriculum langid keywords
   * sample pack pii winnow winnoweval bpe wsample lenquantile rproject
+  * ccnet sourcecap fertility
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -53,7 +54,10 @@ object CorpusTool {
     "bpe"         -> "t_bpe_merges",
     "wsample"     -> "t_priority_sample",
     "lenquantile" -> "t_len_quantile_rollup",
-    "rproject"    -> "e_rp_project")
+    "rproject"    -> "e_rp_project",
+    "ccnet"       -> "t_ccnet_bucket",
+    "sourcecap"   -> "t_source_cap",
+    "fertility"   -> "t_fertility")
 
   def run(spark: SparkSession, cmd: String, dir: String,
           opts: Map[String, String]): DataFrame = cmd match {

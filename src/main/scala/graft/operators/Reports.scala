@@ -413,6 +413,37 @@ object Reports {
       .orderBy(col("month"))
   }
 
+  /** Per-user storage growth TREND: exact integer least-squares slope of
+    * daily bytes-added over each user's mtime days — the "whose usage is
+    * accelerating" ranking that [[growthProfile]]'s when-view and
+    * [[growthByDir]]'s where-view don't answer. OLS over (x = day offset
+    * from the user's first active day, y = bytes added that day):
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), emitted in millibytes/day
+    * so it stays integer. All five moments are plain sums (one shuffle on
+    * (user, day), one on user — map-side combine on both); the slope
+    * division is decimal(38,0)-widened integer DIV (both engines truncate
+    * toward zero, including negatives), never a float. Single-day users
+    * (den = 0) report a null slope. */
+  def growthTrend(inodes: DataFrame): DataFrame = {
+    val daily = inodes.filter(col("ftype") === "F")
+      .groupBy(col("owner"), expr("mtime_sec div 86400").as("day"))
+      .agg(sum(col("size")).as("y"))
+    val moments = daily
+      .withColumn("day0", min(col("day")).over(Window.partitionBy(col("owner"))))
+      .select(col("owner"), (col("day") - col("day0")).as("x"), col("y"))
+      .groupBy(col("owner"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS decimal(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS decimal(38,0)) * x")).as("sxx"))
+    moments
+      .withColumn("num", expr("n * sxy - CAST(sx AS decimal(38,0)) * sy"))
+      .withColumn("den", expr("n * sxx - CAST(sx AS decimal(38,0)) * sx"))
+      .select(col("owner"), col("n").as("n_days"), col("sy").as("total_bytes"),
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(num * 1000 div den AS bigint)")).as("slope_milli"))
+      .orderBy(col("owner"))
+  }
+
   /** Per-directory growth: bytes/files added in the namespace's most
     * recent mtime month, grouped on the depth-capped prefix (the
     * [[duReport]] domain, each file counted once in its capped dir) with

@@ -314,6 +314,59 @@ object Analytics extends QueryModule {
     GROUP BY metric
     ORDER BY metric"""
 
+  /** Bucketized range join: events falling inside each order's 30-day
+    * active window, per event type. Spark has no native inequality-join
+    * strategy — the naive `a.ts BETWEEN b.lo AND b.hi` plan is a
+    * BroadcastNestedLoopJoin (O(|a|·|b|), the classic 100 TB killer). The
+    * scale-safe form tiles each window into its covering day buckets
+    * (bounded 30-element sequence explode on the SMALLER side) and joins
+    * on the (key, day) EQUI-key, with the exact range predicate left as a
+    * residual filter. Integer-second time math keeps both engines
+    * bit-identical; PlanGuard asserts the no-nested-loop plan. */
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val secsPerDay = 86400L
+    val windowDays = 30
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t_sec"))
+      .withColumn("day", expr(s"t_sec div $secsPerDay"))
+    // order times mapped deterministically into the event window (the
+    // q_asof_join convention — the synthetic orders live in 1995-2001,
+    // events in 2024); window starts are NOT day-aligned, so the bucket
+    // sequence covers floor(lo/day)..floor((hi-1)/day) (31 buckets)
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(1704067200 + o_orderkey % 2592000 AS long)").as("o_sec"))
+      .withColumn("day", explode(sequence(
+        expr(s"o_sec div $secsPerDay"),
+        expr(s"(o_sec + ${windowDays * secsPerDay} - 1) div $secsPerDay"))))
+    ev.join(ord,
+        ev("user_id") === ord("o_custkey") && ev("day") === ord("day"))
+      .filter(col("t_sec") >= col("o_sec")
+        && col("t_sec") < col("o_sec") + windowDays * secsPerDay)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("event_id")).as("n_events"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("event_type"))
+  }
+
+  val qRangeJoinSql: String = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS bigint) AS t_sec
+      FROM events
+    ), o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(1704067200 + o_orderkey % 2592000 AS bigint) AS o_sec
+      FROM orders)
+    SELECT event_type, count(*) AS n_hits,
+           count(DISTINCT event_id) AS n_events,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM e JOIN o ON user_id = o_custkey
+      AND t_sec >= o_sec AND t_sec < o_sec + 2592000
+    GROUP BY 1 ORDER BY 1"""
+
   /** As-of join ([[graft.operators.AsOfJoin]]): each event picks the
     * customer's most recent order at-or-before the event time (order times
     * mapped deterministically into the event window). One shuffle + one
@@ -2277,6 +2330,7 @@ object Analytics extends QueryModule {
     "q_events_windowed" -> (qEventsWindowed _),
     "q_events_sessions" -> (qEventsSessions _),
     "q_session_stats"   -> (qSessionStats _),
+    "q_range_join"      -> (qRangeJoin _),
     "q_asof_join"       -> (qAsofJoin _),
     "q_asof_forward"    -> (qAsofForward _),
     "q17_small_qty"     -> (q17SmallQty _),
@@ -2354,5 +2408,6 @@ object Analytics extends QueryModule {
     "q_skew_join"       -> qSkewJoinSql,
     "q_profile"         -> qProfileSql,
     "q_events_anomaly"  -> qEventsAnomalySql,
-    "q_events_lift"     -> qEventsLiftSql)
+    "q_events_lift"     -> qEventsLiftSql,
+    "q_range_join"      -> qRangeJoinSql)
 }

@@ -429,6 +429,30 @@ object NamespaceQueries extends QueryModule {
     )
     ORDER BY month"""
 
+  /** Per-user integer-OLS growth slope
+    * ([[graft.operators.Reports.growthTrend]]). */
+  def growthTrend(spark: SparkSession, sfDir: String): DataFrame =
+    Reports.growthTrend(inodes(spark, sfDir))
+
+  val growthTrendSql: String = NamespaceSql.cte + """,
+    daily AS (
+      SELECT owner, mtime_sec // 86400 AS day, CAST(sum(size) AS bigint) AS y
+      FROM inodes WHERE ftype='F'
+      GROUP BY 1, 2
+    ), xs AS (
+      SELECT owner, day - min(day) OVER (PARTITION BY owner) AS x, y FROM daily
+    ), m AS (
+      SELECT owner, count(*) AS n, sum(x) AS sx, CAST(sum(y) AS bigint) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM xs GROUP BY 1)
+    SELECT owner, n AS n_days, sy AS total_bytes,
+           CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+                ELSE CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000
+                          // (n * sxx - CAST(sx AS HUGEINT) * sx) AS bigint)
+           END AS slope_milli
+    FROM m
+    ORDER BY owner"""
+
   /** Per-directory growth in the latest mtime month
     * ([[graft.operators.Reports.growthByDir]]). */
   def growthDirs(spark: SparkSession, sfDir: String): DataFrame =
@@ -461,6 +485,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_du"                 -> (du _),
     "q_ns_growth"             -> (growth _),
     "q_ns_growth_dirs"        -> (growthDirs _),
+    "q_ns_growth_trend"       -> (growthTrend _),
     "q_ns_summary_overall"    -> (summaryOverall _),
     "q_ns_summary_by_user"    -> (summaryByUser _),
     "q_ns_summary_by_group"   -> (summaryByGroup _),
@@ -485,6 +510,7 @@ object NamespaceQueries extends QueryModule {
     "q_ns_du"                 -> duSql,
     "q_ns_growth"             -> growthSql,
     "q_ns_growth_dirs"        -> growthDirsSql,
+    "q_ns_growth_trend"       -> growthTrendSql,
     "q_ns_summary_overall"    -> summaryOverallSql,
     "q_ns_summary_by_user"    -> summaryByUserSql,
     "q_ns_summary_by_group"   -> summaryByGroupSql,

@@ -54,7 +54,7 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q18_large_orders", "q19_bracket_revenue",
                   "q20_promo_suppliers", "q21_waiting_supplier",
                   "q22_idle_customers", "t_ccnet_bucket", "t_source_cap",
-                  "t_fertility"))
+                  "t_fertility", "q_range_join"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
@@ -89,6 +89,14 @@ class PlanGuardSpec extends SparkSpecBase {
     assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[sh#".r
       .findFirstIn(p).isDefined, "shingle-key equi-join missing in t_span_dup_rate")
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in t_span_dup_rate")
+  }
+
+  test("q_range_join buckets the window into a (user, day) equi-join — never a nested-loop range join") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to nested-loop")
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[user_id#\\d+L?, day#".r
+      .findFirstIn(p).isDefined, "(user, day) equi-join missing in q_range_join")
   }
 
   test("t_source_cap selects the kept set with the bounded TopK aggregator, not a per-source window sort") {
