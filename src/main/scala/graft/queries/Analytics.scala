@@ -340,7 +340,13 @@ object Analytics extends QueryModule {
       .withColumn("day", explode(sequence(
         expr(s"o_sec div $secsPerDay"),
         expr(s"(o_sec + ${windowDays * secsPerDay} - 1) div $secsPerDay"))))
-    ev.join(ord,
+    // the explode hides its 31× row multiplication from size estimation,
+    // so the planner happily BROADCASTS the exploded side — fine at sf0.1,
+    // driver-OOM at sf1 (measured). shuffle_hash OOMs too under cache
+    // pressure (the per-partition hash map is pinned, unspillable).
+    // Sort-merge is the join that survives any scale: both sides sort-
+    // spill to disk, nothing is pinned — force it.
+    ev.join(ord.hint("merge"),
         ev("user_id") === ord("o_custkey") && ev("day") === ord("day"))
       .filter(col("t_sec") >= col("o_sec")
         && col("t_sec") < col("o_sec") + windowDays * secsPerDay)
