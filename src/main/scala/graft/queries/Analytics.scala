@@ -805,6 +805,80 @@ object Analytics extends QueryModule {
                 / (SELECT count(*) FROM d)) AS bigint) AS err_bp
     FROM kmin"""
 
+  /** Exact mergeable distinct via bitmap words (the ClickHouse/Druid
+    * groupBitmap pattern): per-(event_type, week) distinct users stored
+    * as 63-bit OR-words keyed by user_id div 63 — mergeable like a
+    * sketch (week states OR together into any coarser rollup without
+    * rescanning raw events), exact like countDistinct (bit_count of the
+    * OR'd words IS the distinct count). For bounded/dense key domains
+    * this replaces both the approximate HLL and the shuffle-heavy exact
+    * distinct at 100 TB. Words are 63-bit (not 64) because the oracle's
+    * checked `<<` overflows at bit 63 while Spark wraps silently — the
+    * shared-width contract keeps both engines bit-identical. Output:
+    * per-week rows plus an 'ALL' row merged FROM THE WEEK WORD STATES,
+    * each carrying `ok` = (bitmap count == direct countDistinct) — the
+    * executable exactness-and-mergeability certificate. */
+  def qBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("(unix_timestamp(ts) div 86400) div 7").as("week"), col("user_id"))
+    val words = base
+      .select(col("event_type"), col("week"), expr("user_id div 63").as("w"),
+        expr("shiftleft(1L, CAST(user_id % 63 AS int))").as("m"))
+      .groupBy(col("event_type"), col("week"), col("w"))
+      .agg(expr("bit_or(m)").as("mask"))
+      .localCheckpoint() // the persisted word synopsis both readouts reuse
+    val weekly = words.groupBy(col("event_type"), col("week"))
+      .agg(sum(expr("bit_count(mask)")).cast("long").as("n_bitmap"))
+    val merged = words.groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(mask)").as("mask"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(mask)")).cast("long").as("n_bitmap"))
+    val exactW = base.select(col("event_type"), col("week"), col("user_id")).distinct()
+      .groupBy(col("event_type"), col("week")).agg(count(lit(1)).as("n_exact"))
+    val exactA = base.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    val perWeek = weekly.join(exactW, Seq("event_type", "week"))
+      .select(col("event_type"), col("week").cast("string").as("week"),
+        col("n_bitmap"), col("n_exact"))
+    val allRow = merged.join(exactA, "event_type")
+      .select(col("event_type"), lit("ALL").as("week"), col("n_bitmap"), col("n_exact"))
+    perWeek.unionByName(allRow)
+      .withColumn("ok", (col("n_bitmap") === col("n_exact")).cast("int"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  val qBitmapDistinctSql: String = """
+    WITH base AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS bigint) // 86400) // 7 AS week, user_id
+      FROM events
+    ), words AS (
+      SELECT event_type, week, user_id // 63 AS w,
+             bit_or(CAST(1 AS bigint) << CAST(user_id % 63 AS int)) AS mask
+      FROM base GROUP BY 1, 2, 3
+    ), weekly AS (
+      SELECT event_type, week, CAST(sum(bit_count(mask)) AS bigint) AS n_bitmap
+      FROM words GROUP BY 1, 2
+    ), merged AS (
+      SELECT event_type, CAST(sum(bit_count(mask2)) AS bigint) AS n_bitmap
+      FROM (SELECT event_type, w, bit_or(mask) AS mask2 FROM words GROUP BY 1, 2)
+      GROUP BY 1
+    ), exw AS (
+      SELECT event_type, week, count(DISTINCT user_id) AS n_exact
+      FROM base GROUP BY 1, 2
+    ), exa AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact FROM base GROUP BY 1)
+    SELECT event_type, week, n_bitmap, n_exact,
+           CAST(n_bitmap = n_exact AS int) AS ok
+    FROM (
+      SELECT w.event_type, CAST(w.week AS varchar) AS week, w.n_bitmap, e.n_exact
+      FROM weekly w JOIN exw e ON w.event_type = e.event_type AND w.week = e.week
+      UNION ALL
+      SELECT m.event_type, 'ALL', m.n_bitmap, a.n_exact
+      FROM merged m JOIN exa a ON m.event_type = a.event_type)
+    ORDER BY event_type, week"""
+
   /** Mergeable-sketch rollup — the backfill/incremental-aggregation
     * pattern every 100 TB metrics pipeline lives on: per-DAY KMV
     * distinct-user states (k = 64 smallest salted-md5 hashes, the
@@ -2353,6 +2427,7 @@ object Analytics extends QueryModule {
     "q_pivot_events"    -> (qPivotEvents _),
     "q_kmv_distinct"    -> (qKmvDistinct _),
     "q_kmv_merge_rollup" -> (qKmvMergeRollup _),
+    "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_cube"            -> (qCube _),
     "q_moving_window"   -> (qMovingWindow _),
     "q_resample_ffill"  -> (qResampleFfill _),
@@ -2408,6 +2483,7 @@ object Analytics extends QueryModule {
     "q_pivot_events"    -> qPivotEventsSql,
     "q_kmv_distinct"    -> qKmvDistinctSql,
     "q_kmv_merge_rollup" -> qKmvMergeRollupSql,
+    "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_cube"            -> qCubeSql,
     "q_moving_window"   -> qMovingWindowSql,
     "q_resample_ffill"  -> qResampleFfillSql,

@@ -54,7 +54,7 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q18_large_orders", "q19_bracket_revenue",
                   "q20_promo_suppliers", "q21_waiting_supplier",
                   "q22_idle_customers", "t_ccnet_bucket", "t_source_cap",
-                  "t_fertility", "q_range_join"))
+                  "t_fertility", "q_range_join", "q_bitmap_distinct"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
