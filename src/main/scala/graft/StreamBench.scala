@@ -80,6 +80,7 @@ object StreamBench {
       bench("dedup", "append")(EventsStream.dedupedEvents(_)),
       bench("sessionize", "append")(EventsStream.sessionize(_).toDF()),
       bench("kmv_distinct", "update")(EventsStream.kmvDistinct(_).toDF()),
+      bench("bitmap_distinct", "update")(EventsStream.bitmapDistinct(_).toDF()),
       bench("heavy_hitters", "update")(EventsStream.heavyHitters(_).toDF()),
       bench("cm_sketch", "update")(EventsStream.cmSketch(_).toDF()),
       bench("quantile_grid", "update")(EventsStream.quantileGrid(_).toDF()),

@@ -158,6 +158,39 @@ object EventsStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
   }
 
+  case class BitmapState(words: Map[Long, Long])
+  case class BitmapRow(event_type: String, n_words: Long, n_distinct: Long)
+
+  /** Streaming EXACT distinct via bitmap words in group state — the
+    * streaming twin of the batch `q_bitmap_distinct` (ClickHouse/Druid
+    * groupBitmap): per event type the state holds word-indexed 63-bit
+    * OR-masks (word = id div 63), so the count is bit-exact however the
+    * stream is batched or re-delivered (OR is idempotent — the
+    * exactly-once-free dedup property). State is O(distinct ids / 63) —
+    * the exact counterpart for BOUNDED/dense id domains; for unbounded
+    * cardinality use [[kmvDistinct]]'s constant-state sketch instead.
+    * Word width 63 matches the batch/oracle contract (see
+    * `Analytics.qBitmapDistinct`). */
+  def bitmapDistinct(events: DataFrame): Dataset[BitmapRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def step(key: String, rows: Iterator[KeyedId],
+             state: GroupState[BitmapState]): BitmapRow = {
+      var m = state.getOption.map(_.words).getOrElse(Map.empty[Long, Long])
+      rows.foreach { r =>
+        val w = r.user_id / 63
+        val bit = 1L << (r.user_id % 63).toInt
+        m = m.updated(w, m.getOrElse(w, 0L) | bit)
+      }
+      state.update(BitmapState(m))
+      BitmapRow(key, m.size.toLong,
+        m.valuesIterator.map(v => java.lang.Long.bitCount(v).toLong).sum)
+    }
+    events.select(col("event_type"), col("user_id")).as[KeyedId]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+  }
+
   /** The batch CM hash recipe (`Analytics.qCmSketch`), verbatim: first
     * 12 hex chars of md5("cm" + depth + "_" + id) as a 48-bit big-endian
     * long, mod the counter width — byte math, caller-supplied digest

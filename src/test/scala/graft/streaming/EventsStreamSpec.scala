@@ -294,6 +294,37 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("streaming bitmap distinct is exact across batch splits and re-deliveries") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // ids straddle word boundaries (0..199 spans words 0..3); type b ids
+    // land in a sparse far word (id div 63 ≈ 15); re-deliveries must not
+    // move the counts (OR idempotence)
+    val a = (0 until 200).map(u => ("a", u.toLong))
+    val b = (0 until 30).map(u => ("b", 970L + u))
+    val input = MemoryStream[(String, Long)]
+    val query = EventsStream.bitmapDistinct(
+        input.toDF().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName("bitmap_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(a.take(77) ++ b.take(10): _*)
+      query.processAllAvailable()
+      input.addData(a.drop(77) ++ b.drop(10) ++ a.take(50) ++ b: _*) // re-deliveries
+      query.processAllAvailable()
+      // counts are MONOTONE (bitmap only gains bits), so the converged
+      // value is the per-type max — order-independent, no collect-order
+      // assumption (the StreamingCmSpec lesson)
+      val got = spark.table("bitmap_stream").collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rs) => t -> rs.map(_.getLong(2)).max }
+      assert(got("a") == 200L, s"type a: ${got("a")}")
+      assert(got("b") == 30L, s"type b: ${got("b")}")
+    } finally query.stop()
+  }
+
   test("streaming heavy hitters keep the Misra-Gries guarantee across batches") {
     val session = spark
     import session.implicits._

@@ -10,7 +10,7 @@ class StreamBenchSpec extends SparkSpecBase {
     val results = graft.StreamBench.run(spark, "/root/testdata/sf0.001", chunks = 3)
     assert(results.keySet == Set(
       "windowed_counts", "user_activity", "dedup", "sessionize", "enriched",
-      "bloom_gate", "kmv_distinct", "heavy_hitters", "cm_sketch",
+      "bloom_gate", "kmv_distinct", "bitmap_distinct", "heavy_hitters", "cm_sketch",
       "quantile_grid", "session_window", "user_totals", "user_type_counts",
       "sessionize_v2"))
     assert(results.values.forall(s => s.sec > 0 && s.rows > 0))
