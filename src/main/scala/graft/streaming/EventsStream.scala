@@ -176,13 +176,16 @@ object EventsStream {
     import spark.implicits._
     def step(key: String, rows: Iterator[KeyedId],
              state: GroupState[BitmapState]): BitmapRow = {
-      var m = state.getOption.map(_.words).getOrElse(Map.empty[Long, Long])
+      // mutable accumulator: one map build per micro-batch group, not one
+      // immutable copy per event row (the kmvHash digest-reuse posture)
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      state.getOption.foreach(s => m ++= s.words)
       rows.foreach { r =>
         val w = r.user_id / 63
         val bit = 1L << (r.user_id % 63).toInt
-        m = m.updated(w, m.getOrElse(w, 0L) | bit)
+        m.update(w, m.getOrElse(w, 0L) | bit)
       }
-      state.update(BitmapState(m))
+      state.update(BitmapState(m.toMap))
       BitmapRow(key, m.size.toLong,
         m.valuesIterator.map(v => java.lang.Long.bitCount(v).toLong).sum)
     }
