@@ -34,10 +34,18 @@ object Bench {
     queries.foreach { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          Left(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")
-        }
+        val r =
+          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            Left(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")
+          }
+        // GC between RUNS, not just between queries: an iterative query's
+        // run leaves its localCheckpoint blocks dead-but-unfreed (only
+        // ContextCleaner frees them, and only after their RDDs are GC'd) —
+        // at sf1 three pinned runs of an 18M-edge table OOM'd the NEXT
+        // run's broadcast build. Outside the timed region.
+        System.gc()
+        r
       }
       once() match {
         case Left(msg) =>

@@ -22,16 +22,19 @@ import org.apache.spark.sql.functions._
   * 2-cycle on bipartite cuts rather than converge, which a fixed-round
   * snapshot sidesteps by construction.
   *
-  * Distributed shape: per round, one equi-join of the symmetric edge
-  * table against the (|V|-sized, auto-broadcast) label table, one
-  * map-side-combined `groupBy(u, lbl)` count, and one per-node argmax
-  * folded into the same aggregation via `max(struct(cnt, -lbl))` — so a
-  * round costs exactly one O(|E|) shuffle. Labels are `localCheckpoint`ed
+  * Distributed shape: the edge table is repartitioned + sorted on the
+  * join key ONCE (layout preserved through its localCheckpoint), then
+  * each round is a sort-MERGE equi-join against the label table — the
+  * labels shuffle (|V| rows), the edges don't move — followed by one
+  * map-side-combined `groupBy(u, lbl)` count with the per-node argmax
+  * folded in via `max(struct(cnt, -lbl))`. Labels are `localCheckpoint`ed
   * every round to pin plan depth (the `connectedComponents` /
-  * `KCore.peel` lineage recipe). At 100 TB: |E|-linear per round with a
-  * bounded round count, label state lives as a DataFrame (no driver
-  * materialization), and the broadcast degrades gracefully to a shuffled
-  * join once |V| outgrows the broadcast threshold. */
+  * `KCore.peel` lineage recipe). The merge join is FORCED: the sf1 gate
+  * showed AQE happily broadcasting the label table each round, and
+  * per-round broadcast builds accumulate in the driver until the build
+  * itself OOMs (the q_range_join lesson: broadcast/shuffle_hash pin
+  * memory, merge spills). At 100 TB: |E|-linear per round with a
+  * bounded round count, no driver materialization, nothing pinned. */
 object Lpa {
 
   /** Propagate labels over `sym` (a SYMMETRIZED directed edge table with
@@ -40,12 +43,15 @@ object Lpa {
     * row per node that has at least one neighbor. */
   def propagate(sym: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"propagation rounds must be >= 1, got $rounds")
-    val e = sym.localCheckpoint()
+    // partition + sort on the join key once; the checkpoint preserves the
+    // layout, so every round's merge join moves only the label table
+    val e = sym.repartition(col("v")).sortWithinPartitions(col("v"))
+      .localCheckpoint()
     var labels = e.select(col("u")).distinct()
       .withColumn("lbl", col("u"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val l = labels.withColumnRenamed("u", "n")
+      val l = labels.withColumnRenamed("u", "n").hint("merge")
       labels = e.join(l, e("v") === l("n"))
         .groupBy(e("u"), col("lbl")).agg(count(lit(1)).as("c"))
         // argmax by (count desc, label asc): struct max compares c first,
