@@ -24,20 +24,46 @@ import org.apache.spark.sql.functions._
   * At 100 TB: each round is O(|E|) shuffle work on the shrinking edge
   * table, rounds = peel-cascade depth (measured 6 at both sf0.01 and
   * sf0.1 on the co-order graph; bounded by graph degeneracy in the
-  * worst case), and the survivor set rides as a broadcast semi-join —
-  * no driver-side state beyond the checkpoint bookkeeping. */
+  * worst case). The per-round survivor attach switches AUTOMATICALLY on
+  * a measured node count: below [[GraphScale]]'s cutover the survivor
+  * set rides as a broadcast semi-join (map-side filter, no extra
+  * shuffle); past it, broadcast builds would accumulate in the driver —
+  * the exact failure that OOM'd `q_lpa_communities` at sf1 before
+  * [[Lpa.propagate]]'s forced-merge fix — so the peel flips to the LPA
+  * recipe: edges repartitioned+sorted ONCE, per round only the |V|-row
+  * alive set shuffles through forced merge joins. */
 object KCore {
+
+  /** Plan mode the last [[peel]] call chose — observability for specs
+    * and BENCH_NOTES (`"broadcast"` or `"shuffled"`). */
+  @volatile var lastMode: String = ""
 
   /** Peel `sym` (a SYMMETRIZED directed edge table with long columns
     * `u`, `v`; both (a,b) and (b,a) present, no self-loops) for exactly
     * `rounds` rounds at threshold `k`. Returns the surviving symmetric
     * edge table. Peeling preserves symmetry: an edge survives iff BOTH
     * endpoints have degree ≥ k, a symmetric criterion, so the result is
-    * again a valid input (idempotent once converged). */
+    * again a valid input (idempotent once converged). The broadcast vs
+    * shuffled survivor-attach plan is chosen from the measured node
+    * count (see [[GraphScale.useBroadcast]]); both plans compute the
+    * identical trajectory (spec-asserted on every KCoreSpec graph). */
   def peel(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k-core threshold must be >= 1, got $k")
     require(rounds >= 1, s"peel rounds must be >= 1, got $rounds")
-    var e = sym.localCheckpoint()
+    val e = sym.localCheckpoint()
+    val nNodes = e.select(col("u")).distinct().count()
+    if (GraphScale.useBroadcast(sym.sparkSession, nNodes)) {
+      lastMode = "broadcast"; peelBroadcast(e, k, rounds)
+    } else {
+      lastMode = "shuffled"; peelShuffled(e, k, rounds)
+    }
+  }
+
+  /** Broadcast plan: per round, the shrinking edge table is filtered by
+    * two broadcast left-semi joins against the (small) survivor set.
+    * Each round adds only map-side filters to the lineage. */
+  private def peelBroadcast(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = sym
     for (r <- 1 to rounds) {
       // out-degree == degree on a symmetric table; survivors broadcast
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -46,12 +72,41 @@ object KCore {
         .localCheckpoint(false)
       e = e.join(keep, e("u") === keep("node"), "left_semi")
       e = e.join(keep, e("v") === keep("node"), "left_semi")
-      // the semi-joins are broadcast (survivors ≪ edges), so a round adds
-      // only map-side filters to the lineage — materializing every OTHER
-      // round halves the checkpoint write volume while keeping the
-      // re-derivation window at most one filter round deep
+      // materializing every OTHER round halves the checkpoint write
+      // volume while keeping the re-derivation window one round deep
       if (r % 2 == 0 || r == rounds) e = e.localCheckpoint()
     }
     e
+  }
+
+  /** Shuffled plan (the [[Lpa.propagate]] recipe): the FULL edge table
+    * is partitioned+sorted on `v` once and never moves again; state is
+    * the shrinking |V|-row ALIVE set. Round r's degree of u = count of
+    * alive neighbors v (one forced merge join + map-side-combined
+    * groupBy), restricted to u itself alive, thresholded at k — the
+    * same alive_r = {u ∈ alive_{r−1} : #(alive_{r−1} ∩ N(u)) ≥ k}
+    * trajectory the broadcast plan walks, since its round-r edge table
+    * is exactly the alive_{r−1}-induced subgraph. The surviving edge
+    * table is recovered at the end by one double semi-join against the
+    * final alive set (legal because alive sets are decreasing, so
+    * cumulative per-round filtering ≡ filtering by the final set). */
+  private def peelShuffled(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = sym.repartition(col("v")).sortWithinPartitions(col("v"))
+      .localCheckpoint() // layout survives the checkpoint — edges never re-shuffle
+    var alive = e.select(col("u")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val av = alive.withColumnRenamed("u", "n").hint("merge")
+      val deg = e.join(av, e("v") === av("n"))
+        .groupBy(e("u")).agg(count(lit(1)).as("d"))
+      // a node's degree counts only ALIVE neighbors; a dead node can
+      // still appear on the u side (its alive neighbors emit it), so
+      // restrict to previously-alive nodes before thresholding
+      alive = deg.join(alive.hint("merge"), Seq("u"), "left_semi")
+        .filter(col("d") >= k).select(col("u"))
+        .localCheckpoint()
+    }
+    val an = alive.withColumnRenamed("u", "n")
+    e.join(an.hint("merge"), e("u") === an("n"), "left_semi")
+      .join(an.hint("merge"), e("v") === an("n"), "left_semi")
   }
 }

@@ -1996,8 +1996,21 @@ object Analytics extends QueryModule {
     * materialized ONCE (localCheckpoint) and each iteration is one
     * equi-join + one map-side-combined groupBy on the destination,
     * checkpointed to cut the 5-deep lineage — the plan per iteration
-    * stays constant-depth, no recursive blow-up. The 1-row node count
-    * rides along as a broadcast. Top-20 by rank via TakeOrdered. */
+    * stays constant-depth, no recursive blow-up. Top-20 by rank via
+    * TakeOrdered.
+    *
+    * The per-iteration rank attach switches AUTOMATICALLY on the
+    * measured node count ([[graft.operators.GraphScale]]): below the
+    * cutover the rank table is BROADCAST — |nodes| longs, tiny next to
+    * |edges|, so each iteration is a map-side join over the
+    * checkpointed edge table plus ONE partial-agg shuffle onto the node
+    * domain. Past the cutover, per-iteration broadcast builds
+    * accumulate in the driver (the `q_lpa_communities` sf1 OOM class),
+    * so the plan flips to the [[graft.operators.Lpa]] recipe: the edge
+    * table is repartitioned+sorted on `u` ONCE and never moves again;
+    * each iteration forced-merge-joins the shuffling |V|-row rank
+    * table. Both plans compute the identical integer trajectory
+    * (spec-asserted). */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val S = 1000000000000L
@@ -2014,29 +2027,35 @@ object Analytics extends QueryModule {
       .localCheckpoint()
     val e = und.union(und.select(col("v").as("u"), col("u").as("v")))
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("outd"))
-    val er = e.join(deg, "u").localCheckpoint() // reused by all 5 iterations
-    val n = deg.agg(count(lit(1)).as("nn"))
-    var r = deg.select(col("u").as("node")).crossJoin(broadcast(n))
-      .select(col("node"), expr(s"$S div nn").as("rank"))
+    val erBase = e.join(deg, "u").localCheckpoint() // reused by all 5 iterations
+    val nn = erBase.select(col("u")).distinct().count() // measured, drives the cutover
+    val useBroadcast = graft.operators.GraphScale.useBroadcast(spark, nn)
+    qPagerankLastMode = if (useBroadcast) "broadcast" else "shuffled"
+    // shuffled mode pays ONE extra exchange here so the 5 merge joins
+    // reuse the layout (localCheckpoint preserves partitioning+ordering)
+    val er = if (useBroadcast) erBase
+      else erBase.repartition(col("u")).sortWithinPartitions(col("u"))
+        .localCheckpoint()
+    var r = deg.select(col("u").as("node"))
+      .select(col("node"), lit(S / nn).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      // rank table BROADCAST: |nodes| longs (tiny next to |edges|), so each
-      // iteration is a map-side join over the checkpointed edge table plus
-      // ONE partial-agg shuffle onto the node domain — the edge table is
-      // never re-sorted/re-exchanged per iteration. Holds to ~10⁷-node
-      // graphs (160 MB broadcast); past that, drop the hint: same plan,
-      // shuffled join on u. (The und checkpoint above is the bigger local
-      // win — together: 19.7 → 9.9 s median.)
-      r = er.join(broadcast(r), er("u") === r("node"))
+      val joined =
+        if (useBroadcast) er.join(broadcast(r), er("u") === r("node"))
+        else er.join(r.hint("merge"), er("u") === r("node"))
+      r = joined
         .groupBy(col("v"))
         .agg(sum(expr("rank div outd")).as("m"))
-        .crossJoin(broadcast(n))
         .select(col("v").as("node"),
-          expr(s"(15 * $S) div (100 * nn) + (85 * m) div 100").as("rank"))
+          expr(s"(15 * $S) div (100 * $nn) + (85 * m) div 100").as("rank"))
         .localCheckpoint()
     }
     r.orderBy(col("rank").desc, col("node")).limit(20)
   }
+
+  /** Plan mode the last [[qPagerank]] call chose — observability for
+    * specs and BENCH_NOTES. */
+  @volatile var qPagerankLastMode: String = ""
 
   val qPagerankSql: String = {
     val S = "1000000000000"

@@ -1097,18 +1097,14 @@ object TextQueries extends QueryModule {
 
   // ------------------------------------------------------------ LM surprisal
 
-  /** Unigram-LM surprisal scoring — the KenLM-flavored quality filter:
-    * train a unigram model on the corpus itself (term frequencies), score
-    * each doc by its mean per-token surprisal; high-surprisal docs are
-    * out-of-distribution (gibberish, wrong language, encoding junk).
-    * Surprisal is EXACT integer math: ⌊log2(total_tokens / tf(term))⌋
-    * computed as length(binary(x)) − 1, so the oracle reproduces it
-    * bit-for-bit (no float log). Shape: one shuffle builds the tf table
-    * (Zipf-small → broadcastable at any corpus size), one join back, one
-    * per-doc aggregation. */
   /** Shared unigram-surprisal core: (doc_id, n_tokens, mean_surprisal_c)
     * — feeds both the [[lmSurprisal]] outlier filter and the
-    * [[ccnetBucket]] per-language perplexity bucketing. */
+    * [[ccnetBucket]] per-language perplexity bucketing. Surprisal is
+    * EXACT integer math: ⌊log2(total_tokens / tf(term))⌋ computed as
+    * length(binary(x)) − 1, so the oracle reproduces it bit-for-bit (no
+    * float log). Shape: one shuffle builds the tf table (Zipf-small →
+    * broadcastable at any corpus size), one join back, one per-doc
+    * aggregation. */
   private def docSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     // terms feeds BOTH the tf aggregation and the probe side of the join —
     // materialize once (exchange reuse does not dedupe the two branches,
@@ -1146,6 +1142,11 @@ object TextQueries extends QueryModule {
       FROM scored GROUP BY doc_id
     )"""
 
+  /** Unigram-LM surprisal scoring — the KenLM-flavored quality filter:
+    * train a unigram model on the corpus itself (term frequencies), score
+    * each doc by its mean per-token surprisal ([[docSurprisal]]);
+    * high-surprisal docs are out-of-distribution (gibberish, wrong
+    * language, encoding junk). */
   def lmSurprisal(spark: SparkSession, sfDir: String): DataFrame =
     docSurprisal(spark, sfDir)
       .withColumn("is_outlier", (col("mean_surprisal_c") >= 900).cast("int"))
@@ -1170,8 +1171,11 @@ object TextQueries extends QueryModule {
     * reference. */
   def ccnetBucket(spark: SparkSession, sfDir: String): DataFrame = {
     val lang = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    // the lang projection is O(corpus) — never force-broadcast a
+    // per-document table (the Lpa/range-join lesson); shuffled equi-join
+    // on doc_id, AQE free to pick broadcast only while it actually fits
     docSurprisal(spark, sfDir)
-      .join(broadcast(lang), "doc_id")
+      .join(lang, "doc_id")
       .withColumn("bucket",
         ntile(3).over(Window.partitionBy(col("lang"))
           .orderBy(col("mean_surprisal_c"), col("doc_id"))).cast("long"))
@@ -2754,17 +2758,26 @@ object TextQueries extends QueryModule {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
         sum(col("chars")).as("n_chars"))
+      // zero guards (the q14PromoShare total_c=0 pattern): a language of
+      // all-empty docs gives n_chars=0 — NULL under Spark's non-ANSI div
+      // but a hard division-by-zero error in DuckDB; pin both engines to 0
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
-        expr("CAST(n_tokens AS decimal(38,0)) * 10000 div n_chars").cast("long").as("tok_per_10k_chars"),
-        expr("CAST(n_chars AS decimal(38,0)) * 100 div n_tokens").cast("long").as("chars_per_tok_c"))
+        expr("CASE WHEN n_chars = 0 THEN 0 ELSE " +
+          "CAST(n_tokens AS decimal(38,0)) * 10000 div n_chars END")
+          .cast("long").as("tok_per_10k_chars"),
+        expr("CASE WHEN n_tokens = 0 THEN 0 ELSE " +
+          "CAST(n_chars AS decimal(38,0)) * 100 div n_tokens END")
+          .cast("long").as("chars_per_tok_c"))
       .orderBy(col("lang"))
 
   val fertilitySql: String = """
     SELECT lang, count(*) AS n_docs,
            CAST(sum(toks) AS bigint) AS n_tokens,
            CAST(sum(chars) AS bigint) AS n_chars,
-           CAST(CAST(sum(toks) AS HUGEINT) * 10000 // sum(chars) AS bigint) AS tok_per_10k_chars,
-           CAST(CAST(sum(chars) AS HUGEINT) * 100 // sum(toks) AS bigint) AS chars_per_tok_c
+           CAST(CASE WHEN sum(chars) = 0 THEN 0
+                ELSE CAST(sum(toks) AS HUGEINT) * 10000 // sum(chars) END AS bigint) AS tok_per_10k_chars,
+           CAST(CASE WHEN sum(toks) = 0 THEN 0
+                ELSE CAST(sum(chars) AS HUGEINT) * 100 // sum(toks) END AS bigint) AS chars_per_tok_c
     FROM (SELECT lang,
                  CAST(len(string_split_regex(text, '\s+')) AS bigint) AS toks,
                  CAST(length(text) AS bigint) AS chars

@@ -67,6 +67,55 @@ class KCoreSpec extends SparkSpecBase {
     }
   }
 
+  test("shuffled cutover: forced-low threshold switches the plan, output unchanged") {
+    // force the shuffled plan on the tiny spec graphs by dropping the
+    // cutover to 1 node — the automatic switch the sf1 LPA OOM mandated
+    val key = GraphScale.BroadcastMaxNodesKey
+    spark.conf.set(key, "1")
+    try {
+      val core = KCore.peel(g, k = 2, rounds = 3)
+      core.collect() // run to AQE-final so the plan assert sees reality
+      assert(KCore.lastMode === "shuffled")
+      // the LPA recipe: final survivor attach is a forced merge join,
+      // never a broadcast build
+      val plan = core.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(nodes(core) === Set(1L, 2L, 3L))
+      assert(core.count() === 6)
+      // trajectory equality, not just fixpoint: a 1-round peel must
+      // match the broadcast plan's 1-round result mid-cascade
+      assert(nodes(KCore.peel(g, k = 2, rounds = 1)) === Set(1L, 2L, 3L, 4L, 5L))
+      // and on seeded random graphs both plans agree round-for-round
+      val rnd = new scala.util.Random(7)
+      val edges = (for {
+        a <- 1L to 20L; b <- (a + 1) to 20L if rnd.nextDouble() < 0.2
+      } yield (a, b)).toSet
+      val gr = sym(edges.toSeq: _*)
+      for (r <- 1 to 4) {
+        spark.conf.set(key, "1")
+        val shuffled = nodes(KCore.peel(gr, k = 2, rounds = r))
+        assert(KCore.lastMode === "shuffled")
+        spark.conf.unset(key)
+        val bcast = nodes(KCore.peel(gr, k = 2, rounds = r))
+        assert(KCore.lastMode === "broadcast")
+        assert(shuffled === bcast, s"rounds=$r")
+      }
+    } finally spark.conf.unset(key)
+  }
+
+  test("qPagerank shuffled cutover matches the broadcast trajectory") {
+    val key = GraphScale.BroadcastMaxNodesKey
+    val bcast = graft.queries.Analytics.qPagerank(spark, Sf).collect().toSeq
+    assert(graft.queries.Analytics.qPagerankLastMode === "broadcast")
+    spark.conf.set(key, "1")
+    try {
+      val shuffled = graft.queries.Analytics.qPagerank(spark, Sf).collect().toSeq
+      assert(graft.queries.Analytics.qPagerankLastMode === "shuffled")
+      assert(shuffled === bcast) // identical integer ranks, identical order
+    } finally spark.conf.unset(key)
+  }
+
   test("q_kcore summary certifies convergence at sf0.001") {
     val row = graft.queries.Analytics.qKcore(spark, Sf).collect()(0)
     assert(row.getAs[Boolean]("stable"))
