@@ -13,7 +13,7 @@ import graft.functions.IECBinaryImpl
   *   commands: summary | smallfiles | smallfilesusers | userusage | path |
   *             inode | acl | xattr | quotas | growth | growthdirs |
   *             dupnames | du | compaction | ext | sections | snapshots |
-  *             refs | diffs
+  *             refs | diffs | openfiles
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /); repeatable, and a
   *                     single -p also accepts a comma-separated list —
@@ -64,6 +64,14 @@ object Tool {
       case "refs"      => return FsImageSource.inodeReferences(spark, image)
       case "diffs"     => return FsImageSource.snapshotDiffs(spark, image)
       case _           => ()
+    }
+    // openfiles joins the (tiny) FILES_UNDERCONSTRUCTION section with the
+    // inode table — the `hdfs dfsadmin -listOpenFiles` equivalent
+    if (cmd == "openfiles") {
+      val all0 =
+        if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
+        else FsImageSource.inodes(spark, image)
+      return Reports.openFiles(all0, FsImageSource.filesUnderConstruction(spark, image))
     }
     val all =
       if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)

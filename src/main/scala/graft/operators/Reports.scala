@@ -175,6 +175,23 @@ object Reports {
     * hotspot reports — the explode input is #dirs, not #inodes — and the
     * quota-dir side is join-key-pruned first (quota dirs are rare, so at
     * scale this side broadcasts). */
+  /** Open-files report — the `hdfs dfsadmin -listOpenFiles` readout: one
+    * row per file under construction, joining the
+    * FILES_UNDERCONSTRUCTION section rows (`uc`: inode_id, full_path —
+    * the namenode-resolved path) with the inode table for lease client,
+    * owner and size detail. Open files are rare next to the namespace
+    * (bounded by concurrent writers), so at scale the uc side broadcasts
+    * under an ordinary equi-join on the inode id — no hint needed.
+    * Beyond reference parity: hfsa drops both the section and the
+    * per-inode feature (FsImageLoader.java loads only
+    * string/inode/dir). */
+  def openFiles(inodes: DataFrame, uc: DataFrame): DataFrame =
+    uc.join(inodes.filter(col("under_construction")), uc("inode_id") === inodes("id"))
+      .select(uc("full_path").as("path"), col("inode_id"), col("owner"),
+        col("grp"), col("uc_client"), col("uc_machine"), col("size"),
+        col("blocks"), col("mtime_sec"))
+      .orderBy(col("path"))
+
   def quotaReport(inodes: DataFrame): DataFrame = {
     val quotaDirs = inodes.filter(col("ftype") === "D" &&
         (col("ns_quota") >= 0 || col("ds_quota") >= 0))

@@ -27,12 +27,13 @@ object FsImageQueries extends QueryModule {
   private val Gen = ImageGen.GenSpec(nDirs = 50, nFiles = 5000,
     ecEvery = 4, aclEvery = 7, xattrEvery = 5, nSymlinks = 10,
     withAtime = true, quotaEvery = 6, permVariety = true,
-    nSnapshots = 4, nDiffs = 400)
+    nSnapshots = 4, nDiffs = 400, ucEvery = 9)
   // image file keyed by the spec: changing Gen invalidates the cached file
   private val ImagePath = s"$BaseDir/sample-${Gen.hashCode.toHexString}.img"
   private val Pid = ProcessHandle.current().pid()
   private val ExportDir = s"$BaseDir/p$Pid/inodes"
   private val DiffExportDir = s"$BaseDir/p$Pid/diffs"
+  private val UcExportDir = s"$BaseDir/p$Pid/uc"
 
   private def ensureImage(): Unit = synchronized {
     val f = new java.io.File(ImagePath)
@@ -60,6 +61,8 @@ object FsImageQueries extends QueryModule {
         ensureImage()
         FsImageSource.snapshotDiffs(spark, ImagePath)
           .write.mode("overwrite").parquet(DiffExportDir)
+        FsImageSource.filesUnderConstruction(spark, ImagePath)
+          .write.mode("overwrite").parquet(UcExportDir)
         val df = FsImageSource.inodes(spark, ImagePath)
         df.write.mode("overwrite").parquet(ExportDir)
         df
@@ -280,7 +283,30 @@ object FsImageQueries extends QueryModule {
     GROUP BY 1, storage_policy
     ORDER BY idle_band, storage_policy"""
 
+  /** Open-files report ([[graft.operators.Reports.openFiles]]) over the
+    * parsed image, driver-oracle-checked: the DuckDB side independently
+    * re-joins the exported FILES_UNDERCONSTRUCTION rows with the exported
+    * inode table (restricted to the per-inode under_construction flag —
+    * so the oracle also cross-checks that the SECTION entries and the
+    * INodeFile FEATURE agree) and re-derives the same per-file rows. */
+  def fsimageOpenFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val inodes = ensureExport(spark)
+    val uc = spark.read.parquet(UcExportDir)
+    graft.operators.Reports.openFiles(inodes, uc)
+  }
+
+  val fsimageOpenFilesSql: String = s"""
+    SELECT u.full_path AS path, u.inode_id, i.owner, i.grp,
+           i.uc_client, i.uc_machine,
+           CAST(i.size AS bigint) AS size, CAST(i.blocks AS bigint) AS blocks,
+           CAST(i.mtime_sec AS bigint) AS mtime_sec
+    FROM read_parquet('$UcExportDir/*.parquet') u
+    JOIN read_parquet('$ExportDir/*.parquet') i
+      ON u.inode_id = i.id AND i.under_construction
+    ORDER BY path"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fsimage_open_files" -> (fsimageOpenFiles _),
     "q_fsimage_cold"       -> (fsimageCold _),
     "q_fsimage_diff_stats" -> (fsimageDiffStats _),
     "q_fsimage_symlinks"   -> (fsimageSymlinks _),
@@ -290,6 +316,7 @@ object FsImageQueries extends QueryModule {
     "q_fsimage_perm_audit" -> (fsimagePermAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q_fsimage_open_files" -> fsimageOpenFilesSql,
     "q_fsimage_cold"       -> fsimageColdSql,
     "q_fsimage_diff_stats" -> fsimageDiffStatsSql,
     "q_fsimage_symlinks"   -> fsimageSymlinksSql,

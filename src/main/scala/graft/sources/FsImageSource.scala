@@ -47,7 +47,9 @@ object FsImageSource {
                            n_acl: Int, acl: Seq[String],
                            n_xattr: Int, xattrs: Seq[String],
                            ns_quota: Long, ds_quota: Long,
-                           pref_block: Long)
+                           pref_block: Long,
+                           under_construction: Boolean = false,
+                           uc_client: String = "", uc_machine: String = "")
 
   /** Hadoop's fixed root inode id (INodeId.ROOT_INODE_ID). */
   val RootInodeId = 16385L
@@ -119,6 +121,30 @@ object FsImageSource {
     spark.createDataset(rows).toDF()
   }
 
+  final case class FsUcEntry(inode_id: Long, full_path: String)
+
+  /** FILES_UNDERCONSTRUCTION section: one row per file with an open
+    * lease at image time (inode id, namenode-resolved full path). Join
+    * inode_id on inodes.id for owner / client-name / size detail — the
+    * `hdfs dfsadmin -listOpenFiles` readout
+    * ([[graft.operators.Reports.openFiles]]). Empty when the image has
+    * no open files. The reference drops this section entirely
+    * (FsImageLoader.java loads only string/inode/dir sections). */
+  def filesUnderConstruction(spark: SparkSession, imagePath: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val summary = FsImageFormat.readSummary(imagePath, conf)
+    import spark.implicits._
+    val rows = summary.sections.find(_.name == "FILES_UNDERCONSTRUCTION") match {
+      case None => Seq.empty[FsUcEntry]
+      case Some(sec) =>
+        val bytes = FsImageFormat.maybeDecompress(
+          FsImageFormat.readSection(imagePath, sec, conf), summary.codec)
+        FsImageFormat.parseFilesUnderConstruction(bytes)
+          .map(u => FsUcEntry(u.inodeId, u.fullPath))
+    }
+    spark.createDataset(rows).toDF()
+  }
+
   final case class FsInodeRef(referred_id: Long, name: String,
                               dst_snapshot_id: Int, last_snapshot_id: Int)
 
@@ -158,7 +184,8 @@ object FsImageSource {
       i.xattrNames.length,
       i.xattrNames.indices.map(k =>
         FsImageFormat.xattrString(i.xattrNames(k), i.xattrValues(k), strings)),
-      i.nsQuota, i.dsQuota, i.preferredBlockSize)
+      i.nsQuota, i.dsQuota, i.preferredBlockSize,
+      i.underConstruction, i.ucClient, i.ucMachine)
 
   /** Iterative memoized upward path walk, O(n) total — iterative (not
     * recursive) so pathological directory depths can't overflow the stack,

@@ -47,7 +47,13 @@ object FsImageFormat {
       // directories: namespace / diskspace quota, -1 = no quota (Hadoop
       // writes -1 explicitly for quota-less dirs; reference
       // tool/.../JsonUtil.java:54-55 surfaces both verbatim)
-      nsQuota: Long = -1L, dsQuota: Long = -1L)
+      nsQuota: Long = -1L, dsQuota: Long = -1L,
+      // FileUnderConstructionFeature (INodeFile field 7): present iff the
+      // file had an open lease at image time — the `hdfs dfsadmin
+      // -listOpenFiles` readout. The reference drops this feature
+      // entirely (FsImageLoader.java loads only string/inode/dir).
+      underConstruction: Boolean = false,
+      ucClient: String = "", ucMachine: String = "")
 
   final case class DirEntry(parent: Long, children: Array[Long])
 
@@ -606,6 +612,7 @@ object FsImageFormat {
       var perm = 0L; var nBlocks = 0; var size = 0L
       var sp = 0; var ec = 0; var target = ""
       var nsq = -1L; var dsq = -1L
+      var uc = false; var ucClient = ""; var ucMachine = ""
       var blockSizes: ArrayBuffer[Long] = null
       var acl: ArrayBuffer[Int] = null
       var xaN: ArrayBuffer[Int] = null
@@ -641,6 +648,16 @@ object FsImageFormat {
                   size += bytes
                   if (blockSizes == null) blockSizes = new ArrayBuffer[Long](4)
                   blockSizes += bytes
+                case (7, 2)  => // FileUnderConstructionFeature {clientName=1, clientMachine=2}
+                  uc = true
+                  val u = rr.subMessage()
+                  u.eachField { (uf, uw, ur) =>
+                    (uf, uw) match {
+                      case (1, 2) => ucClient = new String(ur.bytes(ur.varint().toInt), "UTF-8")
+                      case (2, 2) => ucMachine = new String(ur.bytes(ur.varint().toInt), "UTF-8")
+                      case _      => ur.skip(uw)
+                    }
+                  }
                 case (8, 2)  =>
                   if (acl == null) acl = new ArrayBuffer[Int](4)
                   parseAclFeature(rr.subMessage(), acl)
@@ -702,7 +719,8 @@ object FsImageFormat {
       RawInode(id, typ, name, repl, mtime, atime, pbs, perm, nBlocks, size,
         consumed, sp, ec, target, if (acl == null) NoAcl else acl.toArray,
         if (xaN == null) NoXAttrNames else xaN.toArray,
-        if (xaV == null) NoXAttrValues else xaV.toArray, nsq, dsq)
+        if (xaV == null) NoXAttrValues else xaV.toArray, nsq, dsq,
+        uc, ucClient, ucMachine)
   }
 
   /** Parses every whole delimited DirEntry message in [from, to). */
@@ -793,6 +811,30 @@ object FsImageFormat {
         }
       }
       InodeReference(rid, name, dst, last)
+    }.toVector
+
+  // --------------------------------------------------- files under construction
+
+  final case class FileUc(inodeId: Long, fullPath: String)
+
+  /** FILES_UNDERCONSTRUCTION section (public fsimage.proto
+    * FilesUnderConstructionSection): delimited FileUnderConstructionEntry
+    * {inodeId=1, fullPath=2} — one row per file with an open lease at
+    * image time, full path pre-resolved by the namenode. Pairs with the
+    * per-inode FileUnderConstructionFeature (client name/machine) for the
+    * `hdfs dfsadmin -listOpenFiles` readout. The reference drops this
+    * section (FsImageLoader.java loads only string/inode/dir). */
+  def parseFilesUnderConstruction(bytes: Array[Byte]): Seq[FileUc] =
+    delimited(bytes, 0, bytes.length).map { m =>
+      var id = 0L; var path = ""
+      m.eachField { (fn, wt, r) =>
+        (fn, wt) match {
+          case (1, 0) => id = r.varint()
+          case (2, 2) => path = new String(r.bytes(r.varint().toInt), "UTF-8")
+          case _      => r.skip(wt)
+        }
+      }
+      FileUc(id, path)
     }.toVector
 
   // --------------------------------------------------------- snapshot diffs

@@ -27,12 +27,13 @@ object ImageGen {
                            quotaEvery: Int = 0, // every k-th dir gets ns/ds quotas
                            chainDirs: Int = 0,  // first k dirs nest root→d0→d1→…
                            permVariety: Boolean = false, // 0666/0600 modes mixed in
-                           nDiffs: Int = 0)     // SNAPSHOT_DIFF entries (alternating file/dir)
+                           nDiffs: Int = 0,     // SNAPSHOT_DIFF entries (alternating file/dir)
+                           ucEvery: Int = 0)    // every k-th file is under construction
 
   /** Ground truth the generator guarantees, for specs to assert against. */
   final case class GenSummary(sumFileSize: Long, sumConsumed: Long,
                               nEcFiles: Int, nAclFiles: Int, nSymlinks: Int,
-                              nXattrFiles: Int)
+                              nXattrFiles: Int, nUcFiles: Int = 0)
 
   private val RootId = 16385L
   /** Serial of the ACL-named user added to the string table. */
@@ -144,6 +145,20 @@ object ImageGen {
     var nEc = 0
     var nAcl = 0
     var nXattr = 0
+    var nUc = 0
+    // full path of file i, matching the INODE_DIR round-robin layout below
+    // (and the chain nesting for the first `chainDirs` dirs) — the
+    // namenode writes the RESOLVED path into FILES_UNDERCONSTRUCTION, so
+    // the generator's entries must agree with the tree it emits
+    val chainForPath = math.min(math.max(chainDirs, 0), nDirs)
+    def dirPath(d: Int): String =
+      if (d < chainForPath) (0 to d).map(j => s"dir_$j").mkString("/", "/", "")
+      else s"/dir_$d"
+    def filePath(i: Int): String =
+      if (nDirs > 0) s"${dirPath(i % nDirs)}/f_$i.dat" else s"/f_$i.dat"
+    def isUc(i: Int): Boolean = ucEvery > 0 && i % ucEvery == 0
+    val ucClientOf = (i: Int) => s"DFSClient_NONMAPREDUCE_${1000000 + i}_1"
+    val ucMachineOf = (i: Int) => s"worker-${i % 40}.example.com"
 
     section("INODE") { inodes =>
     inodes.delimited { h =>
@@ -199,6 +214,11 @@ object ImageGen {
             else 0x1A4                                 // 0644
           f.tag(5, 1).fixed64(perm(1 + i % 20, 1 + i % 10, mode))
           f.msg(6)(b => { b.tag(1, 0).varint(id); b.tag(2, 0).varint(1); b.tag(3, 0).varint(size) })
+          // FileUnderConstructionFeature (INodeFile field 7): open lease
+          if (isUc(i)) {
+            nUc += 1
+            f.msg(7)(u => { u.str(1, ucClientOf(i)); u.str(2, ucMachineOf(i)) })
+          }
           if (hasAcl) f.msg(8)(a => a.msg(2)(p => aclEntries.foreach(e => p.fixed32(e))))
           if (hasXattr) writeXattrs(f, 9, i)
           if (withAtime) f.tag(10, 0).varint(5 + i % 2) // storage policy id
@@ -254,6 +274,18 @@ object ImageGen {
       }
     }
     } // section INODE_DIR
+
+    // FILES_UNDERCONSTRUCTION section: one delimited
+    // FileUnderConstructionEntry {inodeId=1, fullPath=2} per open file —
+    // paths resolved against the same tree INODE_DIR describes
+    if (ucEvery > 0 && nFiles > 0) section("FILES_UNDERCONSTRUCTION") { ucSection =>
+      (0 until nFiles).filter(isUc).foreach { i =>
+        ucSection.delimited { e =>
+          e.tag(1, 0).varint(fileId(i))
+          e.str(2, filePath(i))
+        }
+      }
+    }
 
     section("STRING_TABLE") { strings =>
     strings.delimited { h => h.tag(1, 0).varint(33); h.tag(2, 0).varint(3) }
@@ -348,6 +380,6 @@ object ImageGen {
     dos.write(sb)
     dos.writeInt(sb.length)
     dos.close()
-    GenSummary(sumSize, sumConsumed, nEc, nAcl, nSymlinks, nXattr)
+    GenSummary(sumSize, sumConsumed, nEc, nAcl, nSymlinks, nXattr, nUc)
   }
 }

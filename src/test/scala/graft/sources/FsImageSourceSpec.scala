@@ -305,6 +305,61 @@ class FsImageSourceSpec extends SparkSpecBase {
     new java.io.File(img2).delete()
   }
 
+  test("FILES_UNDERCONSTRUCTION decodes; open-files report joins section+feature") {
+    import graft.sources.fsimage.ImageGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_uc").toFile
+    val img = new java.io.File(dir, "uc.img").getPath
+    val s = ImageGen.write(img, ImageGen.GenSpec(nDirs = 4, nFiles = 30, ucEvery = 7))
+    assert(s.nUcFiles == 5) // files 0,7,14,21,28
+
+    val uc = FsImageSource.filesUnderConstruction(spark, img).collect()
+    assert(uc.length == 5)
+    val inodes = FsImageSource.inodes(spark, img).cache()
+    // section fullPath must agree with the tree-resolved inode path, and
+    // the per-inode feature must mark exactly the section's inodes
+    val resolved = inodes.select(col("id"), col("path"), col("under_construction"),
+      col("uc_client"), col("uc_machine")).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    uc.foreach { r =>
+      val id = r.getAs[Long]("inode_id")
+      assert(resolved(id).getAs[String]("path") === r.getAs[String]("full_path"))
+      assert(resolved(id).getAs[Boolean]("under_construction"))
+    }
+    assert(inodes.filter(col("under_construction")).count() === 5)
+    // lease client/machine decode (generator's deterministic values)
+    val f7 = inodes.filter(col("name") === "f_7.dat").head
+    assert(f7.getAs[String]("uc_client") === "DFSClient_NONMAPREDUCE_1000007_1")
+    assert(f7.getAs[String]("uc_machine") === "worker-7.example.com")
+    // non-UC files carry the empty defaults
+    val f1 = inodes.filter(col("name") === "f_1.dat").head
+    assert(!f1.getAs[Boolean]("under_construction") && f1.getAs[String]("uc_client") === "")
+
+    // the report: one row per open file, ordered by path, with owner+lease
+    val rep = Reports.openFiles(inodes,
+      FsImageSource.filesUnderConstruction(spark, img)).collect()
+    assert(rep.length == 5)
+    assert(rep.map(_.getAs[String]("path")).toSeq === rep.map(_.getAs[String]("path")).toSeq.sorted)
+    assert(rep.forall(_.getAs[String]("uc_client").startsWith("DFSClient_NONMAPREDUCE_")))
+
+    // distributed loader surfaces the same three UC columns
+    val dist = FsImageSource.inodesDistributed(spark, img)
+      .filter(col("under_construction"))
+      .select(col("id"), col("uc_client")).collect()
+    assert(dist.length == 5 && dist.forall(_.getAs[String]("uc_client").nonEmpty))
+
+    // empty case: no section → empty frame with the documented schema,
+    // no inode flagged
+    val img2 = new java.io.File(dir, "nouc.img").getPath
+    ImageGen.write(img2, ImageGen.GenSpec(nDirs = 2, nFiles = 5))
+    val none = FsImageSource.filesUnderConstruction(spark, img2)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("inode_id", "full_path"))
+    assert(FsImageSource.inodes(spark, img2).filter(col("under_construction")).count() === 0)
+    assert(Reports.openFiles(FsImageSource.inodes(spark, img2), none).count() === 0)
+    inodes.unpersist()
+    new java.io.File(img).delete()
+    new java.io.File(img2).delete()
+  }
+
   test("INODE_REFERENCE section parses and joins back to inodes") {
     import graft.sources.fsimage.ImageGen
     val dir = java.nio.file.Files.createTempDirectory("graft_refs").toFile
