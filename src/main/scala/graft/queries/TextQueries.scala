@@ -2212,7 +2212,12 @@ object TextQueries extends QueryModule {
     * domain is ~|corpus words| rows of 34 bytes. At 100 TB this is the
     * canonical inverted-index + rebuild pipeline, partitioned end-to-end
     * by span hash then doc_id. */
-  def substrScrub(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared scrub core: (docs(doc_id, ws), cov(doc_id, idx)) — the
+    * checkpointed word arrays and the DISTINCT covered word indices
+    * (union of all duplicated 8-gram spans, global-first occurrence
+    * excluded). Feeds [[substrScrub]]'s rebuild and the
+    * [[spanIslands]]/[[spanLengthHist]] maximal-interval readouts. */
+  private def scrubWordsAndCov(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val K = 8
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), words(col("text")).as("ws"))
@@ -2228,6 +2233,26 @@ object TextQueries extends QueryModule {
       .filter(col("rn") > 1) // dup spans: everything but the global first
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + K - 1)).as("idx"))
       .distinct()
+    (docs, cov)
+  }
+
+  /** Gaps-and-islands merge of a covered-index table (doc_id, idx) into
+    * MAXIMAL intervals: consecutive indices share `idx − row_number()`
+    * within a doc, so one per-doc window pass + one groupBy yields each
+    * island's start/end/length. The window sorts per doc (bounded by doc
+    * length), never globally — the 100 TB shape. Exposed for the spec's
+    * engineered overlapping runs. */
+  def mergeIslands(cov: DataFrame): DataFrame = {
+    val wI = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    cov.withColumn("grp", col("idx") - row_number().over(wI))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("idx")).as("start"), max(col("idx")).as("end"),
+        count(lit(1)).as("len"))
+      .select(col("doc_id"), col("start"), col("end"), col("len"))
+  }
+
+  def substrScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val (docs, cov) = scrubWordsAndCov(spark, sfDir)
     val wordRows = docs
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("idx"), col("w"))
@@ -2274,6 +2299,92 @@ object TextQueries extends QueryModule {
       GROUP BY wr.doc_id
     )
     ORDER BY doc_id"""
+
+  /** Shared oracle CTE chain: word arrays → 8-gram span hashes →
+    * DISTINCT covered indices → gaps-and-islands maximal intervals
+    * (DuckDB re-derives the same `idx − row_number()` grouping). */
+  private val covIslandsCteSql: String = """
+    w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i AS bigint) AS pos,
+             md5(list_aggregate(ws[i:i+7], 'string_agg', ' ')) AS h
+      FROM w, unnest(range(1, len(ws) - 8 + 2)) AS t(i)
+    ), cov AS (
+      SELECT DISTINCT doc_id, CAST(j AS bigint) AS idx
+      FROM (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM g) r, unnest(range(r.pos, r.pos + 8)) AS u(j)
+      WHERE rn > 1
+    ), islands AS (
+      SELECT doc_id, min(idx) AS start, max(idx) AS "end",
+             CAST(count(*) AS bigint) AS len
+      FROM (SELECT doc_id, idx,
+                   idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+            FROM cov)
+      GROUP BY doc_id, grp
+    )"""
+
+  /** Maximal duplicated-span readout per doc — the Lee et al.
+    * suffix-array statistic the fixed-window scrub approximates: merge
+    * [[substrScrub]]'s covered indices into maximal intervals
+    * (gaps-and-islands, [[mergeIslands]]) and report each doc's island
+    * count, covered words, LONGEST duplicated span and where it starts
+    * (smallest start on length ties). `covered_words` equals the scrub's
+    * `n_removed` by construction — spec-asserted cross-check. Same scale
+    * shape as the scrub plus one per-doc-bounded window pass. */
+  def spanIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, cov) = scrubWordsAndCov(spark, sfDir)
+    mergeIslands(cov)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("len")).as("covered_words"),
+        max(col("len")).as("longest_span"),
+        // argmax by (len desc, start asc): smallest start wins a length tie
+        (-max(struct(col("len"), (-col("start")).as("neg"))).getField("neg"))
+          .as("longest_start"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanIslandsSql: String = s"""
+    WITH $covIslandsCteSql,
+    per AS (
+      SELECT doc_id, CAST(count(*) AS bigint) AS n_islands,
+             CAST(sum(len) AS bigint) AS covered_words
+      FROM islands GROUP BY doc_id
+    ), best AS (
+      SELECT doc_id, CAST(len AS bigint) AS longest_span,
+             CAST(start AS bigint) AS longest_start
+      FROM (SELECT doc_id, len, start,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY len DESC, start) AS rk
+            FROM islands)
+      WHERE rk = 1
+    )
+    SELECT p.doc_id, p.n_islands, p.covered_words, b.longest_span, b.longest_start
+    FROM per p JOIN best b ON p.doc_id = b.doc_id
+    ORDER BY p.doc_id"""
+
+  /** Span-length histogram over the merged maximal intervals: how long
+    * do duplicated runs actually get, corpus-wide — island count, docs
+    * touched and words covered per length. The |lengths| domain is
+    * bounded by the longest doc, so the final agg is a tiny shuffle. */
+  def spanLengthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, cov) = scrubWordsAndCov(spark, sfDir)
+    mergeIslands(cov)
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n_islands"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("len")).as("covered_words"))
+      .orderBy(col("len"))
+  }
+
+  val spanLengthHistSql: String = s"""
+    WITH $covIslandsCteSql
+    SELECT len, CAST(count(*) AS bigint) AS n_islands,
+           CAST(count(DISTINCT doc_id) AS bigint) AS n_docs,
+           CAST(sum(len) AS bigint) AS covered_words
+    FROM islands
+    GROUP BY len
+    ORDER BY len"""
 
   /** Span-level duplication rate (the Lee et al. 2021 "deduplicating
     * training data" corpus readout): for each doc, what fraction of its
@@ -2839,6 +2950,8 @@ object TextQueries extends QueryModule {
     "t_gopher_rules"  -> (gopherRules _),
     "t_span_dup_rate" -> (spanDupRate _),
     "t_substr_scrub"  -> (substrScrub _),
+    "t_span_islands"  -> (spanIslands _),
+    "t_span_length_hist" -> (spanLengthHist _),
     "t_curriculum"    -> (curriculum _),
     "t_dsir_weight"   -> (dsirWeight _),
     "t_normalize"     -> (normalizeText _))
@@ -2898,6 +3011,8 @@ object TextQueries extends QueryModule {
     "t_gopher_rules"  -> gopherRulesSql,
     "t_span_dup_rate" -> spanDupRateSql,
     "t_substr_scrub"  -> substrScrubSql,
+    "t_span_islands"  -> spanIslandsSql,
+    "t_span_length_hist" -> spanLengthHistSql,
     "t_curriculum"    -> curriculumSql,
     "t_dsir_weight"   -> dsirWeightSql,
     "t_normalize"     -> normalizeTextSql)

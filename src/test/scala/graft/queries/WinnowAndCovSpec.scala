@@ -9,6 +9,52 @@ import graft.SparkSpecBase
   * localize when it breaks. */
 class WinnowAndCovSpec extends SparkSpecBase {
 
+  test("mergeIslands: engineered overlapping runs merge into maximal intervals") {
+    import spark.implicits._
+    // doc 1: two islands — {3..10} (two overlapping 8-spans 3..10 would
+    // union to 3..10 via indices) and {20..21}; doc 2: singletons with a
+    // gap; doc 3: one index
+    val cov = Seq(
+      (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (1L, 7L), (1L, 8L), (1L, 9L), (1L, 10L),
+      (1L, 20L), (1L, 21L),
+      (2L, 1L), (2L, 3L), (2L, 4L),
+      (3L, 7L)).toDF("doc_id", "idx")
+    val got = TextQueries.mergeIslands(cov).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start"),
+        r.getAs[Long]("end"), r.getAs[Long]("len"))).toSet
+    assert(got === Set(
+      (1L, 3L, 10L, 8L), (1L, 20L, 21L, 2L),
+      (2L, 1L, 1L, 1L), (2L, 3L, 4L, 2L),
+      (3L, 7L, 7L, 1L)))
+    // shuffled input order must not change the merge
+    val got2 = TextQueries.mergeIslands(
+      cov.orderBy(org.apache.spark.sql.functions.rand(7))).collect()
+    assert(got2.length === got.size)
+  }
+
+  test("spanIslands covered_words equals substrScrub n_removed per doc") {
+    val scrub = TextQueries.substrScrub(spark, Sf)
+      .select("doc_id", "n_removed").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed")).toMap
+    val isl = TextQueries.spanIslands(spark, Sf).collect()
+    assert(isl.nonEmpty)
+    isl.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("covered_words") === scrub(d), s"doc $d")
+      assert(r.getAs[Long]("longest_span") >= 8L, s"doc $d") // spans are 8-gram unions
+      assert(r.getAs[Long]("longest_span") <= r.getAs[Long]("covered_words"))
+    }
+    // docs absent from the island table are exactly the zero-removed docs
+    val zero = scrub.count(_._2 == 0L)
+    assert(isl.length === scrub.size - zero)
+    // histogram mass agrees with the per-doc view
+    val hist = TextQueries.spanLengthHist(spark, Sf).collect()
+    assert(hist.map(_.getAs[Long]("covered_words")).sum ===
+      isl.map(_.getAs[Long]("covered_words")).sum)
+    assert(hist.map(_.getAs[Long]("n_islands")).sum ===
+      isl.map(_.getAs[Long]("n_islands")).sum)
+  }
+
   test("winnow guarantees a fingerprint hit for a long shared run") {
     import spark.implicits._
     // docs 1 and 2 share a 12-word run (≥ w+2 = 6 consecutive shingles
