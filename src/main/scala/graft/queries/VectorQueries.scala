@@ -695,6 +695,132 @@ object VectorQueries extends QueryModule {
     ORDER BY nprobe"""
   }
 
+  // -------------------------------------------------------------- kNN graph
+
+  /** Neighbors kept per vector in [[knnGraph]]. */
+  val KnnK = 5
+  /** Cells each vector probes when building the graph. */
+  val KnnProbe = 2
+
+  /** k-NN graph construction — every vector's top-[[KnnK]] cosine
+    * neighbors, the building block for graph-based dedup/diversity
+    * filtering and HNSW-style indexes. Unlike the query-set ANN rows
+    * (10 probe vectors), EVERY vector is a query here, so the coarse
+    * quantizer scales with the corpus: ncells = clamp(16, 256, ⌊√n⌋)
+    * sampled centroids (deterministic id cut — the oracle replays it;
+    * at true corpus scale swap in [[graft.operators.KMeans]] centroids
+    * and raise the clamp — cells ∝ √n keeps per-cell work flat).
+    * Candidates come from each vector's [[KnnProbe]] nearest cells via a
+    * cell equi-join (never all-pairs), and the per-vector top-k is the
+    * bounded [[graft.operators.TopK]] aggregator — shuffle O(n·k), NOT a
+    * window sort over all candidate pairs. */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val n = e.count()
+    val ncells = math.max(16L, math.min(256L, math.sqrt(n.toDouble).toLong))
+    val cents = e.filter(col("vec_id") < ncells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+      .withColumn("crnk", rank().over(wAssign))
+      .localCheckpoint(false) // feeds home cells AND probe lists
+    val cellOf = assigned.filter(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val probes = assigned.filter(col("crnk") <= KnnProbe)
+      .select(col("vec_id").as("src_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    // each (src, nbr) pair arises at most once: probe cells are distinct
+    // and a neighbor has one home cell — no dedup pass needed
+    val scored = cellOf.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("src_id"))
+      .select(col("src_id"), col("vec_id").as("nbr_id"),
+        cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+    graft.operators.TopK.topK(scored, "src_id", "cos_bp", "nbr_id", KnnK)
+      .select(col("src_id"), col("rnk").cast("long").as("rnk"),
+        col("nbr_id"), col("cos_bp"))
+      .orderBy(col("src_id"), col("rnk"))
+  }
+
+  /** CTE chain: √n-cell assignment + all-vector probes (the [[knnGraph]]
+    * counterpart of `ivfCellCtes`, which fixes 16 cells / 10 queries). */
+  private val knnCtes: String = {
+    val dotVC = "list_reduce(list_transform(range(1, len(e.v) + 1), i -> CAST(e.v[i] AS double) * CAST(c.cv[i] AS double)), (x, y) -> x + y)"
+    val dotQC = "list_reduce(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS double) * CAST(t.v[i] AS double)), (x, y) -> x + y)"
+    s"""e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt(${dotSqlOf("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ), nc AS (
+      SELECT greatest(16, least(256, CAST(floor(sqrt(count(*))) AS bigint))) AS ncells
+      FROM e
+    ), kcents AS (
+      SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e CROSS JOIN nc
+      WHERE vec_id < ncells
+    ), kassigned AS (
+      SELECT e.vec_id, e.v, e.nrm, c.cell,
+             rank() OVER (PARTITION BY e.vec_id
+                          ORDER BY $dotVC / (e.nrm * c.cn) DESC, c.cell) AS crnk
+      FROM e CROSS JOIN kcents c
+    ), kcellof AS (
+      SELECT vec_id, v, nrm, cell FROM kassigned WHERE crnk = 1
+    ), kprobes AS (
+      SELECT vec_id AS src_id, v AS qv, nrm AS qn, cell
+      FROM kassigned WHERE crnk <= $KnnProbe
+    ), kscored AS (
+      SELECT q.src_id, t.vec_id AS nbr_id,
+             CAST(floor($dotQC * 10000.0 / (q.qn * t.nrm)) AS bigint) AS cos_bp
+      FROM kcellof t JOIN kprobes q ON t.cell = q.cell AND t.vec_id <> q.src_id
+    ), kgraph AS (
+      SELECT src_id, CAST(rnk AS bigint) AS rnk, nbr_id, cos_bp FROM (
+        SELECT src_id, nbr_id, cos_bp,
+               row_number() OVER (PARTITION BY src_id
+                 ORDER BY cos_bp DESC, nbr_id) AS rnk
+        FROM kscored
+      ) WHERE rnk <= $KnnK
+    )"""
+  }
+
+  val knnGraphSql: String = s"""
+    WITH $knnCtes
+    SELECT src_id, rnk, nbr_id, cos_bp FROM kgraph
+    ORDER BY src_id, rnk"""
+
+  /** Recall of the [[knnGraph]] edges against brute-force cosine truth,
+    * in the `e_ann_recall` posture: per query vector (vec_id < 10), how
+    * many of the exact top-5 neighbors does the graph keep. Prices the
+    * √n-cell / 2-probe candidate generation the same way the other ANN
+    * variants are priced. */
+  def knnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annBruteForce(spark, sfDir).select(col("q_id"), col("cand_id"))
+    val approx = knnGraph(spark, sfDir)
+      .filter(col("src_id") < 10)
+      .select(col("src_id").as("q_id"), col("nbr_id").as("cand_id"),
+        lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("q_id"), col("n_truth"), col("n_hit"),
+        expr("10000 * n_hit div n_truth").as("recall_bp"))
+      .orderBy(col("q_id"))
+  }
+
+  val knnRecallSql: String = s"""
+    WITH $knnCtes,
+    truth AS (SELECT q_id, cand_id FROM ($annBruteForceSql) t),
+    approx AS (
+      SELECT src_id AS q_id, nbr_id AS cand_id, 1 AS hit
+      FROM kgraph WHERE src_id < 10
+    )
+    SELECT q_id, count(*) AS n_truth,
+           CAST(sum(coalesce(hit, 0)) AS bigint) AS n_hit,
+           (10000 * CAST(sum(coalesce(hit, 0)) AS bigint) // count(*)) AS recall_bp
+    FROM truth LEFT JOIN approx USING (q_id, cand_id)
+    GROUP BY q_id
+    ORDER BY q_id"""
+
   // --------------------------------------------------------------------- PQ
 
   /** Product-quantization geometry: 64 dims → 8 subspaces × 8 dims, a
@@ -2638,6 +2764,8 @@ object VectorQueries extends QueryModule {
     "e_ann_filtered"    -> (annFiltered _),
     "e_hard_negatives"  -> (hardNegatives _),
     "e_ann_recall"      -> (annRecall _),
+    "e_knn_graph"       -> (knnGraph _),
+    "e_knn_recall"      -> (knnRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_semdedup"        -> (semDedup _),
     "d_semdedup_eval"   -> (semDedupEval _),
@@ -2695,6 +2823,8 @@ object VectorQueries extends QueryModule {
     "e_ann_filtered"    -> annFilteredSql,
     "e_hard_negatives"  -> hardNegativesSql,
     "e_ann_recall"      -> annRecallSql,
+    "e_knn_graph"       -> knnGraphSql,
+    "e_knn_recall"      -> knnRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_minhash_keep"    -> minhashKeepSql,
     "d_minhash_incr"    -> minhashIncrSql,

@@ -54,8 +54,23 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q18_large_orders", "q19_bracket_revenue",
                   "q20_promo_suppliers", "q21_waiting_supplier",
                   "q22_idle_customers", "t_ccnet_bucket", "t_source_cap",
-                  "t_fertility", "q_range_join", "q_bitmap_distinct"))
+                  "t_fertility", "q_range_join", "q_bitmap_distinct",
+                  "e_knn_graph", "e_knn_recall", "t_span_islands",
+                  "t_span_length_hist", "q_fsimage_open_files"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
+  }
+
+  test("e_knn_graph: cell equi-join candidates (no all-pairs self-join), bounded TopK (no corpus window sort)") {
+    val p = plan("e_knn_graph")
+    // candidate generation must stay the probed-cell equi-join — an
+    // all-pairs vector self-join would be quadratic in the corpus
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[cell#".r
+      .findFirstIn(p).isDefined, "cell equi-join missing in e_knn_graph")
+    assert(!p.contains("CartesianProduct"), "cartesian in e_knn_graph")
+    // the per-vector top-k must be the bounded aggregator: the only
+    // window in the plan is the per-vector cell assignment (a rank over
+    // ncells rows), never one over the candidate-pair table
+    assert(!p.contains("row_number"), "candidate-pair window sort leaked into e_knn_graph")
   }
 
   test("t_substr_scrub stays an inverted-index pipeline: span-hash window, (doc,idx) equi-join, no nested-loop") {
