@@ -2804,6 +2804,109 @@ object TextQueries extends QueryModule {
     ORDER BY n_occ DESC, pair
     LIMIT 20"""
 
+  /** Merges mined by [[bpeLoop]]. */
+  val BpeLoopMerges = 8
+
+  /** BPE merge LOOP — the full Sennrich et al. 2016 training iteration
+    * [[bpeMerges]] only samples the first step of: m = [[BpeLoopMerges]]
+    * rounds over the freq-weighted vocab table, each round (1) counting
+    * adjacent symbol pairs, (2) adopting the most frequent pair (ties →
+    * lexicographically smallest) as a new symbol, and (3) re-segmenting
+    * every form — so later merges see the earlier ones, which is what
+    * makes BPE BPE. Per round the output reports the adopted pair, its
+    * count at adoption time, and the corpus token count after applying
+    * it (freq-weighted Σ symbols) plus tokens-per-10k-chars — the
+    * compression / fertility-shift trajectory against [[fertility]].
+    *
+    * Representation: each form's segmentation is a STRING of
+    * chr(1)+sym+chr(2) units, so "apply merge (a,b)" is one
+    * `replace(enc, ⟨a⟩⟨b⟩, ⟨ab⟩)` — left-to-right non-overlapping
+    * replace IS greedy BPE application, and both engines share its
+    * semantics exactly (the delimiters make matches unambiguous and
+    * non-boundary-sharing). Scale shape: everything runs on the
+    * |vocab|-bounded form table (corpus-independent after the one
+    * word-count shuffle); the adopted pair is a 1-row broadcast per
+    * round; plan depth pinned by per-round localCheckpoints (the
+    * KCore/kmeans unrolled-trajectory recipe, mirrored by the oracle's
+    * unrolled CTE chain). */
+  def bpeLoop(spark: SparkSession, sfDir: String): DataFrame = {
+    val encOf = regexp_replace(col("term"), "(.)", "\u0001$1\u0002")
+    var vocab = Tables.documents(spark, sfDir)
+      .select(explode(words(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .select(col("term"), col("freq"), encOf.as("enc"))
+      .localCheckpoint()
+    val chars = vocab.agg(sum(col("freq") * length(col("term"))).as("chars"))
+      .collect()(0).getAs[Long]("chars")
+    val nsym = length(col("enc")) - length(expr("replace(enc, chr(1), '')"))
+    val rounds = Seq.newBuilder[DataFrame]
+    for (r <- 1 to BpeLoopMerges) {
+      val pairs = vocab
+        .select(col("freq"),
+          split(expr("substring(enc, 2, length(enc) - 2)"), "\u0002\u0001").as("syms"))
+        .filter(size(col("syms")) >= 2) // sequence(1, 0) would step backwards
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+            "'pa', element_at(syms, CAST(i AS int)), " +
+            "'pb', element_at(syms, CAST(i + 1 AS int))))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("freq")).as("n_occ"))
+      val best = pairs.orderBy(col("n_occ").desc, col("pa"), col("pb")).limit(1)
+        .localCheckpoint(false)
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(col("term"), col("freq"), expr(
+          "replace(enc, concat(chr(1), pa, chr(2), chr(1), pb, chr(2)), " +
+            "concat(chr(1), pa, pb, chr(2)))").as("enc"))
+        .localCheckpoint()
+      rounds += vocab
+        .agg(sum(col("freq") * nsym).as("corpus_tokens"))
+        .crossJoin(broadcast(best))
+        .select(lit(r.toLong).as("merge_no"), col("pa"), col("pb"),
+          col("n_occ"), col("corpus_tokens"),
+          expr(s"corpus_tokens * 10000 div $chars").as("tok_per_10k_chars"))
+    }
+    rounds.result().reduce(_ unionByName _).orderBy(col("merge_no"))
+  }
+
+  val bpeLoopSql: String = {
+    val S = "chr(1)"; val E = "chr(2)"
+    val roundCtes = (1 to BpeLoopMerges).map { r =>
+      s"""bp$r AS (
+      SELECT syms[i] AS pa, syms[i + 1] AS pb, CAST(sum(freq) AS bigint) AS n_occ
+      FROM (SELECT freq,
+                   string_split(substr(enc, 2, length(enc) - 2), $E || $S) AS syms
+            FROM bv${r - 1} WHERE length(enc) >= 6),
+           unnest(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2
+    ), bb$r AS (
+      SELECT pa, pb, n_occ FROM bp$r ORDER BY n_occ DESC, pa, pb LIMIT 1
+    ), bv$r AS (
+      SELECT term, freq,
+             replace(enc, $S || pa || $E || $S || pb || $E, $S || pa || pb || $E) AS enc
+      FROM bv${r - 1} CROSS JOIN bb$r
+    ), bs$r AS (
+      SELECT CAST($r AS bigint) AS merge_no, b.pa, b.pb, b.n_occ,
+             CAST(sum(freq * (length(enc) - length(replace(enc, $S, '')))) AS bigint) AS corpus_tokens
+      FROM bv$r CROSS JOIN bb$r b
+      GROUP BY b.pa, b.pb, b.n_occ
+    )"""
+    }.mkString(", ")
+    val unions = (1 to BpeLoopMerges).map(r => s"SELECT * FROM bs$r").mkString(" UNION ALL ")
+    s"""
+    WITH bv0 AS (
+      SELECT term, CAST(count(*) AS bigint) AS freq,
+             regexp_replace(term, '(.)', $S || '\\1' || $E, 'g') AS enc
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents)
+      GROUP BY term
+    ), bchars AS (
+      SELECT CAST(sum(freq * length(term)) AS bigint) AS chars FROM bv0
+    ), $roundCtes
+    SELECT merge_no, pa, pb, n_occ, corpus_tokens,
+           corpus_tokens * 10000 // (SELECT chars FROM bchars) AS tok_per_10k_chars
+    FROM ($unions)
+    ORDER BY merge_no"""
+  }
+
   // ------------------------------------------------------------ source caps
 
   /** Per-source document cap — the "no domain may dominate the mixture"
@@ -2900,6 +3003,7 @@ object TextQueries extends QueryModule {
     "t_source_cap"    -> (sourceCap _),
     "t_fertility"     -> (fertility _),
     "t_bpe_merges"    -> (bpeMerges _),
+    "t_bpe_loop"      -> (bpeLoop _),
     "t_decontaminate13" -> (decontaminate13 _),
     "t_ttr"           -> (ttr _),
     "d_cluster_sizes" -> (clusterSizes _),
@@ -2961,6 +3065,7 @@ object TextQueries extends QueryModule {
     "t_source_cap"    -> sourceCapSql,
     "t_fertility"     -> fertilitySql,
     "t_bpe_merges"    -> bpeMergesSql,
+    "t_bpe_loop"      -> bpeLoopSql,
     "t_decontaminate13" -> decontaminate13Sql,
     "t_ttr"           -> ttrSql,
     "d_cluster_sizes" -> clusterSizesSql,

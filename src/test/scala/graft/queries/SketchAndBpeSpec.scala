@@ -133,6 +133,59 @@ class SketchAndBpeSpec extends SparkSpecBase {
     assert(fused.forall(_.getAs[Long]("n_lists") >= 1L))
   }
 
+  test("bpeLoop matches an in-memory reference BPE trajectory, incl. overlap semantics") {
+    import spark.implicits._
+    // "aaaa" pins the greedy-overlap contract: pair (a,a) counts 3 slots
+    // but only 2 non-overlapping merges apply; later rounds then merge
+    // the merged symbols ("aa","aa") — the re-pairing bpeMerges can't see
+    val dir = Files.createTempDirectory("bpeloop").toString
+    Seq(
+      (1L, "aaaa aaaa abab", "en", "web", 14L),
+      (2L, "abab the the banana", "en", "web", 19L),
+      (3L, "banana the aaaa", "en", "web", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // reference BPE: same tie-break (count desc, pair asc), same greedy
+    // leftmost non-overlapping application
+    var vocab: Map[Vector[String], Long] = Seq(
+      "aaaa", "aaaa", "abab", "abab", "the", "the", "banana", "banana",
+      "the", "aaaa").groupBy(identity).map { case (t, o) =>
+        t.map(_.toString).toVector -> o.size.toLong }
+    val totalChars = vocab.map { case (s, f) => s.map(_.length).sum * f }.sum
+    def applyMerge(s: Vector[String], pa: String, pb: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == pa && s(i + 1) == pb) {
+          out += (pa + pb); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    val expect = (1 to TextQueries.BpeLoopMerges).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (s, f) =>
+        s.indices.dropRight(1).foreach { i =>
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f }
+      }
+      val ((pa, pb), n) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      vocab = vocab.toSeq.map { case (s, f) => applyMerge(s, pa, pb) -> f }
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      val toks = vocab.map { case (s, f) => s.length * f }.sum
+      (r.toLong, pa, pb, n, toks, toks * 10000L / totalChars)
+    }
+
+    val got = TextQueries.bpeLoop(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect)
+    // the overlap case actually fired: round-1 merge is (a,a) with 9
+    // counted slots but tokens drop by only 6 (2 applications × 3 forms)
+    assert(got.head._2 == "a" && got.head._3 == "a" && got.head._4 == 9L)
+  }
+
   test("bpeMerges finds the engineered dominant pair with exact weights") {
     import spark.implicits._
     // "abab" contributes pairs ab, ba, ab per occurrence; corpus freq 3.
