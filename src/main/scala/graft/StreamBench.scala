@@ -99,6 +99,20 @@ object StreamBench {
         EventsStream.bloomGated(
           df.withColumn("fp", md5(col("user_id").cast("string"))),
           graft.operators.Dedup.bloomMask(corpus))
+      },
+      bench("lsh_gate", "append") { df =>
+        // fuzzy twin of bloom_gate: 8-word texts keyed by id%40 → heavy
+        // near-dup traffic against a 500-doc corpus band index; measures
+        // the per-row band computation + index probe + per-doc argmax
+        def textOf(c: org.apache.spark.sql.Column) = concat_ws(" ",
+          (0 until 8).map(j => concat(lit(s"w$j" + "_"), pmod(c + j, lit(40)))): _*)
+        val corpus = spark.range(0, 500)
+          .select(col("id").as("doc_id"), textOf(col("id")).as("text"))
+        val index = graft.queries.VectorQueries.minhashBandIndex(corpus)
+          .localCheckpoint()
+        EventsStream.lshGated(
+          df.select(col("event_id").as("doc_id"),
+            textOf(col("user_id")).as("text")), index).toDF()
       }) ++ withRocksDb(spark) {
       // the transformWithState (v2 state API) family needs RocksDB; the
       // provider is restored afterwards so ops added later keep benching

@@ -1434,14 +1434,18 @@ object VectorQueries extends QueryModule {
   /** The banded-signature table (doc_id, band, bh), checkpointed — both
     * self-join sides of [[minhashPairs]] and both halves of
     * [[minhashIncr]]'s corpus/batch split reuse it. */
-  private def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Banded-MinHash index of a documents table (doc_id, text) →
+    * (doc_id, band, bh) — public so the streaming LSH gate
+    * ([[graft.streaming.EventsStream.lshGated]]) probes the EXACT hash
+    * family the batch chain builds. */
+  def minhashBandIndex(docs: DataFrame): DataFrame = {
     val numHashes = 12
     val bandSize = 2
     val sigCols = (0 until numHashes).map { i =>
       min((lit(HashA(i)) * col("x") + lit(HashB(i)) * col("y") + lit(HashC(i)))
         .bitwiseAND(lit(0xFFFFFFFFL))).as(s"h$i")
     }
-    val sigs = Tables.documents(spark, sfDir)
+    val sigs = docs
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.word_shingles_raw(col("text")))).as("sh"))
       .withColumn("hh", md5(col("sh")))
@@ -1456,8 +1460,39 @@ object VectorQueries extends QueryModule {
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .localCheckpoint() // signature table built once, reused by both join sides
   }
+
+  /** Per-ROW band keys for one document's text: the same 12-hash / 6-band
+    * family as [[minhashBandIndex]], folded into higher-order array
+    * expressions so a STREAMING row computes its probe keys with no
+    * groupBy (stateless, codegen-friendly). Null when the text is too
+    * short to shingle — `explode_outer` keeps such docs as no-hit rows.
+    * Value-identical to the index recipe by construction (min over the
+    * same distinct-shingle hash set); spec-asserted row-for-row. */
+  def minhashBandKeys(text: Column): Column = {
+    val numHashes = 12
+    val xy = transform(array_distinct(graft.functions.word_shingles_raw(text)), sh => {
+      val hh = md5(sh)
+      struct(conv(substring(hh, 1, 8), 16, 10).cast("long").as("x"),
+        conv(substring(hh, 9, 8), 16, 10).cast("long").as("y"))
+    })
+    val sig = (0 until numHashes).map { i =>
+      array_min(transform(xy, p =>
+        (lit(HashA(i)) * p.getField("x") + lit(HashB(i)) * p.getField("y") + lit(HashC(i)))
+          .bitwiseAND(lit(0xFFFFFFFFL))))
+    }
+    val bands = (0 until numHashes / 2).map { b =>
+      struct(lit(b).as("band"),
+        conv(substring(md5(concat_ws("_",
+          sig(2 * b).cast("string"), sig(2 * b + 1).cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("bh"))
+    }
+    when(size(xy) >= 1, array(bands: _*))
+  }
+
+  private def minhashBands(spark: SparkSession, sfDir: String): DataFrame =
+    minhashBandIndex(Tables.documents(spark, sfDir))
+      .localCheckpoint() // signature table built once, reused by both join sides
 
   private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val exploded = minhashBands(spark, sfDir)

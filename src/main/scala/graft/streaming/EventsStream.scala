@@ -71,16 +71,39 @@ object EventsStream {
     * posture (state ∝ in-flight window, not stream history). */
   def intervalJoin(impressions: DataFrame, clicks: DataFrame,
                    watermark: String = "1 hour",
-                   joinWindowSec: Long = 1800): DataFrame = {
+                   joinWindowSec: Long = 1800): DataFrame =
+    intervalJoinWith(impressions, clicks, watermark, joinWindowSec, "inner")
+
+  /** LEFT OUTER stream-stream interval join — the attribution
+    * COMPLETENESS form: every impression emits, matched rows as they
+    * join, UNMATCHED impressions with null click columns once the
+    * watermark has passed the end of their join window (only then can
+    * Spark prove no click is still coming — the null-emission timing
+    * contract the spec pins). State stays bounded exactly as the inner
+    * form: both sides watermarked, the time-range condition bounds what
+    * each side buffers. This is the standard "which impressions never
+    * converted" readout an inner join silently drops. */
+  def intervalJoinOuter(impressions: DataFrame, clicks: DataFrame,
+                        watermark: String = "1 hour",
+                        joinWindowSec: Long = 1800): DataFrame =
+    intervalJoinWith(impressions, clicks, watermark, joinWindowSec, "left_outer")
+
+  private def intervalJoinWith(impressions: DataFrame, clicks: DataFrame,
+                               watermark: String, joinWindowSec: Long,
+                               joinType: String): DataFrame = {
     val imp = impressions
       .select(col("user_id"), col("ts").as("imp_ts"), col("value").as("imp_value"))
       .withWatermark("imp_ts", watermark)
     val clk = clicks
-      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
       .withWatermark("click_ts", watermark)
-    imp.join(clk, Seq("user_id")).where(
+    imp.join(clk,
+      col("user_id") === col("click_user") &&
       col("click_ts") >= col("imp_ts") &&
-      col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"))
+      col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"),
+      joinType)
+      .drop("click_user")
   }
 
   /** Stream-static enrichment: join the event stream against a static
@@ -108,6 +131,48 @@ object EventsStream {
       .withColumn("bloom_dup", graft.operators.Dedup
         .bloomHit(col("fp"), col("mask"), numBits, numHashes).cast("int"))
       .drop("_one", "mask")
+
+  case class LshVerdict(doc_id: Long, dup_of: Long, n_bands: Long, is_dup: Int)
+  // not private: the codegen'd row deserializer must instantiate it
+  case class BandHit(doc_id: Long, dup_of: Option[Long])
+
+  /** Streaming FUZZY-dedup gate — the banded-MinHash upgrade of
+    * [[bloomGated]]'s exact gate: each arriving document computes its 6
+    * LSH band keys PER ROW (higher-order array expressions,
+    * `VectorQueries.minhashBandKeys` — no groupBy, stateless), probes the
+    * persisted corpus band index with a stream-static left equi-join on
+    * (band, bh), and emits one verdict per doc: the corpus doc sharing
+    * the most bands (ties → smallest id), exactly the batch
+    * `d_minhash_incr` contract (spec-asserted row-for-row across uneven
+    * micro-batch splits). The per-doc argmax runs in
+    * `flatMapGroupsWithState` with ZERO retained state — a doc's band
+    * rows all live in its own micro-batch, so the group closes
+    * immediately; total state is bounded at nothing, forever. At scale
+    * the index is a (band, bh)-bucketed table the join prunes to probed
+    * buckets; a re-delivered doc id re-emits its (identical) verdict. */
+  def lshGated(stream: DataFrame, corpusIndex: DataFrame): Dataset[LshVerdict] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bands = stream.select(col("doc_id"),
+        explode_outer(graft.queries.VectorQueries.minhashBandKeys(col("text"))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val probed = bands.join(
+      corpusIndex.select(col("doc_id").as("dup_of"), col("band"), col("bh")),
+      Seq("band", "bh"), "left")
+    def step(doc: Long, rows: Iterator[BandHit],
+             state: GroupState[Int]): Iterator[LshVerdict] = {
+      val counts = scala.collection.mutable.Map[Long, Long]()
+      rows.foreach(_.dup_of.foreach(c => counts(c) = counts.getOrElse(c, 0L) + 1))
+      if (counts.isEmpty) Iterator(LshVerdict(doc, -1L, 0L, 0))
+      else {
+        val (dupOf, nb) = counts.minBy { case (d, n) => (-n, d) }
+        Iterator(LshVerdict(doc, dupOf, nb, 1))
+      }
+    }
+    probed.select(col("doc_id"), col("dup_of")).as[BandHit]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+  }
 
   case class KeyedId(event_type: String, user_id: Long)
   case class KmvState(hs: Array[Long])

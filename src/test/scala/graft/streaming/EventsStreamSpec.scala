@@ -178,6 +178,65 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("LEFT OUTER interval join emits unmatched impressions at watermark expiry, matches batch") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(userId: Long, offsetMin: Long, v: Double) =
+      Ev(new Timestamp(base + offsetMin * 60000), "x", userId, v)
+
+    val imps = MemoryStream[Ev]
+    val clks = MemoryStream[Ev]
+    val query = EventsStream.intervalJoinOuter(imps.toDF(), clks.toDF(),
+        watermark = "10 minutes", joinWindowSec = 1800)
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      // user 1 converts (+10min); user 2 clicks OUTSIDE the window
+      // (+40min from a +5min impression = +35min > 30min); user 3 never
+      // clicks at all — 2 and 3 are the completeness rows inner drops
+      imps.addData(ev(1, 0, 100), ev(2, 5, 200), ev(3, 6, 300))
+      clks.addData(ev(1, 10, 1), ev(2, 40, 2))
+      query.processAllAvailable()
+
+      // TIMING contract: with the watermark still at +40min−10min=+30min,
+      // user-2/3's join windows (+35/+36min) have NOT expired — no null
+      // rows may have been emitted yet
+      val early = spark.table("attrib_outer")
+        .select("user_id", "click_value")
+        .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+      assert(early.count(_._2) === 0,
+        s"null rows emitted before watermark expiry: ${early.mkString(",")}")
+
+      // push both watermarks far past every window end → nulls flush
+      imps.addData(ev(9, 600, 0)); clks.addData(ev(9, 600, 0))
+      query.processAllAvailable()
+      imps.addData(ev(9, 660, 0)); clks.addData(ev(9, 660, 0))
+      query.processAllAvailable()
+
+      val got = spark.table("attrib_outer")
+        .select("user_id", "imp_value", "click_value")
+        .collect().filter(_.getLong(0) != 9L)
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      // batch twin: left join with the same interval predicate
+      val impB = Seq((1L, 0L, 100.0), (2L, 5L, 200.0), (3L, 6L, 300.0))
+        .toDF("user_id", "imp_min", "imp_value")
+      val clkB = Seq((1L, 10L, 1.0), (2L, 40L, 2.0))
+        .toDF("cu", "click_min", "click_value")
+      val batch = impB.join(clkB,
+          col("user_id") === col("cu") &&
+          col("click_min") >= col("imp_min") &&
+          col("click_min") <= col("imp_min") + 30, "left")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("imp_value"),
+          Option(r.getAs[Any]("click_value")).map(_.asInstanceOf[Double]))).toSet
+      assert(got === batch)
+      assert(got === Set((1L, 100.0, Some(1.0)), (2L, 200.0, None), (3L, 300.0, None)))
+    } finally query.stop()
+  }
+
   test("stream-static enrichment matches the batch join") {
     val session = spark
     import session.implicits._
@@ -259,6 +318,51 @@ class EventsStreamSpec extends SparkSpecBase {
           rows.toDF("id", "txt").select(col("id"), md5(col("txt")).as("fp")))
         .collect().map(r => (r.getLong(0), r.getAs[Int]("bloom_dup"))).toMap
       assert(got == batch)
+    } finally query.stop()
+  }
+
+  test("streaming LSH gate agrees with batch d_minhash_incr row-for-row across uneven splits") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Sf = "/root/testdata/sf0.001"
+
+    // same split as the batch query: corpus = doc_id % 5 != 0, batch
+    // (arriving) docs = doc_id % 5 == 0
+    val docs = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"))
+    val corpusIndex = graft.queries.VectorQueries
+      .minhashBandIndex(docs.filter(col("doc_id") % 5 =!= 0))
+      .localCheckpoint()
+    val arriving = docs.filter(col("doc_id") % 5 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(arriving.length > 10)
+
+    val input = MemoryStream[(Long, String)]
+    val query = EventsStream.lshGated(
+        input.toDF().toDF("doc_id", "text"), corpusIndex)
+      .writeStream.format("memory").queryName("lsh_gated")
+      .outputMode("append").start()
+    try {
+      // uneven micro-batches: 1, then 7, then the rest
+      input.addData(arriving.take(1): _*)
+      query.processAllAvailable()
+      input.addData(arriving.slice(1, 8): _*)
+      query.processAllAvailable()
+      input.addData(arriving.drop(8): _*)
+      query.processAllAvailable()
+
+      val got = spark.table("lsh_gated")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("dup_of"), r.getAs[Long]("n_bands"), r.getAs[Int]("is_dup"))))
+        .toMap
+      val batch = graft.queries.VectorQueries.minhashIncr(spark, Sf)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("dup_of"), r.getAs[Long]("n_bands"), r.getAs[Int]("is_dup"))))
+        .toMap
+      assert(got.keySet === batch.keySet)
+      assert(got === batch) // identical best-match, band count and verdict
+      assert(got.values.exists(_._3 == 1), "no duplicate detected — gate untested")
     } finally query.stop()
   }
 

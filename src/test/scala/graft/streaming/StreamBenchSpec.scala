@@ -10,9 +10,9 @@ class StreamBenchSpec extends SparkSpecBase {
     val results = graft.StreamBench.run(spark, "/root/testdata/sf0.001", chunks = 3)
     assert(results.keySet == Set(
       "windowed_counts", "user_activity", "dedup", "sessionize", "enriched",
-      "bloom_gate", "kmv_distinct", "bitmap_distinct", "heavy_hitters", "cm_sketch",
-      "quantile_grid", "session_window", "user_totals", "user_type_counts",
-      "sessionize_v2"))
+      "bloom_gate", "lsh_gate", "kmv_distinct", "bitmap_distinct", "heavy_hitters",
+      "cm_sketch", "quantile_grid", "session_window", "user_totals",
+      "user_type_counts", "sessionize_v2"))
     assert(results.values.forall(s => s.sec > 0 && s.rows > 0))
     // all ops saw the same stream
     assert(results.values.map(_.rows).toSet.size == 1)
