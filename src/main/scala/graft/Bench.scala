@@ -20,7 +20,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  final case class Timing(name: String, median: Double, max: Double, min: Double)
+  final case class Timing(name: String, median: Double, max: Double, min: Double,
+                          stealBp: Long = 0L, load1: Double = 0.0)
+
+  /** (total, steal) jiffies from /proc/stat's aggregate cpu line — the
+    * host-contention ledger. On non-Linux both are 0 and ambient fields
+    * degrade to zeros (never a throw inside the bench loop). */
+  private[graft] def procStat(): (Long, Long) =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
+
+  private[graft] def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => 0.0 }
 
   /** Time each query `runs`× (median/max per query); a throwing query is
     * tried once, recorded as failed, and not retried. `keep` holds RDD ids
@@ -47,6 +64,10 @@ object Bench {
         System.gc()
         r
       }
+      // ambient-load ledger around the query's runs (VERDICT r7 item 7):
+      // host steal time + 1-min load make an in-suite vs solo timing
+      // divergence attributable from the artifact alone, without a re-run
+      val (tj0, sj0) = procStat()
       once() match {
         case Left(msg) =>
           System.err.println(s"[bench] $name FAILED: $msg")
@@ -62,9 +83,12 @@ object Bench {
             case None =>
               val all = (first +: rest.map(_.toOption.get)).sorted
               val t = all(all.size / 2)
+              val (tj1, sj1) = procStat()
+              val stealBp =
+                if (tj1 > tj0) 10000L * (sj1 - sj0) / (tj1 - tj0) else 0L
               System.err.println(
-                f"[bench] $name%-28s $t%8.3f s  (min ${all.head}%.3f / max ${all.last}%.3f)")
-              timings += Timing(name, t, all.last, all.head)
+                f"[bench] $name%-28s $t%8.3f s  (min ${all.head}%.3f / max ${all.last}%.3f, steal $stealBp bp)")
+              timings += Timing(name, t, all.last, all.head, stealBp, load1())
           }
       }
       // Drop anything this query persisted for itself (localCheckpoint'd
@@ -94,7 +118,12 @@ object Bench {
     val qsMax = jmap(timings.map(t => t.name -> ms3(t.max)))
     val failedJson = jmap(failures.map { case (k, m) => k -> Verify.jq(m) })
     val total = ms3(timings.map(_.median).sum)
-    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries_max":$qsMax,"queries":$qs}"""
+    // per-query ambient ledger: [steal_bp during the runs, 1-min loadavg
+    // after] — the attribution fields of VERDICT r7 item 7 (in-suite vs
+    // solo divergence must be explainable from the artifact alone)
+    val ambient = jmap(timings.map(t =>
+      t.name -> s"[${t.stealBp},${ms3(t.load1)}]"))
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"ambient":$ambient,"queries_max":$qsMax,"queries":$qs}"""
   }
 
   def main(args: Array[String]): Unit = {

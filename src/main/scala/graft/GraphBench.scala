@@ -29,6 +29,11 @@ object GraphBench {
     val spark = graft.core.GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = parts).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_GRAPH_CUTOVER overrides the broadcast→shuffled node-count
+    // cutover (set 1 to soak the forced-shuffled kcore/pagerank plans — the
+    // plan a >10⁷-node graph takes automatically)
+    sys.env.get("SPARK_GRAFT_GRAPH_CUTOVER").foreach(v =>
+      spark.conf.set(graft.operators.GraphScale.BroadcastMaxNodesKey, v))
     import SoakUtil.{time, ms3}
 
     val dir = java.nio.file.Files.createTempDirectory("graft_gsoak").toString
@@ -83,6 +88,8 @@ object GraphBench {
       s""""n_core_nodes":${c.getAs[Long]("n_core_nodes")},"core_stable":${c.getAs[Boolean]("stable")},""" +
       s""""synth_s":${ms3(tSynth)},"pagerank_s":${ms3(tPr)},"triangles_s":${ms3(tTri)},""" +
       s""""kcore_s":${ms3(tCore)},"lpa_s":${ms3(tLpa)},"n_communities":$nComms,""" +
+      s""""kcore_mode":"${graft.operators.KCore.lastMode}",""" +
+      s""""pagerank_mode":"${graft.queries.Analytics.qPagerankLastMode}",""" +
       s""""peak_heap_mb":${SoakUtil.peakHeapMb},"xmx_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)}}""")
     spark.stop()
   }

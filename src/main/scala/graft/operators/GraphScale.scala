@@ -32,6 +32,7 @@ object GraphScale {
 
   def broadcastMaxNodes(spark: SparkSession): Long =
     spark.conf.getOption(BroadcastMaxNodesKey)
+      .orElse(sys.env.get("SPARK_GRAFT_GRAPH_CUTOVER")) // bench/soak override
       .map(_.toLong).getOrElse(DefaultBroadcastMaxNodes)
 
   /** True iff a graph with `nNodes` measured nodes should attach its

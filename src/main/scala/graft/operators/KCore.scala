@@ -50,7 +50,13 @@ object KCore {
   def peel(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k-core threshold must be >= 1, got $k")
     require(rounds >= 1, s"peel rounds must be >= 1, got $rounds")
-    val e = sym.localCheckpoint()
+    // ONE edge materialization serves both plans (the r8 soak lesson: a
+    // plain checkpoint here plus a repartitioned one inside the shuffled
+    // peel held TWO copies of the edge table and starved a capped heap):
+    // the broadcast peel is layout-agnostic, the shuffled peel needs
+    // exactly this (v-partitioned, sorted) layout.
+    val e = sym.repartition(col("v")).sortWithinPartitions(col("v"))
+      .localCheckpoint()
     val nNodes = e.select(col("u")).distinct().count()
     if (GraphScale.useBroadcast(sym.sparkSession, nNodes)) {
       lastMode = "broadcast"; peelBroadcast(e, k, rounds)
@@ -90,9 +96,9 @@ object KCore {
     * table is recovered at the end by one double semi-join against the
     * final alive set (legal because alive sets are decreasing, so
     * cumulative per-round filtering ≡ filtering by the final set). */
-  private def peelShuffled(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val e = sym.repartition(col("v")).sortWithinPartitions(col("v"))
-      .localCheckpoint() // layout survives the checkpoint — edges never re-shuffle
+  private def peelShuffled(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // e arrives (v-partitioned, sorted) and checkpointed from peel() —
+    // the layout survives the checkpoint, so edges never re-shuffle
     var alive = e.select(col("u")).distinct().localCheckpoint()
     for (_ <- 1 to rounds) {
       val av = alive.withColumnRenamed("u", "n").hint("merge")

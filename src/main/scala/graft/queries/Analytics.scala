@@ -2026,16 +2026,21 @@ object Analytics extends QueryModule {
       // er's materialization (measured: half the query's wall time)
       .localCheckpoint()
     val e = und.union(und.select(col("v").as("u"), col("u").as("v")))
-    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("outd"))
-    val erBase = e.join(deg, "u").localCheckpoint() // reused by all 5 iterations
-    val nn = erBase.select(col("u")).distinct().count() // measured, drives the cutover
+    // deg is |V| rows — checkpointed so the node count AND the er join
+    // both reuse one materialization
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("outd")).localCheckpoint()
+    val nn = deg.count() // measured node count drives the cutover
     val useBroadcast = graft.operators.GraphScale.useBroadcast(spark, nn)
     qPagerankLastMode = if (useBroadcast) "broadcast" else "shuffled"
-    // shuffled mode pays ONE extra exchange here so the 5 merge joins
-    // reuse the layout (localCheckpoint preserves partitioning+ordering)
-    val er = if (useBroadcast) erBase
-      else erBase.repartition(col("u")).sortWithinPartitions(col("u"))
-        .localCheckpoint()
+    // exactly ONE edge-table materialization in either mode (the r8 soak
+    // lesson: checkpointing a base copy AND a repartitioned copy held the
+    // 2× edge table and starved a capped heap); shuffled mode lays it out
+    // (u-partitioned, sorted) so the 5 merge joins reuse the exchange
+    // (localCheckpoint preserves partitioning+ordering)
+    val erBase = e.join(deg, "u")
+    val er = (if (useBroadcast) erBase
+      else erBase.repartition(col("u")).sortWithinPartitions(col("u")))
+      .localCheckpoint()
     var r = deg.select(col("u").as("node"))
       .select(col("node"), lit(S / nn).as("rank"))
       .localCheckpoint()

@@ -69,7 +69,7 @@ class HarnessSpec extends SparkSpecBase {
 
   test("Bench.renderJson carries failed map and puts the median map last") {
     val json = Bench.renderJson(
-      Seq(Bench.Timing("good", 0.5, 0.7, 0.4)),
+      Seq(Bench.Timing("good", 0.5, 0.7, 0.4, stealBp = 3L, load1 = 1.25)),
       Seq("bad" -> "java.lang.IllegalStateException: deliberately broken"),
       "/tmp/sf")
     assert(json.contains(""""failed":{"bad":"""))
@@ -78,6 +78,8 @@ class HarnessSpec extends SparkSpecBase {
     assert(json.indexOf("\"queries\":{") > json.indexOf("\"queries_max\":{"),
       "median map must come after queries_max so tail truncation keeps it")
     assert(json.trim.endsWith("""{"good":0.5}}"""))
+    // ambient ledger (r7 verdict item 7): [steal_bp, load1] per query
+    assert(json.contains(""""ambient":{"good":[3,1.25]}"""), json)
   }
 
   test("timestamp contract: events.ts is TIMESTAMP_NTZ and every query analyzes against it") {
