@@ -13,7 +13,7 @@ import graft.functions.IECBinaryImpl
   *   commands: summary | smallfiles | smallfilesusers | userusage | path |
   *             inode | acl | xattr | quotas | growth | growthdirs |
   *             dupnames | du | compaction | ext | sections | snapshots |
-  *             refs | diffs | openfiles
+  *             refs | diffs | openfiles | cachepools | cache
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /); repeatable, and a
   *                     single -p also accepts a comma-separated list —
@@ -63,7 +63,18 @@ object Tool {
       case "snapshots" => return FsImageSource.snapshots(spark, image)
       case "refs"      => return FsImageSource.inodeReferences(spark, image)
       case "diffs"     => return FsImageSource.snapshotDiffs(spark, image)
+      case "cachepools" => return FsImageSource.cachePools(spark, image)
       case _           => ()
+    }
+    // cache directives + accounting joins the (tiny) CACHE_MANAGER tables
+    // with the inode table — `hdfs cacheadmin -listDirectives -stats`
+    if (cmd == "cache") {
+      val all0 =
+        if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
+        else FsImageSource.inodes(spark, image)
+      return Reports.cacheReport(all0,
+        FsImageSource.cacheDirectives(spark, image),
+        FsImageSource.cachePools(spark, image))
     }
     // openfiles joins the (tiny) FILES_UNDERCONSTRUCTION section with the
     // inode table — the `hdfs dfsadmin -listOpenFiles` equivalent

@@ -192,6 +192,41 @@ object Reports {
         col("blocks"), col("mtime_sec"))
       .orderBy(col("path"))
 
+  /** Cache accounting — `hdfs cacheadmin -listDirectives -stats`'s view:
+    * each CACHE_MANAGER directive joined to its pool (owner, limit) and
+    * to the inode table for the cached bytes (file size × cache
+    * replication; a directive on a directory caches its direct child
+    * files — resolved with one parent-path equi-join, no prefix scan).
+    * Directive/pool tables are bounded by admin action (thousands, not
+    * inodes), so at scale both sides broadcast into the inode join.
+    * Beyond reference parity: hfsa drops the CACHE_MANAGER section. */
+  def cacheReport(inodes: DataFrame, directives: DataFrame,
+                  pools: DataFrame): DataFrame = {
+    val files = inodes.filter(col("ftype") === "F")
+      .select(col("path").as("fpath"), parentDir.as("fparent"), col("size"))
+    // a directive targets one file (path match) or one directory level
+    // (parent match) — HDFS cacheadmin semantics (non-recursive)
+    val direct = directives.join(files, col("path") === col("fpath"), "left")
+      .groupBy(col("directive_id"))
+      .agg(sum(col("size")).as("fsz"))
+    val dirChildren = directives.join(files, col("path") === col("fparent"), "left")
+      .groupBy(col("directive_id"))
+      .agg(sum(col("size")).as("dsz"), count(col("fpath")).as("n_dir_files"))
+    directives
+      .join(direct, Seq("directive_id"), "left")
+      .join(dirChildren, Seq("directive_id"), "left")
+      .join(pools, Seq("pool"), "left")
+      .select(col("directive_id"), col("path"), col("pool"), col("owner"),
+        col("cache_replication"),
+        (coalesce(col("fsz"), lit(0L)) + coalesce(col("dsz"), lit(0L))).as("bytes_needed"),
+        ((coalesce(col("fsz"), lit(0L)) + coalesce(col("dsz"), lit(0L)))
+          * col("cache_replication")).as("bytes_cached"),
+        (coalesce(col("n_dir_files"), lit(0L)) +
+          when(col("fsz").isNotNull, 1L).otherwise(0L)).as("n_files"),
+        col("limit").as("pool_limit"), col("expiry_ms"), col("expiry_relative"))
+      .orderBy(col("directive_id"))
+  }
+
   def quotaReport(inodes: DataFrame): DataFrame = {
     val quotaDirs = inodes.filter(col("ftype") === "D" &&
         (col("ns_quota") >= 0 || col("ds_quota") >= 0))

@@ -27,13 +27,16 @@ object FsImageQueries extends QueryModule {
   private val Gen = ImageGen.GenSpec(nDirs = 50, nFiles = 5000,
     ecEvery = 4, aclEvery = 7, xattrEvery = 5, nSymlinks = 10,
     withAtime = true, quotaEvery = 6, permVariety = true,
-    nSnapshots = 4, nDiffs = 400, ucEvery = 9)
+    nSnapshots = 4, nDiffs = 400, ucEvery = 9,
+    nCachePools = 3, nCacheDirectives = 40)
   // image file keyed by the spec: changing Gen invalidates the cached file
   private val ImagePath = s"$BaseDir/sample-${Gen.hashCode.toHexString}.img"
   private val Pid = ProcessHandle.current().pid()
   private val ExportDir = s"$BaseDir/p$Pid/inodes"
   private val DiffExportDir = s"$BaseDir/p$Pid/diffs"
   private val UcExportDir = s"$BaseDir/p$Pid/uc"
+  private val PoolExportDir = s"$BaseDir/p$Pid/pools"
+  private val DirectiveExportDir = s"$BaseDir/p$Pid/directives"
 
   private def ensureImage(): Unit = synchronized {
     val f = new java.io.File(ImagePath)
@@ -63,6 +66,10 @@ object FsImageQueries extends QueryModule {
           .write.mode("overwrite").parquet(DiffExportDir)
         FsImageSource.filesUnderConstruction(spark, ImagePath)
           .write.mode("overwrite").parquet(UcExportDir)
+        FsImageSource.cachePools(spark, ImagePath)
+          .write.mode("overwrite").parquet(PoolExportDir)
+        FsImageSource.cacheDirectives(spark, ImagePath)
+          .write.mode("overwrite").parquet(DirectiveExportDir)
         val df = FsImageSource.inodes(spark, ImagePath)
         df.write.mode("overwrite").parquet(ExportDir)
         df
@@ -305,7 +312,48 @@ object FsImageQueries extends QueryModule {
       ON u.inode_id = i.id AND i.under_construction
     ORDER BY path"""
 
+  /** Cache accounting ([[graft.operators.Reports.cacheReport]]) over the
+    * parsed image, driver-oracle-checked: DuckDB independently re-joins
+    * the exported CACHE_MANAGER directives/pools with the exported inode
+    * table (file-path AND direct-children matches, cacheadmin's
+    * non-recursive semantics) and re-derives the same per-directive
+    * bytes_needed / bytes_cached / n_files rows. */
+  def fsimageCache(spark: SparkSession, sfDir: String): DataFrame = {
+    val inodes = ensureExport(spark)
+    graft.operators.Reports.cacheReport(inodes,
+      spark.read.parquet(DirectiveExportDir),
+      spark.read.parquet(PoolExportDir))
+  }
+
+  val fsimageCacheSql: String = s"""
+    WITH f AS (
+      SELECT path AS fpath,
+             substr(path, 1, greatest(length(path) - length(name) - 1, 1)) AS fparent,
+             size
+      FROM read_parquet('$ExportDir/*.parquet') WHERE ftype = 'F'
+    ), d AS (SELECT * FROM read_parquet('$DirectiveExportDir/*.parquet')),
+    direct AS (
+      SELECT directive_id, CAST(sum(size) AS bigint) AS fsz
+      FROM d LEFT JOIN f ON d.path = f.fpath GROUP BY directive_id
+    ), dirch AS (
+      SELECT directive_id, CAST(sum(size) AS bigint) AS dsz,
+             count(f.fpath) AS n_dir_files
+      FROM d LEFT JOIN f ON d.path = f.fparent GROUP BY directive_id
+    )
+    SELECT d.directive_id, d.path, d.pool, p.owner, d.cache_replication,
+           CAST(coalesce(fsz, 0) + coalesce(dsz, 0) AS bigint) AS bytes_needed,
+           CAST((coalesce(fsz, 0) + coalesce(dsz, 0)) * d.cache_replication AS bigint) AS bytes_cached,
+           CAST(coalesce(n_dir_files, 0)
+                + CASE WHEN fsz IS NOT NULL THEN 1 ELSE 0 END AS bigint) AS n_files,
+           p."limit" AS pool_limit, d.expiry_ms, d.expiry_relative
+    FROM d
+    LEFT JOIN direct USING (directive_id)
+    LEFT JOIN dirch USING (directive_id)
+    LEFT JOIN read_parquet('$PoolExportDir/*.parquet') p USING (pool)
+    ORDER BY directive_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fsimage_cache"      -> (fsimageCache _),
     "q_fsimage_open_files" -> (fsimageOpenFiles _),
     "q_fsimage_cold"       -> (fsimageCold _),
     "q_fsimage_diff_stats" -> (fsimageDiffStats _),
@@ -316,6 +364,7 @@ object FsImageQueries extends QueryModule {
     "q_fsimage_perm_audit" -> (fsimagePermAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q_fsimage_cache"      -> fsimageCacheSql,
     "q_fsimage_open_files" -> fsimageOpenFilesSql,
     "q_fsimage_cold"       -> fsimageColdSql,
     "q_fsimage_diff_stats" -> fsimageDiffStatsSql,

@@ -145,6 +145,46 @@ object FsImageSource {
     spark.createDataset(rows).toDF()
   }
 
+  final case class FsCachePool(pool: String, owner: String, grp: String,
+                               mode: String, limit: Long,
+                               max_relative_expiry_ms: Long,
+                               default_replication: Int)
+  final case class FsCacheDirective(directive_id: Long, path: String,
+                                    cache_replication: Int, pool: String,
+                                    expiry_ms: Long, expiry_relative: Boolean)
+
+  private def cacheSection(spark: SparkSession, imagePath: String)
+      : Option[FsImageFormat.CacheManagerSection] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val summary = FsImageFormat.readSummary(imagePath, conf)
+    summary.sections.find(_.name == "CACHE_MANAGER").map { sec =>
+      FsImageFormat.parseCacheManager(FsImageFormat.maybeDecompress(
+        FsImageFormat.readSection(imagePath, sec, conf), summary.codec))
+    }
+  }
+
+  /** CACHE_MANAGER pools — the `hdfs cacheadmin -listPools` readout
+    * (name, owner/group, mode octal, byte limit, max relative expiry,
+    * default replication). Empty when the image carries no cache state.
+    * Beyond reference parity (hfsa drops the section). */
+  def cachePools(spark: SparkSession, imagePath: String): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(cacheSection(spark, imagePath).toSeq.flatMap(_.pools)
+      .map(p => FsCachePool(p.name, p.owner, p.group, "%04o".format(p.mode),
+        p.limit, p.maxRelativeExpiryMs, p.defaultReplication))).toDF()
+  }
+
+  /** CACHE_MANAGER directives — the `hdfs cacheadmin -listDirectives`
+    * readout (id, cached path, cache replication, pool, absolute or
+    * relative expiry; expiry_ms 0 = never). Join path on inodes.path for
+    * the cached bytes ([[graft.operators.Reports.cacheReport]]). */
+  def cacheDirectives(spark: SparkSession, imagePath: String): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(cacheSection(spark, imagePath).toSeq.flatMap(_.directives)
+      .map(d => FsCacheDirective(d.id, d.path, d.replication, d.pool,
+        d.expiryMs, d.expiryRelative))).toDF()
+  }
+
   final case class FsInodeRef(referred_id: Long, name: String,
                               dst_snapshot_id: Int, last_snapshot_id: Int)
 
@@ -169,7 +209,25 @@ object FsImageSource {
     spark.createDataset(rows).toDF()
   }
 
-  private def toInode(i: RawInode, path: String, strings: StringTables): FsInode =
+  /** Merged EC policy table: the built-in five plus whatever the image's
+    * ERASURE_CODING section adds (custom ids ≥ 64) — so custom-policy
+    * files resolve real names and parity-true consumed sizes instead of
+    * the documented `ec#id` / data-bytes fallback. Tiny (couple of
+    * policies), read driver-side, broadcast to the distributed loader. */
+  private def ecPolicies(summary: FsImageFormat.FileSummary, imagePath: String,
+                         conf: org.apache.hadoop.conf.Configuration)
+      : Map[Int, FsImageFormat.EcPolicy] =
+    summary.sections.find(_.name == "ERASURE_CODING") match {
+      case None => FsImageFormat.EcPoliciesById
+      case Some(sec) =>
+        val custom = FsImageFormat.parseErasureCoding(FsImageFormat.maybeDecompress(
+          FsImageFormat.readSection(imagePath, sec, conf), summary.codec))
+        FsImageFormat.EcPoliciesById ++ custom.map(p => p.id -> p)
+    }
+
+  private def toInode(i: RawInode, path: String, strings: StringTables,
+                      policies: Map[Int, FsImageFormat.EcPolicy] =
+                        FsImageFormat.EcPoliciesById): FsInode =
     FsInode(path, i.name,
       i.inodeType match { case 1 => "F"; case 2 => "D"; case 3 => "S"; case _ => "?" },
       strings.user(FsImageFormat.permUserSerial(i.permission)),
@@ -178,7 +236,8 @@ object FsImageSource {
       i.sizeBytes, i.consumedBytes, i.replication,
       i.numBlocks.toLong, i.mtime / 1000,
       if (path == "/") 0 else path.count(_ == '/'), i.id,
-      i.atime / 1000, i.storagePolicy, FsImageFormat.ecPolicyName(i.ecPolicy),
+      i.atime / 1000, i.storagePolicy,
+      FsImageFormat.ecPolicyName(i.ecPolicy, policies),
       i.symlinkTarget,
       i.aclRaw.length, i.aclRaw.toSeq.map(v => FsImageFormat.aclEntryString(v, strings)),
       i.xattrNames.length,
@@ -400,10 +459,15 @@ object FsImageSource {
     // under a 2 GiB cap at 10⁷–10⁸ inodes; the re-read is sequential
     // local-disk I/O, far cheaper than a re-parse.
     import org.apache.spark.storage.StorageLevel
+    // EC policy table (built-ins + the image's ERASURE_CODING section):
+    // tiny, read once on the driver, broadcast — executors need it for
+    // the per-inode consumed-size math
+    val bcPolicies = sc.broadcast(ecPolicies(summary, imagePath, hadoopConf))
     val parsedInodes = sc.parallelize(inodeRanges.toSeq, math.max(1, inodeRanges.length))
       .flatMap { case (from, to) =>
         val n = java.lang.Math.toIntExact(to - from)
-        FsImageFormat.parseInodeRange(FsImageFormat.readRange(ip, from, n, hconf.value), 0, n)
+        FsImageFormat.parseInodeRange(FsImageFormat.readRange(ip, from, n, hconf.value),
+          0, n, bcPolicies.value)
       }
       .persist(StorageLevel.DISK_ONLY)
     val dirEntries = sc.parallelize(dirRanges.toSeq, math.max(1, dirRanges.length))
@@ -438,7 +502,7 @@ object FsImageSource {
       .join(dirPathsDf, Seq("id"))
       .select(col("inode").as("_1"), col("path").as("_2"))
       .as[(RawInode, String)]
-      .map { case (i, p) => toInode(i, p, bcStrings.value) }
+      .map { case (i, p) => toInode(i, p, bcStrings.value, bcPolicies.value) }
 
     // Files + symlinks: parent edge join, then parent path by join (a
     // left-join miss = no edge or non-dir parent → root-attached).
@@ -452,7 +516,8 @@ object FsImageSource {
         org.apache.spark.sql.functions.coalesce(col("pp"), lit("/")).as("_2"))
       .as[(RawInode, String)]
       .map { case (i, pp) =>
-        toInode(i, (if (pp == "/") "" else pp) + "/" + i.name, bcStrings.value)
+        toInode(i, (if (pp == "/") "" else pp) + "/" + i.name,
+          bcStrings.value, bcPolicies.value)
       }
 
     nonDirs.unionByName(dirDs).toDF()
@@ -470,7 +535,9 @@ object FsImageSource {
           .getOrElse(Array.emptyByteArray)
 
       val strings = FsImageFormat.parseStringTable(sec("STRING_TABLE"))
-      val raw = FsImageFormat.parseInodes(sec("INODE")).toVector
+      val policies = FsImageFormat.EcPoliciesById ++
+        FsImageFormat.parseErasureCoding(sec("ERASURE_CODING")).map(p => p.id -> p)
+      val raw = FsImageFormat.parseInodes(sec("INODE"), policies).toVector
       val dirEntries = FsImageFormat.parseDirEntries(sec("INODE_DIR")).toVector
 
       val parentOf = new java.util.HashMap[Long, Long]()
@@ -479,7 +546,7 @@ object FsImageSource {
 
       val pathOf = pathResolver(byId,
         id => if (parentOf.containsKey(id)) Some(parentOf.get(id).longValue()) else None)
-      raw.map(i => toInode(i, pathOf(i.id), strings))
+      raw.map(i => toInode(i, pathOf(i.id), strings, policies))
     } finally raf.close()
   }
 }

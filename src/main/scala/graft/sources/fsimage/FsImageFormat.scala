@@ -88,8 +88,58 @@ object FsImageFormat {
     EcPolicy(5, "RS-10-4-1024k", 10, 4, 1L << 20)
   ).map(p => p.id -> p).toMap
 
-  def ecPolicyName(id: Int): String =
-    if (id == 0) "" else EcPoliciesById.get(id).map(_.name).getOrElse(s"ec#$id")
+  def ecPolicyName(id: Int): String = ecPolicyName(id, EcPoliciesById)
+
+  def ecPolicyName(id: Int, policies: Map[Int, EcPolicy]): String =
+    if (id == 0) "" else policies.get(id).map(_.name).getOrElse(s"ec#$id")
+
+  /** ERASURE_CODING section (public fsimage.proto ErasureCodingSection):
+    * ONE delimited message of repeated ErasureCodingPolicyProto {name=1,
+    * schema=2 {codecName=1, dataUnits=2, parityUnits=3}, cellSize=3,
+    * id=4, state=5} — the CUSTOM policies (ids ≥ 64) an admin added
+    * beyond the built-in five. Decoding them upgrades consumed-size math
+    * and policy names for such files from the documented fallback
+    * (data bytes, `ec#id`) to the real parity formula and name. An
+    * absent name derives Hadoop's canonical `CODEC-d-p-⌊cell/1024⌋k`.
+    * The reference resolves only the built-in policies
+    * (SystemErasureCodingPolicies; FsUtil.java:125) and drops this
+    * section. */
+  def parseErasureCoding(bytes: Array[Byte]): Seq[EcPolicy] = {
+    val it = delimited(bytes, 0, bytes.length)
+    if (!it.hasNext) return Seq.empty
+    val out = Seq.newBuilder[EcPolicy]
+    it.next().eachField { (fn, wt, r) =>
+      (fn, wt) match {
+        case (1, 2) =>
+          val p = r.subMessage()
+          var name = ""; var codec = ""; var data = 0; var parity = 0
+          var cell = 0L; var id = 0
+          p.eachField { (pf, pw, pr) =>
+            (pf, pw) match {
+              case (1, 2) => name = new String(pr.bytes(pr.varint().toInt), "UTF-8")
+              case (2, 2) =>
+                val s = pr.subMessage()
+                s.eachField { (sf, sw, sr) =>
+                  (sf, sw) match {
+                    case (1, 2) => codec = new String(sr.bytes(sr.varint().toInt), "UTF-8")
+                    case (2, 0) => data = sr.varint().toInt
+                    case (3, 0) => parity = sr.varint().toInt
+                    case _      => sr.skip(sw)
+                  }
+                }
+              case (3, 0) => cell = pr.varint()
+              case (4, 0) => id = pr.varint().toInt
+              case _      => pr.skip(pw)
+            }
+          }
+          val resolved = if (name.nonEmpty) name
+            else s"${codec.toUpperCase}-$data-$parity-${cell / 1024}k"
+          out += EcPolicy(id, resolved, data, parity, cell)
+        case _ => r.skip(wt)
+      }
+    }
+    out.result()
+  }
 
   /** Consumed size of one block under an EC policy: the data bytes plus a
     * full row of parity cells per started row of data cells — the exact
@@ -554,16 +604,21 @@ object FsImageFormat {
     out.result()
   }
 
-  /** Parses every whole delimited INode message in [from, to). */
-  def parseInodeRange(bytes: Array[Byte], from: Int, to: Int): Iterator[RawInode] =
-    delimited(bytes, from, to - from).map(parseOneInode)
+  /** Parses every whole delimited INode message in [from, to).
+    * `policies` extends the built-in EC table with the image's
+    * ERASURE_CODING section ([[parseErasureCoding]]) so custom-policy
+    * files get the real consumed-size formula. */
+  def parseInodeRange(bytes: Array[Byte], from: Int, to: Int,
+                      policies: Map[Int, EcPolicy] = EcPoliciesById): Iterator[RawInode] =
+    delimited(bytes, from, to - from).map(parseOneInode(_, policies))
 
   /** INODE section: header {lastInodeId=1, numInodes=2} then delimited
     * INode {type=1, id=2, name=3, file=4, directory=5, symlink=6}. */
-  def parseInodes(bytes: Array[Byte]): Iterator[RawInode] = {
+  def parseInodes(bytes: Array[Byte],
+                  policies: Map[Int, EcPolicy] = EcPoliciesById): Iterator[RawInode] = {
     val it = delimited(bytes, 0, bytes.length)
     if (it.hasNext) it.next() // header — counts not needed, we stream
-    it.map(parseOneInode)
+    it.map(parseOneInode(_, policies))
   }
 
   private val NoAcl = Array.empty[Int]
@@ -606,7 +661,8 @@ object FsImageFormat {
       }
     }
 
-  private def parseOneInode(m: Reader): RawInode = {
+  private def parseOneInode(m: Reader,
+                            policies: Map[Int, EcPolicy] = EcPoliciesById): RawInode = {
       var typ = 0; var id = 0L; var name = ""
       var repl = 0; var mtime = 0L; var atime = 0L; var pbs = 0L
       var perm = 0L; var nBlocks = 0; var size = 0L
@@ -705,7 +761,7 @@ object FsImageFormat {
       // per block; replicated files use Σblock × replication.
       val consumed =
         if (typ != 1) 0L
-        else if (ec > 0) EcPoliciesById.get(ec) match {
+        else if (ec > 0) policies.get(ec) match {
           case Some(p) =>
             var c = 0L
             if (blockSizes != null) blockSizes.foreach(b => c += ecBlockConsumed(b, p))
@@ -836,6 +892,91 @@ object FsImageFormat {
       }
       FileUc(id, path)
     }.toVector
+
+  // ----------------------------------------------------------- cache manager
+
+  final case class CachePool(name: String, owner: String, group: String,
+                             mode: Int, limit: Long, maxRelativeExpiryMs: Long,
+                             defaultReplication: Int)
+  final case class CacheDirective(id: Long, path: String, replication: Int,
+                                  pool: String, expiryMs: Long,
+                                  expiryRelative: Boolean)
+  final case class CacheManagerSection(nextDirectiveId: Long,
+                                       pools: Seq[CachePool],
+                                       directives: Seq[CacheDirective])
+
+  /** CACHE_MANAGER section (public fsimage.proto CacheManagerSection +
+    * ClientNamenodeProtocol.proto pool/directive protos): a delimited
+    * header {nextDirectiveId=1, numPools=2, numDirectives=3} followed by
+    * numPools delimited CachePoolInfoProto {poolName=1, ownerName=2,
+    * groupName=3, mode=4, limit=5, maxRelativeExpiry=6,
+    * defaultReplication=7} and numDirectives delimited
+    * CacheDirectiveInfoProto {id=1, path=2, replication=3, pool=4,
+    * expiration=5 {millis=1, isRelative=2}} — the centralized-cache
+    * state behind `hdfs cacheadmin -listPools/-listDirectives`. The
+    * reference drops this section too (FsImageLoader.java loads only
+    * string/inode/dir). */
+  def parseCacheManager(bytes: Array[Byte]): CacheManagerSection = {
+    val it = delimited(bytes, 0, bytes.length)
+    var nextId = 0L; var nPools = 0; var nDirs = 0
+    if (it.hasNext) it.next().eachField { (fn, wt, r) =>
+      (fn, wt) match {
+        case (1, 0) => nextId = r.varint()
+        case (2, 0) => nPools = r.varint().toInt
+        case (3, 0) => nDirs = r.varint().toInt
+        case _      => r.skip(wt)
+      }
+    }
+    val pools = Seq.newBuilder[CachePool]
+    var k = 0
+    while (k < nPools && it.hasNext) {
+      val m = it.next()
+      var name = ""; var owner = ""; var group = ""
+      var mode = 0; var limit = 0L; var maxRel = 0L; var defRepl = 1
+      m.eachField { (fn, wt, r) =>
+        (fn, wt) match {
+          case (1, 2) => name = new String(r.bytes(r.varint().toInt), "UTF-8")
+          case (2, 2) => owner = new String(r.bytes(r.varint().toInt), "UTF-8")
+          case (3, 2) => group = new String(r.bytes(r.varint().toInt), "UTF-8")
+          case (4, 0) => mode = r.varint().toInt
+          case (5, 0) => limit = r.varint()
+          case (6, 0) => maxRel = r.varint()
+          case (7, 0) => defRepl = r.varint().toInt
+          case _      => r.skip(wt)
+        }
+      }
+      pools += CachePool(name, owner, group, mode, limit, maxRel, defRepl)
+      k += 1
+    }
+    val dirs = Seq.newBuilder[CacheDirective]
+    k = 0
+    while (k < nDirs && it.hasNext) {
+      val m = it.next()
+      var id = 0L; var path = ""; var repl = 1; var pool = ""
+      var expMs = 0L; var expRel = false
+      m.eachField { (fn, wt, r) =>
+        (fn, wt) match {
+          case (1, 0) => id = r.varint()
+          case (2, 2) => path = new String(r.bytes(r.varint().toInt), "UTF-8")
+          case (3, 0) => repl = r.varint().toInt
+          case (4, 2) => pool = new String(r.bytes(r.varint().toInt), "UTF-8")
+          case (5, 2) =>
+            val e = r.subMessage()
+            e.eachField { (ef, ew, er) =>
+              (ef, ew) match {
+                case (1, 0) => expMs = er.varint()
+                case (2, 0) => expRel = er.varint() != 0
+                case _      => er.skip(ew)
+              }
+            }
+          case _ => r.skip(wt)
+        }
+      }
+      dirs += CacheDirective(id, path, repl, pool, expMs, expRel)
+      k += 1
+    }
+    CacheManagerSection(nextId, pools.result(), dirs.result())
+  }
 
   // --------------------------------------------------------- snapshot diffs
 

@@ -28,7 +28,14 @@ object ImageGen {
                            chainDirs: Int = 0,  // first k dirs nest root→d0→d1→…
                            permVariety: Boolean = false, // 0666/0600 modes mixed in
                            nDiffs: Int = 0,     // SNAPSHOT_DIFF entries (alternating file/dir)
-                           ucEvery: Int = 0)    // every k-th file is under construction
+                           ucEvery: Int = 0,    // every k-th file is under construction
+                           nCachePools: Int = 0,      // CACHE_MANAGER pools
+                           nCacheDirectives: Int = 0, // CACHE_MANAGER directives
+                           // EC files use a CUSTOM policy (id 64, RS 4+2,
+                           // 256 KiB cells) declared via an
+                           // ERASURE_CODING section, name omitted so the
+                           // reader must derive it
+                           ecCustom: Boolean = false)
 
   /** Ground truth the generator guarantees, for specs to assert against. */
   final case class GenSummary(sumFileSize: Long, sumConsumed: Long,
@@ -97,7 +104,9 @@ object ImageGen {
 
   def write(path: String, spec: GenSpec): GenSummary = {
     import spec._
-    val ec = FsImageFormat.EcPoliciesById(1) // RS-6-3-1024k
+    val ec =
+      if (ecCustom) FsImageFormat.EcPolicy(64, "RS-4-2-256k", 4, 2, 256L << 10)
+      else FsImageFormat.EcPoliciesById(1) // RS-6-3-1024k
     // ids are computed, never materialized: a 10⁸-inode generation must
     // not hold 10⁸ boxed longs (or a grouped edge list) on the heap
     def dirId(i: Int): Long = RootId + 1 + i
@@ -274,6 +283,58 @@ object ImageGen {
       }
     }
     } // section INODE_DIR
+
+    // ERASURE_CODING section: ONE delimited ErasureCodingSection with the
+    // custom policy; the name field is deliberately omitted so readers
+    // must derive Hadoop's canonical CODEC-d-p-⌊cell/1024⌋k form
+    if (ecCustom) section("ERASURE_CODING") { w =>
+      w.delimited { s =>
+        s.msg(1) { p =>
+          p.msg(2) { sch =>
+            sch.str(1, "rs"); sch.tag(2, 0).varint(ec.dataUnits)
+            sch.tag(3, 0).varint(ec.parityUnits)
+          }
+          p.tag(3, 0).varint(ec.cellSize)
+          p.tag(4, 0).varint(ec.id)
+          p.tag(5, 0).varint(1) // ENABLED
+        }
+      }
+    }
+
+    // CACHE_MANAGER section: header {nextDirectiveId, numPools,
+    // numDirectives} + numPools CachePoolInfoProto + numDirectives
+    // CacheDirectiveInfoProto — directives point at real file paths
+    // (round-robin over the tree) and round-robin over the pools
+    if (nCachePools > 0) section("CACHE_MANAGER") { cm =>
+      cm.delimited { h =>
+        h.tag(1, 0).varint(1000L + nCacheDirectives)
+        h.tag(2, 0).varint(nCachePools)
+        h.tag(3, 0).varint(nCacheDirectives)
+      }
+      (0 until nCachePools).foreach { p =>
+        cm.delimited { m =>
+          m.str(1, s"pool_$p")
+          m.str(2, s"user${1 + p % 20}")
+          m.str(3, s"grp${1 + p % 10}")
+          m.tag(4, 0).varint(0x1ED) // 0755
+          m.tag(5, 0).varint((1L << 30) * (p + 1)) // byte limit
+          m.tag(6, 0).varint(86400000L * (p + 1))  // max relative expiry
+          if (p % 2 == 1) m.tag(7, 0).varint(2)    // non-default replication
+        }
+      }
+      (0 until nCacheDirectives).foreach { d =>
+        cm.delimited { m =>
+          m.tag(1, 0).varint(1L + d)
+          m.str(2, if (nFiles > 0) filePath(d % nFiles) else s"/missing_$d")
+          m.tag(3, 0).varint(1 + d % 3)
+          m.str(4, s"pool_${d % nCachePools}")
+          m.msg(5) { e =>
+            e.tag(1, 0).varint(if (d % 3 == 0) 0L else 1893456000000L + d * 1000L)
+            e.tag(2, 0).varint(if (d % 3 == 2) 1 else 0)
+          }
+        }
+      }
+    }
 
     // FILES_UNDERCONSTRUCTION section: one delimited
     // FileUnderConstructionEntry {inodeId=1, fullPath=2} per open file —

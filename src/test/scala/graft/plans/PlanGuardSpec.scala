@@ -56,7 +56,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q22_idle_customers", "t_ccnet_bucket", "t_source_cap",
                   "t_fertility", "q_range_join", "q_bitmap_distinct",
                   "e_knn_graph", "e_knn_recall", "t_span_islands",
-                  "t_span_length_hist", "q_fsimage_open_files"))
+                  "t_span_length_hist", "q_fsimage_open_files",
+                  "q_fsimage_cache"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 

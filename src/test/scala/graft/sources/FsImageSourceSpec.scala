@@ -360,6 +360,114 @@ class FsImageSourceSpec extends SparkSpecBase {
     new java.io.File(img2).delete()
   }
 
+  test("ERASURE_CODING section: custom policy resolves name + parity-true consumed size in both loaders") {
+    import graft.sources.fsimage.{FsImageFormat, ImageGen}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ec").toFile
+    val img = new java.io.File(dir, "ec.img").getPath
+    val s = ImageGen.write(img, ImageGen.GenSpec(nDirs = 3, nFiles = 30,
+      ecEvery = 4, ecCustom = true))
+
+    val inodes = FsImageSource.inodes(spark, img).cache()
+    val ecRows = inodes.filter(col("ec_policy") =!= "").collect()
+    assert(ecRows.length == s.nEcFiles && s.nEcFiles == 8)
+    // name DERIVED from codec+schema+cell (the section omits it)
+    assert(ecRows.forall(_.getAs[String]("ec_policy") == "RS-4-2-256k"))
+    // consumed = the RS-4-2/256k parity formula, byte-exact against the
+    // generator's independent accounting — NOT the unknown-policy
+    // data-bytes fallback and NOT the built-in RS-6-3-1024k math
+    assert(inodes.agg(org.apache.spark.sql.functions.sum("csize"))
+      .collect()(0).getLong(0) == s.sumConsumed)
+    val custom = FsImageFormat.EcPolicy(64, "RS-4-2-256k", 4, 2, 256L << 10)
+    ecRows.foreach { r =>
+      assert(r.getAs[Long]("csize") ==
+        FsImageFormat.ecBlockConsumed(r.getAs[Long]("size"), custom), r.toString)
+    }
+    // the distributed loader broadcasts the same policy table
+    val dist = FsImageSource.inodesDistributed(spark, img)
+      .filter(col("ec_policy") =!= "")
+      .agg(org.apache.spark.sql.functions.sum("csize"),
+        org.apache.spark.sql.functions.count("*")).collect()(0)
+    assert(dist.getLong(1) == s.nEcFiles)
+    assert(dist.getLong(0) == ecRows.map(_.getAs[Long]("csize")).sum)
+    // without the section, built-in ids keep resolving from the static table
+    val img2 = new java.io.File(dir, "builtin_ec.img").getPath
+    ImageGen.write(img2, ImageGen.GenSpec(nDirs = 2, nFiles = 8, ecEvery = 4))
+    val builtin = FsImageSource.inodes(spark, img2)
+      .filter(col("ec_policy") =!= "").collect()
+    assert(builtin.length == 2 &&
+      builtin.forall(_.getAs[String]("ec_policy") == "RS-6-3-1024k"))
+    inodes.unpersist()
+    new java.io.File(img).delete()
+    new java.io.File(img2).delete()
+  }
+
+  test("CACHE_MANAGER decodes pools+directives; cache report resolves cached bytes") {
+    import graft.sources.fsimage.ImageGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache").toFile
+    val img = new java.io.File(dir, "cache.img").getPath
+    ImageGen.write(img, ImageGen.GenSpec(nDirs = 3, nFiles = 12,
+      nCachePools = 2, nCacheDirectives = 5))
+
+    val pools = FsImageSource.cachePools(spark, img).collect()
+    assert(pools.length == 2)
+    val p0 = pools.find(_.getAs[String]("pool") == "pool_0").get
+    assert(p0.getAs[String]("owner") == "user1" && p0.getAs[String]("mode") == "0755")
+    assert(p0.getAs[Long]("limit") == (1L << 30))
+    assert(p0.getAs[Int]("default_replication") == 1)
+    assert(pools.find(_.getAs[String]("pool") == "pool_1").get
+      .getAs[Int]("default_replication") == 2)
+
+    val dirs = FsImageSource.cacheDirectives(spark, img).collect()
+    assert(dirs.length == 5)
+    assert(dirs.map(_.getAs[Long]("directive_id")).sorted.toSeq == (1L to 5L))
+    // directives round-robin pools and point at real tree paths
+    assert(dirs.forall(_.getAs[String]("path").startsWith("/dir_")))
+    assert(dirs.map(_.getAs[String]("pool")).toSet == Set("pool_0", "pool_1"))
+    // expiry shapes: d%3==0 → never (0); d%3==2 → relative
+    val byId = dirs.map(r => r.getAs[Long]("directive_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("expiry_ms") == 0L) // d=0
+    assert(byId(3L).getAs[Boolean]("expiry_relative")) // d=2
+
+    // report: every directive resolves its file (paths are real), so
+    // bytes_needed = the file's size and bytes_cached = size × repl
+    val inodes = FsImageSource.inodes(spark, img).cache()
+    val rep = Reports.cacheReport(inodes,
+      FsImageSource.cacheDirectives(spark, img),
+      FsImageSource.cachePools(spark, img)).collect()
+    assert(rep.length == 5)
+    val sizeOf = inodes.filter(col("ftype") === "F").collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("size")).toMap
+    rep.foreach { r =>
+      val need = r.getAs[Long]("bytes_needed")
+      assert(need == sizeOf(r.getAs[String]("path")), r.toString)
+      assert(r.getAs[Long]("bytes_cached") == need * r.getAs[Int]("cache_replication"))
+      assert(r.getAs[Long]("n_files") == 1L)
+      assert(r.getAs[Long]("pool_limit") > 0L)
+    }
+    // a directory-level directive caches its DIRECT children
+    val session = spark
+    import session.implicits._
+    val dirDirective = Seq((99L, "/dir_0", 2, "pool_0", 0L, false))
+      .toDF("directive_id", "path", "cache_replication", "pool", "expiry_ms", "expiry_relative")
+    val dirRep = Reports.cacheReport(inodes, dirDirective,
+      FsImageSource.cachePools(spark, img)).collect()(0)
+    val expect = inodes.filter(col("ftype") === "F")
+      .filter(col("path").startsWith("/dir_0/"))
+      .agg(org.apache.spark.sql.functions.sum("size"),
+        org.apache.spark.sql.functions.count("*")).collect()(0)
+    assert(dirRep.getAs[Long]("bytes_needed") == expect.getLong(0))
+    assert(dirRep.getAs[Long]("n_files") == expect.getLong(1))
+
+    // empty case: no section → empty frames, report yields no rows
+    val img2 = new java.io.File(dir, "nocache.img").getPath
+    ImageGen.write(img2, ImageGen.GenSpec(nDirs = 2, nFiles = 5))
+    assert(FsImageSource.cachePools(spark, img2).count() == 0)
+    assert(FsImageSource.cacheDirectives(spark, img2).count() == 0)
+    inodes.unpersist()
+    new java.io.File(img).delete()
+    new java.io.File(img2).delete()
+  }
+
   test("INODE_REFERENCE section parses and joins back to inodes") {
     import graft.sources.fsimage.ImageGen
     val dir = java.nio.file.Files.createTempDirectory("graft_refs").toFile
