@@ -18,7 +18,8 @@ import graft.sources.ReportSink
   * keep semdedup semdedupeval semdedupeval09 substrscrub semdecon ivfincr
   * quality gopher dsir spandup curriculum langid keywords
   * sample pack pii winnow winnoweval bpe wsample lenquantile rproject
-  * ccnet sourcecap fertility
+  * ccnet sourcecap fertility bpeloop spanislands spanhist knngraph
+  * knnrecall
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -57,7 +58,12 @@ object CorpusTool {
     "rproject"    -> "e_rp_project",
     "ccnet"       -> "t_ccnet_bucket",
     "sourcecap"   -> "t_source_cap",
-    "fertility"   -> "t_fertility")
+    "fertility"   -> "t_fertility",
+    "bpeloop"     -> "t_bpe_loop",
+    "spanislands" -> "t_span_islands",
+    "spanhist"    -> "t_span_length_hist",
+    "knngraph"    -> "e_knn_graph",
+    "knnrecall"   -> "e_knn_recall")
 
   def run(spark: SparkSession, cmd: String, dir: String,
           opts: Map[String, String]): DataFrame = cmd match {

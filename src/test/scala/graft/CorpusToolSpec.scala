@@ -10,7 +10,8 @@ class CorpusToolSpec extends SparkSpecBase {
       "semdedupeval09", "substrscrub", "semdecon", "ivfincr",
       "quality", "gopher", "dsir", "spandup", "curriculum", "langid", "keywords",
       "sample", "pack", "pii", "winnow", "winnoweval", "bpe",
-      "wsample", "lenquantile", "rproject", "ccnet", "sourcecap", "fertility")
+      "wsample", "lenquantile", "rproject", "ccnet", "sourcecap", "fertility",
+      "bpeloop", "spanislands", "spanhist", "knngraph", "knnrecall")
     for (c <- cmds)
       assert(CorpusTool.run(spark, c, Sf, Map.empty).count() > 0, s"$c returned 0 rows")
   }

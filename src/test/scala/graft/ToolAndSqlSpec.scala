@@ -134,6 +134,9 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(run("snapshots").count() == 0) // image carries no SNAPSHOT section
       assert(run("refs").count() == 0)      // ...nor an INODE_REFERENCE one
       assert(run("diffs").count() == 0)     // ...nor SNAPSHOT_DIFF
+      assert(run("openfiles").count() == 0) // ...nor FILES_UNDERCONSTRUCTION
+      assert(run("cachepools").count() == 0) // ...nor CACHE_MANAGER
+      assert(run("cache").count() == 0)
       // subtree option restricts the inode set
       assert(run("path", "-p" -> "/dir_0").count() <
              run("path").count())
