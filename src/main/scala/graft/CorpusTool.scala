@@ -63,7 +63,8 @@ object CorpusTool {
     "spanislands" -> "t_span_islands",
     "spanhist"    -> "t_span_length_hist",
     "knngraph"    -> "e_knn_graph",
-    "knnrecall"   -> "e_knn_recall")
+    "knnrecall"   -> "e_knn_recall",
+    "knndedup"    -> "e_knn_mutual")
 
   def run(spark: SparkSession, cmd: String, dir: String,
           opts: Map[String, String]): DataFrame = cmd match {

@@ -807,6 +807,68 @@ object VectorQueries extends QueryModule {
       .orderBy(col("q_id"))
   }
 
+  /** Similarity cut for a mutual edge to count as a near-dup candidate
+    * (aligned with `d_dedup_embedding`'s ≥ 3000 bp regime on the
+    * synthetic near-uniform vectors). */
+  val MutualCosBp = 3000
+
+  /** Mutual-kNN near-dup clustering — what the k-NN graph is FOR: an
+    * (a, b) edge is a dup candidate iff each vector appears in the
+    * OTHER's top-k (mutuality kills the hub-node false positives plain
+    * radius cuts suffer) AND cos ≥ [[MutualCosBp]]; candidates then
+    * collapse into clusters via
+    * [[graft.operators.Dedup.connectedComponents]] (min-label
+    * propagation, the d_dedup_clusters recipe). Output: one row per
+    * clustered vector (singletons dropped) with its cluster id and
+    * size. Scale shape: the graph build's cell equi-join + bounded
+    * TopK, one self-join of the O(n·k) edge list on (a, b), CC over the
+    * (tiny) mutual pair set — never an all-pairs pass. */
+  def knnMutual(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = knnGraph(spark, sfDir)
+      .filter(col("cos_bp") >= MutualCosBp)
+      .select(col("src_id"), col("nbr_id"))
+      .localCheckpoint(false) // both sides of the mutuality semi-join
+    val pairs = g.filter(col("src_id") < col("nbr_id"))
+      .select(col("src_id").as("doc_a"), col("nbr_id").as("doc_b"))
+      .join(g.filter(col("src_id") > col("nbr_id"))
+          .select(col("nbr_id").as("doc_a"), col("src_id").as("doc_b")),
+        Seq("doc_a", "doc_b"), "left_semi")
+    val verts = Tables.embeddings(spark, sfDir).select(col("vec_id").as("doc_id"))
+    val cc = graft.operators.Dedup.connectedComponents(pairs, verts)
+      .localCheckpoint(false) // label table feeds the size agg AND the rejoin
+    cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+      .join(cc, Seq("cluster_id"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  val knnMutualSql: String = s"""
+    WITH RECURSIVE $knnCtes,
+    ge AS (
+      SELECT src_id, nbr_id FROM kgraph WHERE cos_bp >= $MutualCosBp
+    ), mpairs AS (
+      SELECT a.src_id AS doc_a, a.nbr_id AS doc_b
+      FROM ge a JOIN ge b ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
+      WHERE a.src_id < a.nbr_id
+    ), medges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mpairs
+      UNION ALL SELECT doc_b, doc_a FROM mpairs
+    ), reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.src, reach.r FROM medges e JOIN reach ON e.dst = reach.id
+    ), lab AS (
+      SELECT id AS vec_id, CAST(min(r) AS bigint) AS cluster_id
+      FROM reach GROUP BY id
+    ), csz AS (
+      SELECT cluster_id, CAST(count(*) AS bigint) AS cluster_size
+      FROM lab GROUP BY cluster_id HAVING count(*) >= 2
+    )
+    SELECT l.vec_id, l.cluster_id, c.cluster_size
+    FROM lab l JOIN csz c USING (cluster_id)
+    ORDER BY l.vec_id"""
+
   val knnRecallSql: String = s"""
     WITH $knnCtes,
     truth AS (SELECT q_id, cand_id FROM ($annBruteForceSql) t),
@@ -2801,6 +2863,7 @@ object VectorQueries extends QueryModule {
     "e_ann_recall"      -> (annRecall _),
     "e_knn_graph"       -> (knnGraph _),
     "e_knn_recall"      -> (knnRecall _),
+    "e_knn_mutual"      -> (knnMutual _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_semdedup"        -> (semDedup _),
     "d_semdedup_eval"   -> (semDedupEval _),
@@ -2860,6 +2923,7 @@ object VectorQueries extends QueryModule {
     "e_ann_recall"      -> annRecallSql,
     "e_knn_graph"       -> knnGraphSql,
     "e_knn_recall"      -> knnRecallSql,
+    "e_knn_mutual"      -> knnMutualSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_minhash_keep"    -> minhashKeepSql,
     "d_minhash_incr"    -> minhashIncrSql,

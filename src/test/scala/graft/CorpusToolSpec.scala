@@ -11,7 +11,8 @@ class CorpusToolSpec extends SparkSpecBase {
       "quality", "gopher", "dsir", "spandup", "curriculum", "langid", "keywords",
       "sample", "pack", "pii", "winnow", "winnoweval", "bpe",
       "wsample", "lenquantile", "rproject", "ccnet", "sourcecap", "fertility",
-      "bpeloop", "spanislands", "spanhist", "knngraph", "knnrecall")
+      "bpeloop", "spanislands", "spanhist", "knngraph", "knnrecall",
+      "knndedup")
     for (c <- cmds)
       assert(CorpusTool.run(spark, c, Sf, Map.empty).count() > 0, s"$c returned 0 rows")
   }

@@ -57,7 +57,7 @@ class PlanGuardSpec extends SparkSpecBase {
                   "t_fertility", "q_range_join", "q_bitmap_distinct",
                   "e_knn_graph", "e_knn_recall", "t_span_islands",
                   "t_span_length_hist", "q_fsimage_open_files",
-                  "q_fsimage_cache"))
+                  "q_fsimage_cache", "e_knn_mutual"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
