@@ -164,8 +164,29 @@ object Bench {
     // never clobber the sf0.1 record.
     if (only.isEmpty) {
       val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
-      val artifact =
+      val record =
         if (sfBase == "sf0.1") "BENCH_SELF.json" else s"BENCH_SELF_$sfBase.json"
+      // Artifact-of-record guard (VERDICT r8 item 3): a full run under
+      // heavy host contention must not silently clobber the solo record —
+      // r8's working tree carried a 266.7 s overwrite of the 219.5 s solo
+      // artifact, recorded steal up to 1313 bp by its own ledger, and the
+      // next regression hunt would have chased that ghost. If the MEDIAN
+      // per-query steal exceeds the threshold the line goes to a .ambient
+      // side file instead; SPARK_GRAFT_FORCE_RECORD=1 overrides.
+      val steals = timings.map(_.stealBp).sorted
+      val medianSteal = if (steals.isEmpty) 0L else steals(steals.size / 2)
+      val maxSteal = graft.operators.GraphScale.longConf(spark,
+        "spark.graft.bench.maxStealBp", Some("SPARK_GRAFT_MAX_STEAL_BP"), 200L)
+      val artifact =
+        if (medianSteal <= maxSteal ||
+            sys.env.get("SPARK_GRAFT_FORCE_RECORD").contains("1")) record
+        else {
+          System.err.println(s"[bench] median in-run steal $medianSteal bp " +
+            s"> $maxSteal bp: ambient-contaminated run — writing " +
+            s"$record.ambient, the artifact of record stays the solo run " +
+            "(SPARK_GRAFT_FORCE_RECORD=1 overrides)")
+          s"$record.ambient"
+        }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), line + "\n")
     }
     println(line)

@@ -64,8 +64,10 @@ object GraphBench {
       spark.sparkContext.getPersistentRDDs.foreach { case (_, rdd) => rdd.unpersist(false) }
       System.gc()
     }
+    var pagerankMode = ""
+    var kcoreMode = ""
     val (tPr, topRank) = time {
-      graft.queries.Analytics.qPagerank(spark, dir).collect()
+      graft.queries.Analytics.qPagerank(spark, dir, pagerankMode = _).collect()
     }
     dropCaches()
     val (tTri, tri) = time {
@@ -73,7 +75,7 @@ object GraphBench {
     }
     dropCaches()
     val (tCore, core) = time {
-      graft.queries.Analytics.qKcore(spark, dir).collect()
+      graft.queries.Analytics.qKcore(spark, dir, kcoreMode = _).collect()
     }
     dropCaches()
     val (tLpa, lpa) = time {
@@ -88,8 +90,7 @@ object GraphBench {
       s""""n_core_nodes":${c.getAs[Long]("n_core_nodes")},"core_stable":${c.getAs[Boolean]("stable")},""" +
       s""""synth_s":${ms3(tSynth)},"pagerank_s":${ms3(tPr)},"triangles_s":${ms3(tTri)},""" +
       s""""kcore_s":${ms3(tCore)},"lpa_s":${ms3(tLpa)},"n_communities":$nComms,""" +
-      s""""kcore_mode":"${graft.operators.KCore.lastMode}",""" +
-      s""""pagerank_mode":"${graft.queries.Analytics.qPagerankLastMode}",""" +
+      s""""kcore_mode":"$kcoreMode","pagerank_mode":"$pagerankMode",""" +
       s""""peak_heap_mb":${SoakUtil.peakHeapMb},"xmx_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)}}""")
     spark.stop()
   }

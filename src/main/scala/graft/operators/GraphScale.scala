@@ -30,10 +30,27 @@ object GraphScale {
 
   val DefaultBroadcastMaxNodes = 10000000L
 
+  /** Parse a long-valued tuning knob from runtime conf (falling back to
+    * `envKey`, then `default`). A malformed value fails with the key
+    * NAMED instead of a bare NumberFormatException surfacing from inside
+    * an operator mid-query. */
+  def longConf(spark: SparkSession, confKey: String, envKey: Option[String],
+               default: Long): Long =
+    spark.conf.getOption(confKey).orElse(envKey.flatMap(sys.env.get)) match {
+      case None => default
+      case Some(s) =>
+        try s.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$confKey${envKey.fold("")(k => s" (or env $k)")} must be a " +
+              s"long, got '$s'")
+        }
+    }
+
   def broadcastMaxNodes(spark: SparkSession): Long =
-    spark.conf.getOption(BroadcastMaxNodesKey)
-      .orElse(sys.env.get("SPARK_GRAFT_GRAPH_CUTOVER")) // bench/soak override
-      .map(_.toLong).getOrElse(DefaultBroadcastMaxNodes)
+    longConf(spark, BroadcastMaxNodesKey,
+      Some("SPARK_GRAFT_GRAPH_CUTOVER"), // bench/soak override
+      DefaultBroadcastMaxNodes)
 
   /** True iff a graph with `nNodes` measured nodes should attach its
     * per-round node-keyed table by broadcast. */

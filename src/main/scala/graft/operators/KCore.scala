@@ -34,10 +34,6 @@ import org.apache.spark.sql.functions._
   * alive set shuffles through forced merge joins. */
 object KCore {
 
-  /** Plan mode the last [[peel]] call chose — observability for specs
-    * and BENCH_NOTES (`"broadcast"` or `"shuffled"`). */
-  @volatile var lastMode: String = ""
-
   /** Peel `sym` (a SYMMETRIZED directed edge table with long columns
     * `u`, `v`; both (a,b) and (b,a) present, no self-loops) for exactly
     * `rounds` rounds at threshold `k`. Returns the surviving symmetric
@@ -46,8 +42,14 @@ object KCore {
     * again a valid input (idempotent once converged). The broadcast vs
     * shuffled survivor-attach plan is chosen from the measured node
     * count (see [[GraphScale.useBroadcast]]); both plans compute the
-    * identical trajectory (spec-asserted on every KCoreSpec graph). */
-  def peel(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * identical trajectory (spec-asserted on every KCoreSpec graph).
+    *
+    * `modeOut` receives the chosen plan (`"broadcast"` / `"shuffled"`)
+    * — observability for specs and GraphBench. A callback rather than a
+    * shared mutable global, so concurrent peels can't clobber each
+    * other's observation. */
+  def peel(sym: DataFrame, k: Int, rounds: Int,
+           modeOut: String => Unit = _ => ()): DataFrame = {
     require(k >= 1, s"k-core threshold must be >= 1, got $k")
     require(rounds >= 1, s"peel rounds must be >= 1, got $rounds")
     // ONE edge materialization serves both plans (the r8 soak lesson: a
@@ -59,9 +61,9 @@ object KCore {
       .localCheckpoint()
     val nNodes = e.select(col("u")).distinct().count()
     if (GraphScale.useBroadcast(sym.sparkSession, nNodes)) {
-      lastMode = "broadcast"; peelBroadcast(e, k, rounds)
+      modeOut("broadcast"); peelBroadcast(e, k, rounds)
     } else {
-      lastMode = "shuffled"; peelShuffled(e, k, rounds)
+      modeOut("shuffled"); peelShuffled(e, k, rounds)
     }
   }
 

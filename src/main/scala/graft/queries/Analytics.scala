@@ -2011,7 +2011,15 @@ object Analytics extends QueryModule {
     * each iteration forced-merge-joins the shuffling |V|-row rank
     * table. Both plans compute the identical integer trajectory
     * (spec-asserted). */
-  def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+  def qPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    qPagerank(spark, sfDir, _ => ())
+
+  /** [[qPagerank]] with plan observability: `modeOut` receives the
+    * chosen attach plan (`"broadcast"` / `"shuffled"`) — a callback
+    * rather than a shared mutable global, so concurrent runs can't
+    * clobber each other's observation. */
+  def qPagerank(spark: SparkSession, sfDir: String,
+                modeOut: String => Unit): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val S = 1000000000000L
     val iters = 5
@@ -2031,7 +2039,7 @@ object Analytics extends QueryModule {
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("outd")).localCheckpoint()
     val nn = deg.count() // measured node count drives the cutover
     val useBroadcast = graft.operators.GraphScale.useBroadcast(spark, nn)
-    qPagerankLastMode = if (useBroadcast) "broadcast" else "shuffled"
+    modeOut(if (useBroadcast) "broadcast" else "shuffled")
     // exactly ONE edge-table materialization in either mode (the r8 soak
     // lesson: checkpointing a base copy AND a repartitioned copy held the
     // 2× edge table and starved a capped heap); shuffled mode lays it out
@@ -2057,10 +2065,6 @@ object Analytics extends QueryModule {
     }
     r.orderBy(col("rank").desc, col("node")).limit(20)
   }
-
-  /** Plan mode the last [[qPagerank]] call chose — observability for
-    * specs and BENCH_NOTES. */
-  @volatile var qPagerankLastMode: String = ""
 
   val qPagerankSql: String = {
     val S = "1000000000000"
@@ -2131,7 +2135,13 @@ object Analytics extends QueryModule {
     * an empty core is stable by convention). DuckDB re-derives the
     * identical 8 unrolled peels, so every intermediate round is
     * hash-checked through the final counts. */
-  def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
+  def qKcore(spark: SparkSession, sfDir: String): DataFrame =
+    qKcore(spark, sfDir, _ => ())
+
+  /** [[qKcore]] with peel-plan observability (see [[qPagerank]]'s
+    * `modeOut` contract). */
+  def qKcore(spark: SparkSession, sfDir: String,
+             modeOut: String => Unit): DataFrame = {
     val k = KcoreK
     val und = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_orderkey"))
@@ -2141,7 +2151,7 @@ object Analytics extends QueryModule {
       .distinct()
     val core = graft.operators.KCore.peel(
       und.union(und.select(col("v").as("u"), col("u").as("v"))),
-      k, KcoreRounds)
+      k, KcoreRounds, modeOut)
     core.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .agg(count(lit(1)).as("n_core_nodes"),
         coalesce(sum(col("d")), lit(0L)).as("dir_deg"),

@@ -72,10 +72,11 @@ class KCoreSpec extends SparkSpecBase {
     // cutover to 1 node — the automatic switch the sf1 LPA OOM mandated
     val key = GraphScale.BroadcastMaxNodesKey
     spark.conf.set(key, "1")
+    var mode = ""
     try {
-      val core = KCore.peel(g, k = 2, rounds = 3)
+      val core = KCore.peel(g, k = 2, rounds = 3, mode = _)
       core.collect() // run to AQE-final so the plan assert sees reality
-      assert(KCore.lastMode === "shuffled")
+      assert(mode === "shuffled")
       // the LPA recipe: final survivor attach is a forced merge join,
       // never a broadcast build
       val plan = core.queryExecution.executedPlan.toString
@@ -94,11 +95,11 @@ class KCoreSpec extends SparkSpecBase {
       val gr = sym(edges.toSeq: _*)
       for (r <- 1 to 4) {
         spark.conf.set(key, "1")
-        val shuffled = nodes(KCore.peel(gr, k = 2, rounds = r))
-        assert(KCore.lastMode === "shuffled")
+        val shuffled = nodes(KCore.peel(gr, k = 2, rounds = r, mode = _))
+        assert(mode === "shuffled")
         spark.conf.unset(key)
-        val bcast = nodes(KCore.peel(gr, k = 2, rounds = r))
-        assert(KCore.lastMode === "broadcast")
+        val bcast = nodes(KCore.peel(gr, k = 2, rounds = r, mode = _))
+        assert(mode === "broadcast")
         assert(shuffled === bcast, s"rounds=$r")
       }
     } finally spark.conf.unset(key)
@@ -106,12 +107,15 @@ class KCoreSpec extends SparkSpecBase {
 
   test("qPagerank shuffled cutover matches the broadcast trajectory") {
     val key = GraphScale.BroadcastMaxNodesKey
-    val bcast = graft.queries.Analytics.qPagerank(spark, Sf).collect().toSeq
-    assert(graft.queries.Analytics.qPagerankLastMode === "broadcast")
+    var mode = ""
+    val bcast = graft.queries.Analytics.qPagerank(spark, Sf, mode = _)
+      .collect().toSeq
+    assert(mode === "broadcast")
     spark.conf.set(key, "1")
     try {
-      val shuffled = graft.queries.Analytics.qPagerank(spark, Sf).collect().toSeq
-      assert(graft.queries.Analytics.qPagerankLastMode === "shuffled")
+      val shuffled = graft.queries.Analytics.qPagerank(spark, Sf, mode = _)
+        .collect().toSeq
+      assert(mode === "shuffled")
       assert(shuffled === bcast) // identical integer ranks, identical order
     } finally spark.conf.unset(key)
   }
