@@ -19,7 +19,8 @@ import graft.sources.ReportSink
   * quality gopher dsir spandup curriculum langid keywords
   * sample pack pii winnow winnoweval bpe wsample lenquantile rproject
   * ccnet sourcecap fertility bpeloop spanislands spanhist knngraph
-  * knnrecall
+  * knnrecall knndedup knnsearch knnsearcheval ivfrebalance
+  * ivfrebalanceeval
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -64,7 +65,11 @@ object CorpusTool {
     "spanhist"    -> "t_span_length_hist",
     "knngraph"    -> "e_knn_graph",
     "knnrecall"   -> "e_knn_recall",
-    "knndedup"    -> "e_knn_mutual")
+    "knndedup"    -> "e_knn_mutual",
+    "knnsearch"   -> "e_knn_search",
+    "knnsearcheval" -> "e_knn_search_recall",
+    "ivfrebalance" -> "e_ivf_rebalance",
+    "ivfrebalanceeval" -> "e_ivf_rebalance_eval")
 
   def run(spark: SparkSession, cmd: String, dir: String,
           opts: Map[String, String]): DataFrame = cmd match {

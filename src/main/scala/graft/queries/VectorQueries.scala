@@ -28,7 +28,7 @@ object VectorQueries extends QueryModule {
     floor(dot(a, b) * 10000.0 / (na * nb)).cast("long")
 
   /** Pre-normed embeddings: vec_id, v (double[]), nrm. */
-  private def embs(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def embs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -702,14 +702,81 @@ object VectorQueries extends QueryModule {
   /** Cells each vector probes when building the graph. */
   val KnnProbe = 2
 
+  /** Conf key: hard ceiling on [[knnGraph]]'s coarse-quantizer cell
+    * count. A BROADCAST-SIZE guard, not a work clamp: at the default
+    * 65536 cells the centroid table is ≤ 32 MB of 64-dim doubles
+    * (comfortably broadcastable) and per-cell population stays ∝ √n up
+    * to n ≈ 4·10⁹ vectors. The r8 version hard-clamped at 256 cells,
+    * which made per-cell population LINEAR in n past 65k vectors and the
+    * candidate join O(n²/256) — the documented-not-automatic posture the
+    * graph-family cutover (r8) proved inadequate. */
+  val KnnMaxCellsKey = "spark.graft.knn.maxCells"
+  val DefaultKnnMaxCells = 65536L
+
+  /** Conf key: corpus size at or above which [[knnGraph]] swaps the
+    * deterministic sampled-id centroids for [[graft.operators.KMeans]]
+    * Lloyd-fit centroids. Sampled ids stay oracle-replayable and are an
+    * unbiased corpus sample, but give no balance guarantee; past this
+    * size the two extra Lloyd passes are noise next to the O(n·√n)
+    * assignment and buy bounded cell skew. Specs force a 1-vector
+    * cutover to assert the switch (GraphScale-style). */
+  val KnnKmeansMinVectorsKey = "spark.graft.knn.kmeansMinVectors"
+  val DefaultKnnKmeansMinVectors = 262144L
+
+  /** Centroid source [[knnGraph]] picks at `n` vectors: `"sampled"`
+    * below the conf cutover, `"kmeans"` at or past it. */
+  def knnCentroidMode(spark: SparkSession, n: Long): String =
+    if (n >= graft.operators.GraphScale.longConf(spark,
+      KnnKmeansMinVectorsKey, None, DefaultKnnKmeansMinVectors)) "kmeans"
+    else "sampled"
+
+  /** Coarse cell count at `n` vectors: ⌊√n⌋ at ANY n (floor 16), capped
+    * only by the broadcast-size ceiling above. */
+  def knnNumCells(spark: SparkSession, n: Long): Long =
+    math.max(16L, math.min(
+      graft.operators.GraphScale.longConf(spark, KnnMaxCellsKey, None,
+        DefaultKnnMaxCells),
+      math.sqrt(n.toDouble).toLong))
+
+  /** The (cell, cv: double[], cn) coarse-centroid table for [[knnGraph]]:
+    * sampled ids below the cutover (deterministic — the oracle replays
+    * it), [[graft.operators.KMeans]] centroids past it (2 Lloyd
+    * iterations over the integer-quantized table, reconstructed into
+    * cosine space; cluster ids are seed vec_ids, so cell keys stay
+    * globally unique). Both sources feed the identical assignment join —
+    * only the centroid VALUES differ, never the contract. */
+  private[queries] def knnCentroids(spark: SparkSession, sfDir: String,
+                                    e: DataFrame, n: Long,
+                                    ncells: Long): DataFrame =
+    if (knnCentroidMode(spark, n) == "sampled")
+      e.filter(col("vec_id") < ncells)
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    else {
+      val emb = Tables.embeddings(spark, sfDir)
+      val vecs = graft.operators.KMeans.quantize(emb)
+      graft.operators.KMeans.finalCentroids(vecs, emb, ncells.toInt, 2)
+        .groupBy(col("k"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("k").as("cell"),
+          expr("transform(pc, x -> CAST(x.c AS double) / 1000000.0)").as("cv"))
+        .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+        // an all-zero centroid can't rank by cosine; its would-be members
+        // fall to their next-nearest cell (can only arise on degenerate
+        // inputs — Lloyd means of unit-ish vectors don't vanish)
+        .filter(col("cn") > 0.0)
+    }
+
   /** k-NN graph construction — every vector's top-[[KnnK]] cosine
     * neighbors, the building block for graph-based dedup/diversity
-    * filtering and HNSW-style indexes. Unlike the query-set ANN rows
-    * (10 probe vectors), EVERY vector is a query here, so the coarse
-    * quantizer scales with the corpus: ncells = clamp(16, 256, ⌊√n⌋)
-    * sampled centroids (deterministic id cut — the oracle replays it;
-    * at true corpus scale swap in [[graft.operators.KMeans]] centroids
-    * and raise the clamp — cells ∝ √n keeps per-cell work flat).
+    * filtering and the [[knnSearch]] beam walk. Unlike the query-set ANN
+    * rows (10 probe vectors), EVERY vector is a query here, so the
+    * coarse quantizer scales with the corpus: ncells = ⌊√n⌋ at any n
+    * (floor 16, broadcast-ceiling [[DefaultKnnMaxCells]]) — per-cell
+    * population ∝ √n, candidate join O(n·√n·probes), never O(n²/const).
+    * The centroid SOURCE switches automatically at
+    * [[KnnKmeansMinVectorsKey]] (measured count, GraphScale-style):
+    * sampled ids while the oracle replays them, Lloyd-fit past the
+    * cutover where balance matters more than replayability.
     * Candidates come from each vector's [[KnnProbe]] nearest cells via a
     * cell equi-join (never all-pairs), and the per-vector top-k is the
     * bounded [[graft.operators.TopK]] aggregator — shuffle O(n·k), NOT a
@@ -717,18 +784,22 @@ object VectorQueries extends QueryModule {
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
     val n = e.count()
-    val ncells = math.max(16L, math.min(256L, math.sqrt(n.toDouble).toLong))
-    val cents = e.filter(col("vec_id") < ncells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val ncells = knnNumCells(spark, n)
+    val cents = knnCentroids(spark, sfDir, e, n, ncells)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
       .withColumn("crnk", rank().over(wAssign))
+      // crnk > KnnProbe rows are never consumed (cellOf's crnk=1 is a
+      // subset) — cut them BEFORE materializing, or the checkpoint holds
+      // the full n×ncells assignment (~ncells/2× more rows, each carrying
+      // the embedding: the r7 explode-broadcast capped-heap hazard class)
+      .filter(col("crnk") <= KnnProbe)
       .localCheckpoint(false) // feeds home cells AND probe lists
     val cellOf = assigned.filter(col("crnk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val probes = assigned.filter(col("crnk") <= KnnProbe)
+    val probes = assigned
       .select(col("vec_id").as("src_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell"))
     // each (src, nbr) pair arises at most once: probe cells are distinct
@@ -753,7 +824,7 @@ object VectorQueries extends QueryModule {
              sqrt(${dotSqlOf("embedding", "embedding")}) AS nrm
       FROM embeddings
     ), nc AS (
-      SELECT greatest(16, least(256, CAST(floor(sqrt(count(*))) AS bigint))) AS ncells
+      SELECT greatest(16, least($DefaultKnnMaxCells, CAST(floor(sqrt(count(*))) AS bigint))) AS ncells
       FROM e
     ), kcents AS (
       SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e CROSS JOIN nc
@@ -882,6 +953,221 @@ object VectorQueries extends QueryModule {
     FROM truth LEFT JOIN approx USING (q_id, cand_id)
     GROUP BY q_id
     ORDER BY q_id"""
+
+  // ------------------------------------------------------- kNN beam search
+
+  /** Best-first expansion rounds in [[knnSearch]]. */
+  val KnnSearchRounds = 3
+  /** Beam width: unexpanded candidates kept per round. */
+  val KnnSearchBeam = 8
+  /** Results returned per query. */
+  val KnnSearchTopK = 5
+
+  /** HNSW-flavored graph search — a two-layer hierarchy over the
+    * [[knnGraph]] edges (the refinement structure the graph exists for).
+    * Layer 1 is the deterministic √n hub sample (vec_id < ncells, the
+    * same id cut the coarse quantizer uses): each query scores ALL hubs
+    * exactly — a bounded √n scan, the walk-in HNSW's upper layers buy —
+    * and the best [[KnnSearchBeam]] hubs seed the beam. Layer 0 is the
+    * greedy beam walk: each round expands the beam's unexpanded best
+    * candidates through their graph edges, scores the newly reached
+    * vectors exactly, and re-cuts the beam; after [[KnnSearchRounds]]
+    * rounds the answer is the top-[[KnnSearchTopK]] of everything
+    * visited (ties → smaller id everywhere, so DuckDB replays the whole
+    * walk — a fixed single entry point was measured at 20 % recall on
+    * this corpus because a uniform-random k-NN graph is not navigable
+    * from one point; the hub layer is what fixes the landing zone).
+    * Scale shape: the hub scan is queries×√n with the hub side
+    * broadcast; the frontier is O(queries·beam) rows and BROADCAST into
+    * an equi-join against the O(n·k) edge list each round — per-round
+    * work is one hash-join scan of the checkpointed graph, never a
+    * cartesian; scoring joins only newly-reached ids against the corpus.
+    * Recall at the walk's total exact-scoring budget (hubs + walk) is
+    * priced by [[knnSearchRecall]] against brute force, read next to
+    * `e_ann_recall`'s IVF rows at their probe budget. */
+  def knnSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
+    knnSearchVisited(spark, sfDir)
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnSearchTopK)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("cos_bp"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The walk's full scored-visited set V_R per query — (q_id, cand_id,
+    * cos_bp). [[knnSearch]] reads the top-k off it; [[knnSearchRecall]]
+    * also reads |V_R| as the candidate budget. */
+  private def knnSearchVisited(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val g = knnGraph(spark, sfDir)
+      .select(col("src_id"), col("nbr_id"))
+      .localCheckpoint(false) // probed once per beam round
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // (q_id, cand_id) → exact cosine; cands is tiny (≤ queries·beam·k) and
+    // rides broadcast into the corpus-side equi-join
+    def score(cands: DataFrame): DataFrame =
+      e.join(broadcast(cands), e("vec_id") === cands("cand_id"))
+        .join(broadcast(qs), "q_id")
+        .select(col("q_id"), col("cand_id"),
+          cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+    // layer 1: exact scores against the √n hub sample seed the beam
+    val n = e.count()
+    val hubIds = e.filter(col("vec_id") < knnNumCells(spark, n))
+      .select(col("vec_id").as("cand_id"))
+    var visited = score(qs.select(col("q_id")).crossJoin(broadcast(hubIds)))
+      .localCheckpoint(false)
+    val wBeam = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("node"))
+    var frontier = visited.withColumnRenamed("cand_id", "node")
+      .withColumn("brnk", row_number().over(wBeam))
+      .filter(col("brnk") <= KnnSearchBeam)
+      .select(col("q_id"), col("node"))
+      .localCheckpoint(false)
+    var expanded = frontier
+    for (r <- 1 to KnnSearchRounds) {
+      val nbrs = g.join(broadcast(frontier), g("src_id") === frontier("node"))
+        .select(col("q_id"), col("nbr_id").as("cand_id")).distinct()
+      val newly = nbrs.join(visited, Seq("q_id", "cand_id"), "left_anti")
+      val grown = visited.union(score(newly))
+      if (r < KnnSearchRounds) {
+        visited = grown.localCheckpoint(false)
+        // next beam: best UNEXPANDED visited (true best-first —
+        // re-expanding a node reaches nothing new, so expanded nodes
+        // never re-enter)
+        frontier = visited.withColumnRenamed("cand_id", "node")
+          .join(expanded, Seq("q_id", "node"), "left_anti")
+          .withColumn("brnk", row_number().over(wBeam))
+          .filter(col("brnk") <= KnnSearchBeam)
+          .select(col("q_id"), col("node"))
+          .localCheckpoint(false)
+        expanded = expanded.union(frontier).localCheckpoint(false)
+      } else
+        // the LAST round's beam/expanded sets feed nothing — stop at the
+        // grown visited set, unmaterialized, so the readout plan still
+        // shows the round shape (one broadcast frontier-edge join)
+        visited = grown
+    }
+    visited
+  }
+
+  /** Per-query recall of the beam walk vs brute-force truth (the
+    * `e_ann_recall` posture) plus `n_scored` — the walk's exact-scoring
+    * budget (distinct candidates visited, query itself excluded). Read
+    * next to `e_ann_recall`'s IVF rows: equal-budget comparison of
+    * graph-guided vs cell-probe candidate generation. */
+  def knnSearchRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annBruteForce(spark, sfDir).select(col("q_id"), col("cand_id"))
+    // ONE walk feeds both readouts (top-k hits and the budget count)
+    val v = knnSearchVisited(spark, sfDir)
+      .filter(col("cand_id") =!= col("q_id"))
+      .localCheckpoint(false)
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
+    val approx = v.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= KnnSearchTopK)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    val budget = v.groupBy(col("q_id")).agg(count(lit(1)).as("n_scored"))
+    truth.join(approx, Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .join(budget, Seq("q_id"))
+      .select(col("q_id"), col("n_truth"), col("n_hit"),
+        expr("10000 * n_hit div n_truth").as("recall_bp"), col("n_scored"))
+      .orderBy(col("q_id"))
+  }
+
+  /** The beam-walk CTE chain (entry + R unrolled expand/score/re-cut
+    * rounds), ending in visited set `v$KnnSearchRounds`. Each multiply-
+    * referenced stage is MATERIALIZED — the per-round state is referenced
+    * twice (next round's anti-join + union), and inlining would re-derive
+    * the whole chain 2^R× (the qKcore single-reference lesson; here the
+    * fan-out is bounded by materialization instead). */
+  private val knnSearchCtes: String = {
+    val dotQT = "list_reduce(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS double) * CAST(t.v[i] AS double)), (x, y) -> x + y)"
+    val rounds = (1 to KnnSearchRounds).map { r =>
+      val (pv, pf, px) = (s"v${r - 1}", s"f${r - 1}", s"x${r - 1}")
+      s"""n$r AS (
+      SELECT DISTINCT f.q_id, g.nbr_id AS cand_id
+      FROM $pf f JOIN kgraph g ON g.src_id = f.node
+    ), w$r AS (
+      SELECT n.q_id, n.cand_id FROM n$r n
+      WHERE NOT EXISTS (SELECT 1 FROM $pv v
+                        WHERE v.q_id = n.q_id AND v.cand_id = n.cand_id)
+    ), v$r AS MATERIALIZED (
+      SELECT * FROM $pv
+      UNION ALL
+      SELECT w.q_id, w.cand_id,
+             CAST(floor($dotQT * 10000.0 / (q.qn * t.nrm)) AS bigint) AS cos_bp
+      FROM w$r w JOIN e t ON t.vec_id = w.cand_id JOIN qs q ON q.q_id = w.q_id
+    ), f$r AS MATERIALIZED (
+      SELECT q_id, node FROM (
+        SELECT v.q_id, v.cand_id AS node,
+               row_number() OVER (PARTITION BY v.q_id
+                 ORDER BY v.cos_bp DESC, v.cand_id) AS brnk
+        FROM v$r v
+        WHERE NOT EXISTS (SELECT 1 FROM $px x
+                          WHERE x.q_id = v.q_id AND x.node = v.cand_id)
+      ) WHERE brnk <= $KnnSearchBeam
+    ), x$r AS MATERIALIZED (
+      SELECT * FROM $px UNION ALL SELECT * FROM f$r
+    )"""
+    }.mkString(", ")
+    val dotQH = "list_reduce(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS double) * CAST(c.cv[i] AS double)), (x, y) -> x + y)"
+    s"""qs AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 10
+    ), v0 AS MATERIALIZED (
+      SELECT q.q_id, c.cell AS cand_id,
+             CAST(floor($dotQH * 10000.0 / (q.qn * c.cn)) AS bigint) AS cos_bp
+      FROM qs q CROSS JOIN kcents c
+    ), f0 AS MATERIALIZED (
+      SELECT q_id, node FROM (
+        SELECT q_id, cand_id AS node,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_bp DESC, cand_id) AS brnk
+        FROM v0
+      ) WHERE brnk <= $KnnSearchBeam
+    ), x0 AS (
+      SELECT q_id, node FROM f0
+    ), $rounds"""
+  }
+
+  val knnSearchSql: String = s"""
+    WITH ${knnCtes.replace("kgraph AS (", "kgraph AS MATERIALIZED (")},
+    $knnSearchCtes
+    SELECT q_id, CAST(brnk AS bigint) AS rnk, cand_id, cos_bp FROM (
+      SELECT q_id, cand_id, cos_bp,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_bp DESC, cand_id) AS brnk
+      FROM v$KnnSearchRounds WHERE cand_id <> q_id
+    ) WHERE brnk <= $KnnSearchTopK
+    ORDER BY q_id, rnk"""
+
+  val knnSearchRecallSql: String = s"""
+    WITH ${knnCtes.replace("kgraph AS (", "kgraph AS MATERIALIZED (")},
+    $knnSearchCtes,
+    truth AS (SELECT q_id, cand_id FROM ($annBruteForceSql) t),
+    approx AS (
+      SELECT q_id, cand_id, 1 AS hit FROM (
+        SELECT q_id, cand_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_bp DESC, cand_id) AS brnk
+        FROM v$KnnSearchRounds WHERE cand_id <> q_id
+      ) WHERE brnk <= $KnnSearchTopK
+    ), budget AS (
+      SELECT q_id, CAST(count(*) AS bigint) AS n_scored
+      FROM v$KnnSearchRounds WHERE cand_id <> q_id GROUP BY q_id
+    )
+    SELECT t.q_id, count(*) AS n_truth,
+           CAST(sum(coalesce(hit, 0)) AS bigint) AS n_hit,
+           (10000 * CAST(sum(coalesce(hit, 0)) AS bigint) // count(*)) AS recall_bp,
+           any_value(b.n_scored) AS n_scored
+    FROM truth t
+    LEFT JOIN approx a ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+    JOIN budget b ON b.q_id = t.q_id
+    GROUP BY t.q_id
+    ORDER BY t.q_id"""
 
   // --------------------------------------------------------------------- PQ
 
@@ -2638,6 +2924,274 @@ object VectorQueries extends QueryModule {
     FROM counts CROSS JOIN tot
     ORDER BY cell"""
 
+  /** Load-factor bound (bp of fair share) above which [[ivfRebalance]]
+    * splits a cell. Real deployments bound at 2–5× fair share; the
+    * synthetic near-uniform corpus tops out ≈ 1.35×, so the default sits
+    * below that — the operator must actually split (and be oracle-
+    * checked splitting) at every harness SF, not no-op until production
+    * data arrives. The predicate is scale-invariant pure-integer
+    * cross-multiplication (pop·ncells·10⁴ > bound·n), no floats. */
+  val IvfSplitLoadBp = 11000L
+
+  /** Lloyd updates per split (k′=2 inside one hot cell converges in very
+    * few iterations; one update can leave a lopsided cut when the two
+    * seed ids happen to be close — two measured enough to bring every
+    * post-split load under [[IvfSplitLoadBp]] on the harness corpus). */
+  val IvfSplitLloydIters = 3
+
+  /** Per-cell IVF re-balance — the index-maintenance operator
+    * [[ivfBalance]]'s readout calls for: every cell above
+    * [[IvfSplitLoadBp]] of fair share is split in two with the
+    * [[graft.operators.KMeans]] recipe at k′=2 (seeds = the cell's two
+    * smallest vec_ids, [[IvfSplitLloydIters]] integer-exact Lloyd
+    * updates refining the split direction), closed by a BALANCED median
+    * cut on the sub-centroid cosine margin — the balanced-k-means
+    * capacity step, because free Lloyd assignment only TENDS toward
+    * even halves while the guarantee is the point (details at the cut
+    * below). Ties → smaller sub-seed / smaller vec_id everywhere, so
+    * DuckDB replays the split bit-for-bit. The index is re-emitted with
+    * fresh collision-free cell ids (max(cell)+1 + 2·hot_rank + sub).
+    * Hot cells are where the nprobe/ncells scan-fraction guarantee
+    * quietly dies at 100 TB — probing a 5×-loaded cell scans 5× the
+    * promised fraction. Scale shape: the split only touches hot-cell
+    * members; seeds come from the bounded [[graft.operators.TopK]]
+    * aggregator (never a corpus window sort), the Lloyd update is one
+    * map-side-combinable groupBy on (cell, sub, pos) with exact bigint
+    * sums, assignment margins are broadcast joins against a ≤2·|hot|
+    * sub-centroid table, and the one per-cell sort (the median cut) is
+    * keyed by cell — hot-cell members only. Output: one row per FINAL
+    * cell (cell, parent_cell, was_split, n_vecs). */
+  def ivfRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cellOf, _) = ivfParts(spark, sfDir)
+    val cellOfC = cellOf.localCheckpoint(false) // counts + members + final
+    val counts = cellOfC.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .localCheckpoint(false)
+    val tot = counts.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"), (max(col("cell")) + 1).as("id_base"))
+    val wHot = Window.orderBy(col("cell"))
+    val hot = counts.crossJoin(broadcast(tot))
+      .filter(col("n_vecs") * col("n_cells") * 10000 >
+        lit(IvfSplitLoadBp) * col("n_total"))
+      .withColumn("hrnk", row_number().over(wHot))
+      .select(col("cell"), col("hrnk"), col("id_base"))
+      .localCheckpoint(false) // tiny (≤ ncells rows); wHot's global window
+                              // sort is over this same bounded domain
+    val members = cellOfC.join(broadcast(hot), "cell")
+    // k'=2 seeds: the cell's two smallest member ids (the KMeans recipe's
+    // deterministic seeding)
+    val seeds = graft.operators.TopK.topK(
+        members.select(col("cell"), (-col("vec_id")).as("negid"), col("vec_id").as("sid")),
+        "cell", "negid", "sid", 2)
+      .select(col("cell"), col("rnk").as("srnk"), col("sid"))
+    val seedVecs = seeds.join(embs(spark, sfDir), col("sid") === col("vec_id"))
+      .select(col("cell"), col("srnk"), col("v").as("sv"), col("nrm").as("sn"))
+    // member → (cosine to each sub-centroid), as the MARGIN cos₁ − cos₂
+    // (missing sub-centroid rows contribute 0 — identically in the oracle)
+    def margin(cents: DataFrame, cv: String, cn: String): DataFrame =
+      members.join(broadcast(cents), "cell")
+        .select(col("cell"), col("vec_id"),
+          (when(col("srnk") === 1, lit(1.0)).otherwise(lit(-1.0))
+            * dot(col("v"), col(cv)) / (col("nrm") * col(cn))).as("sc"))
+        .groupBy(col("cell"), col("vec_id"))
+        .agg(sum(col("sc")).as("mrg"))
+    // free Lloyd assignment during refinement: argmax cosine = sign of the
+    // margin (tie → sub 1, the smaller id — DuckDB replays the tie)
+    def argmaxSub(cents: DataFrame, cv: String, cn: String): DataFrame =
+      margin(cents, cv, cn)
+        .select(col("cell"), col("vec_id"),
+          when(col("mrg") >= 0, lit(1)).otherwise(lit(2)).as("srnk"))
+    // integer-exact Lloyd update (the KMeans recipe): per-dim bigint sums
+    // per sub-cell, floor-mean back to cosine space
+    def update(asg: DataFrame): DataFrame =
+      members.join(asg, Seq("cell", "vec_id"))
+        .select(col("cell"), col("srnk"),
+          posexplode(col("v")).as(Seq("pos0", "x")))
+        .select(col("cell"), col("srnk"), (col("pos0") + 1).as("pos"),
+          floor(col("x") * 1000000).cast("long").as("q"))
+        .groupBy(col("cell"), col("srnk"), col("pos"))
+        .agg(count(lit(1)).as("nn"), sum(col("q")).as("s"))
+        .select(col("cell"), col("srnk"), col("pos"),
+          floor(col("s") * 1.0 / col("nn")).cast("long").as("c"))
+        .groupBy(col("cell"), col("srnk"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cell"), col("srnk"),
+          expr("transform(pc, x -> CAST(x.c AS double) / 1000000.0)").as("scv"))
+        .withColumn("scn", sqrt(dot(col("scv"), col("scv"))))
+    // refine the split DIRECTION with IvfSplitLloydIters Lloyd rounds…
+    var asg = argmaxSub(seedVecs, "sv", "sn")
+    var cents: DataFrame = null
+    for (i <- 1 to IvfSplitLloydIters) {
+      cents = update(asg)
+      if (i < IvfSplitLloydIters) asg = argmaxSub(cents, "scv", "scn")
+    }
+    // …then make the FINAL assignment a balanced median cut on the margin
+    // (the balanced-k-means capacity step): free Lloyd assignment only
+    // TENDS toward even halves — on near-uniform high-dim data it can
+    // converge to a 37/5 local optimum that stays over the load bound
+    // (measured at sf0.001) — while ranking each cell's members by margin
+    // and cutting at ⌈pop/2⌉ GUARANTEES both halves, hence max_load ≤
+    // bound whenever the hot cell was ≤ 2× fair share. The per-cell sort
+    // is over hot-cell members only (the window key is the cell id).
+    val wCut = Window.partitionBy(col("cell")).orderBy(col("mrg").desc, col("vec_id"))
+    val asgFinal = margin(cents, "scv", "scn")
+      .withColumn("crn", row_number().over(wCut))
+      .join(broadcast(counts), "cell")
+      .select(col("cell"), col("vec_id"),
+        when(col("crn") <= expr("(n_vecs + 1) div 2"), lit(1)).otherwise(lit(2))
+          .as("srnk"))
+    val splitCells = asgFinal.join(broadcast(hot), "cell")
+      .groupBy(col("cell"), col("hrnk"), col("id_base"), col("srnk"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(
+        (col("id_base") + (col("hrnk") - 1) * 2 + (col("srnk") - 1)).as("cell"),
+        col("cell").as("parent_cell"), lit(true).as("was_split"), col("n_vecs"))
+    val keptCells = counts.join(hot.select(col("cell")), Seq("cell"), "left_anti")
+      .select(col("cell"), col("cell").as("parent_cell"),
+        lit(false).as("was_split"), col("n_vecs"))
+    keptCells.union(splitCells).orderBy(col("cell"))
+  }
+
+  /** Shared CTE chain: cellof → counts/tot/hot → k′=2 seed split → one
+    * integer Lloyd update → re-assignment → `finalcells`. */
+  private lazy val ivfRebalanceCtes: String = {
+    val dotMS = "list_reduce(list_transform(range(1, len(m.v) + 1), i -> CAST(m.v[i] AS double) * CAST(s.sv[i] AS double)), (x, y) -> x + y)"
+    val dotMC = "list_reduce(list_transform(range(1, len(m.v) + 1), i -> CAST(m.v[i] AS double) * CAST(s.scv[i] AS double)), (x, y) -> x + y)"
+    val dotCC = "list_reduce(list_transform(range(1, len(scv) + 1), i -> scv[i] * scv[i]), (x, y) -> x + y)"
+    // IvfSplitLloydIters unrolled update rounds; free (sign-of-margin)
+    // re-assignment between rounds, the final round's margin feeds the
+    // balanced cut instead
+    val lloyd = (1 to IvfSplitLloydIters).map { i =>
+      val asgCte = if (i < IvfSplitLloydIters) s""", asg$i AS (
+      SELECT cell, vec_id,
+             CASE WHEN mrg >= 0 THEN 1 ELSE 2 END AS srnk
+      FROM mrg$i
+    )""" else ""
+      s"""qd$i AS (
+      SELECT a.cell, a.srnk,
+             CAST(unnest(range(1, len(m.v) + 1)) AS bigint) AS pos,
+             unnest(list_transform(m.v, x ->
+               CAST(floor(CAST(x AS double) * 1000000) AS bigint))) AS q
+      FROM members m
+      JOIN asg${i - 1} a ON m.cell = a.cell AND m.vec_id = a.vec_id
+    ), subc$i AS (
+      SELECT cell, srnk,
+             list(CAST(c AS double) / 1000000.0 ORDER BY pos) AS scv
+      FROM (
+        SELECT cell, srnk, pos,
+               CAST(floor(CAST(sum(q) AS double) * 1.0 / count(*)) AS bigint) AS c
+        FROM qd$i GROUP BY cell, srnk, pos
+      ) GROUP BY cell, srnk
+    ), subcn$i AS (
+      SELECT cell, srnk, scv, sqrt($dotCC) AS scn FROM subc$i
+    ), mrg$i AS (
+      SELECT m.cell, m.vec_id,
+             sum((CASE WHEN s.srnk = 1 THEN 1.0 ELSE -1.0 END)
+                 * $dotMC / (m.nrm * s.scn)) AS mrg
+      FROM members m JOIN subcn$i s ON m.cell = s.cell
+      GROUP BY m.cell, m.vec_id
+    )$asgCte"""
+    }.mkString(", ")
+    s"""$ivfCellCtes, counts AS (
+      SELECT cell, CAST(count(*) AS bigint) AS n_vecs FROM cellof GROUP BY cell
+    ), tot AS (
+      SELECT CAST(sum(n_vecs) AS bigint) AS n_total,
+             CAST(count(*) AS bigint) AS n_cells,
+             CAST(max(cell) + 1 AS bigint) AS id_base
+      FROM counts
+    ), hot AS (
+      SELECT cell, row_number() OVER (ORDER BY cell) AS hrnk, id_base
+      FROM counts CROSS JOIN tot
+      WHERE n_vecs * n_cells * 10000 > $IvfSplitLoadBp * n_total
+    ), members AS (
+      SELECT t.vec_id, t.v, t.nrm, t.cell FROM cellof t JOIN hot h ON t.cell = h.cell
+    ), seeds AS (
+      SELECT cell, srnk, sid FROM (
+        SELECT cell, vec_id AS sid,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS srnk
+        FROM members
+      ) WHERE srnk <= 2
+    ), seedvecs AS (
+      SELECT s.cell, s.srnk, e.v AS sv, e.nrm AS sn
+      FROM seeds s JOIN e ON e.vec_id = s.sid
+    ), mrg0 AS (
+      SELECT m.cell, m.vec_id,
+             sum((CASE WHEN s.srnk = 1 THEN 1.0 ELSE -1.0 END)
+                 * $dotMS / (m.nrm * s.sn)) AS mrg
+      FROM members m JOIN seedvecs s ON m.cell = s.cell
+      GROUP BY m.cell, m.vec_id
+    ), asg0 AS (
+      SELECT cell, vec_id,
+             CASE WHEN mrg >= 0 THEN 1 ELSE 2 END AS srnk
+      FROM mrg0
+    ), $lloyd, asgfin AS (
+      SELECT r.cell, r.vec_id,
+             CASE WHEN r.crn <= (c.n_vecs + 1) // 2 THEN 1 ELSE 2 END AS srnk
+      FROM (
+        SELECT cell, vec_id,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY mrg DESC, vec_id) AS crn
+        FROM mrg$IvfSplitLloydIters
+      ) r JOIN counts c ON r.cell = c.cell
+    ), finalcells AS (
+      SELECT c.cell, c.cell AS parent_cell, FALSE AS was_split, c.n_vecs
+      FROM counts c WHERE c.cell NOT IN (SELECT cell FROM hot)
+      UNION ALL
+      SELECT CAST(h.id_base + 2 * (h.hrnk - 1) + (a.srnk - 1) AS bigint) AS cell,
+             a.cell AS parent_cell, TRUE AS was_split,
+             CAST(count(*) AS bigint) AS n_vecs
+      FROM asgfin a JOIN hot h ON a.cell = h.cell
+      GROUP BY h.id_base, h.hrnk, a.srnk, a.cell
+    )"""
+  }
+
+  lazy val ivfRebalanceSql: String = s"""
+    WITH $ivfRebalanceCtes
+    SELECT cell, parent_cell, was_split, n_vecs FROM finalcells
+    ORDER BY cell"""
+
+  /** Before/after balance audit for [[ivfRebalance]]: max population and
+    * max load factor (both phases normalized by the PRE-split fair share
+    * n_total/n_cells — the scan-fraction denominator the probe budget
+    * was sized against), plus conservation-checkable totals. */
+  def ivfRebalanceEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val before = ivfBalance(spark, sfDir)
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_vecs")).as("n_total"),
+        max(col("n_vecs")).as("max_pop"))
+    val nc = before.select(col("n_cells"), col("n_total"))
+    val after = ivfRebalance(spark, sfDir)
+      .agg(count(lit(1)).as("n_cells_a"), sum(col("n_vecs")).as("n_total_a"),
+        max(col("n_vecs")).as("max_pop_a"))
+      .crossJoin(broadcast(nc))
+      .select(lit("after").as("phase"), col("n_cells_a").as("n_cells"),
+        col("n_total_a").as("n_total"), col("max_pop_a").as("max_pop"),
+        floor(col("max_pop_a") * col("n_cells") * 10000.0 / col("n_total"))
+          .cast("long").as("max_load_bp"))
+    before
+      .select(lit("before").as("phase"), col("n_cells"), col("n_total"),
+        col("max_pop"),
+        floor(col("max_pop") * col("n_cells") * 10000.0 / col("n_total"))
+          .cast("long").as("max_load_bp"))
+      .union(after)
+      .orderBy(col("phase"))
+  }
+
+  lazy val ivfRebalanceEvalSql: String = s"""
+    WITH $ivfRebalanceCtes
+    SELECT * FROM (
+      SELECT 'before' AS phase, n_cells,
+             n_total, CAST(max(n_vecs) AS bigint) AS max_pop,
+             CAST(floor(max(n_vecs) * n_cells * 10000.0 / n_total) AS bigint)
+               AS max_load_bp
+      FROM counts CROSS JOIN tot GROUP BY n_cells, n_total
+      UNION ALL
+      SELECT 'after' AS phase, CAST(count(*) AS bigint) AS n_cells,
+             CAST(sum(n_vecs) AS bigint) AS n_total,
+             CAST(max(n_vecs) AS bigint) AS max_pop,
+             CAST(floor(max(n_vecs) * any_value(t.n_cells) * 10000.0
+                  / any_value(t.n_total)) AS bigint) AS max_load_bp
+      FROM finalcells CROSS JOIN tot t
+    ) ORDER BY phase"""
+
   /** Top dimension-covariance pairs over the leading 16 embedding dims —
     * the redundancy audit run before PQ subspace splits or dimension
     * truncation (two strongly covarying dims carry one dim of signal;
@@ -2826,6 +3380,8 @@ object VectorQueries extends QueryModule {
     "e_rp_distortion"   -> (rpDistortion _),
     "e_cov_pairs"       -> (covPairs _),
     "e_ivf_balance"     -> (ivfBalance _),
+    "e_ivf_rebalance"   -> (ivfRebalance _),
+    "e_ivf_rebalance_eval" -> (ivfRebalanceEval _),
     "e_rank_fusion"     -> (rankFusion _),
     "e_pq_distortion"   -> (pqDistortion _),
     "e_kmeans_elbow"    -> (kmeansElbow _),
@@ -2864,6 +3420,8 @@ object VectorQueries extends QueryModule {
     "e_knn_graph"       -> (knnGraph _),
     "e_knn_recall"      -> (knnRecall _),
     "e_knn_mutual"      -> (knnMutual _),
+    "e_knn_search"      -> (knnSearch _),
+    "e_knn_search_recall" -> (knnSearchRecall _),
     "d_dedup_embedding" -> (dedupEmbedding _),
     "d_semdedup"        -> (semDedup _),
     "d_semdedup_eval"   -> (semDedupEval _),
@@ -2882,6 +3440,8 @@ object VectorQueries extends QueryModule {
     "e_rp_distortion"   -> rpDistortionSql,
     "e_cov_pairs"       -> covPairsSql,
     "e_ivf_balance"     -> ivfBalanceSql,
+    "e_ivf_rebalance"   -> ivfRebalanceSql,
+    "e_ivf_rebalance_eval" -> ivfRebalanceEvalSql,
     "e_rank_fusion"     -> rankFusionSql,
     "e_pq_distortion"   -> pqDistortionSql,
     "e_kmeans_elbow"    -> kmeansElbowSql,
@@ -2924,6 +3484,8 @@ object VectorQueries extends QueryModule {
     "e_knn_graph"       -> knnGraphSql,
     "e_knn_recall"      -> knnRecallSql,
     "e_knn_mutual"      -> knnMutualSql,
+    "e_knn_search"      -> knnSearchSql,
+    "e_knn_search_recall" -> knnSearchRecallSql,
     "d_dedup_minhash"   -> dedupMinhashSql,
     "d_minhash_keep"    -> minhashKeepSql,
     "d_minhash_incr"    -> minhashIncrSql,

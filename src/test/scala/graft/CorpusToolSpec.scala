@@ -12,7 +12,8 @@ class CorpusToolSpec extends SparkSpecBase {
       "sample", "pack", "pii", "winnow", "winnoweval", "bpe",
       "wsample", "lenquantile", "rproject", "ccnet", "sourcecap", "fertility",
       "bpeloop", "spanislands", "spanhist", "knngraph", "knnrecall",
-      "knndedup")
+      "knndedup", "knnsearch", "knnsearcheval", "ivfrebalance",
+      "ivfrebalanceeval")
     for (c <- cmds)
       assert(CorpusTool.run(spark, c, Sf, Map.empty).count() > 0, s"$c returned 0 rows")
   }

@@ -57,7 +57,9 @@ class PlanGuardSpec extends SparkSpecBase {
                   "t_fertility", "q_range_join", "q_bitmap_distinct",
                   "e_knn_graph", "e_knn_recall", "t_span_islands",
                   "t_span_length_hist", "q_fsimage_open_files",
-                  "q_fsimage_cache", "e_knn_mutual"))
+                  "q_fsimage_cache", "e_knn_mutual", "e_knn_search",
+                  "e_knn_search_recall", "e_ivf_rebalance",
+                  "e_ivf_rebalance_eval"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
@@ -72,6 +74,16 @@ class PlanGuardSpec extends SparkSpecBase {
     // window in the plan is the per-vector cell assignment (a rank over
     // ncells rows), never one over the candidate-pair table
     assert(!p.contains("row_number"), "candidate-pair window sort leaked into e_knn_graph")
+  }
+
+  test("e_knn_search probes the graph by broadcast frontier equi-join each round") {
+    // every beam round must join the (tiny) frontier against the edge
+    // list by BROADCAST hash on src_id — a shuffled join would re-shuffle
+    // the O(n·k) graph per round, and a dropped key would nested-loop it
+    val p = plan("e_knn_search")
+    assert("BroadcastHashJoin \\[src_id#".r.findFirstIn(p).isDefined,
+      "broadcast frontier-edge join missing in e_knn_search")
+    assert(!p.contains("CartesianProduct"), "cartesian in e_knn_search")
   }
 
   test("t_substr_scrub stays an inverted-index pipeline: span-hash window, (doc,idx) equi-join, no nested-loop") {
