@@ -13,7 +13,7 @@ import graft.functions.IECBinaryImpl
   *   commands: summary | smallfiles | smallfilesusers | userusage | path |
   *             inode | acl | xattr | quotas | growth | growthdirs |
   *             dupnames | du | compaction | ext | sections | snapshots |
-  *             refs | diffs | openfiles | cachepools | cache
+  *             refs | diffs | openfiles | cachepools | cache | secrets
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /); repeatable, and a
   *                     single -p also accepts a comma-separated list —
@@ -64,25 +64,12 @@ object Tool {
       case "refs"      => return FsImageSource.inodeReferences(spark, image)
       case "diffs"     => return FsImageSource.snapshotDiffs(spark, image)
       case "cachepools" => return FsImageSource.cachePools(spark, image)
+      // delegation-token audit (SECRET_MANAGER ⋈ itself — no inode side,
+      // so -p does not apply): which tokens outlive or lost their key
+      case "secrets" => return Reports.secretReport(
+        FsImageSource.delegationTokens(spark, image),
+        FsImageSource.delegationKeys(spark, image))
       case _           => ()
-    }
-    // cache directives + accounting joins the (tiny) CACHE_MANAGER tables
-    // with the inode table — `hdfs cacheadmin -listDirectives -stats`
-    if (cmd == "cache") {
-      val all0 =
-        if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
-        else FsImageSource.inodes(spark, image)
-      return Reports.cacheReport(all0,
-        FsImageSource.cacheDirectives(spark, image),
-        FsImageSource.cachePools(spark, image))
-    }
-    // openfiles joins the (tiny) FILES_UNDERCONSTRUCTION section with the
-    // inode table — the `hdfs dfsadmin -listOpenFiles` equivalent
-    if (cmd == "openfiles") {
-      val all0 =
-        if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
-        else FsImageSource.inodes(spark, image)
-      return Reports.openFiles(all0, FsImageSource.filesUnderConstruction(spark, image))
     }
     val all =
       if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, image)
@@ -91,17 +78,31 @@ object Tool {
     val dirs =
       if (paths.nonEmpty) paths.flatMap(_.split(",")).distinct
       else opts.getOrElse("-p", "/").split(",").toSeq
-    val inodes =
-      if (dirs == Seq("/")) all
+    // require a '/' boundary after the prefix: -p /data must match
+    // /data and /data/x but NOT the sibling /database
+    def subtree(df: DataFrame, pathCol: String): DataFrame =
+      if (dirs == Seq("/")) df
       else {
-        // require a '/' boundary after the prefix: -p /data must match
-        // /data and /data/x but NOT the sibling /database
         val norm = dirs.map(d => if (d != "/" && d.endsWith("/")) d.dropRight(1) else d)
-        all.filter(norm.map(d =>
+        df.filter(norm.map(d =>
             if (d == "/") lit(true)
-            else col("path").startsWith(d + "/") || col("path") === d)
+            else col(pathCol).startsWith(d + "/") || col(pathCol) === d)
           .reduce(_ || _))
       }
+    val inodes = subtree(all, "path")
+    // cache directives + accounting joins the (tiny) CACHE_MANAGER tables
+    // with the inode table — `hdfs cacheadmin -listDirectives -stats`.
+    // -p restricts BOTH sides: out-of-subtree directives drop instead of
+    // lingering as misleading 0-byte rows
+    if (cmd == "cache")
+      return Reports.cacheReport(inodes,
+        subtree(FsImageSource.cacheDirectives(spark, image), "path"),
+        FsImageSource.cachePools(spark, image))
+    // openfiles joins the (tiny) FILES_UNDERCONSTRUCTION section with the
+    // inode table — the `hdfs dfsadmin -listOpenFiles` equivalent; -p
+    // restricts through the filtered inode side of the join
+    if (cmd == "openfiles")
+      return Reports.openFiles(inodes, FsImageSource.filesUnderConstruction(spark, image))
     val topN = opts.get("-l").map(_.toInt).getOrElse(20)
 
     cmd match {
@@ -155,7 +156,8 @@ object Tool {
         throw new IllegalArgumentException(s"unknown command: $other " +
           "(expected one of: summary smallfiles smallfilesusers userusage " +
           "path inode acl xattr quotas growth growthdirs dupnames du " +
-          "compaction ext sections snapshots refs diffs)")
+          "compaction ext sections snapshots refs diffs openfiles " +
+          "cachepools cache secrets)")
     }
   }
 

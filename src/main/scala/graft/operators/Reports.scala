@@ -194,9 +194,14 @@ object Reports {
 
   /** Cache accounting — `hdfs cacheadmin -listDirectives -stats`'s view:
     * each CACHE_MANAGER directive joined to its pool (owner, limit) and
-    * to the inode table for the cached bytes (file size × cache
-    * replication; a directive on a directory caches its direct child
-    * files — resolved with one parent-path equi-join, no prefix scan).
+    * to the inode table for its target bytes (a directive on a directory
+    * caches its direct child files — resolved with one parent-path
+    * equi-join, no prefix scan). Column semantics follow cacheadmin:
+    * `bytes_needed` = target bytes × cache replication (what a fully
+    * satisfied directive pins); `bytes_cached_max` is the assume-fully-
+    * cached UPPER BOUND on cacheadmin's datanode-reported BYTES_CACHED —
+    * an fsimage records intent, not datanode state, so actuals aren't
+    * derivable here (hence the explicit `_max` name, not `bytes_cached`).
     * Directive/pool tables are bounded by admin action (thousands, not
     * inodes), so at scale both sides broadcast into the inode join.
     * Beyond reference parity: hfsa drops the CACHE_MANAGER section. */
@@ -218,14 +223,36 @@ object Reports {
       .join(pools, Seq("pool"), "left")
       .select(col("directive_id"), col("path"), col("pool"), col("owner"),
         col("cache_replication"),
-        (coalesce(col("fsz"), lit(0L)) + coalesce(col("dsz"), lit(0L))).as("bytes_needed"),
         ((coalesce(col("fsz"), lit(0L)) + coalesce(col("dsz"), lit(0L)))
-          * col("cache_replication")).as("bytes_cached"),
+          * col("cache_replication")).as("bytes_needed"),
+        ((coalesce(col("fsz"), lit(0L)) + coalesce(col("dsz"), lit(0L)))
+          * col("cache_replication")).as("bytes_cached_max"),
         (coalesce(col("n_dir_files"), lit(0L)) +
           when(col("fsz").isNotNull, 1L).otherwise(0L)).as("n_files"),
         col("limit").as("pool_limit"), col("expiry_ms"), col("expiry_relative"))
       .orderBy(col("directive_id"))
   }
+
+  /** Delegation-token audit over the SECRET_MANAGER section — the
+    * security readout the token inventory exists for: each persisted
+    * token joined to its signing master key, flagging tokens that
+    * OUTLIVE their key (`outlives_key`: token expiry past key expiry —
+    * the renewal-window breakage a namenode restart turns into auth
+    * failures) and tokens whose key is missing entirely (`key_missing`:
+    * rolled away while the token persists). Both section tables are
+    * bounded by live tokens/keys (thousands), so the join broadcasts;
+    * null key expiry surfaces as -1 to keep the column long-typed. */
+  def secretReport(tokens: DataFrame, keys: DataFrame): DataFrame =
+    tokens.join(broadcast(keys.select(col("key_id").as("master_key_id"),
+        col("key_expiry_ms"))), Seq("master_key_id"), "left")
+      .select(col("seq"), col("owner"), col("renewer"), col("real_user"),
+        col("issue_ms"), col("max_ms"), col("expiry_ms"),
+        col("master_key_id"),
+        coalesce(col("key_expiry_ms"), lit(-1L)).as("key_expiry_ms"),
+        (col("key_expiry_ms").isNotNull &&
+          col("expiry_ms") > col("key_expiry_ms")).as("outlives_key"),
+        col("key_expiry_ms").isNull.as("key_missing"))
+      .orderBy(col("seq"))
 
   def quotaReport(inodes: DataFrame): DataFrame = {
     val quotaDirs = inodes.filter(col("ftype") === "D" &&

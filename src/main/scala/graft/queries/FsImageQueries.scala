@@ -28,7 +28,8 @@ object FsImageQueries extends QueryModule {
     ecEvery = 4, aclEvery = 7, xattrEvery = 5, nSymlinks = 10,
     withAtime = true, quotaEvery = 6, permVariety = true,
     nSnapshots = 4, nDiffs = 400, ucEvery = 9,
-    nCachePools = 3, nCacheDirectives = 40)
+    nCachePools = 3, nCacheDirectives = 40,
+    nDelegationKeys = 5, nDelegationTokens = 60)
   // image file keyed by the spec: changing Gen invalidates the cached file
   private val ImagePath = s"$BaseDir/sample-${Gen.hashCode.toHexString}.img"
   private val Pid = ProcessHandle.current().pid()
@@ -37,6 +38,8 @@ object FsImageQueries extends QueryModule {
   private val UcExportDir = s"$BaseDir/p$Pid/uc"
   private val PoolExportDir = s"$BaseDir/p$Pid/pools"
   private val DirectiveExportDir = s"$BaseDir/p$Pid/directives"
+  private val KeyExportDir = s"$BaseDir/p$Pid/delegation_keys"
+  private val TokenExportDir = s"$BaseDir/p$Pid/delegation_tokens"
 
   private def ensureImage(): Unit = synchronized {
     val f = new java.io.File(ImagePath)
@@ -70,6 +73,10 @@ object FsImageQueries extends QueryModule {
           .write.mode("overwrite").parquet(PoolExportDir)
         FsImageSource.cacheDirectives(spark, ImagePath)
           .write.mode("overwrite").parquet(DirectiveExportDir)
+        FsImageSource.delegationKeys(spark, ImagePath)
+          .write.mode("overwrite").parquet(KeyExportDir)
+        FsImageSource.delegationTokens(spark, ImagePath)
+          .write.mode("overwrite").parquet(TokenExportDir)
         val df = FsImageSource.inodes(spark, ImagePath)
         df.write.mode("overwrite").parquet(ExportDir)
         df
@@ -317,7 +324,8 @@ object FsImageQueries extends QueryModule {
     * the exported CACHE_MANAGER directives/pools with the exported inode
     * table (file-path AND direct-children matches, cacheadmin's
     * non-recursive semantics) and re-derives the same per-directive
-    * bytes_needed / bytes_cached / n_files rows. */
+    * bytes_needed / bytes_cached_max / n_files rows (semantics:
+    * [[graft.operators.Reports.cacheReport]]). */
   def fsimageCache(spark: SparkSession, sfDir: String): DataFrame = {
     val inodes = ensureExport(spark)
     graft.operators.Reports.cacheReport(inodes,
@@ -341,8 +349,8 @@ object FsImageQueries extends QueryModule {
       FROM d LEFT JOIN f ON d.path = f.fparent GROUP BY directive_id
     )
     SELECT d.directive_id, d.path, d.pool, p.owner, d.cache_replication,
-           CAST(coalesce(fsz, 0) + coalesce(dsz, 0) AS bigint) AS bytes_needed,
-           CAST((coalesce(fsz, 0) + coalesce(dsz, 0)) * d.cache_replication AS bigint) AS bytes_cached,
+           CAST((coalesce(fsz, 0) + coalesce(dsz, 0)) * d.cache_replication AS bigint) AS bytes_needed,
+           CAST((coalesce(fsz, 0) + coalesce(dsz, 0)) * d.cache_replication AS bigint) AS bytes_cached_max,
            CAST(coalesce(n_dir_files, 0)
                 + CASE WHEN fsz IS NOT NULL THEN 1 ELSE 0 END AS bigint) AS n_files,
            p."limit" AS pool_limit, d.expiry_ms, d.expiry_relative
@@ -352,7 +360,31 @@ object FsImageQueries extends QueryModule {
     LEFT JOIN read_parquet('$PoolExportDir/*.parquet') p USING (pool)
     ORDER BY directive_id"""
 
+  /** Delegation-token audit ([[graft.operators.Reports.secretReport]])
+    * over the parsed SECRET_MANAGER section, driver-oracle-checked:
+    * DuckDB independently re-joins the exported token and key tables and
+    * re-derives the outlives-key / missing-key flags. */
+  def fsimageSecrets(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExport(spark)
+    graft.operators.Reports.secretReport(
+      spark.read.parquet(TokenExportDir),
+      spark.read.parquet(KeyExportDir))
+  }
+
+  val fsimageSecretsSql: String = s"""
+    SELECT t.seq, t.owner, t.renewer, t.real_user, t.issue_ms, t.max_ms,
+           t.expiry_ms, t.master_key_id,
+           CAST(coalesce(k.key_expiry_ms, -1) AS bigint) AS key_expiry_ms,
+           (k.key_expiry_ms IS NOT NULL AND t.expiry_ms > k.key_expiry_ms)
+             AS outlives_key,
+           (k.key_expiry_ms IS NULL) AS key_missing
+    FROM read_parquet('$TokenExportDir/*.parquet') t
+    LEFT JOIN read_parquet('$KeyExportDir/*.parquet') k
+      ON t.master_key_id = k.key_id
+    ORDER BY seq"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fsimage_secrets"    -> (fsimageSecrets _),
     "q_fsimage_cache"      -> (fsimageCache _),
     "q_fsimage_open_files" -> (fsimageOpenFiles _),
     "q_fsimage_cold"       -> (fsimageCold _),
@@ -364,6 +396,7 @@ object FsImageQueries extends QueryModule {
     "q_fsimage_perm_audit" -> (fsimagePermAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q_fsimage_secrets"    -> fsimageSecretsSql,
     "q_fsimage_cache"      -> fsimageCacheSql,
     "q_fsimage_open_files" -> fsimageOpenFilesSql,
     "q_fsimage_cold"       -> fsimageColdSql,

@@ -185,6 +185,46 @@ object FsImageSource {
         d.expiryMs, d.expiryRelative))).toDF()
   }
 
+  final case class FsDelegationKey(key_id: Int, key_expiry_ms: Long,
+                                   key_len: Int)
+  final case class FsDelegationToken(seq: Int, version: Int, owner: String,
+                                     renewer: String, real_user: String,
+                                     issue_ms: Long, max_ms: Long,
+                                     master_key_id: Int, expiry_ms: Long)
+
+  private def secretSection(spark: SparkSession, imagePath: String)
+      : Option[FsImageFormat.SecretManagerSection] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val summary = FsImageFormat.readSummary(imagePath, conf)
+    summary.sections.find(_.name == "SECRET_MANAGER").map { sec =>
+      FsImageFormat.parseSecretManager(FsImageFormat.maybeDecompress(
+        FsImageFormat.readSection(imagePath, sec, conf), summary.codec))
+    }
+  }
+
+  /** SECRET_MANAGER delegation keys — master-key inventory (id, expiry,
+    * key LENGTH only; material never leaves the parser). Empty when the
+    * image carries no secret-manager state. Beyond reference parity
+    * (hfsa drops the section). */
+  def delegationKeys(spark: SparkSession, imagePath: String): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(secretSection(spark, imagePath).toSeq.flatMap(_.keys)
+      .map(key => FsDelegationKey(key.id, key.expiryMs, key.keyLen))).toDF()
+  }
+
+  /** SECRET_MANAGER persisted delegation tokens — one row per live token
+    * (sequence number, owner/renewer/real-user, issue/max/expiry times,
+    * signing master-key id). Join master_key_id on
+    * [[delegationKeys]].key_id for the token-vs-key audit
+    * ([[graft.operators.Reports.secretReport]]). */
+  def delegationTokens(spark: SparkSession, imagePath: String): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(secretSection(spark, imagePath).toSeq.flatMap(_.tokens)
+      .map(t => FsDelegationToken(t.sequenceNumber, t.version, t.owner,
+        t.renewer, t.realUser, t.issueMs, t.maxMs, t.masterKeyId,
+        t.expiryMs))).toDF()
+  }
+
   final case class FsInodeRef(referred_id: Long, name: String,
                               dst_snapshot_id: Int, last_snapshot_id: Int)
 

@@ -978,6 +978,85 @@ object FsImageFormat {
     CacheManagerSection(nextId, pools.result(), dirs.result())
   }
 
+  // ---------------------------------------------------------- secret manager
+
+  final case class DelegationKey(id: Int, expiryMs: Long, keyLen: Int)
+  final case class PersistToken(version: Int, owner: String, renewer: String,
+                                realUser: String, issueMs: Long, maxMs: Long,
+                                sequenceNumber: Int, masterKeyId: Int,
+                                expiryMs: Long)
+  final case class SecretManagerSection(currentId: Int,
+                                        tokenSequenceNumber: Int,
+                                        keys: Seq[DelegationKey],
+                                        tokens: Seq[PersistToken])
+
+  /** SECRET_MANAGER section (public fsimage.proto SecretManagerSection):
+    * a delimited header {currentId=1, tokenSequenceNumber=2, numKeys=3,
+    * numTokens=4} followed by numKeys delimited DelegationKey {id=1,
+    * expiryDate=2, key=3} and numTokens delimited PersistToken
+    * {version=1, owner=2, renewer=3, realUser=4, issueDate=5, maxDate=6,
+    * sequenceNumber=7, masterKeyId=8, expiryDate=9} — the
+    * delegation-token state behind the "which tokens outlive their
+    * master keys" security audit. Key MATERIAL is deliberately not
+    * surfaced, only its byte length: no readout needs secret bytes, and
+    * an analytics export must not become a credential copy. The last
+    * fsimage section this repo inventoried without decoding; the
+    * reference drops it entirely (FsImageLoader.java loads only
+    * string/inode/dir sections). */
+  def parseSecretManager(bytes: Array[Byte]): SecretManagerSection = {
+    val it = delimited(bytes, 0, bytes.length)
+    var curId = 0; var tokSeq = 0; var nKeys = 0; var nTokens = 0
+    if (it.hasNext) it.next().eachField { (fn, wt, r) =>
+      (fn, wt) match {
+        case (1, 0) => curId = r.varint().toInt
+        case (2, 0) => tokSeq = r.varint().toInt
+        case (3, 0) => nKeys = r.varint().toInt
+        case (4, 0) => nTokens = r.varint().toInt
+        case _      => r.skip(wt)
+      }
+    }
+    val keys = Seq.newBuilder[DelegationKey]
+    var k = 0
+    while (k < nKeys && it.hasNext) {
+      val m = it.next()
+      var id = 0; var exp = 0L; var klen = 0
+      m.eachField { (fn, wt, r) =>
+        (fn, wt) match {
+          case (1, 0) => id = r.varint().toInt
+          case (2, 0) => exp = r.varint()
+          case (3, 2) => klen = { val n = r.varint().toInt; r.bytes(n); n }
+          case _      => r.skip(wt)
+        }
+      }
+      keys += DelegationKey(id, exp, klen)
+      k += 1
+    }
+    val toks = Seq.newBuilder[PersistToken]
+    k = 0
+    while (k < nTokens && it.hasNext) {
+      val m = it.next()
+      var ver = 0; var owner = ""; var renewer = ""; var real = ""
+      var issue = 0L; var maxMs = 0L; var seq = 0; var mkid = 0; var exp = 0L
+      m.eachField { (fn, wt, r) =>
+        (fn, wt) match {
+          case (1, 0) => ver = r.varint().toInt
+          case (2, 2) => owner = new String(r.bytes(r.varint().toInt), "UTF-8")
+          case (3, 2) => renewer = new String(r.bytes(r.varint().toInt), "UTF-8")
+          case (4, 2) => real = new String(r.bytes(r.varint().toInt), "UTF-8")
+          case (5, 0) => issue = r.varint()
+          case (6, 0) => maxMs = r.varint()
+          case (7, 0) => seq = r.varint().toInt
+          case (8, 0) => mkid = r.varint().toInt
+          case (9, 0) => exp = r.varint()
+          case _      => r.skip(wt)
+        }
+      }
+      toks += PersistToken(ver, owner, renewer, real, issue, maxMs, seq, mkid, exp)
+      k += 1
+    }
+    SecretManagerSection(curId, tokSeq, keys.result(), toks.result())
+  }
+
   // --------------------------------------------------------- snapshot diffs
 
   final case class SnapshotDiff(inodeId: Long, diffType: String,

@@ -35,7 +35,25 @@ object ImageGen {
                            // 256 KiB cells) declared via an
                            // ERASURE_CODING section, name omitted so the
                            // reader must derive it
-                           ecCustom: Boolean = false)
+                           ecCustom: Boolean = false,
+                           nDelegationKeys: Int = 0,   // SECRET_MANAGER keys
+                           nDelegationTokens: Int = 0) // …and tokens
+
+  /** SECRET_MANAGER ground truth: master key `keyId` (1-based) expires
+    * at a staggered per-key day boundary. */
+  def secretKeyExpiry(keyId: Int): Long =
+    1800000000000L + (keyId - 1) * 86400000L
+
+  /** SECRET_MANAGER ground truth: token `t` signs with key
+    * 1 + t % (nKeys + 1); even t expire one second BEFORE that key, odd
+    * t OUTLIVE it by an hour, and tokens whose computed key id exceeds
+    * nKeys (the missing-key audit case) carry a base stamp. */
+  def secretTokenExpiry(t: Int, nKeys: Int): Long = {
+    val mkid = 1 + t % (nKeys + 1)
+    if (mkid > nKeys) 1800000000000L + t * 1000L
+    else if (t % 2 == 0) secretKeyExpiry(mkid) - 1000L
+    else secretKeyExpiry(mkid) + 3600000L
+  }
 
   /** Ground truth the generator guarantees, for specs to assert against. */
   final case class GenSummary(sumFileSize: Long, sumConsumed: Long,
@@ -332,6 +350,42 @@ object ImageGen {
             e.tag(1, 0).varint(if (d % 3 == 0) 0L else 1893456000000L + d * 1000L)
             e.tag(2, 0).varint(if (d % 3 == 2) 1 else 0)
           }
+        }
+      }
+    }
+
+    // SECRET_MANAGER section: header {currentId, tokenSequenceNumber,
+    // numKeys, numTokens} + numKeys DelegationKey {id, expiryDate, key}
+    // + numTokens PersistToken. Deterministic audit-relevant shapes
+    // (ground truth in [[secretKeyExpiry]]/[[secretTokenExpiry]]):
+    // token t signs with key 1 + t % (nKeys + 1) — the t % (nKeys+1) ==
+    // nKeys tokens reference a MISSING key; even t expire BEFORE their
+    // key, odd t OUTLIVE it by an hour
+    if (nDelegationKeys > 0) section("SECRET_MANAGER") { sm =>
+      sm.delimited { h =>
+        h.tag(1, 0).varint(nDelegationKeys)
+        h.tag(2, 0).varint(nDelegationTokens)
+        h.tag(3, 0).varint(nDelegationKeys)
+        h.tag(4, 0).varint(nDelegationTokens)
+      }
+      (0 until nDelegationKeys).foreach { i =>
+        sm.delimited { m =>
+          m.tag(1, 0).varint(1L + i)
+          m.tag(2, 0).varint(secretKeyExpiry(1 + i))
+          m.str(3, "k" * (8 + i % 4)) // opaque key material, length varies
+        }
+      }
+      (0 until nDelegationTokens).foreach { t =>
+        sm.delimited { m =>
+          m.tag(1, 0).varint(0L)
+          m.str(2, s"user${1 + t % 20}")
+          m.str(3, "yarn")
+          if (t % 4 == 0) m.str(4, s"proxy${t % 3}")
+          m.tag(5, 0).varint(1700000000000L + t * 1000L)
+          m.tag(6, 0).varint(1700604800000L + t * 1000L)
+          m.tag(7, 0).varint(1L + t)
+          m.tag(8, 0).varint(1L + t % (nDelegationKeys + 1))
+          m.tag(9, 0).varint(secretTokenExpiry(t, nDelegationKeys))
         }
       }
     }

@@ -158,6 +158,34 @@ class ToolAndSqlSpec extends SparkSpecBase {
     } finally new java.io.File(img).delete()
   }
 
+  test("-p subtree restriction applies to cache and openfiles too") {
+    import graft.sources.fsimage.ImageGen
+    val img = java.nio.file.Files.createTempFile("tool_pimg", ".img").toString
+    ImageGen.write(img, ImageGen.GenSpec(nDirs = 4, nFiles = 40, ucEvery = 5,
+      nCachePools = 2, nCacheDirectives = 5))
+    try {
+      def run(cmd: String, opts: (String, String)*) =
+        Tool.run(spark, cmd, img, opts.toMap, Set.empty)
+      val allCache = run("cache").collect()
+      val allOpen = run("openfiles").collect()
+      assert(allCache.nonEmpty && allOpen.nonEmpty)
+      def inSub(p: String, sub: String) = p == sub || p.startsWith(sub + "/")
+      val sub = "/dir_0"
+      // cache: out-of-subtree directives DROP (not 0-byte rows)
+      val subCache = run("cache", "-p" -> sub).collect()
+      assert(subCache.map(_.getAs[Long]("directive_id")).toSet ===
+        allCache.filter(r => inSub(r.getAs[String]("path"), sub))
+          .map(_.getAs[Long]("directive_id")).toSet)
+      assert(subCache.length < allCache.length)
+      // openfiles: restriction flows through the inode side of the join
+      val subOpen = run("openfiles", "-p" -> sub).collect()
+      assert(subOpen.map(_.getAs[String]("path")).toSet ===
+        allOpen.filter(r => inSub(r.getAs[String]("path"), sub))
+          .map(_.getAs[String]("path")).toSet)
+      assert(subOpen.nonEmpty && subOpen.length < allOpen.length)
+    } finally new java.io.File(img).delete()
+  }
+
   test("Tool.parseArgs: repeated -p, switches, and pairs don't collide") {
     val (opts, flags, paths) = Tool.parseArgs(Seq(
       "--distributed", "-p", "/a", "-v", "-p", "/b,/c", "-l", "10"))

@@ -401,6 +401,72 @@ class FsImageSourceSpec extends SparkSpecBase {
     new java.io.File(img2).delete()
   }
 
+  test("SECRET_MANAGER decodes keys+tokens; secret report flags outliving and orphaned tokens") {
+    import graft.sources.fsimage.ImageGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_secret").toFile
+    val img = new java.io.File(dir, "secret.img").getPath
+    val (nKeys, nTokens) = (3, 10)
+    ImageGen.write(img, ImageGen.GenSpec(nDirs = 2, nFiles = 8,
+      nDelegationKeys = nKeys, nDelegationTokens = nTokens))
+
+    // keys: staggered expiry per the generator's published formula; key
+    // MATERIAL never surfaces — only its length ("k" × (8 + i % 4))
+    val keys = FsImageSource.delegationKeys(spark, img).collect()
+    assert(keys.length == nKeys)
+    keys.foreach { k =>
+      val id = k.getAs[Int]("key_id")
+      assert(k.getAs[Long]("key_expiry_ms") == ImageGen.secretKeyExpiry(id))
+      assert(k.getAs[Int]("key_len") == 8 + (id - 1) % 4)
+    }
+    assert(keys.toSeq.toString.indexOf("kkkkkkkk") < 0) // no material column
+
+    // tokens: field-for-field generator ground truth
+    val toks = FsImageSource.delegationTokens(spark, img).collect()
+    assert(toks.length == nTokens)
+    toks.foreach { t =>
+      val i = t.getAs[Int]("seq") - 1
+      assert(t.getAs[String]("owner") == s"user${1 + i % 20}")
+      assert(t.getAs[String]("renewer") == "yarn")
+      assert(t.getAs[String]("real_user") == (if (i % 4 == 0) s"proxy${i % 3}" else ""))
+      assert(t.getAs[Int]("master_key_id") == 1 + i % (nKeys + 1))
+      assert(t.getAs[Long]("expiry_ms") == ImageGen.secretTokenExpiry(i, nKeys))
+    }
+
+    // audit report: odd tokens outlive their key (+1 h), even ones don't
+    // (−1 s); tokens pointing at key nKeys+1 are the missing-key rows
+    val rep = Reports.secretReport(
+      FsImageSource.delegationTokens(spark, img),
+      FsImageSource.delegationKeys(spark, img)).collect()
+    assert(rep.length == nTokens)
+    rep.foreach { r =>
+      val i = r.getAs[Int]("seq") - 1
+      val missing = i % (nKeys + 1) == nKeys
+      assert(r.getAs[Boolean]("key_missing") == missing, r.toString)
+      assert(r.getAs[Boolean]("outlives_key") == (!missing && i % 2 == 1), r.toString)
+      assert(r.getAs[Long]("key_expiry_ms") ==
+        (if (missing) -1L else ImageGen.secretKeyExpiry(1 + i % (nKeys + 1))))
+    }
+    assert(rep.count(_.getAs[Boolean]("key_missing")) > 0)
+    assert(rep.count(_.getAs[Boolean]("outlives_key")) > 0)
+
+    // sections inventory names it; Tool command runs end-to-end
+    assert(FsImageSource.sections(spark, img).collect()
+      .exists(_.getAs[String]("name") == "SECRET_MANAGER"))
+    assert(graft.Tool.run(spark, "secrets", img, Map.empty, Set.empty)
+      .count() == nTokens)
+
+    // empty case: no section → empty frames, report yields no rows
+    val img2 = new java.io.File(dir, "nosecret.img").getPath
+    ImageGen.write(img2, ImageGen.GenSpec(nDirs = 2, nFiles = 5))
+    assert(FsImageSource.delegationKeys(spark, img2).count() == 0)
+    assert(FsImageSource.delegationTokens(spark, img2).count() == 0)
+    assert(Reports.secretReport(
+      FsImageSource.delegationTokens(spark, img2),
+      FsImageSource.delegationKeys(spark, img2)).count() == 0)
+    new java.io.File(img).delete()
+    new java.io.File(img2).delete()
+  }
+
   test("CACHE_MANAGER decodes pools+directives; cache report resolves cached bytes") {
     import graft.sources.fsimage.ImageGen
     val dir = java.nio.file.Files.createTempDirectory("graft_cache").toFile
@@ -429,7 +495,8 @@ class FsImageSourceSpec extends SparkSpecBase {
     assert(byId(3L).getAs[Boolean]("expiry_relative")) // d=2
 
     // report: every directive resolves its file (paths are real), so
-    // bytes_needed = the file's size and bytes_cached = size × repl
+    // bytes_needed = size × repl (cacheadmin semantics) and
+    // bytes_cached_max = the same fully-cached bound
     val inodes = FsImageSource.inodes(spark, img).cache()
     val rep = Reports.cacheReport(inodes,
       FsImageSource.cacheDirectives(spark, img),
@@ -439,8 +506,9 @@ class FsImageSourceSpec extends SparkSpecBase {
       .map(r => r.getAs[String]("path") -> r.getAs[Long]("size")).toMap
     rep.foreach { r =>
       val need = r.getAs[Long]("bytes_needed")
-      assert(need == sizeOf(r.getAs[String]("path")), r.toString)
-      assert(r.getAs[Long]("bytes_cached") == need * r.getAs[Int]("cache_replication"))
+      assert(need == sizeOf(r.getAs[String]("path"))
+        * r.getAs[Int]("cache_replication"), r.toString)
+      assert(r.getAs[Long]("bytes_cached_max") == need)
       assert(r.getAs[Long]("n_files") == 1L)
       assert(r.getAs[Long]("pool_limit") > 0L)
     }
@@ -455,7 +523,7 @@ class FsImageSourceSpec extends SparkSpecBase {
       .filter(col("path").startsWith("/dir_0/"))
       .agg(org.apache.spark.sql.functions.sum("size"),
         org.apache.spark.sql.functions.count("*")).collect()(0)
-    assert(dirRep.getAs[Long]("bytes_needed") == expect.getLong(0))
+    assert(dirRep.getAs[Long]("bytes_needed") == expect.getLong(0) * 2) // repl 2
     assert(dirRep.getAs[Long]("n_files") == expect.getLong(1))
 
     // empty case: no section → empty frames, report yields no rows
