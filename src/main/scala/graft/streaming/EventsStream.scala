@@ -88,6 +88,25 @@ object EventsStream {
                         joinWindowSec: Long = 1800): DataFrame =
     intervalJoinWith(impressions, clicks, watermark, joinWindowSec, "left_outer")
 
+  /** FULL OUTER stream-stream interval join — the rest of the
+    * attribution-completeness family after [[intervalJoinOuter]]:
+    * unmatched rows on BOTH sides. Unmatched impressions (never
+    * converted) emit with null click columns once the watermark passes
+    * the end of their join window; unmatched CLICKS — orphan clicks with
+    * no impression in the preceding window: lost exposure logs,
+    * cross-device journeys, click fraud — emit with null impression
+    * columns once the watermark proves no qualifying impression can
+    * still arrive (the range condition bounds imp_ts ∈
+    * [click_ts − window, click_ts], so the click's expiry is its own
+    * timestamp horizon). `user_id` is coalesced across sides so orphan
+    * clicks keep their key. State bounded exactly as the inner form;
+    * the spec pins the null-emission timing on BOTH sides plus batch
+    * full-join equality. */
+  def intervalJoinFullOuter(impressions: DataFrame, clicks: DataFrame,
+                            watermark: String = "1 hour",
+                            joinWindowSec: Long = 1800): DataFrame =
+    intervalJoinWith(impressions, clicks, watermark, joinWindowSec, "full_outer")
+
   private def intervalJoinWith(impressions: DataFrame, clicks: DataFrame,
                                watermark: String, joinWindowSec: Long,
                                joinType: String): DataFrame = {
@@ -103,6 +122,9 @@ object EventsStream {
       col("click_ts") >= col("imp_ts") &&
       col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"),
       joinType)
+      // full outer: right-unmatched rows carry their key only on the click
+      // side (identity for inner/left, where user_id is always populated)
+      .withColumn("user_id", coalesce(col("user_id"), col("click_user")))
       .drop("click_user")
   }
 

@@ -237,6 +237,75 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("FULL OUTER interval join emits unmatched rows on BOTH sides at watermark expiry, matches batch") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(userId: Long, offsetMin: Long, v: Double) =
+      Ev(new Timestamp(base + offsetMin * 60000), "x", userId, v)
+
+    val imps = MemoryStream[Ev]
+    val clks = MemoryStream[Ev]
+    val query = EventsStream.intervalJoinFullOuter(imps.toDF(), clks.toDF(),
+        watermark = "10 minutes", joinWindowSec = 1800)
+      .writeStream.format("memory").queryName("attrib_full")
+      .outputMode("append").start()
+    try {
+      // user 1 converts (+10min); user 2's click lands OUTSIDE the window
+      // (+40min from a +5min impression) → BOTH its rows are unmatched;
+      // user 3 never clicks; user 4 clicks with NO impression at all —
+      // the orphan-click row only the full form surfaces
+      imps.addData(ev(1, 0, 100), ev(2, 5, 200), ev(3, 6, 300))
+      clks.addData(ev(1, 10, 1), ev(2, 40, 2), ev(4, 12, 7))
+      query.processAllAvailable()
+
+      // TIMING contract, both sides: watermark sits at +40−10=+30min —
+      // impression windows (+35/+36min) have not expired and neither has
+      // any click's impression horizon — no null may exist on EITHER side
+      val early = spark.table("attrib_full")
+        .select("user_id", "imp_value", "click_value")
+        .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2)))
+      assert(!early.exists(e => e._2 || e._3),
+        s"null rows emitted before watermark expiry: ${early.mkString(",")}")
+
+      // push both watermarks far past every horizon → nulls flush
+      imps.addData(ev(9, 600, 0)); clks.addData(ev(9, 600, 0))
+      query.processAllAvailable()
+      imps.addData(ev(9, 660, 0)); clks.addData(ev(9, 660, 0))
+      query.processAllAvailable()
+
+      val got = spark.table("attrib_full")
+        .select("user_id", "imp_value", "click_value")
+        .collect().filter(_.getLong(0) != 9L)
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      // batch twin: full join with the same interval predicate and the
+      // same cross-side key coalesce
+      val impB = Seq((1L, 0L, 100.0), (2L, 5L, 200.0), (3L, 6L, 300.0))
+        .toDF("user_id", "imp_min", "imp_value")
+      val clkB = Seq((1L, 10L, 1.0), (2L, 40L, 2.0), (4L, 12L, 7.0))
+        .toDF("cu", "click_min", "click_value")
+      val batch = impB.join(clkB,
+          col("user_id") === col("cu") &&
+          col("click_min") >= col("imp_min") &&
+          col("click_min") <= col("imp_min") + 30, "full")
+        .withColumn("user_id", coalesce(col("user_id"), col("cu")))
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          Option(r.getAs[Any]("imp_value")).map(_.asInstanceOf[Double]),
+          Option(r.getAs[Any]("click_value")).map(_.asInstanceOf[Double]))).toSet
+      assert(got === batch)
+      assert(got === Set(
+        (1L, Some(100.0), Some(1.0)),  // matched
+        (2L, Some(200.0), None),       // impression whose click came late
+        (2L, None, Some(2.0)),         // …and that late click, orphaned
+        (3L, Some(300.0), None),       // never-clicked impression
+        (4L, None, Some(7.0))))        // click with no impression at all
+    } finally query.stop()
+  }
+
   test("stream-static enrichment matches the batch join") {
     val session = spark
     import session.implicits._
