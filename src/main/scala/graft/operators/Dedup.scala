@@ -149,15 +149,32 @@ object Dedup {
     }
     var changed = 1L
     var iter = 0
+    // Ordered checkpoint eviction (r9, VERDICT r8 item 2): a round's
+    // label blocks become unreachable the moment the NEXT round is
+    // materialized, but localCheckpoint blocks are freed only by the
+    // async ContextCleaner after a JVM GC — under a capped heap a fast
+    // follow-up run races that eviction (the r8 sf1 bench retry OOM in
+    // d_dedup_clusters). Track each round's newly-persisted RDD ids and
+    // unpersist the PREVIOUS round's explicitly once its successor is
+    // down. Safety is unchanged: a lazy localCheckpoint already cuts
+    // lineage, so a lost block was never recomputable from the prior
+    // round anyway; the final round's blocks stay for the result join.
+    val sc = pairs.sparkSession.sparkContext
+    var prevRoundIds: scala.collection.Set[Int] = Set.empty[Int]
     while (changed > 0 && iter < maxIters) {
       // two hops per materialized round: same total join work, half the
       // checkpoint/count actions — the fixed per-job cost dominates on
       // shallow components. The checkpoint is lazy so the convergence
       // count is the ONE job per round (an eager checkpoint would run a
       // second materialization job before it).
+      val before = sc.getPersistentRDDs.keySet
       val next = hop(hop(labels.withColumn("prev", col("cluster_id"))))
         .localCheckpoint(false)
       changed = next.filter(col("cluster_id") < col("prev")).count()
+      val newIds = sc.getPersistentRDDs.keySet.diff(before)
+      prevRoundIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRoundIds = newIds
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
