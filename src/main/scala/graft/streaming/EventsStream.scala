@@ -107,6 +107,18 @@ object EventsStream {
                             joinWindowSec: Long = 1800): DataFrame =
     intervalJoinWith(impressions, clicks, watermark, joinWindowSec, "full_outer")
 
+  /** RIGHT OUTER stream-stream interval join — [[intervalJoinFullOuter]]
+    * restricted to the click side: every click emits (matched rows as
+    * they join, orphan clicks with null impression columns at watermark
+    * expiry) while never-converted impressions are dropped — the
+    * click-ledger reconciliation readout ("every click accounted for,
+    * attributed or explicitly orphaned") when impression completeness
+    * is someone else's report. Same bounded state and key coalesce. */
+  def intervalJoinRightOuter(impressions: DataFrame, clicks: DataFrame,
+                             watermark: String = "1 hour",
+                             joinWindowSec: Long = 1800): DataFrame =
+    intervalJoinWith(impressions, clicks, watermark, joinWindowSec, "right_outer")
+
   private def intervalJoinWith(impressions: DataFrame, clicks: DataFrame,
                                watermark: String, joinWindowSec: Long,
                                joinType: String): DataFrame = {

@@ -306,6 +306,49 @@ class EventsStreamSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("RIGHT OUTER interval join keeps every click, drops unconverted impressions") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(userId: Long, offsetMin: Long, v: Double) =
+      Ev(new Timestamp(base + offsetMin * 60000), "x", userId, v)
+
+    val imps = MemoryStream[Ev]
+    val clks = MemoryStream[Ev]
+    val query = EventsStream.intervalJoinRightOuter(imps.toDF(), clks.toDF(),
+        watermark = "10 minutes", joinWindowSec = 1800)
+      .writeStream.format("memory").queryName("attrib_right")
+      .outputMode("append").start()
+    try {
+      // same scenario as the full-outer spec: the click ledger must show
+      // the match, the late (orphaned) click and the no-impression click,
+      // and NOT user 3's never-clicked impression
+      imps.addData(ev(1, 0, 100), ev(2, 5, 200), ev(3, 6, 300))
+      clks.addData(ev(1, 10, 1), ev(2, 40, 2), ev(4, 12, 7))
+      query.processAllAvailable()
+      imps.addData(ev(9, 600, 0)); clks.addData(ev(9, 600, 0))
+      query.processAllAvailable()
+      imps.addData(ev(9, 660, 0)); clks.addData(ev(9, 660, 0))
+      query.processAllAvailable()
+
+      val got = spark.table("attrib_right")
+        .select("user_id", "imp_value", "click_value")
+        .collect().filter(_.getLong(0) != 9L)
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getDouble(2))).toSet
+      assert(got === Set(
+        (1L, Some(100.0), 1.0),  // matched
+        (2L, None, 2.0),         // late click, orphaned
+        (4L, None, 7.0)))        // click with no impression
+      // every click accounted for, never-null click side
+      assert(!spark.table("attrib_right").collect().exists(_.isNullAt(
+        spark.table("attrib_right").schema.fieldIndex("click_value"))))
+    } finally query.stop()
+  }
+
   test("stream-static enrichment matches the batch join") {
     val session = spark
     import session.implicits._
