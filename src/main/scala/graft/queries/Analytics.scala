@@ -2413,6 +2413,235 @@ object Analytics extends QueryModule {
     ORDER BY n_exact DESC, user_id
     LIMIT 20"""
 
+  // --------------------------------------------------------- EWMA anomaly
+
+  /** EWMA anomaly detection over daily purchase revenue — the
+    * exponential-decay counterpart of [[qAnomalyMad]]'s robust-median
+    * gate, and the smoother a streaming monitor actually runs (O(1)
+    * foldable state per series). α = 1/2 with a 14-day memory, in EXACT
+    * integer arithmetic: lag j carries weight 2^(14−j), numerator and
+    * denominator are bigint sums and the smoothed value is their integer
+    * quotient, so DuckDB replays every division bit-for-bit (no float
+    * pow). The denominator self-adjusts at the series head where fewer
+    * lags exist (a partial-memory EWMA, not a zero-padded one); day 1
+    * has no history and reports the −1 sentinel. A day is anomalous when
+    * revenue exceeds 2× its EWMA. Shape: one map-side partial agg onto
+    * the day domain (the series is O(days), never O(events)), then a
+    * single-partition window over that tiny series — at 100 TB the heavy
+    * stage is the first groupBy, which partial-aggregates each scan
+    * partition to ≤|days| rows before the shuffle. */
+  def qEwmaAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(cents(col("value"))).as("rev_c"))
+    val w = Window.orderBy(col("day"))
+    val num = (1 to 14).map(j =>
+      coalesce(lag(col("rev_c"), j).over(w), lit(0L)) * lit(1L << (14 - j)))
+      .reduce(_ + _)
+    val den = (1 to 14).map(j =>
+      when(lag(col("rev_c"), j).over(w).isNotNull, lit(1L << (14 - j)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    daily
+      .withColumn("num", num).withColumn("den", den)
+      .withColumn("ewma_c",
+        when(col("den") > 0, expr("num div den")).otherwise(lit(-1L)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("rev_c"), col("ewma_c"),
+        (col("den") > 0 && col("rev_c") > lit(2) * col("ewma_c"))
+          .cast("int").as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  val qEwmaAnomalySql: String = {
+    val num = (1 to 14).map(j =>
+      s"coalesce(lag(rev_c, $j) OVER w, 0) * ${1L << (14 - j)}").mkString(" + ")
+    val den = (1 to 14).map(j =>
+      s"CASE WHEN lag(rev_c, $j) OVER w IS NOT NULL THEN ${1L << (14 - j)} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS bigint)) AS bigint) AS rev_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), sm AS (
+      SELECT day, rev_c,
+             CAST($num AS bigint) AS num,
+             CAST($den AS bigint) AS den
+      FROM daily
+      WINDOW w AS (ORDER BY day)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, rev_c,
+           CASE WHEN den > 0 THEN num // den ELSE -1 END AS ewma_c,
+           CAST(den > 0 AND rev_c > 2 * (CASE WHEN den > 0 THEN num // den
+                ELSE -1 END) AS int) AS is_anomaly
+    FROM sm
+    ORDER BY day"""
+  }
+
+  // ------------------------------------------------- multi-touch attribution
+
+  /** Multi-touch marketing attribution: each purchase's revenue is split
+    * LINEARLY (integer cents) across the user's click/view touches in the
+    * preceding 7 days — every touch gets rev_c div n and the LAST touch
+    * (max ts, ties to max event_id) also gets the remainder, so per-
+    * purchase credit conserves revenue EXACTLY (spec-asserted); purchases
+    * with no touch in window credit a synthetic `direct` channel. Output:
+    * per-channel credited cents, touch counts, and share of total in bp.
+    * Shape: touches⋈purchases is a per-user equi-join with a residual
+    * time predicate — per-user event counts are density-bounded (they
+    * don't grow with corpus size), so the join never degenerates; at
+    * heavier per-user densities the day-tiled [[qRangeJoin]] shape
+    * applies unchanged. The per-purchase credit split is one window over
+    * each purchase's ≤n_touch rows, keyed by purchase — never global. */
+  def qAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), cents(col("value")).as("rev_c"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), col("ts").as("t_ts"))
+    val attributed = purchases.join(touches,
+        purchases("user_id") === touches("user_id") &&
+        col("t_ts") <= col("p_ts") &&
+        col("t_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"), "left")
+      .select(col("p_id"), col("rev_c"), col("channel"), col("t_ts"), col("t_id"))
+    val byP = Window.partitionBy(col("p_id"))
+    val credited = attributed
+      .withColumn("n_t", count(col("t_id")).over(byP))
+      .withColumn("last_rn", row_number().over(
+        byP.orderBy(col("t_ts").desc_nulls_last, col("t_id").desc_nulls_last)))
+      .select(
+        coalesce(col("channel"), lit("direct")).as("channel"),
+        when(col("n_t") === 0, col("rev_c"))
+          .when(col("last_rn") === 1,
+            expr("rev_c div n_t") + col("rev_c") - expr("rev_c div n_t") * col("n_t"))
+          .otherwise(expr("rev_c div n_t")).as("credit_c"))
+    val totals = credited.agg(sum(col("credit_c")).as("total_c"))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit_c")).as("credit_c"))
+      .crossJoin(broadcast(totals))
+      .select(col("channel"), col("n_credits"), col("credit_c"),
+        floor(col("credit_c") * 10000.0 / col("total_c")).cast("long").as("share_bp"))
+      .orderBy(col("channel"))
+  }
+
+  val qAttributionSql: String = """
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts,
+             CAST(floor(value * 100) AS bigint) AS rev_c
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, event_id AS t_id, event_type AS channel, ts AS t_ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ), a AS (
+      SELECT p.p_id, p.rev_c, t.channel, t.t_ts, t.t_id
+      FROM p LEFT JOIN t ON p.user_id = t.user_id
+        AND t.t_ts <= p.p_ts AND t.t_ts > p.p_ts - INTERVAL 7 DAY
+    ), credited AS (
+      SELECT coalesce(channel, 'direct') AS channel,
+             CASE WHEN n_t = 0 THEN rev_c
+                  WHEN last_rn = 1 THEN rev_c // n_t + rev_c - (rev_c // n_t) * n_t
+                  ELSE rev_c // n_t END AS credit_c
+      FROM (
+        SELECT p_id, rev_c, channel, t_id,
+               count(t_id) OVER (PARTITION BY p_id) AS n_t,
+               row_number() OVER (PARTITION BY p_id
+                 ORDER BY t_ts DESC NULLS LAST, t_id DESC NULLS LAST) AS last_rn
+        FROM a)
+    )
+    SELECT channel, count(*) AS n_credits,
+           CAST(sum(credit_c) AS bigint) AS credit_c,
+           CAST(floor(sum(credit_c) * 10000.0 /
+             (SELECT sum(credit_c) FROM credited)) AS bigint) AS share_bp
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel"""
+
+  // ------------------------------------------------------- link prediction
+
+  /** Adamic–Adar link prediction over the co-order part graph: for each
+    * of 20 deterministic seed parts (smallest ids), score every
+    * two-hop-but-not-adjacent part v by Σ_{w ∈ N(u)∩N(v)} 1e6 div
+    * ⌊log2 deg(w)⌋ — the integer-log2 surrogate of AA's 1/ln(deg)
+    * (the [[graft.queries.TextQueries]] docSurprisal posture: exact
+    * integer math so the oracle replays it bit-for-bit; rarer common
+    * neighbors weigh more). Top-5 candidates per seed, ties to the
+    * smaller part. Shape: this is QUERY-node link prediction — the
+    * production form — so the wedge expansion is bounded by
+    * |seeds|·deg², never the all-pairs Σ deg² the triangle count pays:
+    * seeds broadcast into the first hop, the second hop and the degree
+    * attach are equi-joins on the edge/degree tables, and the existing-
+    * edge exclusion is a left-anti semi-join. Co-order degree is
+    * density-bounded (≈115 at every SF), so per-seed cost is flat as
+    * the corpus grows. */
+  def qLinkPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val und = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(QueryModule.sortedPairs(col("ps"))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .distinct()
+      .localCheckpoint(false) // sym doubles it; deg + both hops + anti reuse it
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val seeds = deg.select(col("node").as("seed")).orderBy(col("seed")).limit(20)
+    val hop1 = sym.join(broadcast(seeds), col("u") === col("seed"))
+      .select(col("seed"), col("v").as("w"))
+    val hop2 = hop1.join(sym.withColumnRenamed("u", "w"), "w")
+      .filter(col("v") =!= col("seed"))
+    val weighted = hop2.join(deg.withColumnRenamed("node", "w"), "w")
+      .select(col("seed"), col("v"),
+        expr("1000000 div (length(conv(d, 10, 2)) - 1)").as("aa_ppm"))
+    val scored = weighted.groupBy(col("seed"), col("v"))
+      .agg(count(lit(1)).as("n_common"), sum(col("aa_ppm")).as("aa_score_ppm"))
+      .join(sym.withColumnRenamed("u", "seed"), Seq("seed", "v"), "left_anti")
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("seed"))
+        .orderBy(col("aa_score_ppm").desc, col("v"))))
+      .filter(col("rnk") <= 5)
+      .select(col("seed"), col("v").as("candidate"), col("n_common"),
+        col("aa_score_ppm"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("seed"), col("rnk"))
+  }
+
+  val qLinkPredictSql: String = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), sym AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), deg AS (
+      SELECT u AS node, count(*) AS d FROM sym GROUP BY u
+    ), seeds AS (
+      SELECT node AS seed FROM deg ORDER BY seed LIMIT 20
+    ), hop2 AS (
+      SELECT s.seed, e1.v AS w, e2.v AS v
+      FROM seeds s JOIN sym e1 ON e1.u = s.seed
+                   JOIN sym e2 ON e2.u = e1.v
+      WHERE e2.v <> s.seed
+    ), scored AS (
+      SELECT h.seed, h.v, count(*) AS n_common,
+             CAST(sum(1000000 // (length(to_base(d.d, 2)) - 1)) AS bigint)
+               AS aa_score_ppm
+      FROM hop2 h JOIN deg d ON d.node = h.w
+      GROUP BY h.seed, h.v
+    ), fresh AS (
+      SELECT * FROM scored s
+      WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.u = s.seed AND sym.v = s.v)
+    )
+    SELECT seed, v AS candidate, n_common, aa_score_ppm, CAST(rnk AS bigint) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY seed
+        ORDER BY aa_score_ppm DESC, v) AS rnk
+      FROM fresh)
+    WHERE rnk <= 5
+    ORDER BY seed, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cm_sketch"       -> (qCmSketch _),
     "q_topk_merge_rollup" -> (qTopkMergeRollup _),
@@ -2468,7 +2697,10 @@ object Analytics extends QueryModule {
     "q_skew_join"       -> (qSkewJoin _),
     "q_profile"         -> (qProfile _),
     "q_events_anomaly"  -> (qEventsAnomaly _),
-    "q_events_lift"     -> (qEventsLift _))
+    "q_events_lift"     -> (qEventsLift _),
+    "q_ewma_anomaly"    -> (qEwmaAnomaly _),
+    "q_attribution"     -> (qAttribution _),
+    "q_link_predict"    -> (qLinkPredict _))
 
   val oracles: Map[String, String] = Map(
     "q4_order_priority" -> q4OrderPrioritySql,
@@ -2525,5 +2757,8 @@ object Analytics extends QueryModule {
     "q_profile"         -> qProfileSql,
     "q_events_anomaly"  -> qEventsAnomalySql,
     "q_events_lift"     -> qEventsLiftSql,
-    "q_range_join"      -> qRangeJoinSql)
+    "q_range_join"      -> qRangeJoinSql,
+    "q_ewma_anomaly"    -> qEwmaAnomalySql,
+    "q_attribution"     -> qAttributionSql,
+    "q_link_predict"    -> qLinkPredictSql)
 }

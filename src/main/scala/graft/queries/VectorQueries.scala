@@ -1786,14 +1786,18 @@ object VectorQueries extends QueryModule {
     * (doc_id, band, bh) — public so the streaming LSH gate
     * ([[graft.streaming.EventsStream.lshGated]]) probes the EXACT hash
     * family the batch chain builds. */
-  def minhashBandIndex(docs: DataFrame): DataFrame = {
-    val numHashes = 12
-    val bandSize = 2
-    val sigCols = (0 until numHashes).map { i =>
+  def minhashBandIndex(docs: DataFrame): DataFrame =
+    bandSigs(minhashSigs(docs), rowsPerBand = 2)
+
+  /** The 12-minhash signature table (doc_id, h0..h11) behind
+    * [[minhashBandIndex]] — factored out so [[lshCurve]] can re-band the
+    * SAME signatures at every rows-per-band without recomputing them. */
+  private[queries] def minhashSigs(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until 12).map { i =>
       min((lit(HashA(i)) * col("x") + lit(HashB(i)) * col("y") + lit(HashC(i)))
         .bitwiseAND(lit(0xFFFFFFFFL))).as(s"h$i")
     }
-    val sigs = docs
+    docs
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.word_shingles_raw(col("text")))).as("sh"))
       .withColumn("hh", md5(col("sh")))
@@ -1801,8 +1805,14 @@ object VectorQueries extends QueryModule {
       .withColumn("y", conv(substring(col("hh"), 9, 8), 16, 10).cast("long"))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
-    val bands = (0 until numHashes / bandSize).map { b =>
-      val cols = (0 until bandSize).map(j => col(s"h${b * bandSize + j}").cast("string"))
+  }
+
+  /** Band a signature table into (doc_id, band, bh) at `rowsPerBand`
+    * consecutive minhashes per band (12 must divide evenly). */
+  private def bandSigs(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until 12 / rowsPerBand).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(j => col(s"h${b * rowsPerBand + j}").cast("string"))
       struct(lit(b).as("band"),
         conv(substring(md5(concat_ws("_", cols: _*)), 1, 15), 16, 10).cast("long").as("bh"))
     }
@@ -1935,7 +1945,9 @@ object VectorQueries extends QueryModule {
 
   /** The minhash signature/band CTE chain (sh → shh → sigs → bands),
     * shared by the pair listing and the keep-one materializer oracles. */
-  private val minhashCtes: String = {
+  /** The sh/shh/sigs CTE chain (12-minhash signatures) over `table` —
+    * the SQL twin of [[minhashSigs]]. */
+  private def minhashSigCtesAt(table: String): String = {
     val shingleCase = """CASE WHEN len(w) >= 3
         THEN list_transform(range(1, len(w) - 1),
                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
@@ -1943,12 +1955,9 @@ object VectorQueries extends QueryModule {
     val mins = (0 until 12).map(i =>
       s"min((${HashA(i)} * x + ${HashB(i)} * y + ${HashC(i)}) & 4294967295) AS h$i")
       .mkString(",\n             ")
-    val bands = (0 until 6).map(b =>
-      s"SELECT doc_id, $b AS band, CAST('0x' || substr(md5(CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR)), 1, 15) AS BIGINT) AS bh FROM sigs")
-      .mkString("\n      UNION ALL ")
     s"""sh AS (
       SELECT DISTINCT doc_id, unnest($shingleCase) AS sh
-      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM $table)
     ), shh AS (
       SELECT doc_id,
              CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS x,
@@ -1958,10 +1967,22 @@ object VectorQueries extends QueryModule {
       SELECT doc_id,
              $mins
       FROM shh GROUP BY doc_id
-    ), bands AS (
-      $bands
     )"""
   }
+
+  /** Banded keys for `rowsPerBand` consecutive minhashes — the SQL twin
+    * of [[bandSigs]], as a UNION ALL over the 12/rowsPerBand bands. */
+  private def bandSelectsSql(rowsPerBand: Int): String =
+    (0 until 12 / rowsPerBand).map { b =>
+      val concat = (0 until rowsPerBand)
+        .map(j => s"CAST(h${b * rowsPerBand + j} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, CAST('0x' || substr(md5($concat), 1, 15) AS BIGINT) AS bh FROM sigs"
+    }.mkString("\n      UNION ALL ")
+
+  private val minhashCtes: String = s"""${minhashSigCtesAt("documents")}, bands AS (
+      ${bandSelectsSql(2)}
+    )"""
 
   val dedupMinhashSql: String = s"""
     WITH $minhashCtes
@@ -2445,6 +2466,99 @@ object VectorQueries extends QueryModule {
     sketchEval(spark, sfDir, dedupMinhash(spark, sfDir), sampleBp = EvalSampleBp)
 
   val minhashRecallSampledSql: String = sketchEvalSql(dedupMinhashSql, EvalSampleBp)
+
+  /** Exact S-curve hit probability at Jaccard 0.5 for b bands of r rows,
+    * 1 − (1 − 0.5^r)^(12/r), in bp — computed by repeated EXACT dyadic
+    * multiplication (every factor has ≤ r·(12/r) = 12 mantissa bits, so
+    * no rounding ever happens) and spliced as a literal into both
+    * engines. */
+  private def sCurveAt50Bp(r: Int): Long = {
+    val q = 1.0 - Seq.fill(r)(0.5).product
+    val miss = Seq.fill(12 / r)(q).product
+    math.floor((1.0 - miss) * 10000.0).toLong
+  }
+
+  /** MinHash-LSH banding parameter sweep — the S-curve, measured: re-band
+    * the SAME 12-hash signatures at r = 1, 2, 3, 4 rows per band
+    * (b = 12, 6, 4, 3 bands) and price each config's candidate recall and
+    * precision against the exact-Jaccard(≥0.5) truth, next to its
+    * theoretical hit probability at J = 0.5 (1 − (1 − 0.5^r)^b). This is
+    * the tuning readout behind `d_dedup_minhash`'s fixed (6, 2) choice:
+    * r = 1 floods candidates (high recall, precision collapse), r = 4
+    * starves them — the sweep turns that folklore into four
+    * oracle-checked rows. Runs under the sampled-truth posture
+    * ([[EvalSampleBp]], the same `evl_` gate as the *_sampled evals):
+    * banding is per-doc, so banding the SAMPLE equals restricting
+    * full-corpus candidates to both-ends-sampled — and the signature
+    * table is built ONCE and re-banded (bands are projections of the
+    * checkpointed sigs, so the corpus-sized shingle pass is paid once,
+    * not four times — at 100 TB that pass IS the query's cost). */
+  def lshCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val sdocs = graft.core.Tables.documents(spark, sfDir)
+      .filter(TextQueries.hashGateBp("evl_", col("doc_id")) < EvalSampleBp)
+    val sigs = minhashSigs(sdocs).localCheckpoint()
+    val exact = graft.operators.Dedup
+      .ngramJaccardPairs(sdocs, minJaccardBp = 5000, sorted = false)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val rows = Seq(1, 2, 3, 4).map { r =>
+      val bt = bandSigs(sigs, r)
+      val cand = bt.as("x").join(bt.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint(false) // feeds its count and the truth semi-join
+      val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(r.toLong).as("rows_per_band"), lit((12 / r).toLong).as("n_bands"),
+          col("n_exact"), col("n_cand"), col("n_hit"),
+          when(col("n_exact") === 0, lit(0L))
+            .otherwise(floor(col("n_hit") * 10000.0 / col("n_exact")).cast("long"))
+            .as("recall_bp"),
+          when(col("n_cand") === 0, lit(0L))
+            .otherwise(floor(col("n_hit") * 10000.0 / col("n_cand")).cast("long"))
+            .as("precision_bp"),
+          lit(sCurveAt50Bp(r)).as("theory50_bp"))
+    }
+    rows.reduce(_ union _).orderBy(col("rows_per_band"))
+  }
+
+  lazy val lshCurveSql: String = {
+    val per = Seq(1, 2, 3, 4).map { r =>
+      s"""bt$r AS (
+      ${bandSelectsSql(r)}
+    ), cand$r AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bt$r x JOIN bt$r y
+        ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    ), hit$r AS (SELECT 1 FROM ex JOIN cand$r USING (doc_a, doc_b))"""
+    }.mkString(",\n    ")
+    val rowsSel = Seq(1, 2, 3, 4).map { r =>
+      s"""SELECT CAST($r AS bigint) AS rows_per_band, CAST(${12 / r} AS bigint) AS n_bands,
+      (SELECT count(*) FROM ex) AS n_exact,
+      (SELECT count(*) FROM cand$r) AS n_cand,
+      (SELECT count(*) FROM hit$r) AS n_hit,
+      CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 0
+           ELSE CAST(floor((SELECT count(*) FROM hit$r) * 10000.0
+                / (SELECT count(*) FROM ex)) AS bigint) END AS recall_bp,
+      CASE WHEN (SELECT count(*) FROM cand$r) = 0 THEN 0
+           ELSE CAST(floor((SELECT count(*) FROM hit$r) * 10000.0
+                / (SELECT count(*) FROM cand$r)) AS bigint) END AS precision_bp,
+      CAST(${sCurveAt50Bp(r)} AS bigint) AS theory50_bp"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH sdocs AS (
+      SELECT * FROM documents WHERE ${TextQueries.hashGateBpSql("evl_")} < $EvalSampleBp
+    ), ${minhashSigCtesAt("sdocs")},
+    ex AS (
+      SELECT doc_a, doc_b FROM (${TextQueries.ngramJaccardSqlAt(5000, "sdocs")})
+    ),
+    $per
+    SELECT * FROM ($rowsSel)
+    ORDER BY rows_per_band"""
+  }
 
   /** [[winnowEval]]'s sampled-truth twin — same gate, winnowed index. */
   def winnowEvalSampled(spark: SparkSession, sfDir: String): DataFrame =
@@ -3392,6 +3506,7 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval"     -> (winnowEval _),
     "d_winnow_eval_sampled" -> (winnowEvalSampled _),
     "d_minhash_recall_sampled" -> (minhashRecallSampled _),
+    "d_lsh_curve" -> (lshCurve _),
     "d_semdedup_eval09_sampled" -> (semDedupEval09Sampled _),
     "e_ann_ivf_incr"    -> (annIvfIncr _),
     "e_decontaminate"   -> (embedDecontaminate _),
@@ -3452,6 +3567,7 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval"     -> winnowEvalSql,
     "d_winnow_eval_sampled" -> winnowEvalSampledSql,
     "d_minhash_recall_sampled" -> minhashRecallSampledSql,
+    "d_lsh_curve" -> lshCurveSql,
     "d_semdedup_eval09_sampled" -> semDedupEval09SampledSql,
     "e_ann_ivf_incr"    -> annIvfIncrSql,
     "e_decontaminate"   -> embedDecontaminateSql,
