@@ -3489,6 +3489,151 @@ object VectorQueries extends QueryModule {
     FROM dp JOIN de ON dp.a = de.a AND dp.b = de.b
     ORDER BY dp.a, dp.b"""
 
+  // ------------------------------------------------------------ PCA (power)
+
+  private val PcaDim = 64
+  private val PcaQScale = 16384L   // 2^14 per-dim quantization
+  private val PcaWScale = 1L << 20 // iterate renormalization target
+  private val PcaIters = 8
+
+  /** Quantized embeddings (vec_id, vq: array<long>) at [[PcaQScale]] —
+    * exact integers, so the Gram pass sums in any order. */
+  private def pcaQuant(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * PcaQScale).cast("long")).as("vq"))
+
+  /** The distributed Gram pass: G[i][j] = Σ_vec vq_i·vq_j as one
+    * map-side-combined aggregation — 64 exploded rows per vector, 64 sum
+    * columns per row, partial-aggregated to ≤64 rows per scan partition
+    * before the shuffle. The ONLY corpus-sized stage of the PCA family;
+    * its output is O(d²) model state. */
+  private def pcaGram(quant: DataFrame): DataFrame = {
+    val sums = (0 until PcaDim).map(j =>
+      sum(col("vqi") * element_at(col("vq"), j + 1)).as(s"g$j"))
+    quant.select(col("vq"), posexplode(col("vq")).as(Seq("i", "vqi")))
+      .groupBy(col("i"))
+      .agg(sums.head, sums.tail: _*)
+  }
+
+  /** Collect the 64×64 Gram (32 KB of model state — the KMeans-centroid
+    * collect posture, never corpus data) and run [[PcaIters]] integer
+    * power-iteration rounds: y = Gq·w, then renormalize w = y ÷
+    * max(1, max|y| ÷ 2²⁰), all in TRUNCATING division (Scala Long `/`,
+    * Spark `div` and DuckDB `//` agree on negatives), so the oracle
+    * replays the identical trajectory through 8 unrolled CTE rounds. */
+  private def pcaDirection(spark: SparkSession, sfDir: String,
+                           quant: DataFrame): Array[Long] = {
+    val rows = pcaGram(quant).collect()
+    val g = Array.ofDim[Long](PcaDim, PcaDim)
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      (0 until PcaDim).foreach(j => g(i)(j) = r.getLong(j + 1))
+    }
+    val maxAbs = math.max(1L, g.flatten.map(math.abs).max)
+    val gs = math.max(1L, maxAbs / PcaWScale)
+    val gq = g.map(_.map(_ / gs))
+    var w = Array.fill(PcaDim)(PcaWScale)
+    for (_ <- 1 to PcaIters) {
+      val y = Array.tabulate(PcaDim)(i =>
+        (0 until PcaDim).map(j => gq(i)(j) * w(j)).sum)
+      val ys = math.max(1L, y.map(math.abs).max / PcaWScale)
+      w = y.map(_ / ys)
+    }
+    w
+  }
+
+  /** Top principal direction of the embedding table by 8-round integer
+    * power iteration over the distributed Gram matrix (the Spark-shaped
+    * PCA for skinny matrices: ONE corpus pass aggregates G = Σ v·vᵀ with
+    * map-side combine, then the iteration runs on O(d²) state — at
+    * 100 TB the corpus pass is embarrassingly parallel and nothing else
+    * grows with n). Output: (dim, pc1_q) at the 2²⁰ fixed-point scale.
+    * Deterministic: exact integer Gram, truncating renormalization, and
+    * an all-ones start — DuckDB re-derives every round bit-for-bit. */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = pcaDirection(spark, sfDir, pcaQuant(spark, sfDir))
+    import spark.implicits._
+    w.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("dim", "pc1_q").orderBy(col("dim"))
+  }
+
+  /** The 8 unrolled power-iteration rounds + Gram CTEs (1-based dim ids
+    * i ∈ 1..64), shared by both PCA oracles. */
+  private def pcaCtes: String = {
+    val rounds = (1 to PcaIters).map { k =>
+      val prev = s"w${k - 1}"
+      s"""y$k AS (
+      SELECT gq.i, CAST(sum(gq.gq * $prev.w) AS bigint) AS y
+      FROM gq JOIN $prev ON gq.j = $prev.i GROUP BY gq.i
+    ), s$k AS (SELECT greatest(1, max(abs(y)) // $PcaWScale) AS s FROM y$k),
+    w$k AS (SELECT i, y // s AS w FROM y$k, s$k)"""
+    }.mkString(",\n    ")
+    s"""emb AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS double) * $PcaQScale) AS bigint)) AS vq
+      FROM embeddings
+    ), idx AS (SELECT CAST(range AS int) AS i FROM range(1, ${PcaDim + 1})),
+    cells AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(vq[a.i] * vq[b.i]) AS bigint) AS g
+      FROM emb CROSS JOIN idx a CROSS JOIN idx b GROUP BY 1, 2
+    ), gs AS (SELECT greatest(1, max(abs(g)) // $PcaWScale) AS s FROM cells),
+    gq AS (SELECT i, j, g // s AS gq FROM cells, gs),
+    w0 AS (SELECT i, CAST($PcaWScale AS bigint) AS w FROM idx),
+    $rounds"""
+  }
+
+  val pcaPowerSql: String = s"""
+    WITH $pcaCtes
+    SELECT CAST(i - 1 AS bigint) AS dim, w AS pc1_q
+    FROM w$PcaIters
+    ORDER BY dim"""
+
+  /** Variance explained by [[pcaPower]]'s direction — the eval that
+    * prices the 8-round budget: project every vector onto w (one more
+    * corpus pass, p = ⟨vq, w⟩ ÷ 2²⁰ per vector), then
+    * explained ≈ Σp²·2⁴⁰·10⁴ / (|w|²·Σ|vq|²) in bp. The two corpus
+    * passes (Gram, projection) share one checkpointed quantized table;
+    * everything else is O(d²). */
+  def pcaVar(spark: SparkSession, sfDir: String): DataFrame = {
+    val quant = pcaQuant(spark, sfDir).localCheckpoint()
+    val w = pcaDirection(spark, sfDir, quant)
+    val b = w.map(x => x * x).sum
+    quant.select(
+        expr(s"aggregate(zip_with(vq, ${w.mkString("array(", ",", ")")}, (a, b) -> a * b), 0L, (acc, x) -> acc + x) div $PcaWScale")
+          .as("p"),
+        expr("aggregate(vq, 0L, (acc, x) -> acc + x * x)").as("nq2"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("p") * col("p")).as("sum_p2"),
+        sum(col("nq2")).as("total_q"))
+      .select(col("n_vectors"), col("sum_p2"), lit(b).as("w_norm2"), col("total_q"),
+        floor(col("sum_p2") * lit(10000.0) * lit(1099511627776.0) /
+          (lit(b.toDouble) * col("total_q").cast("double"))).cast("long")
+          .as("explained_bp"))
+  }
+
+  val pcaVarSql: String = s"""
+    WITH $pcaCtes,
+    b AS (SELECT CAST(sum(w * w) AS bigint) AS w_norm2 FROM w$PcaIters),
+    proj AS (
+      SELECT e.vec_id,
+             CAST(sum(e.vq[w.i] * w.w) AS bigint) // $PcaWScale AS p
+      FROM emb e CROSS JOIN w$PcaIters w
+      GROUP BY e.vec_id
+    ), tq AS (
+      SELECT vec_id, CAST(sum(v * v) AS bigint) AS nq2
+      FROM (SELECT vec_id, unnest(vq) AS v FROM emb)
+      GROUP BY vec_id
+    )
+    SELECT count(*) AS n_vectors,
+           CAST(sum(p.p * p.p) AS bigint) AS sum_p2,
+           (SELECT w_norm2 FROM b) AS w_norm2,
+           CAST(sum(t.nq2) AS bigint) AS total_q,
+           CAST(floor(sum(p.p * p.p) * 10000.0 * 1099511627776.0 /
+             (CAST((SELECT w_norm2 FROM b) AS double)
+              * CAST(sum(t.nq2) AS double))) AS bigint) AS explained_bp
+    FROM proj p JOIN tq t USING (vec_id)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_rp_project"      -> (rpProject _),
     "e_rp_distortion"   -> (rpDistortion _),
@@ -3507,6 +3652,8 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval_sampled" -> (winnowEvalSampled _),
     "d_minhash_recall_sampled" -> (minhashRecallSampled _),
     "d_lsh_curve" -> (lshCurve _),
+    "e_pca_power" -> (pcaPower _),
+    "e_pca_var" -> (pcaVar _),
     "d_semdedup_eval09_sampled" -> (semDedupEval09Sampled _),
     "e_ann_ivf_incr"    -> (annIvfIncr _),
     "e_decontaminate"   -> (embedDecontaminate _),
@@ -3568,6 +3715,8 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval_sampled" -> winnowEvalSampledSql,
     "d_minhash_recall_sampled" -> minhashRecallSampledSql,
     "d_lsh_curve" -> lshCurveSql,
+    "e_pca_power" -> pcaPowerSql,
+    "e_pca_var" -> pcaVarSql,
     "d_semdedup_eval09_sampled" -> semDedupEval09SampledSql,
     "e_ann_ivf_incr"    -> annIvfIncrSql,
     "e_decontaminate"   -> embedDecontaminateSql,
