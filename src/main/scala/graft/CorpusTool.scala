@@ -20,7 +20,7 @@ import graft.sources.ReportSink
   * sample pack pii winnow winnoweval bpe wsample lenquantile rproject
   * ccnet sourcecap fertility bpeloop spanislands spanhist knngraph
   * knnrecall knndedup knnsearch knnsearcheval ivfrebalance
-  * ivfrebalanceeval
+  * ivfrebalanceeval lshcurve pca pcavar
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -69,7 +69,10 @@ object CorpusTool {
     "knnsearch"   -> "e_knn_search",
     "knnsearcheval" -> "e_knn_search_recall",
     "ivfrebalance" -> "e_ivf_rebalance",
-    "ivfrebalanceeval" -> "e_ivf_rebalance_eval")
+    "ivfrebalanceeval" -> "e_ivf_rebalance_eval",
+    "lshcurve"    -> "d_lsh_curve",
+    "pca"         -> "e_pca_power",
+    "pcavar"      -> "e_pca_var")
 
   def run(spark: SparkSession, cmd: String, dir: String,
           opts: Map[String, String]): DataFrame = cmd match {

@@ -82,6 +82,7 @@ object StreamBench {
       bench("kmv_distinct", "update")(EventsStream.kmvDistinct(_).toDF()),
       bench("bitmap_distinct", "update")(EventsStream.bitmapDistinct(_).toDF()),
       bench("heavy_hitters", "update")(EventsStream.heavyHitters(_).toDF()),
+      bench("ewma_gate", "append")(EventsStream.ewmaGated(_).toDF()),
       bench("cm_sketch", "update")(EventsStream.cmSketch(_).toDF()),
       bench("quantile_grid", "update")(EventsStream.quantileGrid(_).toDF()),
       // session_window rejects update mode (sessions merge, so an update

@@ -3498,7 +3498,7 @@ object VectorQueries extends QueryModule {
 
   /** Quantized embeddings (vec_id, vq: array<long>) at [[PcaQScale]] —
     * exact integers, so the Gram pass sums in any order. */
-  private def pcaQuant(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def pcaQuant(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -3509,7 +3509,7 @@ object VectorQueries extends QueryModule {
     * columns per row, partial-aggregated to ≤64 rows per scan partition
     * before the shuffle. The ONLY corpus-sized stage of the PCA family;
     * its output is O(d²) model state. */
-  private def pcaGram(quant: DataFrame): DataFrame = {
+  private[queries] def pcaGram(quant: DataFrame): DataFrame = {
     val sums = (0 until PcaDim).map(j =>
       sum(col("vqi") * element_at(col("vq"), j + 1)).as(s"g$j"))
     quant.select(col("vq"), posexplode(col("vq")).as(Seq("i", "vqi")))

@@ -208,6 +208,46 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
   }
 
+  case class PurchaseEvent(user_id: Long, event_id: Long, ts: Timestamp, v_c: Long)
+  case class EwmaState(ewma_c: Long, n: Long)
+  case class EwmaAlert(user_id: Long, event_id: Long, v_c: Long,
+                       ewma_prev_c: Long, is_anomaly: Int)
+
+  /** Streaming per-user EWMA anomaly gate — the recursive form of the
+    * batch `q_ewma_anomaly` smoother: α = 1/2 folds each purchase into
+    * O(1) per-user state as ewma′ = (ewma + v) div 2, EXACT dyadic
+    * integers (truncating long division, the batch/oracle division
+    * contract), and every purchase is judged against the PRE-update
+    * smoothed value (> 2× ⇒ anomaly; a user's first purchase has no
+    * history and reports the −1 sentinel, never a flag). Append mode:
+    * one verdict row per purchase. Within a micro-batch each user's
+    * rows fold in (ts, event_id) order, so any batching of an in-order
+    * stream produces the identical alert sequence (split-invariance
+    * spec). State is two longs per user FOREVER — the per-key synopsis
+    * posture that survives unbounded streams. */
+  def ewmaGated(events: DataFrame): Dataset[EwmaAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def step(user: Long, rows: Iterator[PurchaseEvent],
+             state: GroupState[EwmaState]): Iterator[EwmaAlert] = {
+      var s = state.getOption.getOrElse(EwmaState(0L, 0L))
+      val out = rows.toArray.sortBy(r => (r.ts.getTime, r.event_id)).map { r =>
+        val prev = if (s.n == 0) -1L else s.ewma_c
+        val flag = if (s.n > 0 && r.v_c > 2 * prev) 1 else 0
+        s = EwmaState(if (s.n == 0) r.v_c else (s.ewma_c + r.v_c) / 2, s.n + 1)
+        EwmaAlert(user, r.event_id, r.v_c, prev, flag)
+      }
+      state.update(s)
+      out.iterator
+    }
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .as[PurchaseEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+  }
+
   case class KeyedId(event_type: String, user_id: Long)
   case class KmvState(hs: Array[Long])
   case class KmvRow(event_type: String, n_seen: Long, n_est: Long)

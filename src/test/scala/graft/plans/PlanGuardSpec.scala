@@ -59,7 +59,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "t_span_length_hist", "q_fsimage_open_files",
                   "q_fsimage_cache", "e_knn_mutual", "e_knn_search",
                   "e_knn_search_recall", "e_ivf_rebalance",
-                  "e_ivf_rebalance_eval"))
+                  "e_ivf_rebalance_eval", "q_ewma_anomaly", "q_attribution",
+                  "q_link_predict", "d_lsh_curve"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 

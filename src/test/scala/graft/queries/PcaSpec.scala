@@ -50,6 +50,17 @@ class PcaSpec extends SparkSpecBase {
     assert(maxAbs >= (1L << 19).toDouble && maxAbs <= (1L << 21).toDouble)
   }
 
+  test("gram pass partial-aggregates before the shuffle and never joins") {
+    val p = VectorQueries.pcaGram(VectorQueries.pcaQuant(spark, Sf))
+      .queryExecution.executedPlan.toString
+    // the corpus pass must be scan → explode → partial agg → exchange →
+    // final agg: map-side combine caps the shuffle at 64 rows/partition
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"no map-side partial aggregation in the Gram pass")
+    assert(!p.contains("Join"), "the Gram pass must not join anything")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("variance readout is internally consistent") {
     val r = VectorQueries.pcaVar(spark, Sf).collect()(0)
     assert(r.getAs[Long]("n_vectors") > 0)
