@@ -2413,6 +2413,120 @@ object Analytics extends QueryModule {
     ORDER BY n_exact DESC, user_id
     LIMIT 20"""
 
+  // -------------------------------------------------------- window funnel
+
+  /** ClickHouse-flavored windowFunnel: the deepest view → click →
+    * purchase chain per user where every step lands within 24 h of the
+    * chain's FIRST event and steps strictly increase in time — the
+    * bounded-window counterpart of [[qFunnel]]'s unbounded
+    * earliest-step chaining (a funnel that credits a purchase six
+    * months after the view is marketing fiction; this one doesn't).
+    * Greedy chain per ClickHouse semantics: from EVERY view, the
+    * earliest in-window click, then the earliest in-window purchase
+    * after it. Output: one row per level with how many users peak
+    * there, and the level's share of funnel entrants in bp. Shape: the
+    * step joins are per-user equi-joins with residual time predicates
+    * (per-user event counts are density-bounded), each followed by a
+    * (user, chain-start) groupBy — never a global window; the
+    * [[qAttribution]] skew note applies identically. */
+  def qWindowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("t_v"))
+      .localCheckpoint(false) // chain base: reused by both step joins
+    val c = v.join(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("t_c")),
+        Seq("user_id"))
+      .filter(col("t_c") > col("t_v") &&
+        col("t_c") <= col("t_v") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id"), col("t_v")).agg(min(col("t_c")).as("t_c"))
+      .localCheckpoint(false)
+    val p = c.join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("t_p")),
+        Seq("user_id"))
+      .filter(col("t_p") > col("t_c") &&
+        col("t_p") <= col("t_v") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id"), col("t_v")).agg(min(col("t_p")).as("t_p"))
+    val lvl = v.select(col("user_id"), lit(1L).as("lvl"))
+      .union(c.select(col("user_id"), lit(2L).as("lvl")))
+      .union(p.select(col("user_id"), lit(3L).as("lvl")))
+      .groupBy(col("user_id")).agg(max(col("lvl")).as("level"))
+    val totals = lvl.agg(count(lit(1)).as("n_total"))
+    lvl.groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(totals))
+      .select(col("level"), col("n_users"),
+        expr("10000 * n_users div n_total").as("share_bp"))
+      .orderBy(col("level"))
+  }
+
+  val qWindowFunnelSql: String = """
+    WITH v AS (
+      SELECT user_id, ts AS t_v FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT v.user_id, v.t_v, min(e.ts) AS t_c
+      FROM v JOIN events e ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_v
+        AND e.ts <= v.t_v + INTERVAL 24 HOUR
+      GROUP BY v.user_id, v.t_v
+    ), p AS (
+      SELECT c.user_id, c.t_v, min(e.ts) AS t_p
+      FROM c JOIN events e ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+        AND e.ts <= c.t_v + INTERVAL 24 HOUR
+      GROUP BY c.user_id, c.t_v
+    ), lvl AS (
+      SELECT user_id, max(lvl) AS level FROM (
+        SELECT user_id, 1 AS lvl FROM v
+        UNION ALL SELECT user_id, 2 FROM c
+        UNION ALL SELECT user_id, 3 FROM p
+      ) GROUP BY user_id
+    )
+    SELECT CAST(level AS bigint) AS level, count(*) AS n_users,
+           CAST(10000 * count(*) // (SELECT count(*) FROM lvl) AS bigint) AS share_bp
+    FROM lvl
+    GROUP BY level
+    ORDER BY level"""
+
+  // ------------------------------------------------------- cohort revenue
+
+  /** Weekly cohort revenue matrix: users cohorted by their FIRST event
+    * week, purchase cents summed by (cohort week, weeks since cohort) —
+    * the LTV triangle behind [[qRetention]]'s activity counts. Weeks are
+    * epoch-day div 7 (integer, timezone-free). Shape: one groupBy
+    * derives each user's cohort (map-side combined onto the user
+    * domain), one equi-join tags purchases, one groupBy builds the
+    * matrix — all keyed on user or (cohort, age), never a window. */
+  def qCohortRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_timestamp(ts) div 604800").as("week"),
+        cents(col("value")).as("v_c"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"), sum(col("v_c")).as("rev_c"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
+  val qCohortRevenueSql: String = """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(epoch(ts) AS bigint) // 604800 AS week,
+             CAST(floor(value * 100) AS bigint) AS v_c
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+    )
+    SELECT c.cohort_week, e.week - c.cohort_week AS age_weeks,
+           count(DISTINCT e.user_id) AS n_buyers,
+           CAST(sum(e.v_c) AS bigint) AS rev_c
+    FROM ev e JOIN cohort c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY cohort_week, age_weeks"""
+
   // --------------------------------------------------------- EWMA anomaly
 
   /** EWMA anomaly detection over daily purchase revenue — the
@@ -2700,7 +2814,9 @@ object Analytics extends QueryModule {
     "q_events_lift"     -> (qEventsLift _),
     "q_ewma_anomaly"    -> (qEwmaAnomaly _),
     "q_attribution"     -> (qAttribution _),
-    "q_link_predict"    -> (qLinkPredict _))
+    "q_link_predict"    -> (qLinkPredict _),
+    "q_window_funnel"   -> (qWindowFunnel _),
+    "q_cohort_revenue"  -> (qCohortRevenue _))
 
   val oracles: Map[String, String] = Map(
     "q4_order_priority" -> q4OrderPrioritySql,
@@ -2760,5 +2876,7 @@ object Analytics extends QueryModule {
     "q_range_join"      -> qRangeJoinSql,
     "q_ewma_anomaly"    -> qEwmaAnomalySql,
     "q_attribution"     -> qAttributionSql,
-    "q_link_predict"    -> qLinkPredictSql)
+    "q_link_predict"    -> qLinkPredictSql,
+    "q_window_funnel"   -> qWindowFunnelSql,
+    "q_cohort_revenue"  -> qCohortRevenueSql)
 }

@@ -60,7 +60,8 @@ class PlanGuardSpec extends SparkSpecBase {
                   "q_fsimage_cache", "e_knn_mutual", "e_knn_search",
                   "e_knn_search_recall", "e_ivf_rebalance",
                   "e_ivf_rebalance_eval", "q_ewma_anomaly", "q_attribution",
-                  "q_link_predict", "d_lsh_curve"))
+                  "q_link_predict", "d_lsh_curve", "q_window_funnel",
+                  "q_cohort_revenue"))
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 

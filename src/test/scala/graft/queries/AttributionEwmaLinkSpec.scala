@@ -43,6 +43,26 @@ class AttributionEwmaLinkSpec extends SparkSpecBase {
     }
   }
 
+  test("window funnel partitions entrants; cohort revenue conserves cents") {
+    val wf = Analytics.qWindowFunnel(spark, Sf).collect()
+    val levels = wf.map(_.getAs[Long]("level"))
+    assert(levels.toSet.subsetOf(Set(1L, 2L, 3L)))
+    // peak levels partition the entrant set: user totals must sum back
+    val entrants = graft.core.Tables.events(spark, Sf)
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(wf.map(_.getAs[Long]("n_users")).sum == entrants)
+    val shares = wf.map(_.getAs[Long]("share_bp")).sum
+    assert(shares >= 10000 - wf.length && shares <= 10000)
+
+    val cr = Analytics.qCohortRevenue(spark, Sf).collect()
+    val totalRev = graft.core.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100).cast("long"))).collect()(0).getLong(0)
+    assert(cr.map(_.getAs[Long]("rev_c")).sum == totalRev)
+    assert(cr.forall(_.getAs[Long]("age_weeks") >= 0))
+  }
+
   test("link prediction: candidates are non-adjacent two-hop nodes, ranked") {
     val out = Analytics.qLinkPredict(spark, Sf).collect()
     assert(out.nonEmpty)
