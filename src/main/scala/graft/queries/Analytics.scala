@@ -2703,8 +2703,16 @@ object Analytics extends QueryModule {
     val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
     val seeds = deg.select(col("node").as("seed")).orderBy(col("seed")).limit(20)
+    // hop1 IS the seeds' adjacency: it feeds the wedge expansion AND the
+    // existing-edge exclusion, so the anti join below broadcasts these
+    // O(|seeds|·deg) rows instead of shuffling the full 2|E| symmetric
+    // edge table against a |seeds|·deg² scored side (the sf1 gate caught
+    // that shuffle at 14.7× for 10× data; with the exclusion bounded by
+    // the seed set the query's only corpus-sized stages are the edge
+    // build and the degree count, both map-side-combined)
     val hop1 = sym.join(broadcast(seeds), col("u") === col("seed"))
       .select(col("seed"), col("v").as("w"))
+      .localCheckpoint(false) // wedge expansion + adjacency exclusion
     val hop2 = hop1.join(sym.withColumnRenamed("u", "w"), "w")
       .filter(col("v") =!= col("seed"))
     val weighted = hop2.join(deg.withColumnRenamed("node", "w"), "w")
@@ -2712,7 +2720,8 @@ object Analytics extends QueryModule {
         expr("1000000 div (length(conv(d, 10, 2)) - 1)").as("aa_ppm"))
     val scored = weighted.groupBy(col("seed"), col("v"))
       .agg(count(lit(1)).as("n_common"), sum(col("aa_ppm")).as("aa_score_ppm"))
-      .join(sym.withColumnRenamed("u", "seed"), Seq("seed", "v"), "left_anti")
+      .join(broadcast(hop1.select(col("seed"), col("w").as("v"))),
+        Seq("seed", "v"), "left_anti")
     scored
       .withColumn("rnk", row_number().over(Window.partitionBy(col("seed"))
         .orderBy(col("aa_score_ppm").desc, col("v"))))
