@@ -2560,6 +2560,15 @@ object VectorQueries extends QueryModule {
     ORDER BY rows_per_band"""
   }
 
+  /** [[simhashEval]]'s sampled-truth twin ([[EvalSampleBp]]) — completes
+    * the sampled-eval family (minhash and winnow already have theirs):
+    * at corpus scale the exact-Jaccard truth is the eval's whole cost,
+    * and the simhash gate needs the same affordable readout. */
+  def simhashEvalSampled(spark: SparkSession, sfDir: String): DataFrame =
+    sketchEval(spark, sfDir, simhashPairs(spark, sfDir), sampleBp = EvalSampleBp)
+
+  val simhashEvalSampledSql: String = sketchEvalSql(dedupSimhashSql, EvalSampleBp)
+
   /** [[winnowEval]]'s sampled-truth twin — same gate, winnowed index. */
   def winnowEvalSampled(spark: SparkSession, sfDir: String): DataFrame =
     sketchEval(spark, sfDir, TextQueries.winnow(spark, sfDir), sampleBp = EvalSampleBp)
@@ -3652,6 +3661,7 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval_sampled" -> (winnowEvalSampled _),
     "d_minhash_recall_sampled" -> (minhashRecallSampled _),
     "d_lsh_curve" -> (lshCurve _),
+    "d_simhash_eval_sampled" -> (simhashEvalSampled _),
     "e_pca_power" -> (pcaPower _),
     "e_pca_var" -> (pcaVar _),
     "d_semdedup_eval09_sampled" -> (semDedupEval09Sampled _),
@@ -3715,6 +3725,7 @@ object VectorQueries extends QueryModule {
     "d_winnow_eval_sampled" -> winnowEvalSampledSql,
     "d_minhash_recall_sampled" -> minhashRecallSampledSql,
     "d_lsh_curve" -> lshCurveSql,
+    "d_simhash_eval_sampled" -> simhashEvalSampledSql,
     "e_pca_power" -> pcaPowerSql,
     "e_pca_var" -> pcaVarSql,
     "d_semdedup_eval09_sampled" -> semDedupEval09SampledSql,
