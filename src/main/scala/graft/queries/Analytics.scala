@@ -1938,54 +1938,25 @@ object Analytics extends QueryModule {
     ORDER BY d.event_type"""
 
   /** Triangle counting + global clustering coefficient over the co-order
-    * part graph (parts are connected when some order contains both). The
-    * scale-correct shape: per-order map-side pair expansion (orders hold
-    * ≤7 parts — never a corpus self-join) → distinct edge list → each edge
-    * ORIENTED from its lower (degree, id) endpoint to the higher, which
-    * turns every triangle into exactly one out-wedge + one closing edge
-    * and bounds any node's out-degree by O(√|E|) (Suri & Vassilvitskii,
-    * WWW'11) — the wedge join's blow-up is capped even on power-law hubs.
-    * Endpoint keys pack (degree, id) into one long so the wedge's two legs
-    * order identically to the closing edge's orientation. Output is one
-    * row: |V|, |E|, wedge count Σ C(deg,2), triangles, and the global
-    * clustering coefficient 3·T/wedges in basis points. */
+    * part graph (parts are connected when some order contains both):
+    * per-order map-side pair expansion (orders hold ≤7 parts — never a
+    * corpus self-join) → distinct edge list →
+    * [[graft.operators.Triangles.summary]] — degree-ordered orientation
+    * (Suri & Vassilvitskii, WWW'11), per-edge sorted-adjacency
+    * intersection (r10: replaces the wedge enumeration whose Σ C(od,2)
+    * materialized rows — 41× the edge count at sf1 — dominated three
+    * rounds of sf1 cost), heavy out-lists broadcast under an absolute
+    * entry cap. Output is one row: |V|, |E|, wedge count Σ C(deg,2),
+    * triangles, and the global clustering coefficient 3·T/wedges in
+    * basis points. */
   def qGraphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val edges = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(QueryModule.sortedPairs(col("ps"))).as("p"))
       .select(col("p.a").as("u"), col("p.b").as("v"))
       .distinct()
-      .localCheckpoint(false) // feeds degrees, orientation, and the closing join
-    val deg = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(false) // feeds both endpoint joins + the wedge total
-    // (degree, id) packed into one orderable long: degree and partkey both
-    // fit in 31 bits at any TPC-H scale factor.
-    def key(d: Column, id: Column): Column = shiftleft(d, 32) + id
-    val keyed = edges
-      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
-      .select(col("u"), col("v"), key(col("du"), col("u")).as("ku"),
-        key(col("dv"), col("v")).as("kv"))
-    val oriented = keyed.select(
-        when(col("ku") < col("kv"), col("ku")).otherwise(col("kv")).as("src"),
-        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("dst"))
-      .localCheckpoint(false) // wedge legs ⋈ closing edges
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
-    val tri = wedges.join(oriented, Seq("src", "dst"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    val totals = edges.agg(count(lit(1)).as("n_edges")).crossJoin(
-      deg.agg(count(lit(1)).as("n_nodes"),
-        sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges")))
-    broadcast(totals).crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        floor(lit(3) * col("n_triangles") * 10000.0 / col("n_wedges"))
-          .cast("long").as("global_cc_bp"))
+    graft.operators.Triangles.summary(spark, edges)
   }
 
   /** PageRank (5 power iterations, damping 0.85) over the undirected
@@ -2424,28 +2395,50 @@ object Analytics extends QueryModule {
     * Greedy chain per ClickHouse semantics: from EVERY view, the
     * earliest in-window click, then the earliest in-window purchase
     * after it. Output: one row per level with how many users peak
-    * there, and the level's share of funnel entrants in bp. Shape: the
-    * step joins are per-user equi-joins with residual time predicates
-    * (per-user event counts are density-bounded), each followed by a
-    * (user, chain-start) groupBy — never a global window; the
-    * [[qAttribution]] skew note applies identically. */
-  def qWindowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_type"), col("ts"))
+    * there, and the level's share of funnel entrants in bp. Shape
+    * (r10): both step joins are DAY-TILED on (user, epoch-day) — the
+    * 24 h window from a view spans exactly 2 day tiles, so the fan-out
+    * on a whale user is bounded by per-day density ×2, never the
+    * views×clicks quadratic of a bare per-user equi-join; each step is
+    * followed by a (user, chain-start) groupBy — never a global window.
+    * The view projection is NOT checkpointed (it is O(corpus): lineage
+    * recompute beats pinning the job's largest intermediate in executor
+    * block storage — the ADVICE r9 note); the chain table IS — it is
+    * ≤1 row per (user, view) after the min-aggregation and feeds both
+    * the purchase step and the level union. */
+  def qWindowFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    qWindowFunnelFrom(spark, Tables.events(spark, sfDir))
+
+  /** [[qWindowFunnel]] over an explicit events frame (spec hook for the
+    * engineered-whale equivalence run). */
+  def qWindowFunnelFrom(spark: SparkSession, evIn: DataFrame): DataFrame = {
+    val ev = evIn.select(col("user_id"), col("event_type"), col("ts"))
     val v = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts").as("t_v"))
-      .localCheckpoint(false) // chain base: reused by both step joins
-    val c = v.join(ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts").as("t_c")),
-        Seq("user_id"))
-      .filter(col("t_c") > col("t_v") &&
+      .select(col("user_id"), col("ts").as("t_v"),
+        expr("unix_timestamp(ts) div 86400").as("d_v"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("t_c"),
+        expr("unix_timestamp(ts) div 86400").as("c_tile"))
+    // t_c ∈ (t_v, t_v+24h] ⟹ day(c) ∈ {d_v, d_v+1}: 2 tiles cover every
+    // match; the residual predicate keeps the window exact
+    val vTiled = v.select(col("user_id"), col("t_v"),
+      explode(expr("sequence(d_v, d_v + 1)")).as("tile"))
+    val c = vTiled.join(clicks,
+        col("user_id") === col("c_user") && col("tile") === col("c_tile") &&
+        col("t_c") > col("t_v") &&
         col("t_c") <= col("t_v") + expr("INTERVAL 24 HOURS"))
       .groupBy(col("user_id"), col("t_v")).agg(min(col("t_c")).as("t_c"))
       .localCheckpoint(false)
-    val p = c.join(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts").as("t_p")),
-        Seq("user_id"))
-      .filter(col("t_p") > col("t_c") &&
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("t_p"),
+        expr("unix_timestamp(ts) div 86400").as("p_tile"))
+    val cTiled = c.select(col("user_id"), col("t_v"), col("t_c"),
+      explode(expr(
+        "sequence(unix_timestamp(t_v) div 86400, unix_timestamp(t_v) div 86400 + 1)"))
+        .as("tile"))
+    val p = cTiled.join(purchases,
+        col("user_id") === col("p_user") && col("tile") === col("p_tile") &&
+        col("t_p") > col("t_c") &&
         col("t_p") <= col("t_v") + expr("INTERVAL 24 HOURS"))
       .groupBy(col("user_id"), col("t_v")).agg(min(col("t_p")).as("t_p"))
     val lvl = v.select(col("user_id"), lit(1L).as("lvl"))
@@ -2513,7 +2506,7 @@ object Analytics extends QueryModule {
   val qCohortRevenueSql: String = """
     WITH ev AS (
       SELECT user_id, event_type,
-             CAST(epoch(ts) AS bigint) // 604800 AS week,
+             CAST(floor(epoch(ts)) AS bigint) // 604800 AS week,
              CAST(floor(value * 100) AS bigint) AS v_c
       FROM events
     ), cohort AS (
@@ -2603,30 +2596,57 @@ object Analytics extends QueryModule {
     * purchase credit conserves revenue EXACTLY (spec-asserted); purchases
     * with no touch in window credit a synthetic `direct` channel. Output:
     * per-channel credited cents, touch counts, and share of total in bp.
-    * Shape: touches⋈purchases is a per-user equi-join with a residual
-    * time predicate — per-user event counts are density-bounded (they
-    * don't grow with corpus size), so the join never degenerates; at
-    * heavier per-user densities the day-tiled [[qRangeJoin]] shape
-    * applies unchanged. The per-purchase credit split is one window over
-    * each purchase's ≤n_touch rows, keyed by purchase — never global. */
-  def qAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    * Shape (r10): touches⋈purchases is DAY-TILED on (user, epoch-day) —
+    * see [[qAttributionFrom]] — so a whale user's join fan-out is
+    * bounded by per-day density, not their lifetime touch count. The
+    * per-purchase credit split is one window over each purchase's
+    * ≤n_touch rows, keyed by purchase — never global. */
+  def qAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    qAttributionFrom(spark, Tables.events(spark, sfDir))
+
+  /** [[qAttribution]] over an explicit events frame — the spec hook for
+    * the engineered-whale equivalence run. r10: the touch join is
+    * DAY-TILED (the [[qRangeJoin]] shape SURVEY names as the whale
+    * remedy): each purchase explodes to its 8 candidate epoch-day tiles
+    * and the join key is (user, day), so a whale user's fan-out is
+    * bounded by their per-DAY touch density × 8, never the
+    * touches×purchases quadratic a per-user equi-join pays on a hot key.
+    * Unmatched purchases survive via the left join's null rows, deduped
+    * to the p_day tile (n_t = 0 keeps exactly one row per purchase), so
+    * the credit semantics — linear split, remainder to last touch,
+    * `direct` for touchless purchases — are bit-identical to the r9
+    * per-user form (spec-asserted against an untiled reference AND an
+    * in-memory brute force on a whale log). */
+  def qAttributionFrom(spark: SparkSession, ev: DataFrame): DataFrame = {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
-        col("ts").as("p_ts"), cents(col("value")).as("rev_c"))
+        col("ts").as("p_ts"), cents(col("value")).as("rev_c"),
+        expr("unix_timestamp(ts) div 86400").as("p_day"))
     val touches = ev.filter(col("event_type").isin("click", "view"))
-      .select(col("user_id"), col("event_id").as("t_id"),
-        col("event_type").as("channel"), col("ts").as("t_ts"))
-    val attributed = purchases.join(touches,
-        purchases("user_id") === touches("user_id") &&
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), col("ts").as("t_ts"),
+        expr("unix_timestamp(ts) div 86400").as("t_tile"))
+    // 604800 = 7·86400 exactly, so t_ts ∈ (p_ts−7d, p_ts] ⟹ day(t) ∈
+    // [day(p)−7, day(p)]: the 8 tiles cover every possible match and the
+    // residual predicate keeps the window exact
+    val pTiled = purchases.select(col("p_id"), col("user_id"), col("p_ts"),
+      col("rev_c"), col("p_day"),
+      explode(expr("sequence(p_day - 7, p_day)")).as("tile"))
+    val attributed = pTiled.join(touches,
+        col("user_id") === col("t_user") && col("tile") === col("t_tile") &&
         col("t_ts") <= col("p_ts") &&
         col("t_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"), "left")
-      .select(col("p_id"), col("rev_c"), col("channel"), col("t_ts"), col("t_id"))
+      .select(col("p_id"), col("rev_c"), col("p_day"), col("tile"),
+        col("channel"), col("t_ts"), col("t_id"))
     val byP = Window.partitionBy(col("p_id"))
     val credited = attributed
       .withColumn("n_t", count(col("t_id")).over(byP))
       .withColumn("last_rn", row_number().over(
         byP.orderBy(col("t_ts").desc_nulls_last, col("t_id").desc_nulls_last)))
+      // each touch matches exactly one tile, so real rows are unique;
+      // a touchless purchase left 8 null rows — keep only its p_day one
+      .filter(col("t_id").isNotNull ||
+        (col("n_t") === 0 && col("tile") === col("p_day")))
       .select(
         coalesce(col("channel"), lit("direct")).as("channel"),
         when(col("n_t") === 0, col("rev_c"))
@@ -2765,7 +2785,40 @@ object Analytics extends QueryModule {
     WHERE rnk <= 5
     ORDER BY seed, rnk"""
 
+  // ------------------------------------------------- division contract
+
+  /** Integer-division semantics canary: the whole oracle framework leans
+    * on Scala Long `/`, Spark `div` and DuckDB `//` agreeing to TRUNCATE
+    * toward zero on negative operands (−7 div 2 = −3, not floor's −4) —
+    * every integer-exact trajectory (PCA power rounds, pagerank, EWMA,
+    * centroid math) silently depends on it. This 5-row query exercises
+    * negative dividends AND negative divisors plus `%` remainder sign
+    * through real table columns, so a DuckDB (or Spark) version that
+    * changes division semantics breaks THIS hash before it corrupts a
+    * 64-dim power-iteration trajectory nobody can eyeball. */
+  def qDivContract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir)
+      .select(col("r_regionkey").cast("long").as("r_regionkey"),
+        (col("r_regionkey") * 2 - 7).cast("long").as("num"))
+      .select(col("r_regionkey"), col("num"),
+        expr("num div 3").as("q_pos"),
+        expr("num div -3").as("q_neg"),
+        expr("num % 3").as("rem_pos"),
+        expr("num % -3").as("rem_neg"))
+      .orderBy(col("r_regionkey"))
+
+  val qDivContractSql: String = """
+    SELECT CAST(r_regionkey AS bigint) AS r_regionkey,
+           CAST(r_regionkey * 2 - 7 AS bigint) AS num,
+           CAST((r_regionkey * 2 - 7) // 3 AS bigint) AS q_pos,
+           CAST((r_regionkey * 2 - 7) // -3 AS bigint) AS q_neg,
+           CAST((r_regionkey * 2 - 7) % 3 AS bigint) AS rem_pos,
+           CAST((r_regionkey * 2 - 7) % -3 AS bigint) AS rem_neg
+    FROM region
+    ORDER BY r_regionkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_div_contract"    -> (qDivContract _),
     "q_cm_sketch"       -> (qCmSketch _),
     "q_topk_merge_rollup" -> (qTopkMergeRollup _),
     "q4_order_priority" -> (q4OrderPriority _),
@@ -2828,6 +2881,7 @@ object Analytics extends QueryModule {
     "q_cohort_revenue"  -> (qCohortRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q_div_contract"    -> qDivContractSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q8_market_share"   -> q8MarketShareSql,
     "q10_returned_top"  -> q10ReturnedTopSql,
