@@ -2829,7 +2829,15 @@ object TextQueries extends QueryModule {
     * round; plan depth pinned by per-round localCheckpoints (the
     * KCore/kmeans unrolled-trajectory recipe, mirrored by the oracle's
     * unrolled CTE chain). */
-  def bpeLoop(spark: SparkSession, sfDir: String): DataFrame = {
+  def bpeLoop(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrain(spark, sfDir)._2.reduce(_ unionByName _).orderBy(col("merge_no"))
+
+  /** The shared training loop: returns (final re-segmented vocab
+    * `(term, freq, enc)` after [[BpeLoopMerges]] merges, the per-round
+    * report frames). [[bpeLoop]] publishes the trajectory; [[bpeApply]]
+    * takes the final vocab to the whole corpus. */
+  private[queries] def bpeTrain(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val encOf = regexp_replace(col("term"), "(.)", "\u0001$1\u0002")
     var vocab = Tables.documents(spark, sfDir)
       .select(explode(words(lower(col("text")))).as("term"))
@@ -2865,10 +2873,12 @@ object TextQueries extends QueryModule {
           col("n_occ"), col("corpus_tokens"),
           expr(s"corpus_tokens * 10000 div $chars").as("tok_per_10k_chars"))
     }
-    rounds.result().reduce(_ unionByName _).orderBy(col("merge_no"))
+    (vocab, rounds.result())
   }
 
-  val bpeLoopSql: String = {
+  /** The unrolled training CTE chain (bv0..bv8 + per-round best/report
+    * CTEs), shared by [[bpeLoopSql]] and [[bpeApplySql]]. */
+  private val bpeLoopCtes: String = {
     val S = "chr(1)"; val E = "chr(2)"
     val roundCtes = (1 to BpeLoopMerges).map { r =>
       s"""bp$r AS (
@@ -2891,20 +2901,93 @@ object TextQueries extends QueryModule {
       GROUP BY b.pa, b.pb, b.n_occ
     )"""
     }.mkString(", ")
-    val unions = (1 to BpeLoopMerges).map(r => s"SELECT * FROM bs$r").mkString(" UNION ALL ")
-    s"""
-    WITH bv0 AS (
+    s"""bv0 AS (
       SELECT term, CAST(count(*) AS bigint) AS freq,
              regexp_replace(term, '(.)', $S || '\\1' || $E, 'g') AS enc
       FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents)
       GROUP BY term
     ), bchars AS (
       SELECT CAST(sum(freq * length(term)) AS bigint) AS chars FROM bv0
-    ), $roundCtes
+    ), $roundCtes"""
+  }
+
+  val bpeLoopSql: String = {
+    val unions = (1 to BpeLoopMerges).map(r => s"SELECT * FROM bs$r").mkString(" UNION ALL ")
+    s"""
+    WITH $bpeLoopCtes
     SELECT merge_no, pa, pb, n_occ, corpus_tokens,
            corpus_tokens * 10000 // (SELECT chars FROM bchars) AS tok_per_10k_chars
     FROM ($unions)
     ORDER BY merge_no"""
+  }
+
+  /** Corpus-scale BPE APPLICATION — the half of tokenizer training that
+    * actually touches 100 TB (VERDICT r9 item 3): apply [[bpeLoop]]'s
+    * learned merge table to EVERY document and report, per source, the
+    * real token counts + fertility against [[fertility]]'s whitespace
+    * baseline. Semantics: greedy left-to-right delimiter-wrapped replace,
+    * identical to training — and since merges never cross word
+    * boundaries, a document's BPE token count is the SUM of its word
+    * forms' symbol counts. That additivity is the scale lever: the corpus
+    * side aggregates to the (source, term) domain FIRST (map-side
+    * combined — each distinct word form per source crosses the wire
+    * once, the [[bpeMerges]] vocabulary posture), then one equi-join
+    * against the |vocab|-bounded re-segmented form table prices every
+    * document; no corpus-sized row ever carries a segmentation string.
+    * Output per source: docs, whitespace tokens, BPE tokens, fertility
+    * (BPE tokens per 10⁴ whitespace tokens) and compression (BPE tokens
+    * per 10⁴ word chars — comparable to [[bpeLoop]]'s trajectory
+    * column). */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = bpeTrain(spark, sfDir)._1
+    val nsym = length(col("enc")) - length(expr("replace(enc, chr(1), '')"))
+    val formTok = vocab.select(col("term"), nsym.cast("long").as("n_syms"))
+    val bySourceTerm = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(words(lower(col("text")))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n_occ"))
+    val applied = bySourceTerm.join(formTok, "term")
+      .groupBy(col("source"))
+      .agg(sum(col("n_occ")).as("ws_tokens"),
+        sum(col("n_occ") * col("n_syms")).as("bpe_tokens"),
+        sum(col("n_occ") * length(col("term"))).cast("long").as("word_chars"))
+    val docs = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    docs.join(applied, "source")
+      .select(col("source"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        expr("bpe_tokens * 10000 div ws_tokens").as("fertility_bp"),
+        expr("bpe_tokens * 10000 div word_chars").as("tok_per_10k_chars"))
+      .orderBy(col("source"))
+  }
+
+  val bpeApplySql: String = {
+    val last = s"bv$BpeLoopMerges"
+    s"""
+    WITH $bpeLoopCtes,
+    dw AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), dwa AS (
+      SELECT source, term, CAST(count(*) AS bigint) AS n_occ
+      FROM dw GROUP BY source, term
+    ), ft AS (
+      SELECT term,
+             CAST(length(enc) - length(replace(enc, chr(1), '')) AS bigint) AS n_syms
+      FROM $last
+    ), js AS (
+      SELECT d.source,
+             CAST(sum(d.n_occ) AS bigint) AS ws_tokens,
+             CAST(sum(d.n_occ * f.n_syms) AS bigint) AS bpe_tokens,
+             CAST(sum(d.n_occ * length(d.term)) AS bigint) AS word_chars
+      FROM dwa d JOIN ft f ON f.term = d.term
+      GROUP BY d.source
+    ), nd AS (
+      SELECT source, CAST(count(*) AS bigint) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT js.source, nd.n_docs, js.ws_tokens, js.bpe_tokens,
+           js.bpe_tokens * 10000 // js.ws_tokens AS fertility_bp,
+           js.bpe_tokens * 10000 // js.word_chars AS tok_per_10k_chars
+    FROM js JOIN nd ON nd.source = js.source
+    ORDER BY js.source"""
   }
 
   // ------------------------------------------------------------ source caps
@@ -3004,6 +3087,7 @@ object TextQueries extends QueryModule {
     "t_fertility"     -> (fertility _),
     "t_bpe_merges"    -> (bpeMerges _),
     "t_bpe_loop"      -> (bpeLoop _),
+    "t_bpe_apply"     -> (bpeApply _),
     "t_decontaminate13" -> (decontaminate13 _),
     "t_ttr"           -> (ttr _),
     "d_cluster_sizes" -> (clusterSizes _),
@@ -3066,6 +3150,7 @@ object TextQueries extends QueryModule {
     "t_fertility"     -> fertilitySql,
     "t_bpe_merges"    -> bpeMergesSql,
     "t_bpe_loop"      -> bpeLoopSql,
+    "t_bpe_apply"     -> bpeApplySql,
     "t_decontaminate13" -> decontaminate13Sql,
     "t_ttr"           -> ttrSql,
     "d_cluster_sizes" -> clusterSizesSql,

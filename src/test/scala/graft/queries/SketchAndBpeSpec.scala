@@ -186,6 +186,66 @@ class SketchAndBpeSpec extends SparkSpecBase {
     assert(got.head._2 == "a" && got.head._3 == "a" && got.head._4 == 9L)
   }
 
+  test("bpeApply prices every document with the trained merge table (in-memory reference)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bpeapply").toString
+    val docs = Seq(
+      (1L, "aaaa aaaa abab", "en", "src_a", 14L),
+      (2L, "abab the the banana", "en", "src_a", 19L),
+      (3L, "banana the aaaa", "en", "src_b", 15L),
+      (4L, "the aaaa abab abab banana", "en", "src_b", 25L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // reference: train 8 merges on the corpus vocab (count desc, pair asc
+    // ties, greedy leftmost non-overlapping application) — then APPLY the
+    // final segmentation to every document word
+    val allWords = docs.flatMap(_._2.toLowerCase.split("\\s+"))
+    var vocab: Map[Vector[String], Long] = allWords
+      .groupBy(identity).map { case (t, o) =>
+        t.map(_.toString).toVector -> o.size.toLong }
+    def applyMerge(s: Vector[String], pa: String, pb: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == pa && s(i + 1) == pb) {
+          out += (pa + pb); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    (1 to TextQueries.BpeLoopMerges).foreach { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (s, f) =>
+        s.indices.dropRight(1).foreach { i =>
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f }
+      }
+      if (counts.nonEmpty) {
+        val ((pa, pb), _) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        vocab = vocab.toSeq.map { case (s, f) => applyMerge(s, pa, pb) -> f }
+          .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      }
+    }
+    val segLen: Map[String, Long] =
+      vocab.keys.map(s => s.mkString -> s.length.toLong).toMap
+    val expect = docs.groupBy(_._4).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val ws = ds.flatMap(_._2.toLowerCase.split("\\s+"))
+      val wsTok = ws.size.toLong
+      val bpeTok = ws.map(segLen).sum
+      val chars = ws.map(_.length.toLong).sum
+      (src, ds.size.toLong, wsTok, bpeTok,
+        bpeTok * 10000L / wsTok, bpeTok * 10000L / chars)
+    }
+    val got = TextQueries.bpeApply(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect)
+    // the merges genuinely compressed: BPE tokens < chars on both sources
+    expect.foreach { case (_, _, _, bpe, _, _) => assert(bpe > 0) }
+    assert(got.map(_._4).sum < docs.map(_._2.replace(" ", "").length).sum)
+  }
+
   test("bpeMerges finds the engineered dominant pair with exact weights") {
     import spark.implicits._
     // "abab" contributes pairs ab, ba, ab per occurrence; corpus freq 3.
