@@ -50,6 +50,54 @@ class PcaSpec extends SparkSpecBase {
     assert(maxAbs >= (1L << 19).toDouble && maxAbs <= (1L << 21).toDouble)
   }
 
+  test("deflated components: pc1 pinned, near-orthogonal, decaying spectrum") {
+    val rows = VectorQueries.pcaTopK(spark, Sf).collect()
+    assert(rows.length === 4 * 64)
+    val comps = rows.groupBy(_.getAs[Long]("component")).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getAs[Long]("dim")).map(_.getAs[Long]("w_q").toDouble) }
+    // component 1 IS e_pca_power's direction (shared Gram + rounds)
+    val pc1 = VectorQueries.pcaPower(spark, Sf).orderBy(col("dim")).collect()
+      .map(_.getAs[Long]("pc1_q").toDouble)
+    assert(comps.head.sameElements(pc1))
+    // pairwise near-orthogonality (integer deflation is approximate:
+    // |cos| stays small, not exactly zero)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    for (i <- comps.indices; j <- (i + 1) until comps.length)
+      assert(math.abs(cos(comps(i), comps(j))) < 0.15,
+        s"components ${i + 1},${j + 1} cos=${cos(comps(i), comps(j))}")
+    // every component explains a positive share; the synthetic corpus's
+    // near-flat spectrum means strict decay is NOT guaranteed by an
+    // 8-round estimate, but PC1 must stay within 20% of the best
+    // component and the 4 together must not (grossly) exceed the total
+    val varRows = VectorQueries.pcaTopKVar(spark, Sf).collect()
+      .sortBy(_.getAs[Long]("component"))
+    val exps = varRows.map(_.getAs[Long]("explained_bp"))
+    assert(exps.forall(_ > 0L))
+    assert(exps.head * 10L >= exps.max * 8L, exps.mkString(","))
+    assert(exps.sum <= 10500L, exps.mkString(","))
+  }
+
+  test("pca dim permutation is a bijection that actually regroups dims") {
+    val ws = VectorQueries.pcaTopDirections(
+      graft.core.Tables.embeddings(spark, Sf)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") * 16384).cast("long")).as("vq")), 4)
+    val perm = VectorQueries.pcaPerm(ws)
+    assert(perm.sorted.sameElements(Array.tabulate(64)(_.toLong)))
+    assert(!perm.sameElements(Array.tabulate(64)(_.toLong)), "identity perm: eval is vacuous")
+    val rot = VectorQueries.pqRotateEval(spark, Sf).collect()
+    assert(rot.length === 16)
+    val bySub = rot.groupBy(_.getAs[String]("variant"))
+    assert(bySub("raw").length === 8 && bySub("rotated").length === 8)
+    // same corpus priced twice: per-variant vector counts agree
+    assert(bySub("raw").map(_.getAs[Long]("n_vecs")).sum ===
+      bySub("rotated").map(_.getAs[Long]("n_vecs")).sum)
+  }
+
   test("gram pass partial-aggregates before the shuffle and never joins") {
     val p = VectorQueries.pcaGram(VectorQueries.pcaQuant(spark, Sf))
       .queryExecution.executedPlan.toString
