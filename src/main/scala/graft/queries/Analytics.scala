@@ -2785,6 +2785,65 @@ object Analytics extends QueryModule {
     WHERE rnk <= 5
     ORDER BY seed, rnk"""
 
+  // ---------------------------------------------------- SCD2 temporal join
+
+  /** SCD2 temporal-dimension enrichment (VERDICT r9 item 5): every event
+    * joins the dim VERSION valid at its time via
+    * [[graft.operators.TemporalJoin.scd2]] — one shuffle + per-key sort,
+    * never a range explosion. The versioned dim is GENERATED
+    * deterministically from the event universe so both engines build the
+    * identical table: 3 tier versions per user at fixed epoch boundaries
+    * (Jan 1 / 11 / 21), the last version CLOSED at Jan 28 — events after
+    * it have no covering version and land in the tier = −1 bucket, so the
+    * expiry path is exercised by real data, not just the spec. Output:
+    * (tier, week) event counts + revenue cents. The oracle replays the
+    * join as a naive interval LEFT join — a different plan proving the
+    * same semantics. */
+  def qScd2Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_timestamp(ts)").as("t"),
+        cents(col("value")).as("v_c"))
+    val froms = Array(1704067200L, 1704931200L, 1705795200L)
+    val tos   = Array(1704931200L, 1705795200L, 1706400000L)
+    val dim = ev.select(col("user_id")).distinct()
+      .select(col("user_id").as("dim_user"), explode(expr("sequence(0, 2)")).as("k"))
+      .select(col("dim_user"),
+        element_at(lit(froms), (col("k") + 1).cast("int")).as("valid_from"),
+        element_at(lit(tos), (col("k") + 1).cast("int")).as("valid_to"),
+        ((col("dim_user") * 3 + col("k")) % 5).as("tier"))
+    graft.operators.TemporalJoin.scd2(ev, dim,
+        "user_id", "dim_user", "t", "valid_from", "valid_to", Seq("tier"))
+      .groupBy(coalesce(col("asof_tier"), lit(-1L)).as("tier"),
+        expr("t div 604800").as("week"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_c")).as("rev_c"))
+      .orderBy(col("tier"), col("week"))
+  }
+
+  val qScd2JoinSql: String = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    ks AS (SELECT unnest(range(0, 3)) AS k),
+    dim AS (
+      SELECT user_id,
+             CASE CAST(k AS int) WHEN 0 THEN 1704067200 WHEN 1 THEN 1704931200
+                  ELSE 1705795200 END AS valid_from,
+             CASE CAST(k AS int) WHEN 0 THEN 1704931200 WHEN 1 THEN 1705795200
+                  ELSE 1706400000 END AS valid_to,
+             (user_id * 3 + k) % 5 AS tier
+      FROM u CROSS JOIN ks
+    ), e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS bigint) AS t,
+             CAST(floor(value * 100) AS bigint) AS v_c
+      FROM events
+    ), j AS (
+      SELECT e.t, e.v_c, d.tier
+      FROM e LEFT JOIN dim d ON d.user_id = e.user_id
+        AND e.t >= d.valid_from AND e.t < d.valid_to
+    )
+    SELECT coalesce(tier, -1) AS tier, CAST(t // 604800 AS bigint) AS week,
+           count(*) AS n_events, CAST(sum(v_c) AS bigint) AS rev_c
+    FROM j GROUP BY 1, 2
+    ORDER BY tier, week"""
+
   // ------------------------------------------------- division contract
 
   /** Integer-division semantics canary: the whole oracle framework leans
@@ -2819,6 +2878,7 @@ object Analytics extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_div_contract"    -> (qDivContract _),
+    "q_scd2_join"       -> (qScd2Join _),
     "q_cm_sketch"       -> (qCmSketch _),
     "q_topk_merge_rollup" -> (qTopkMergeRollup _),
     "q4_order_priority" -> (q4OrderPriority _),
@@ -2882,6 +2942,7 @@ object Analytics extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "q_div_contract"    -> qDivContractSql,
+    "q_scd2_join"       -> qScd2JoinSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q8_market_share"   -> q8MarketShareSql,
     "q10_returned_top"  -> q10ReturnedTopSql,

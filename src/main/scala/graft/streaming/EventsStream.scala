@@ -149,6 +149,18 @@ object EventsStream {
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(userDim, Seq("user_id"), "left")
 
+  /** SCD2 stream-static enrichment: each arriving event joins the dim
+    * VERSION valid at its event time (`valid_from <= t < valid_to`,
+    * null valid_to = open) — [[graft.operators.TemporalJoin.scd2Stream]]
+    * applied to the events stream. Same no-state/no-watermark posture as
+    * [[enriched]]: the dim is planned per micro-batch, a version
+    * expiring mid-stream simply stops matching newer events (spec:
+    * stream ≡ batch incl. the mid-stream expiry). */
+  def scd2Enriched(events: DataFrame, versionedDim: DataFrame,
+                   payloadCols: Seq[String]): DataFrame =
+    graft.operators.TemporalJoin.scd2Stream(events, versionedDim,
+      "user_id", "dim_user", "ts", "valid_from", "valid_to", payloadCols)
+
   /** Stream-vs-corpus Bloom gate — incremental-ingest dedup: flag arriving
     * rows whose fingerprint is (probably) already in a static corpus. The
     * corpus travels as [[graft.operators.Dedup.bloomMask]]'s single-row
