@@ -1169,6 +1169,297 @@ object VectorQueries extends QueryModule {
     GROUP BY t.q_id
     ORDER BY t.q_id"""
 
+  // ------------------------------------------------------- HNSW multi-layer
+
+  /** Geometric level base: P(level ≥ l) = 16^−l. */
+  private val HnswBase = 16L
+  private val HnswMaxLevel = 2
+  /** Per-node out-degree on the upper layers (HNSW's M). */
+  private val HnswUpperK = 4
+  /** Greedy rounds per upper layer. */
+  private val HnswUpperRounds = 2
+
+  /** Deterministic geometric level: md5-derived 60-bit integer, level =
+    * trailing divisibility by [[HnswBase]] (capped at [[HnswMaxLevel]]);
+    * vec 0 is PINNED to the top level so every layer is non-empty at any
+    * corpus size (the first-inserted node is the entry point in a real
+    * HNSW build). */
+  private[queries] def hnswLvl: Column = {
+    val h = conv(substring(md5(concat(lit("hnsw_"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    when(col("vec_id") === 0, HnswMaxLevel)
+      .when(h % (HnswBase * HnswBase) === 0, 2)
+      .when(h % HnswBase === 0, 1)
+      .otherwise(0)
+  }
+
+  /** k-NN links among the members of one upper layer — the [[knnGraph]]
+    * recipe scoped to the layer: √n_l quantizer cells seeded by the
+    * layer's smallest ids, 2-probe assignment, exact cosine within
+    * candidate cells, top-[[HnswUpperK]] per member. Upper layers shrink
+    * geometrically (n/16, n/256), so these builds cost a vanishing
+    * fraction of the layer-0 graph. */
+  private[queries] def hnswLayerGraph(lv: DataFrame, l: Int): DataFrame = {
+    val m = lv.filter(col("lvl") >= l)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(false) // centroid cut + assignment + scoring reuse it
+    val ncells = math.max(4L, math.floor(math.sqrt(m.count().toDouble)).toLong)
+    val cents = m.orderBy(col("vec_id")).limit(ncells.toInt)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val assigned = m.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+      .withColumn("crnk", rank().over(wAssign))
+      .filter(col("crnk") <= KnnProbe)
+      .localCheckpoint(false)
+    val cellOf = assigned.filter(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val probes = assigned
+      .select(col("vec_id").as("src_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val scored = cellOf.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("src_id"))
+      .select(col("src_id"), col("vec_id").as("nbr_id"),
+        cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+    graft.operators.TopK.topK(scored, "src_id", "cos_bp", "nbr_id", HnswUpperK)
+      .select(col("src_id"), col("nbr_id"))
+  }
+
+  /** TRUE multi-layer HNSW search (the r9 "what's missing" item 4): a
+    * geometric level assignment gives layers of n/16 and n/256 members
+    * with their own k-NN links; search enters at ONE pinned top-layer
+    * node, greedily walks each upper layer ([[HnswUpperRounds]] rounds,
+    * beam 1), descends, and runs the [[knnSearchVisited]] beam walk on
+    * the full layer-0 graph. Against `e_knn_search`'s √n-hub entry this
+    * is the LOG-SHAPED entry: upper-layer work is O(rounds·M) per query
+    * at ANY corpus size, where the hub scan grows as √n — the
+    * budget-recall curve gets its second point ([[hnswRecall]] prices
+    * the recall this cheaper entry costs). Every stage is deterministic
+    * (exact integer cos_bp, id tie-breaks), so DuckDB replays the whole
+    * descent through materialized per-layer, per-round CTEs. */
+  private[queries] def hnswVisited(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir)
+    val lv = e.withColumn("lvl", hnswLvl).localCheckpoint(false)
+    val g2 = hnswLayerGraph(lv, 2).localCheckpoint(false)
+    val g1 = hnswLayerGraph(lv, 1).localCheckpoint(false)
+    val g0 = knnGraph(spark, sfDir)
+      .select(col("src_id"), col("nbr_id"))
+      .localCheckpoint(false)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    def score(cands: DataFrame): DataFrame =
+      e.join(broadcast(cands), e("vec_id") === cands("cand_id"))
+        .join(broadcast(qs), "q_id")
+        .select(col("q_id"), col("cand_id"),
+          cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+    val entry = lv.filter(col("lvl") >= HnswMaxLevel)
+      .agg(min(col("vec_id")).as("cand_id"))
+    var visited = score(qs.select(col("q_id")).crossJoin(broadcast(entry)))
+      .localCheckpoint(false)
+    val wBeam = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("node"))
+    def walk(g: DataFrame, beam: Int, rounds: Int, last: Boolean): Unit = {
+      var frontier = visited.withColumnRenamed("cand_id", "node")
+        .withColumn("brnk", row_number().over(wBeam))
+        .filter(col("brnk") <= beam)
+        .select(col("q_id"), col("node"))
+        .localCheckpoint(false)
+      var expanded = frontier
+      for (r <- 1 to rounds) {
+        val nbrs = g.join(broadcast(frontier), g("src_id") === frontier("node"))
+          .select(col("q_id"), col("nbr_id").as("cand_id")).distinct()
+        val newly = nbrs.join(visited, Seq("q_id", "cand_id"), "left_anti")
+        val grown = visited.union(score(newly))
+        if (r < rounds || !last) {
+          visited = grown.localCheckpoint(false)
+          if (r < rounds) {
+            frontier = visited.withColumnRenamed("cand_id", "node")
+              .join(expanded, Seq("q_id", "node"), "left_anti")
+              .withColumn("brnk", row_number().over(wBeam))
+              .filter(col("brnk") <= beam)
+              .select(col("q_id"), col("node"))
+              .localCheckpoint(false)
+            expanded = expanded.union(frontier).localCheckpoint(false)
+          }
+        } else visited = grown
+      }
+    }
+    walk(g2, 1, HnswUpperRounds, last = false)
+    walk(g1, 1, HnswUpperRounds, last = false)
+    walk(g0, KnnSearchBeam, KnnSearchRounds, last = true)
+    visited
+  }
+
+  def hnswSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
+    hnswVisited(spark, sfDir)
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnSearchTopK)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("cos_bp"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Recall + exact-scoring budget of the multi-layer descent, next to
+    * [[knnSearchRecall]]'s hub-entry row: the second point on the
+    * budget-recall curve. */
+  def hnswRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annBruteForce(spark, sfDir).select(col("q_id"), col("cand_id"))
+    val v = hnswVisited(spark, sfDir)
+      .filter(col("cand_id") =!= col("q_id"))
+      .localCheckpoint(false)
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
+    val approx = v.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= KnnSearchTopK)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    val budget = v.groupBy(col("q_id")).agg(count(lit(1)).as("n_scored"))
+    truth.join(approx, Seq("q_id", "cand_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .join(budget, Seq("q_id"))
+      .select(col("q_id"), col("n_truth"), col("n_hit"),
+        expr("10000 * n_hit div n_truth").as("recall_bp"), col("n_scored"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Level + layer-graph + descent CTEs, every multiply-referenced stage
+    * MATERIALIZED (the [[knnSearchCtes]] posture). */
+  private val hnswCtes: String = {
+    val dotVC = "list_reduce(list_transform(range(1, len(m.v) + 1), i -> CAST(m.v[i] AS double) * CAST(c.cv[i] AS double)), (x, y) -> x + y)"
+    val dotQT = "list_reduce(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS double) * CAST(t.v[i] AS double)), (x, y) -> x + y)"
+    def layerGraph(l: Int): String = s"""hm$l AS MATERIALIZED (
+      SELECT vec_id, v, nrm FROM hlv WHERE lvl >= $l
+    ), hnc$l AS (
+      SELECT greatest(4, CAST(floor(sqrt(count(*))) AS bigint)) AS ncells FROM hm$l
+    ), hct$l AS MATERIALIZED (
+      SELECT vec_id AS cell, v AS cv, nrm AS cn FROM (
+        SELECT *, row_number() OVER (ORDER BY vec_id) AS crank FROM hm$l
+      ) CROSS JOIN hnc$l WHERE crank <= ncells
+    ), has$l AS MATERIALIZED (
+      SELECT m.vec_id, m.v, m.nrm, c.cell,
+             rank() OVER (PARTITION BY m.vec_id
+                          ORDER BY $dotVC / (m.nrm * c.cn) DESC, c.cell) AS crnk
+      FROM hm$l m CROSS JOIN hct$l c
+    ), hsc$l AS (
+      SELECT q.src_id, t.vec_id AS nbr_id,
+             CAST(floor(list_reduce(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS double) * CAST(t.v[i] AS double)), (x, y) -> x + y) * 10000.0 / (q.qn * t.nrm)) AS bigint) AS cos_bp
+      FROM (SELECT vec_id, v, nrm, cell FROM has$l WHERE crnk = 1) t
+      JOIN (SELECT vec_id AS src_id, v AS qv, nrm AS qn, cell
+            FROM has$l WHERE crnk <= $KnnProbe) q
+        ON t.cell = q.cell AND t.vec_id <> q.src_id
+    ), hg$l AS MATERIALIZED (
+      SELECT src_id, nbr_id FROM (
+        SELECT src_id, nbr_id,
+               row_number() OVER (PARTITION BY src_id
+                 ORDER BY cos_bp DESC, nbr_id) AS rnk
+        FROM hsc$l
+      ) WHERE rnk <= $HnswUpperK
+    )"""
+    def layerWalk(lp: String, graph: String, beam: Int, rounds: Int,
+                  inV: String, lastLayer: Boolean): String = {
+      val start = s"""${lp}f0 AS MATERIALIZED (
+      SELECT q_id, node FROM (
+        SELECT q_id, cand_id AS node,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_bp DESC, cand_id) AS brnk
+        FROM $inV
+      ) WHERE brnk <= $beam
+    ), ${lp}x0 AS (SELECT q_id, node FROM ${lp}f0)"""
+      val rs = (1 to rounds).map { r =>
+        val pv = if (r == 1) inV else s"${lp}v${r - 1}"
+        val (pf, px) = (s"${lp}f${r - 1}", s"${lp}x${r - 1}")
+        val core = s"""${lp}n$r AS (
+      SELECT DISTINCT f.q_id, g.nbr_id AS cand_id
+      FROM $pf f JOIN $graph g ON g.src_id = f.node
+    ), ${lp}w$r AS (
+      SELECT n.q_id, n.cand_id FROM ${lp}n$r n
+      WHERE NOT EXISTS (SELECT 1 FROM $pv v
+                        WHERE v.q_id = n.q_id AND v.cand_id = n.cand_id)
+    ), ${lp}v$r AS MATERIALIZED (
+      SELECT * FROM $pv
+      UNION ALL
+      SELECT w.q_id, w.cand_id,
+             CAST(floor($dotQT * 10000.0 / (q.qn * t.nrm)) AS bigint) AS cos_bp
+      FROM ${lp}w$r w JOIN e t ON t.vec_id = w.cand_id
+      JOIN hqs q ON q.q_id = w.q_id
+    )"""
+        val cut = if (r < rounds) s""", ${lp}f$r AS MATERIALIZED (
+      SELECT q_id, node FROM (
+        SELECT v.q_id, v.cand_id AS node,
+               row_number() OVER (PARTITION BY v.q_id
+                 ORDER BY v.cos_bp DESC, v.cand_id) AS brnk
+        FROM ${lp}v$r v
+        WHERE NOT EXISTS (SELECT 1 FROM $px x
+                          WHERE x.q_id = v.q_id AND x.node = v.cand_id)
+      ) WHERE brnk <= $beam
+    ), ${lp}x$r AS MATERIALIZED (
+      SELECT * FROM $px UNION ALL SELECT * FROM ${lp}f$r
+    )""" else ""
+        core + cut
+      }.mkString(", ")
+      start + ", " + rs
+    }
+    s"""hlv AS MATERIALIZED (
+      SELECT vec_id, v, nrm,
+             CASE WHEN vec_id = 0 THEN $HnswMaxLevel
+                  WHEN hb % ${HnswBase * HnswBase} = 0 THEN 2
+                  WHEN hb % $HnswBase = 0 THEN 1
+                  ELSE 0 END AS lvl
+      FROM (SELECT vec_id, v, nrm,
+                   CAST('0x' || substr(md5('hnsw_' || CAST(vec_id AS varchar)), 1, 15) AS BIGINT) AS hb
+            FROM e)
+    ), ${layerGraph(2)}, ${layerGraph(1)},
+    hqs AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 10
+    ), hentry AS (SELECT min(vec_id) AS node FROM hm2),
+    hv0 AS MATERIALIZED (
+      SELECT q.q_id, t.vec_id AS cand_id,
+             CAST(floor($dotQT * 10000.0 / (q.qn * t.nrm)) AS bigint) AS cos_bp
+      FROM hqs q CROSS JOIN hentry h JOIN e t ON t.vec_id = h.node
+    ),
+    ${layerWalk("h2", "hg2", 1, HnswUpperRounds, "hv0", lastLayer = false)},
+    ${layerWalk("h1", "hg1", 1, HnswUpperRounds, s"h2v$HnswUpperRounds", lastLayer = false)},
+    ${layerWalk("h0", "kgraph", KnnSearchBeam, KnnSearchRounds, s"h1v$HnswUpperRounds", lastLayer = true)}"""
+  }
+
+  val hnswSearchSql: String = s"""
+    WITH ${knnCtes.replace("kgraph AS (", "kgraph AS MATERIALIZED (")},
+    $hnswCtes
+    SELECT q_id, CAST(brnk AS bigint) AS rnk, cand_id, cos_bp FROM (
+      SELECT q_id, cand_id, cos_bp,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_bp DESC, cand_id) AS brnk
+      FROM h0v$KnnSearchRounds WHERE cand_id <> q_id
+    ) WHERE brnk <= $KnnSearchTopK
+    ORDER BY q_id, rnk"""
+
+  val hnswRecallSql: String = s"""
+    WITH ${knnCtes.replace("kgraph AS (", "kgraph AS MATERIALIZED (")},
+    $hnswCtes,
+    truth AS (SELECT q_id, cand_id FROM ($annBruteForceSql) t),
+    approx AS (
+      SELECT q_id, cand_id, 1 AS hit FROM (
+        SELECT q_id, cand_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_bp DESC, cand_id) AS brnk
+        FROM h0v$KnnSearchRounds WHERE cand_id <> q_id
+      ) WHERE brnk <= $KnnSearchTopK
+    ), budget AS (
+      SELECT q_id, CAST(count(*) AS bigint) AS n_scored
+      FROM h0v$KnnSearchRounds WHERE cand_id <> q_id GROUP BY q_id
+    )
+    SELECT t.q_id, count(*) AS n_truth,
+           CAST(sum(coalesce(hit, 0)) AS bigint) AS n_hit,
+           (10000 * CAST(sum(coalesce(hit, 0)) AS bigint) // count(*)) AS recall_bp,
+           any_value(b.n_scored) AS n_scored
+    FROM truth t
+    LEFT JOIN approx a ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+    JOIN budget b ON b.q_id = t.q_id
+    GROUP BY t.q_id
+    ORDER BY t.q_id"""
+
   // --------------------------------------------------------------------- PQ
 
   /** Product-quantization geometry: 64 dims → 8 subspaces × 8 dims, a
@@ -3963,6 +4254,8 @@ object VectorQueries extends QueryModule {
     "e_pca_topk" -> (pcaTopK _),
     "e_pca_topk_var" -> (pcaTopKVar _),
     "e_pq_rotate_eval" -> (pqRotateEval _),
+    "e_hnsw_search" -> (hnswSearch _),
+    "e_hnsw_recall" -> (hnswRecall _),
     "e_pca_var" -> (pcaVar _),
     "d_semdedup_eval09_sampled" -> (semDedupEval09Sampled _),
     "e_ann_ivf_incr"    -> (annIvfIncr _),
@@ -4030,6 +4323,8 @@ object VectorQueries extends QueryModule {
     "e_pca_topk" -> pcaTopKSql,
     "e_pca_topk_var" -> pcaTopKVarSql,
     "e_pq_rotate_eval" -> pqRotateEvalSql,
+    "e_hnsw_search" -> hnswSearchSql,
+    "e_hnsw_recall" -> hnswRecallSql,
     "e_pca_var" -> pcaVarSql,
     "d_semdedup_eval09_sampled" -> semDedupEval09SampledSql,
     "e_ann_ivf_incr"    -> annIvfIncrSql,
