@@ -2844,6 +2844,74 @@ object Analytics extends QueryModule {
     FROM j GROUP BY 1, 2
     ORDER BY tier, week"""
 
+  /** SCD2 dimension BUILD — the other half of [[qScd2Join]]: derive the
+    * versioned dim FROM the event log. Each user's purchase days carry a
+    * cumulative-spend tier (cents div 20000, capped at 4); consecutive
+    * same-tier days COMPACT into one version (the gaps-and-islands step
+    * every SCD2 ingest needs, else the dim grows one row per change
+    * check instead of per actual change), valid_from/valid_to are the
+    * island boundaries in epoch seconds and the last version stays open
+    * (valid_to = −1 sentinel: the output avoids nullable ints so both
+    * engines' dataframes stringify identically). Shape: one
+    * map-side-combined daily groupBy, two per-user windows (cumsum +
+    * island marker) and the boundary lead — all keyed on user, the
+    * [[qResample]] class, never corpus-wide. */
+  def qScd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(sum(cents(col("value"))).as("spend_c"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val tiers = daily
+      .withColumn("cum_c", sum(col("spend_c")).over(wU))
+      .withColumn("tier", least(lit(4L), expr("cum_c div 20000")))
+    val vers = tiers
+      .withColumn("chg",
+        when(lag(col("tier"), 1).over(wU).isNull ||
+          lag(col("tier"), 1).over(wU) =!= col("tier"), 1L).otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(wU))
+    val agg = vers.groupBy(col("user_id"), col("ver"))
+      .agg(min(col("day")).as("from_day"), max(col("tier")).as("tier"),
+        count(lit(1)).as("n_days"), sum(col("spend_c")).as("spend_c"))
+    val wV = Window.partitionBy(col("user_id")).orderBy(col("from_day"))
+    agg
+      .withColumn("valid_from", col("from_day") * 86400)
+      .withColumn("valid_to",
+        coalesce(lead(col("from_day"), 1).over(wV) * 86400, lit(-1L)))
+      .select(col("user_id"), col("valid_from"), col("valid_to"),
+        col("tier"), col("n_days"), col("spend_c"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val qScd2BuildSql: String = """
+    WITH daily AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS bigint) // 86400 AS day,
+             CAST(sum(CAST(floor(value * 100) AS bigint)) AS bigint) AS spend_c
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ), tiers AS (
+      SELECT user_id, day, spend_c,
+             least(4, CAST(sum(spend_c) OVER (PARTITION BY user_id ORDER BY day) AS bigint) // 20000) AS tier
+      FROM daily
+    ), marked AS (
+      SELECT *, CASE WHEN lag(tier) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+                       OR lag(tier) OVER (PARTITION BY user_id ORDER BY day) <> tier
+                     THEN 1 ELSE 0 END AS chg
+      FROM tiers
+    ), vers AS (
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY day) AS bigint) AS ver
+      FROM marked
+    ), agg AS (
+      SELECT user_id, ver, min(day) AS from_day, max(tier) AS tier,
+             count(*) AS n_days, CAST(sum(spend_c) AS bigint) AS spend_c
+      FROM vers GROUP BY user_id, ver
+    )
+    SELECT user_id, from_day * 86400 AS valid_from,
+           coalesce(lead(from_day) OVER (PARTITION BY user_id ORDER BY from_day) * 86400, -1) AS valid_to,
+           tier, n_days, spend_c
+    FROM agg
+    ORDER BY user_id, valid_from"""
+
   // ------------------------------------------------- division contract
 
   /** Integer-division semantics canary: the whole oracle framework leans
@@ -2879,6 +2947,7 @@ object Analytics extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_div_contract"    -> (qDivContract _),
     "q_scd2_join"       -> (qScd2Join _),
+    "q_scd2_build"      -> (qScd2Build _),
     "q_cm_sketch"       -> (qCmSketch _),
     "q_topk_merge_rollup" -> (qTopkMergeRollup _),
     "q4_order_priority" -> (q4OrderPriority _),
@@ -2943,6 +3012,7 @@ object Analytics extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q_div_contract"    -> qDivContractSql,
     "q_scd2_join"       -> qScd2JoinSql,
+    "q_scd2_build"      -> qScd2BuildSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q8_market_share"   -> q8MarketShareSql,
     "q10_returned_top"  -> q10ReturnedTopSql,
