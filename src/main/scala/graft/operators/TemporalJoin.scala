@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SCD2 (slowly-changing-dimension type 2) temporal join: attach to each
@@ -24,7 +24,18 @@ import org.apache.spark.sql.functions._
   * still live at t" IS the unique covering version, which is what a
   * naive interval join returns — the spec pins that equivalence,
   * boundary ties (an event exactly at a version boundary belongs to the
-  * NEWER version) and gap/expiry semantics included.
+  * NEWER version) and gap/expiry semantics included. The invariant is
+  * NOT checked at runtime (it would cost a dim-wide window pass per
+  * call): duplicate (key, valid_from) rows multiply matched event rows
+  * through the payload join-back — a corrupted dim corrupts the output
+  * here exactly as it would under a naive interval join.
+  *
+  * Open-version encoding: NULL `valid_to` natively; dims that encode
+  * the open tail with a non-null sentinel instead (e.g. the −1 that
+  * `q_scd2_build` emits to keep its output column non-nullable) pass it
+  * as `openSentinel` and the join treats that value as open — without
+  * it, a −1 valid_to would mark every open version as expired since
+  * before the epoch.
   *
   * Stream-static shape ([[scd2Stream]]): the dimension is static per
   * micro-batch, so the join is a plain stream-static LEFT join with the
@@ -43,11 +54,14 @@ object TemporalJoin {
     * @param validFrom   version start (inclusive, epoch long)
     * @param validTo     version end (exclusive, epoch long; null = open)
     * @param payloadCols dim columns carried to the output as `asof_<c>`
-    *                    (nulled when no version covers the event) */
+    *                    (nulled when no version covers the event)
+    * @param openSentinel non-null `validTo` value that ALSO means an open
+    *                    version (e.g. −1 from `q_scd2_build`) */
   def scd2(events: DataFrame, dim: DataFrame,
            eventKey: String, dimKey: String, eventTime: String,
            validFrom: String, validTo: String,
-           payloadCols: Seq[String]): DataFrame = {
+           payloadCols: Seq[String],
+           openSentinel: Option[Long] = None): DataFrame = {
     // the as-of pass carries ONLY non-null structural columns: an open
     // version's null valid_to (or a legitimately-null payload value)
     // would otherwise be skipped by the window's ignoreNulls carry and
@@ -57,7 +71,8 @@ object TemporalJoin {
     // to the event shuffle the window pass already pays.
     val vtS = "_scd2_vt"
     val dimS = dim.withColumn(vtS,
-      coalesce(col(validTo).cast("long"), lit(Long.MaxValue)))
+      coalesce(openNulled(col(validTo), openSentinel).cast("long"),
+        lit(Long.MaxValue)))
     val joined = AsOfJoin.backward(events, dimS, eventKey, dimKey,
       eventTime, validFrom, Seq(validFrom, vtS), rightOrder = validFrom)
     // the attached version covers t only while still live at t
@@ -82,16 +97,23 @@ object TemporalJoin {
   def scd2Stream(events: DataFrame, dim: DataFrame,
                  eventKey: String, dimKey: String, eventTime: String,
                  validFrom: String, validTo: String,
-                 payloadCols: Seq[String]): DataFrame = {
+                 payloadCols: Seq[String],
+                 openSentinel: Option[Long] = None): DataFrame = {
     val carried = payloadCols ++ Seq(validFrom, validTo)
     val right = carried.foldLeft(dim.select((dimKey +: carried).map(col): _*))(
       (df, c) => df.withColumnRenamed(c, s"asof_$c"))
     val t = events(eventTime).cast("long")
+    val vt = openNulled(col(s"asof_$validTo"), openSentinel)
     events.join(right,
         events(eventKey) === right(dimKey) &&
         t >= col(s"asof_$validFrom") &&
-        (col(s"asof_$validTo").isNull || t < col(s"asof_$validTo")),
+        (vt.isNull || t < vt),
         "left_outer")
       .drop(right(dimKey))
   }
+
+  /** `validTo` with the configured open-version sentinel mapped to NULL
+    * (the native open encoding) — identity when no sentinel is set. */
+  private def openNulled(c: Column, openSentinel: Option[Long]): Column =
+    openSentinel.fold(c)(s => when(c === s, lit(null)).otherwise(c))
 }

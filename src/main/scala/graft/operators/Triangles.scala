@@ -75,6 +75,21 @@ object Triangles {
               statsOut: SplitStats => Unit = _ => ()): DataFrame = {
     val edges = edgesIn.select(col("u"), col("v"))
       .localCheckpoint(false) // feeds degrees, orientation, and totals
+    // the packed (degree, id) orientation key requires 0 <= id < 2^31:
+    // a negative or over-wide id silently corrupts BOTH the orientation
+    // comparison and the adjacency equality, so the contract is enforced
+    // at runtime, not just stated in the doc. One reduce over the
+    // already-checkpointed edge list (summary() takes several passes
+    // over it anyway); null bounds = empty graph = trivially in range.
+    val bounds = edges.agg(
+      min(least(col("u"), col("v"))).as("lo"),
+      max(greatest(col("u"), col("v"))).as("hi")).head()
+    if (!bounds.isNullAt(0)) {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      require(lo >= 0L && hi < (1L << 31),
+        s"Triangles.summary requires node ids in [0, 2^31) for the packed " +
+          s"(degree, id) orientation key; got id range [$lo, $hi]")
+    }
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -118,10 +133,16 @@ object Triangles {
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
     val totals = edges.agg(count(lit(1)).as("n_edges")).crossJoin(
       deg.agg(count(lit(1)).as("n_nodes"),
-        sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges")))
+        // coalesce: an EMPTY edge list aggregates to a null sum, and the
+        // summary contract is zeros, not nulls, on degenerate graphs
+        coalesce(sum(col("d") * (col("d") - 1) / 2).cast("long"), lit(0L))
+          .as("n_wedges")))
     broadcast(totals).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        floor(lit(3) * col("n_triangles") * 10000.0 / col("n_wedges"))
-          .cast("long").as("global_cc_bp"))
+        // wedge-free graph (all degrees <= 1): 0/0 would surface as null;
+        // a graph with no wedges has, by convention, zero clustering
+        when(col("n_wedges") > 0,
+          floor(lit(3) * col("n_triangles") * 10000.0 / col("n_wedges")))
+          .otherwise(lit(0L)).cast("long").as("global_cc_bp"))
   }
 }

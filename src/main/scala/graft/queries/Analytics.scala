@@ -2863,7 +2863,10 @@ object Analytics extends QueryModule {
     * check instead of per actual change), valid_from/valid_to are the
     * island boundaries in epoch seconds and the last version stays open
     * (valid_to = −1 sentinel: the output avoids nullable ints so both
-    * engines' dataframes stringify identically). Shape: one
+    * engines' dataframes stringify identically — consumers feeding this
+    * dim into [[graft.operators.TemporalJoin.scd2]]/`scd2Stream` pass
+    * `openSentinel = Some(-1L)` so the sentinel reads as OPEN, not as
+    * expired-before-the-epoch; Scd2BuildSpec pins that seam). Shape: one
     * map-side-combined daily groupBy, two per-user windows (cumsum +
     * island marker) and the boundary lead — all keyed on user, the
     * [[qResample]] class, never corpus-wide. */

@@ -107,4 +107,33 @@ class TrianglesSpec extends SparkSpecBase {
     val (none, _) = runWithCap((0L until 5L).map(i => (i, i + 1)), 0L)
     assert(none("n_triangles") === 0L)
   }
+
+  test("degenerate graphs report ZEROS, not nulls") {
+    // truly empty edge list: every total must be 0 (nulls would poison
+    // any downstream arithmetic over the summary row)
+    val empty = Triangles.summary(spark, edgesDf(Seq.empty)).collect()(0)
+    Seq("n_nodes", "n_edges", "n_wedges", "n_triangles", "global_cc_bp")
+      .foreach { c =>
+        assert(!empty.isNullAt(empty.fieldIndex(c)), s"$c null on empty")
+        assert(empty.getAs[Long](c) === 0L, c)
+      }
+    // wedge-free graph (disjoint edges, all degrees 1): 0/0 in the
+    // clustering coefficient must read 0, not NaN/null
+    val m = Triangles.summary(spark,
+      edgesDf(Seq((0L, 1L), (2L, 3L), (4L, 5L)))).collect()(0)
+    assert(m.getAs[Long]("n_wedges") === 0L)
+    assert(!m.isNullAt(m.fieldIndex("global_cc_bp")))
+    assert(m.getAs[Long]("global_cc_bp") === 0L)
+  }
+
+  test("id-range contract is enforced, not just documented") {
+    val neg = intercept[IllegalArgumentException] {
+      Triangles.summary(spark, edgesDf(Seq((-1L, 2L), (2L, 3L)))).collect()
+    }
+    assert(neg.getMessage.contains("2^31"))
+    val wide = intercept[IllegalArgumentException] {
+      Triangles.summary(spark, edgesDf(Seq((1L, 1L << 31), (2L, 3L)))).collect()
+    }
+    assert(wide.getMessage.contains("2^31"))
+  }
 }

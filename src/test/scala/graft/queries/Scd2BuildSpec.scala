@@ -33,4 +33,27 @@ class Scd2BuildSpec extends SparkSpecBase {
     // than purchase days
     assert(rows.map(_.getAs[Long]("n_days")).max > 1L)
   }
+
+  test("built dim feeds TemporalJoin.scd2 via openSentinel = -1") {
+    import org.apache.spark.sql.functions._
+    val session = spark
+    import session.implicits._
+    val dim = Analytics.qScd2Build(spark, Sf)
+    // one probe event per user, AFTER every version boundary: under the
+    // open-tail contract each must attach the LAST version's tier; with
+    // the sentinel unmapped, valid_to = -1 would read as expired and
+    // every probe would come back null
+    val probes = dim.groupBy(col("user_id"))
+      .agg((max(col("valid_from")) + 1).as("t"),
+        max_by(col("tier"), col("valid_from")).as("want_tier"))
+    val got = graft.operators.TemporalJoin.scd2(
+        probes.select(col("user_id"), col("t")),
+        dim.withColumnRenamed("user_id", "dim_user"),
+        "user_id", "dim_user", "t", "valid_from", "valid_to",
+        Seq("tier"), openSentinel = Some(-1L))
+      .join(probes.select(col("user_id"), col("want_tier")), "user_id")
+    assert(got.count() > 0)
+    assert(got.filter(col("asof_tier").isNull ||
+      col("asof_tier") =!= col("want_tier")).count() === 0)
+  }
 }
