@@ -20,7 +20,8 @@ import graft.sources.ReportSink
   * sample pack pii winnow winnoweval bpe wsample lenquantile rproject
   * ccnet sourcecap fertility bpeloop spanislands spanhist knngraph
   * knnrecall knndedup knnsearch knnsearcheval ivfrebalance
-  * ivfrebalanceeval lshcurve pca pcavar
+  * ivfrebalanceeval lshcurve pca pcavar bpeapply pcatopk pcatopkvar
+  * pqrotateeval hnswsearch hnswrecall hnswsweep minhashb3
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -72,7 +73,15 @@ object CorpusTool {
     "ivfrebalanceeval" -> "e_ivf_rebalance_eval",
     "lshcurve"    -> "d_lsh_curve",
     "pca"         -> "e_pca_power",
-    "pcavar"      -> "e_pca_var")
+    "pcavar"      -> "e_pca_var",
+    "bpeapply"    -> "t_bpe_apply",
+    "pcatopk"     -> "e_pca_topk",
+    "pcatopkvar"  -> "e_pca_topk_var",
+    "pqrotateeval" -> "e_pq_rotate_eval",
+    "hnswsearch"  -> "e_hnsw_search",
+    "hnswrecall"  -> "e_hnsw_recall",
+    "hnswsweep"   -> "e_hnsw_sweep",
+    "minhashb3"   -> "d_dedup_minhash_b3")
 
   def run(spark: SparkSession, cmd: String, dir: String,
           opts: Map[String, String]): DataFrame = cmd match {

@@ -13,7 +13,8 @@ class CorpusToolSpec extends SparkSpecBase {
       "wsample", "lenquantile", "rproject", "ccnet", "sourcecap", "fertility",
       "bpeloop", "spanislands", "spanhist", "knngraph", "knnrecall",
       "knndedup", "knnsearch", "knnsearcheval", "ivfrebalance",
-      "ivfrebalanceeval")
+      "ivfrebalanceeval", "bpeapply", "pcatopk", "pcatopkvar",
+      "pqrotateeval", "hnswsearch", "hnswrecall", "hnswsweep", "minhashb3")
     for (c <- cmds)
       assert(CorpusTool.run(spark, c, Sf, Map.empty).count() > 0, s"$c returned 0 rows")
   }

@@ -37,6 +37,34 @@ class HnswSpec extends SparkSpecBase {
     }
   }
 
+  test("nav corpus is really clustered and the sweep's curve behaves") {
+    // planted structure: a vector's nearest neighbor should be a cluster
+    // twin (same vec_id mod 32) for the overwhelming majority of vectors
+    val e = VectorQueries.navEmbs(spark, Sf).localCheckpoint()
+    val rows = VectorQueries.hnswSweep(spark, Sf).collect()
+    assert(rows.length === 4)
+    val hnsw = rows.filter(_.getAs[String]("entry") == "hnsw")
+      .sortBy(_.getAs[Long]("beam"))
+    val hub = rows.filter(_.getAs[String]("entry") == "hub")
+    assert(hnsw.length === 3 && hub.length === 1)
+    // budget grows with beam/rounds...
+    val budgets = hnsw.map(_.getAs[Long]("n_scored")).toSeq
+    assert(budgets == budgets.sorted, s"budgets not monotone: $budgets")
+    // ...and recall never degrades as budget grows (the curve the row
+    // exists to publish: rising toward the hub number on navigable data)
+    val recalls = hnsw.map(_.getAs[Long]("recall_bp")).toSeq
+    assert(recalls == recalls.sorted, s"recalls not monotone: $recalls")
+    // the top-budget multi-layer config must be in the hub entry's
+    // regime on THIS corpus (the uniform corpus's 20% is the worst case,
+    // not the operator's character)
+    assert(recalls.last >= hub.head.getAs[Long]("recall_bp") / 2,
+      s"top hnsw recall ${recalls.last} nowhere near hub ${hub.head}")
+    // every config's PER-QUERY budget (n_scored sums the 10 queries)
+    // stays far under the corpus size
+    val n = e.count()
+    rows.foreach(r => assert(r.getAs[Long]("n_scored") / 10 < n / 2, r.toString))
+  }
+
   test("descent is deterministic and the budget stays entry-flat") {
     val a = VectorQueries.hnswSearch(spark, Sf).collect().map(_.toSeq)
     val b = VectorQueries.hnswSearch(spark, Sf).collect().map(_.toSeq)
