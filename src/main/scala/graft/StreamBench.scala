@@ -114,7 +114,8 @@ object StreamBench {
         EventsStream.lshGated(
           df.select(col("event_id").as("doc_id"),
             textOf(col("user_id")).as("text")), index).toDF()
-      }) ++ withRocksDb(spark) {
+      },
+      benchScd2Reload(spark, slices, rows.length.toLong)) ++ withRocksDb(spark) {
       // the transformWithState (v2 state API) family needs RocksDB; the
       // provider is restored afterwards so ops added later keep benching
       // against the default HDFS-backed store
@@ -123,6 +124,44 @@ object StreamBench {
         bench("user_type_counts", "update")(EventsStream.userTypeCounts(_).toDF()),
         bench("sessionize_v2", "append")(EventsStream.sessionizeV2(_).toDF()))
     }
+  }
+
+  /** The changing-dim SCD2 path ([[EventsStream.scd2EnrichedReloading]])
+    * needs its own harness: foreachBatch owns the sink, so the generic
+    * noop-writeStream helper doesn't apply. The dim is a 3-version-per-
+    * user parquet table RE-READ every micro-batch — the measured premium
+    * over the static `scd2Enriched` join is exactly that re-read+re-plan,
+    * which is the price of mid-stream dim changes taking effect. State
+    * rows/bytes are structurally zero (no watermark, no state store). */
+  private def benchScd2Reload(spark: SparkSession, slices: Seq[Array[Ev]],
+                              nRows: Long): (String, OpStats) = {
+    import spark.implicits._
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft_scd2_dim_bench").toFile.getPath
+    spark.range(0, 1000)
+      .select(col("id").as("dim_user"), explode(expr("sequence(0, 2)")).as("k"))
+      .select(col("dim_user"),
+        (lit(1704067200L) + col("k") * 864000L).as("valid_from"),
+        when(col("k") < 2, lit(1704067200L) + (col("k") + 1) * 864000L)
+          .as("valid_to"),
+        ((col("dim_user") + col("k")) % 5).as("tier"))
+      .write.mode("overwrite").parquet(dimDir)
+    val input = MemoryStream[Ev](spark)
+    slices.foreach(s => input.addData(s.toSeq))
+    val out = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val q = EventsStream.scd2EnrichedReloading(
+        input.toDF().withColumn("ts", col("ts").cast("long")),
+        () => spark.read.parquet(dimDir), Seq("tier"),
+        Some(Trigger.AvailableNow())) { (df, _) =>
+      out.addAndGet(df.count())
+    }
+    q.awaitTermination()
+    val t = (System.nanoTime() - t0) / 1e9
+    require(out.get() == nRows, s"scd2_reload emitted ${out.get()} of $nRows rows")
+    System.err.println(f"[stream-bench] scd2_reload        $t%8.3f s  ${nRows / t}%11.0f rows/s" +
+      f"  state        0 rows         0 KiB")
+    "scd2_reload" -> OpStats(t, nRows, 0L, 0L)
   }
 
   private def withRocksDb[T](spark: SparkSession)(body: => T): T = {

@@ -161,6 +161,37 @@ object EventsStream {
     graft.operators.TemporalJoin.scd2Stream(events, versionedDim,
       "user_id", "dim_user", "ts", "valid_from", "valid_to", payloadCols)
 
+  /** SCD2 enrichment against a CHANGING dimension — the production shape
+    * [[scd2Enriched]] is one variant short of: that form plans the dim
+    * ONCE for the query's lifetime, so a version inserted after the
+    * stream starts never matches until a restart. Here the dim is
+    * re-loaded at the start of EVERY micro-batch (foreachBatch + a
+    * caller-supplied loader, typically `() => spark.read.parquet(dimDir)`
+    * — a fresh read each batch, so an appended or rewritten dim snapshot
+    * is picked up immediately). Inside one micro-batch the dim is
+    * static, so the join is the identical no-state/no-watermark interval
+    * join ([[graft.operators.TemporalJoin.scd2Stream]]); nothing
+    * buffers, and the per-batch premium over [[scd2Enriched]] is exactly
+    * one dim re-read + re-plan. At 100 TB the dim loader points at a
+    * bucketed/compacted SCD2 table and the re-read is a snapshot listing,
+    * not a scan. Exactly-once is the sink's contract, as in any
+    * foreachBatch pipeline (`sink` receives each enriched batch with its
+    * replay-stable batch id). */
+  def scd2EnrichedReloading(events: DataFrame, loadDim: () => DataFrame,
+                            payloadCols: Seq[String],
+                            trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+                           (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.TemporalJoin.scd2Stream(batch.toDF(), loadDim(),
+          "user_id", "dim_user", "ts", "valid_from", "valid_to", payloadCols),
+          batchId)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** Stream-vs-corpus Bloom gate — incremental-ingest dedup: flag arriving
     * rows whose fingerprint is (probably) already in a static corpus. The
     * corpus travels as [[graft.operators.Dedup.bloomMask]]'s single-row
@@ -183,8 +214,9 @@ object EventsStream {
   case class BandHit(doc_id: Long, dup_of: Option[Long])
 
   /** Streaming FUZZY-dedup gate — the banded-MinHash upgrade of
-    * [[bloomGated]]'s exact gate: each arriving document computes its 6
-    * LSH band keys PER ROW (higher-order array expressions,
+    * [[bloomGated]]'s exact gate: each arriving document computes its
+    * LSH band keys PER ROW (12/rowsPerBand of them, conf-driven —
+    * higher-order array expressions,
     * `VectorQueries.minhashBandKeys` — no groupBy, stateless), probes the
     * persisted corpus band index with a stream-static left equi-join on
     * (band, bh), and emits one verdict per doc: the corpus doc sharing
@@ -199,8 +231,11 @@ object EventsStream {
   def lshGated(stream: DataFrame, corpusIndex: DataFrame): Dataset[LshVerdict] = {
     val spark = stream.sparkSession
     import spark.implicits._
+    // banding is conf-driven (spark.graft.lsh.rowsPerBand) so the probe
+    // keys always match the index the batch chain built in THIS session
     val bands = stream.select(col("doc_id"),
-        explode_outer(graft.queries.VectorQueries.minhashBandKeys(col("text"))).as("bk"))
+        explode_outer(graft.queries.VectorQueries.minhashBandKeys(col("text"),
+          graft.queries.VectorQueries.lshRowsPerBand(spark))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val probed = bands.join(
       corpusIndex.select(col("doc_id").as("dup_of"), col("band"), col("bh")),

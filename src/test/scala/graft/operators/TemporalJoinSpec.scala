@@ -78,6 +78,33 @@ class TemporalJoinSpec extends SparkSpecBase {
     assert(byId(13L) === Some("v3b"), "open version covers forever")
   }
 
+  test("openSentinel: a -1-encoded dim joins identically to the null-encoded dim") {
+    // the q_scd2_build seam: that dim encodes the open tail as valid_to
+    // = -1 (non-nullable output); consumers pass openSentinel = Some(-1)
+    val dimS = dim.withColumn("valid_to", coalesce(col("valid_to"), lit(-1L)))
+    val ev = events(cases: _*)
+    def run(d: DataFrame, os: Option[Long]): Seq[(Long, Option[String])] =
+      TemporalJoin.scd2(ev, d, "key", "dim_key", "t",
+          "valid_from", "valid_to", Seq("ver"), os)
+        .select(col("event_id"), col("asof_ver")).collect().toSeq
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    val reference = run(dim, None)
+    assert(run(dimS, Some(-1L)) === reference)
+    // WITHOUT the sentinel, -1 reads as "expired before the epoch" and
+    // every open-version event silently loses coverage — the exact
+    // corruption the parameter exists to prevent
+    val wrong = run(dimS, None).toMap
+    assert(wrong(12L) === None && wrong(13L) === None)
+    assert(reference.toMap.apply(12L) === Some("v3b"))
+    // the stream-static form honors the same sentinel (batch application
+    // of the identical join expression)
+    val gotS = TemporalJoin.scd2Stream(ev, dimS, "key", "dim_key", "t",
+        "valid_from", "valid_to", Seq("ver"), Some(-1L))
+      .select(col("event_id"), col("asof_ver")).collect().toSeq
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    assert(gotS === reference)
+  }
+
   test("batch scd2 nulls valid_from/valid_to alongside the payload") {
     val ev = events((1L, 300L), (1L, 150L))
     val rows = TemporalJoin.scd2(ev, dim, "key", "dim_key", "t",
@@ -118,6 +145,67 @@ class TemporalJoinSpec extends SparkSpecBase {
         .select(col("event_id"), col("asof_ver")).collect()
         .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
       assert(batch === got)
+    } finally query.stop()
+  }
+
+  test("scd2EnrichedReloading picks up a dim version INSERTED mid-stream") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft_scd2_dim").toFile.getPath
+    def writeDim(rows: Seq[(Long, Long, Option[Long], String)]): Unit =
+      rows.toDF("dim_user", "valid_from", "valid_to", "tier")
+        .repartition(1).write.mode("overwrite").parquet(dimDir)
+    // dim snapshot 1: user 7 is bronze on an OPEN version
+    writeDim(Seq((7L, 100L, None, "bronze")))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String])]
+    val input = MemoryStream[(Long, Long, Long)]
+    val query = graft.streaming.EventsStream.scd2EnrichedReloading(
+        input.toDF().toDF("event_id", "user_id", "ts"),
+        () => spark.read.parquet(dimDir), Seq("tier")) { (df, _) =>
+      got.synchronized {
+        got ++= df.select(col("event_id"), col("asof_tier")).collect()
+          .map(r => (r.getLong(0), Option(r.getString(1))))
+      }
+    }
+    try {
+      // micro-batch 1 under snapshot 1
+      input.addData((0L, 7L, 150L))
+      query.processAllAvailable()
+      // the SCD2 ingest closes bronze at 200 and inserts gold [200, ∞)
+      // BETWEEN micro-batches — no stream restart
+      writeDim(Seq((7L, 100L, Some(200L), "bronze"), (7L, 200L, None, "gold")))
+      input.addData((1L, 7L, 250L), (2L, 7L, 150L))
+      query.processAllAvailable()
+      val byId = got.synchronized(got.toMap)
+      assert(byId(0L) === Some("bronze"))
+      // the inserted version matches events at its validity...
+      assert(byId(1L) === Some("gold"))
+      // ...and the rewritten history still covers older event times
+      assert(byId(2L) === Some("bronze"))
+      // the STATIC variant would have missed the insert: under snapshot 1
+      // the event at t=250 attaches bronze (open version), not gold
+      val staticGot = TemporalJoin.scd2Stream(
+          Seq((1L, 7L, 250L)).toDF("event_id", "user_id", "ts"),
+          Seq((7L, 100L, Option.empty[Long], "bronze"))
+            .toDF("dim_user", "valid_from", "valid_to", "tier"),
+          "user_id", "dim_user", "ts", "valid_from", "valid_to", Seq("tier"))
+        .select(col("asof_tier")).collect()(0).getString(0)
+      assert(staticGot === "bronze")
+      // stream ≡ batch on the union: replaying ALL events against the
+      // FINAL dim matches what the reloading stream emitted (the insert
+      // only touches times after batch 1's events, so per-batch snapshots
+      // and the final snapshot agree on every event)
+      val batch = TemporalJoin.scd2Stream(
+          Seq((0L, 7L, 150L), (1L, 7L, 250L), (2L, 7L, 150L))
+            .toDF("event_id", "user_id", "ts"),
+          spark.read.parquet(dimDir),
+          "user_id", "dim_user", "ts", "valid_from", "valid_to", Seq("tier"))
+        .select(col("event_id"), col("asof_tier")).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+      assert(byId === batch)
     } finally query.stop()
   }
 

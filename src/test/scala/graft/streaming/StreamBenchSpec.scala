@@ -12,7 +12,7 @@ class StreamBenchSpec extends SparkSpecBase {
       "windowed_counts", "user_activity", "dedup", "sessionize", "enriched",
       "bloom_gate", "lsh_gate", "kmv_distinct", "bitmap_distinct", "heavy_hitters",
       "cm_sketch", "quantile_grid", "session_window", "user_totals",
-      "user_type_counts", "sessionize_v2", "ewma_gate"))
+      "user_type_counts", "sessionize_v2", "ewma_gate", "scd2_reload"))
     assert(results.values.forall(s => s.sec > 0 && s.rows > 0))
     // all ops saw the same stream
     assert(results.values.map(_.rows).toSet.size == 1)
