@@ -37,7 +37,13 @@ object ImageGen {
                            // reader must derive it
                            ecCustom: Boolean = false,
                            nDelegationKeys: Int = 0,   // SECRET_MANAGER keys
-                           nDelegationTokens: Int = 0) // …and tokens
+                           nDelegationTokens: Int = 0, // …and tokens
+                           // every k-th file is 1 KiB larger than the
+                           // base recipe: generating a SECOND image with
+                           // this set yields exact "modified" ground
+                           // truth for the namespace-diff soak (same
+                           // path, different size)
+                           sizeShiftEvery: Int = 0)
 
   /** SECRET_MANAGER ground truth: master key `keyId` (1-based) expires
     * at a staggered per-key day boundary. */
@@ -218,7 +224,8 @@ object ImageGen {
     }
     (0 until nFiles).foreach { i =>
       val id = fileId(i)
-      val size = 1024L * (1 + i % 3000)
+      val size = 1024L * (1 + i % 3000) +
+        (if (sizeShiftEvery > 0 && i % sizeShiftEvery == 0) 1024L else 0L)
       val isEc = ecEvery > 0 && i % ecEvery == 0
       val hasAcl = aclEvery > 0 && i % aclEvery == 0
       val hasXattr = xattrEvery > 0 && i % xattrEvery == 0

@@ -602,6 +602,44 @@ class FsImageSourceSpec extends SparkSpecBase {
     assert(counts("/") == 6) // user test1 test2 test3 datalake test_2KiB.img
   }
 
+  test("namespace diff: driver and distributed loads produce IDENTICAL diff rows at 1M inodes") {
+    // the DiffBench soak's correctness anchor at spec scale: the SAME
+    // image pair diffed through BOTH loaders must agree row-for-row
+    // (order-independent fingerprint over every column — the ImageBench
+    // row-identity recipe), and the counts must equal ImageGen ground
+    // truth exactly (adds = new files, removes = dropped symlinks,
+    // modifies = the sizeShiftEvery'd shared files)
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft_diff1m").toFile
+    val imgA = new java.io.File(dir, "a.img").getPath
+    val imgB = new java.io.File(dir, "b.img").getPath
+    val n = 1000000
+    graft.sources.fsimage.ImageGen.write(imgA,
+      graft.sources.fsimage.ImageGen.GenSpec(
+        nDirs = 10000, nFiles = n, nSymlinks = 1000))
+    graft.sources.fsimage.ImageGen.write(imgB,
+      graft.sources.fsimage.ImageGen.GenSpec(
+        nDirs = 10000, nFiles = n + 5000, nSymlinks = 0,
+        sizeShiftEvery = 1000))
+    def diffOf(load: String => org.apache.spark.sql.DataFrame) =
+      Reports.namespaceDiff(load(imgA), load(imgB)).localCheckpoint()
+    val dDrv = diffOf(FsImageSource.inodes(spark, _))
+    val dDist = diffOf(FsImageSource.inodesDistributed(spark, _))
+    def fp(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(pmod(xxhash64(df.columns.sorted.map(col): _*),
+          lit(1000000007L)).as("h"))
+        .agg(sum(col("h"))).head().getLong(0)
+    val counts = dDist.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("added") === 5000L)
+    assert(counts("removed") === 1000L)
+    assert(counts("modified") === 1000L) // i % 1000 == 0, i < 1M
+    assert(dDrv.count() === dDist.count())
+    assert(fp(dDrv) === fp(dDist),
+      "driver vs distributed namespace diff fingerprints diverged")
+    new java.io.File(imgA).delete(); new java.io.File(imgB).delete()
+  }
+
   test("namespace diff between two generated snapshots") {
     val dir = java.nio.file.Files.createTempDirectory("graft_diff").toFile
     val img1 = new java.io.File(dir, "a.img").getPath
