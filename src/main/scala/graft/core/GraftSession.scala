@@ -24,6 +24,16 @@ object GraftSession {
       // namespace/report caches are hot and short-lived: skip columnar
       // compression (build-time CPU) — memory is the cheaper currency here
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // CORRECTNESS: Spark 4.1.2's union-partitioning propagation is
+      // unsound for window-over-union when the union's children end in
+      // broadcast joins above same-key hash-partitioned streams: UnionExec
+      // claims the children's partitioning, EnsureRequirements elides the
+      // exchange, but execution CONCATENATES child partitions, so one
+      // key's rows land in different partitions and the window computes
+      // per-fragment results (caught by q_scd2_incr's rebuild-equivalence
+      // oracle; minimal repro pinned in UnionPartitioningSpec). Off until
+      // the engine zips partitions when claiming this.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -2093,6 +2093,84 @@ object Analytics extends QueryModule {
                 (SELECT sum(d * (d - 1) / 2) FROM deg)) AS bigint) AS global_cc_bp
     FROM tri"""
 
+  /** DOULION approximate triangle counting (Tsourakakis et al., KDD'09)
+    * over the same co-order part graph as [[qGraphTriangles]] — the 100×
+    * lever when the graph densifies: keep each edge with probability
+    * p = 1/4 (a deterministic 48-bit md5 gate on the canonical (u, v)
+    * pair, so DuckDB draws the bit-identical sample), count triangles
+    * EXACTLY on the sparsified graph with the same per-edge
+    * sorted-adjacency intersection ([[graft.operators.Triangles]]), and
+    * scale by 1/p³. Work shrinks ~p× on the edge scan and ~p³× on the
+    * intersection term — the estimate's cost next to the exact row is
+    * the priced trade.
+    *
+    * Certificate (the `q_topk_merge_rollup` posture): each triangle
+    * survives with probability p³, so E[X] = T·p³ and the plug-in
+    * variance of T̂ = X/p³ under the independent-survival approximation
+    * is X·(p⁻⁶ − p⁻³) — exact integer arithmetic (4032·X at p = 1/4).
+    * `err2s_bp` is the 2σ relative half-width in basis points. The
+    * approximation drops the positive covariance of triangle pairs
+    * SHARING an edge (DOULION Lemma 2's k·(p⁵−p⁶) term — k unknowable
+    * without counting), so the bound is honest exactly where sampling is
+    * honest: sparse-overlap graphs; a pathological shared-edge clique
+    * underestimates the width. p = 1 degenerates to the exact count with
+    * zero width (spec-asserted). */
+  def qTrianglesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    qTrianglesApprox(spark, sfDir, 4L)
+
+  def qTrianglesApprox(spark: SparkSession, sfDir: String, pInv: Long): DataFrame = {
+    val edges = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(QueryModule.sortedPairs(col("ps"))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .distinct()
+      .localCheckpoint(false) // feeds the full count AND the sampled summary
+    val gate = conv(substring(md5(concat(lit("tri_"),
+      col("u").cast("string"), lit("_"), col("v").cast("string"))), 1, 12), 16, 10)
+    val sampled = edges.filter(gate % pInv === 0)
+    val scale3 = pInv * pInv * pInv
+    val s = graft.operators.Triangles.summary(spark, sampled)
+      .select(col("n_edges").as("n_edges_sampled"),
+        col("n_triangles").as("t_sampled"))
+    val full = edges.agg(count(lit(1)).as("n_edges_full"))
+    broadcast(full).crossJoin(s)
+      .select(col("n_edges_full"), col("n_edges_sampled"),
+        lit(pInv).as("p_inv"), col("t_sampled"),
+        (col("t_sampled") * scale3).as("t_est"),
+        (col("t_sampled") * (scale3 * scale3 - scale3)).as("var_est"))
+      .withColumn("err2s_bp",
+        when(col("t_est") > 0,
+          floor(lit(2.0) * sqrt(col("var_est")) * 10000.0 / col("t_est")))
+          .otherwise(lit(-1L)).cast("long"))
+  }
+
+  val qTrianglesApproxSql: String = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), s AS (
+      SELECT u, v FROM e
+      WHERE CAST('0x' || substr(md5('tri_' || CAST(u AS VARCHAR) || '_'
+              || CAST(v AS VARCHAR)), 1, 12) AS BIGINT) % 4 = 0
+    ), tri AS (
+      SELECT count(*) AS t_sampled
+      FROM s e1 JOIN s e2 ON e1.v = e2.u JOIN s e3
+        ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT count(*) FROM e) AS n_edges_full,
+           (SELECT count(*) FROM s) AS n_edges_sampled,
+           CAST(4 AS bigint) AS p_inv,
+           t_sampled,
+           t_sampled * 64 AS t_est,
+           t_sampled * 4032 AS var_est,
+           CASE WHEN t_sampled > 0
+                THEN CAST(floor(2.0 * sqrt(t_sampled * 4032) * 10000.0
+                          / (t_sampled * 64)) AS bigint)
+                ELSE -1 END AS err2s_bp
+    FROM tri"""
+
   /** k-core of the co-order part graph (k = 80, 8 peel rounds —
     * measured cascade depth is 6 at both sf0.01 and sf0.1, so 8 gives
     * convergence margin; see [[graft.operators.KCore]] for the peeling
@@ -2870,15 +2948,26 @@ object Analytics extends QueryModule {
     * map-side-combined daily groupBy, two per-user windows (cumsum +
     * island marker) and the boundary lead — all keyed on user, the
     * [[qResample]] class, never corpus-wide. */
-  def qScd2Build(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.events(spark, sfDir)
+  /** Tier from running cumulative spend cents — ONE literal shared by the
+    * build and [[qScd2Incr]]'s [[graft.operators.Scd2Incr]] call so the
+    * two plans cannot drift. */
+  private[queries] val Scd2TierExpr = "least(4, cum_c div 20000)"
+
+  private def scd2Daily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
       .agg(sum(cents(col("value"))).as("spend_c"))
+
+  def qScd2Build(spark: SparkSession, sfDir: String): DataFrame =
+    scd2BuildFromDaily(scd2Daily(spark, sfDir))
+      .orderBy(col("user_id"), col("valid_from"))
+
+  private[queries] def scd2BuildFromDaily(daily: DataFrame): DataFrame = {
     val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val tiers = daily
       .withColumn("cum_c", sum(col("spend_c")).over(wU))
-      .withColumn("tier", least(lit(4L), expr("cum_c div 20000")))
+      .withColumn("tier", expr(Scd2TierExpr))
     val vers = tiers
       .withColumn("chg",
         when(lag(col("tier"), 1).over(wU).isNull ||
@@ -2894,8 +2983,101 @@ object Analytics extends QueryModule {
         coalesce(lead(col("from_day"), 1).over(wV) * 86400, lit(-1L)))
       .select(col("user_id"), col("valid_from"), col("valid_to"),
         col("tier"), col("n_days"), col("spend_c"))
+  }
+
+  /** Incremental SCD2 maintenance (VERDICT r10 item 8): the event log's
+    * FINAL purchase day (2024-01-30, epoch day 19752 — populated at
+    * every SF) arrives as the delta against a dim built from everything
+    * before it, and [[graft.operators.Scd2Incr.applyDailyDelta]] folds
+    * it in: open versions whose tier moved close at the new day, same-
+    * tier days are absorbed, new users appended. The oracle is the FULL
+    * REBUILD over all events ([[qScd2BuildSql]] verbatim) — a different
+    * plan proving the increment byte-identical to re-deriving history,
+    * which is the whole point of the operator: at 100 TB you can re-scan
+    * one day and the dim, not the log. */
+  def qScd2Incr(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoffDay = 19752L
+    val daily = scd2Daily(spark, sfDir)
+      .localCheckpoint(false) // feeds the history build AND the delta
+    val dim = scd2BuildFromDaily(daily.filter(col("day") < cutoffDay))
+    val delta = daily.filter(col("day") >= cutoffDay)
+    graft.operators.Scd2Incr.applyDailyDelta(dim, delta, Scd2TierExpr)
       .orderBy(col("user_id"), col("valid_from"))
   }
+
+  /** Full rebuild — deliberately the [[qScd2Build]] oracle: the
+    * increment must be indistinguishable from re-deriving the dim.
+    * (`def`: `qScd2BuildSql` is declared later in the object, so a val
+    * here would capture null at init.) */
+  def qScd2IncrSql: String = qScd2BuildSql
+
+  /** End-to-end SCD2 pipeline: BUILD the versioned dim from the event
+    * log ([[qScd2Build]], −1 open-tail sentinel) and immediately CONSUME
+    * it with [[graft.operators.TemporalJoin.scd2]]
+    * (`openSentinel = Some(-1)`) to enrich every event with the tier
+    * valid at its time — the seam ADVICE r10 flagged (a −1 tail read as
+    * "expired before the epoch" would dump every post-last-purchase
+    * event into tier −1), now pinned by a HASH row, not just a spec.
+    * Events before a user's first purchase day have no covering version
+    * and land in tier −1 by construction, so the gap path carries real
+    * rows. The dim side and the event side share one corpus lineage
+    * THROUGH the as-of union — exactly the window-over-union shape that
+    * exposed the Spark 4.1.2 partitioning bug, so this row also
+    * hash-guards `spark.sql.unionOutputPartitioning=false` at sf0.01+
+    * every round. Oracle: build CTE + naive interval join. */
+  def qScd2Pipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = qScd2Build(spark, sfDir)
+      .withColumnRenamed("user_id", "dim_user")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_timestamp(ts)").as("t"),
+        cents(col("value")).as("v_c"))
+    graft.operators.TemporalJoin.scd2(ev, dim,
+        "user_id", "dim_user", "t", "valid_from", "valid_to",
+        Seq("tier"), openSentinel = Some(-1L))
+      .groupBy(coalesce(col("asof_tier"), lit(-1L)).as("tier"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_c")).as("rev_c"))
+      .orderBy(col("tier"))
+  }
+
+  val qScd2PipelineSql: String = """
+    WITH daily AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS bigint) // 86400 AS day,
+             CAST(sum(CAST(floor(value * 100) AS bigint)) AS bigint) AS spend_c
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ), tiers AS (
+      SELECT user_id, day, spend_c,
+             least(4, CAST(sum(spend_c) OVER (PARTITION BY user_id ORDER BY day) AS bigint) // 20000) AS tier
+      FROM daily
+    ), marked AS (
+      SELECT *, CASE WHEN lag(tier) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+                       OR lag(tier) OVER (PARTITION BY user_id ORDER BY day) <> tier
+                     THEN 1 ELSE 0 END AS chg
+      FROM tiers
+    ), vers AS (
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY day) AS bigint) AS ver
+      FROM marked
+    ), agg AS (
+      SELECT user_id, ver, min(day) AS from_day, max(tier) AS tier
+      FROM vers GROUP BY user_id, ver
+    ), dim AS (
+      SELECT user_id, from_day * 86400 AS valid_from,
+             coalesce(lead(from_day) OVER (PARTITION BY user_id ORDER BY from_day) * 86400, -1) AS valid_to,
+             tier
+      FROM agg
+    ), e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS bigint) AS t,
+             CAST(floor(value * 100) AS bigint) AS v_c
+      FROM events
+    ), j AS (
+      SELECT e.t, e.v_c, d.tier
+      FROM e LEFT JOIN dim d ON d.user_id = e.user_id
+        AND e.t >= d.valid_from AND (d.valid_to = -1 OR e.t < d.valid_to)
+    )
+    SELECT coalesce(tier, -1) AS tier, count(*) AS n_events,
+           CAST(sum(v_c) AS bigint) AS rev_c
+    FROM j GROUP BY 1
+    ORDER BY tier"""
 
   val qScd2BuildSql: String = """
     WITH daily AS (
@@ -2962,6 +3144,8 @@ object Analytics extends QueryModule {
     "q_div_contract"    -> (qDivContract _),
     "q_scd2_join"       -> (qScd2Join _),
     "q_scd2_build"      -> (qScd2Build _),
+    "q_scd2_incr"       -> (qScd2Incr _),
+    "q_scd2_pipeline"   -> (qScd2Pipeline _),
     "q_cm_sketch"       -> (qCmSketch _),
     "q_topk_merge_rollup" -> (qTopkMergeRollup _),
     "q4_order_priority" -> (q4OrderPriority _),
@@ -2979,6 +3163,7 @@ object Analytics extends QueryModule {
     "q_kmv_intersect"   -> (qKmvIntersect _),
     "q_kmv_diff"        -> (qKmvDiff _),
     "q_graph_triangles" -> (qGraphTriangles _),
+    "q_triangles_approx" -> ((s: SparkSession, d: String) => qTrianglesApprox(s, d)),
     "q_pagerank"        -> (qPagerank _),
     "q_kcore"           -> (qKcore _),
     "q_lpa_communities" -> (qLpaCommunities _),
@@ -3027,6 +3212,8 @@ object Analytics extends QueryModule {
     "q_div_contract"    -> qDivContractSql,
     "q_scd2_join"       -> qScd2JoinSql,
     "q_scd2_build"      -> qScd2BuildSql,
+    "q_scd2_incr"       -> qScd2IncrSql,
+    "q_scd2_pipeline"   -> qScd2PipelineSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q8_market_share"   -> q8MarketShareSql,
     "q10_returned_top"  -> q10ReturnedTopSql,
@@ -3044,6 +3231,7 @@ object Analytics extends QueryModule {
     "q_cm_sketch"       -> qCmSketchSql,
     "q_topk_merge_rollup" -> qTopkMergeRollupSql,
     "q_graph_triangles" -> qGraphTrianglesSql,
+    "q_triangles_approx" -> qTrianglesApproxSql,
     "q_pagerank"        -> qPagerankSql,
     "q_kcore"           -> qKcoreSql,
     "q_lpa_communities" -> qLpaCommunitiesSql,
