@@ -108,7 +108,7 @@ object Bench {
   /** One JSON line; the headline median `queries` map goes LAST so the
     * driver's bounded stdout tail keeps it even when truncated. */
   def renderJson(timings: Seq[Timing], failures: Seq[(String, String)],
-                 sfDir: String): String = {
+                 sfDir: String, gated: Seq[String] = Seq.empty): String = {
     // 3-decimal rounding keeps the line compact: full-precision doubles
     // over 65+ queries overflowed the driver's tail in round 2.
     def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
@@ -123,7 +123,11 @@ object Bench {
     // solo divergence must be explainable from the artifact alone)
     val ambient = jmap(timings.map(t =>
       t.name -> s"[${t.stealBp},${ms3(t.load1)}]"))
-    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"ambient":$ambient,"queries_max":$qsMax,"queries":$qs}"""
+    // no silent caps: rows excluded by the scale policy are named in the
+    // artifact itself, so a reader can never mistake a gated surface for
+    // a shrunk one
+    val gatedJson = gated.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"gated":$gatedJson,"ambient":$ambient,"queries_max":$qsMax,"queries":$qs}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -151,12 +155,28 @@ object Bench {
     // re-count the heaviest family — it stays a correctness query
     // (oracle-checked in Verify) unless explicitly requested via ONLY.
     val skipByDefault = Set("p_pipeline_counts")
+    // Full-truth eval-tail policy (VERDICT r10 item 5): the guarded
+    // quadratic TRUTH baselines are gated to sf < 1 in the bench of
+    // record. Each is an O(n²) oracle-checked certificate for an
+    // approximation whose PRODUCTION row (sampled twin / LSH / kNN path)
+    // stays benched at every scale; at sf1 the five together were 18% of
+    // the r10 wall and at the next SF jump they ARE the bench — pricing
+    // the certificate, not the engine. They remain correctness queries
+    // (Verify runs everything) and still bench at sf ≤ 0.1, so a truth
+    // regression is caught where the truth is cheap. Override with
+    // SPARK_GRAFT_ONLY to time one at any scale.
+    val quadraticTruth = Set("d_semdedup_eval09", "d_semdedup_eval",
+      "d_simhash_eval", "d_winnow_eval", "d_dedup_embedding")
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val sfVal = scala.util.Try(sfName.stripPrefix("sf").toDouble).getOrElse(0.0)
+    val gated = if (sfVal >= 1.0) quadraticTruth else Set.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
-        only.map(_(name)).getOrElse(!skipByDefault(name)) }
+        only.map(_(name)).getOrElse(!skipByDefault(name) && !gated(name)) }
 
     val (timings, failures) = timeAll(spark, sfDir, selected, runs = 3, keep = keep)
-    val line = renderJson(timings, failures, sfDir)
+    val line = renderJson(timings, failures, sfDir,
+      gated = if (only.isEmpty) gated.toSeq else Seq.empty)
     // Untruncatable artifact of record, written by Bench itself (ADVICE r5).
     // Subset (SPARK_GRAFT_ONLY) iteration runs must not clobber it — only a
     // full-surface run is the artifact of record. Non-default scale factors

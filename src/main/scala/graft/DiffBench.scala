@@ -17,23 +17,34 @@ import graft.sources.fsimage.ImageGen
   *  - expected: added = nFiles/1000, removed = 1000,
   *    modified = ceil(nFiles/1000) (file 0 always shifts)
   *
-  * The diff's full-outer join must be a SHUFFLE on the path key —
-  * never a broadcast of a 100M-row side or a driver materialization —
-  * so the executed plan is asserted to contain a SortMergeJoin and no
-  * nested-loop/cartesian fallback before the counts are trusted. Driver
-  * heap stays capped (SPARK_DRIVER_MEM, the r7 loader-soak posture):
-  * both loaders' driver state is O(string table + scan buffer) and the
-  * diff itself keeps nothing driver-side but the 3-row change summary.
+  * Shape: each image loads ALONE and stages its 5-column diff
+  * projection as parquet, releasing the load's cached state before the
+  * next load (co-residing two 100M resolves in one job needs ~4× the
+  * single-load heap — measured OOM at 4g; staged, each load runs at the
+  * r7 single-image budget). The diff then joins the two STAGED tables:
+  * a full-outer SHUFFLE on the path key — never a broadcast of a
+  * 100M-row side or a driver materialization — and the executed plan is
+  * asserted to contain a SortMergeJoin and no nested-loop/cartesian
+  * fallback before the counts are trusted. Driver state across all
+  * phases is O(string table + scan buffer) + the 3-row change summary.
   *
   * `runMain graft.DiffBench [nFiles] [nDirs]` (defaults 2M / 20k;
-  * env: SPARK_GRAFT_CPUS, SPARK_DRIVER_MEM). One JSON line on stdout.
+  * env: SPARK_GRAFT_CPUS, SPARK_DRIVER_MEM, SPARK_GRAFT_SHUFFLE).
+  * One JSON line on stdout.
   */
 object DiffBench {
   def main(args: Array[String]): Unit = {
     val nFiles = args.headOption.map(_.toInt).getOrElse(2000000)
     val nDirs = args.drop(1).headOption.map(_.toInt).getOrElse(20000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.core.GraftSession.builder(master = s"local[$cpus]").getOrCreate()
+    // partitions sized for the capped heap, not the default 32: at 100M
+    // inodes a 32-partition sort-merge join sorts ~3M paths per task —
+    // 8 concurrent ~300MB slices in a 4g heap OOM before spill can help.
+    // 256 slices keep each task's working set ~40MB; the conf is the
+    // exact lever a 1000-executor deployment would set per its own heap.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256").toInt
+    val spark = graft.core.GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = parts).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val nAdds = nFiles / 1000
@@ -51,9 +62,31 @@ object DiffBench {
         nSymlinks = 0, sizeShiftEvery = shiftEvery)))
     val bytes = new java.io.File(imgA).length() + new java.io.File(imgB).length()
 
+    // Production staging shape: each image LOADS ALONE and lands its
+    // 5-column diff projection as a parquet table, with the load's
+    // cached/checkpointed state released before the next load starts —
+    // holding two 100M-inode resolves co-resident in one job OOM'd a 4g
+    // heap (first r11 attempt) where the r7 single-load soak needs only
+    // 2g. At fleet scale this is how the diff runs anyway: images land
+    // as tables on arrival (bucketed by path), and the diff is a join
+    // between TABLES, never a double re-parse.
+    def stage(img: String, out: String): Double = {
+      val (t, _) = SoakUtil.time {
+        Reports.diffProjection(FsImageSource.inodesDistributed(spark, img))
+          .write.mode("overwrite").parquet(out)
+        // release the load's localCheckpoint/persist blocks so the next
+        // load starts from the r7 single-image budget
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.sqlContext.clearCache()
+      }
+      t
+    }
+    val (pqA, pqB) = (new java.io.File(dir, "a.pq").getPath,
+      new java.io.File(dir, "b.pq").getPath)
+    val tLoadA = stage(imgA, pqA)
+    val tLoadB = stage(imgB, pqB)
     val diff = Reports.namespaceDiff(
-      FsImageSource.inodesDistributed(spark, imgA),
-      FsImageSource.inodesDistributed(spark, imgB))
+      spark.read.parquet(pqA), spark.read.parquet(pqB))
 
     // Plan proof BEFORE the run: the full-outer join must shuffle on
     // path. A broadcast full-outer is impossible in Spark, but assert
@@ -80,6 +113,7 @@ object DiffBench {
     println(s"""{"metric":"namespace_diff_soak","n_files":$nFiles,""" +
       s""""n_dirs":$nDirs,"image_bytes":$bytes,""" +
       s""""gen_a_sec":${SoakUtil.ms3(tGenA)},"gen_b_sec":${SoakUtil.ms3(tGenB)},""" +
+      s""""load_a_sec":${SoakUtil.ms3(tLoadA)},"load_b_sec":${SoakUtil.ms3(tLoadB)},""" +
       s""""diff_sec":${SoakUtil.ms3(tDiff)},""" +
       s""""added":${byChange.getOrElse("added", 0L)},""" +
       s""""removed":${byChange.getOrElse("removed", 0L)},""" +
@@ -87,6 +121,8 @@ object DiffBench {
       s""""sort_merge_join":true,"peak_heap_mb":${SoakUtil.peakHeapMb},""" +
       s""""xmx":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"}""")
     new java.io.File(imgA).delete(); new java.io.File(imgB).delete()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pqA))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pqB))
     spark.stop()
   }
 }

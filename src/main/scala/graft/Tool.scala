@@ -13,7 +13,9 @@ import graft.functions.IECBinaryImpl
   *   commands: summary | smallfiles | smallfilesusers | userusage | path |
   *             inode | acl | xattr | quotas | growth | growthdirs |
   *             dupnames | du | compaction | ext | sections | snapshots |
-  *             refs | diffs | openfiles | cachepools | cache | secrets
+  *             refs | diffs | openfiles | cachepools | cache | secrets |
+  *             diff (image-to-image namespace diff: `diff <before>
+  *             --against <after>`; -p/-distributed apply to both sides)
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /); repeatable, and a
   *                     single -p also accepts a comma-separated list —
@@ -103,6 +105,19 @@ object Tool {
     // restricts through the filtered inode side of the join
     if (cmd == "openfiles")
       return Reports.openFiles(inodes, FsImageSource.filesUnderConstruction(spark, image))
+    // image-to-image namespace diff — what changed between two fsimages
+    // (added/removed/modified by path): `diff <before> --against <after>`.
+    // Positional arg 2 is the BEFORE image (consistent with every other
+    // command's image slot); -p restricts both sides to the subtree;
+    // --distributed applies to both loads (the DiffBench-soaked shape).
+    if (cmd == "diff") {
+      val after = opts.getOrElse("--against",
+        throw new IllegalArgumentException("diff needs --against <afterImage>"))
+      val afterAll =
+        if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, after)
+        else FsImageSource.inodes(spark, after)
+      return Reports.namespaceDiff(inodes, subtree(afterAll, "path"))
+    }
     val topN = opts.get("-l").map(_.toInt).getOrElse(20)
 
     cmd match {
@@ -156,7 +171,7 @@ object Tool {
         throw new IllegalArgumentException(s"unknown command: $other " +
           "(expected one of: summary smallfiles smallfilesusers userusage " +
           "path inode acl xattr quotas growth growthdirs dupnames du " +
-          "compaction ext sections snapshots refs diffs openfiles " +
+          "compaction ext sections snapshots refs diffs diff openfiles " +
           "cachepools cache secrets)")
     }
   }

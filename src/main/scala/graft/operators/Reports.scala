@@ -343,10 +343,19 @@ object Reports {
     * (the namenode-operations question HFSA users answer by hand):
     * added / removed / modified inodes keyed by path. Two shuffles on
     * path (the full-outer join); at 100 TB both sides bucket by path. */
+  /** The diff's 5-column projection — also the STAGING schema: at fleet
+    * scale each image lands this projection as a (path-bucketed) table
+    * on arrival and [[namespaceDiff]] joins tables, never two live
+    * re-parses (the DiffBench soak shape: two co-resident 100M resolves
+    * need ~4× the single-load heap; staged loads need 1×). */
+  def diffProjection(inodes: DataFrame): DataFrame =
+    inodes.select(col("path"), col("ftype"), col("size"),
+      col("owner"), col("mtime_sec"))
+
   def namespaceDiff(before: DataFrame, after: DataFrame): DataFrame = {
-    val b = before.select(col("path"), col("ftype").as("b_ftype"),
+    val b = diffProjection(before).select(col("path"), col("ftype").as("b_ftype"),
       col("size").as("b_size"), col("owner").as("b_owner"), col("mtime_sec").as("b_mtime"))
-    val a = after.select(col("path"), col("ftype").as("a_ftype"),
+    val a = diffProjection(after).select(col("path"), col("ftype").as("a_ftype"),
       col("size").as("a_size"), col("owner").as("a_owner"), col("mtime_sec").as("a_mtime"))
     b.join(a, Seq("path"), "full_outer")
       .withColumn("change",

@@ -80,6 +80,13 @@ class HarnessSpec extends SparkSpecBase {
     assert(json.trim.endsWith("""{"good":0.5}}"""))
     // ambient ledger (r7 verdict item 7): [steal_bp, load1] per query
     assert(json.contains(""""ambient":{"good":[3,1.25]}"""), json)
+    // no silent caps: the default artifact names an EMPTY gated list...
+    assert(json.contains(""""gated":[]"""), json)
+    // ...and a scale-gated run records exactly what it dropped, sorted
+    val gatedJson = Bench.renderJson(Seq.empty, Seq.empty, "/tmp/sf1",
+      gated = Seq("d_winnow_eval", "d_semdedup_eval"))
+    assert(gatedJson.contains(""""gated":["d_semdedup_eval","d_winnow_eval"]"""),
+      gatedJson)
   }
 
   test("timestamp contract: events.ts is TIMESTAMP_NTZ and every query analyzes against it") {

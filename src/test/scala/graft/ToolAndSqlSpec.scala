@@ -186,6 +186,35 @@ class ToolAndSqlSpec extends SparkSpecBase {
     } finally new java.io.File(img).delete()
   }
 
+  test("Tool diff: image-to-image namespace diff with exact change counts") {
+    import graft.sources.fsimage.ImageGen
+    val dir = java.nio.file.Files.createTempDirectory("graft_tooldiff").toFile
+    val (a, b) = (new java.io.File(dir, "a.img").getPath,
+      new java.io.File(dir, "b.img").getPath)
+    try {
+      // the DiffBench construction in miniature: B adds 2 files, drops
+      // the 5 symlinks, and shifts every 100th shared file's size
+      ImageGen.write(a, ImageGen.GenSpec(nDirs = 4, nFiles = 200, nSymlinks = 5))
+      ImageGen.write(b, ImageGen.GenSpec(nDirs = 4, nFiles = 202,
+        nSymlinks = 0, sizeShiftEvery = 100))
+      val diff = Tool.run(spark, "diff", a, Map("--against" -> b), Set.empty)
+        .groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(diff("added") == 2L)
+      assert(diff("removed") == 5L)
+      assert(diff("modified") == 2L) // files 0 and 100
+      // --distributed drives both loads through the ranged loader
+      val dist = Tool.run(spark, "diff", a, Map("--against" -> b),
+        Set("--distributed")).groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dist == diff)
+      intercept[IllegalArgumentException](
+        Tool.run(spark, "diff", a, Map.empty, Set.empty))
+    } finally {
+      new java.io.File(a).delete(); new java.io.File(b).delete(); dir.delete()
+    }
+  }
+
   test("Tool.parseArgs: repeated -p, switches, and pairs don't collide") {
     val (opts, flags, paths) = Tool.parseArgs(Seq(
       "--distributed", "-p", "/a", "-v", "-p", "/b,/c", "-l", "10"))
