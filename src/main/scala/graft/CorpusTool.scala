@@ -21,7 +21,7 @@ import graft.sources.ReportSink
   * ccnet sourcecap fertility bpeloop spanislands spanhist knngraph
   * knnrecall knndedup knnsearch knnsearcheval ivfrebalance
   * ivfrebalanceeval lshcurve pca pcavar bpeapply pcatopk pcatopkvar
-  * pqrotateeval hnswsearch hnswrecall hnswsweep minhashb3
+  * pqrotateeval hnswsearch hnswrecall hnswsweep minhashb3 matryoshka
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -81,7 +81,8 @@ object CorpusTool {
     "hnswsearch"  -> "e_hnsw_search",
     "hnswrecall"  -> "e_hnsw_recall",
     "hnswsweep"   -> "e_hnsw_sweep",
-    "minhashb3"   -> "d_dedup_minhash_b3")
+    "minhashb3"   -> "d_dedup_minhash_b3",
+    "matryoshka"  -> "e_matryoshka_eval")
 
   def run(spark: SparkSession, cmd: String, dir: String,
           opts: Map[String, String]): DataFrame = cmd match {

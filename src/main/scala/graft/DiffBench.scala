@@ -99,10 +99,17 @@ object DiffBench {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"namespaceDiff plan fell back to a nested loop:\n${plan.take(2000)}")
 
-    val (tDiff, byChange) = SoakUtil.time {
-      diff.groupBy("change").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The diff lands as a table too (production: the diff output is what
+    // downstream consumers — incremental maintenance, audits — read; it
+    // is never recomputed per consumer). ~|changes| rows, tiny next to
+    // the images.
+    val pqD = new java.io.File(dir, "d.pq").getPath
+    val (tDiff, _) = SoakUtil.time {
+      diff.write.mode("overwrite").parquet(pqD)
     }
+    val diffT = spark.read.parquet(pqD)
+    val byChange = diffT.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(byChange.getOrElse("added", 0L) == nAdds.toLong,
       s"added ${byChange.get("added")} != $nAdds")
     require(byChange.getOrElse("removed", 0L) == nLinks.toLong,
@@ -110,11 +117,34 @@ object DiffBench {
     require(byChange.getOrElse("modified", 0L) == expectModified.toLong,
       s"modified ${byChange.get("modified")} != $expectModified")
 
+    // Incremental report maintenance at soak scale (the §2.2 incremental
+    // family's 100M proof): the after-image per-owner summary via (a) a
+    // full recompute over the 100M-row staged table vs (b) the stored
+    // before-summary + the diff's O(|diff|) delta — same rows, and (b)
+    // never touches the after image. The before summary is built once
+    // (production: it already exists as last cycle's output).
+    val beforeSum = Reports.filesSummary(spark.read.parquet(pqA))
+      .localCheckpoint()
+    def rowSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val (tFullSum, fullSum) = SoakUtil.time {
+      rowSet(Reports.filesSummary(spark.read.parquet(pqB)).collect())
+    }
+    val (tIncrSum, incrSum) = SoakUtil.time {
+      rowSet(Reports.applySummaryDelta(beforeSum,
+        Reports.summaryDelta(diffT)).collect())
+    }
+    require(incrSum == fullSum,
+      s"incremental summary diverged from full recompute at $nFiles inodes")
+
     println(s"""{"metric":"namespace_diff_soak","n_files":$nFiles,""" +
       s""""n_dirs":$nDirs,"image_bytes":$bytes,""" +
       s""""gen_a_sec":${SoakUtil.ms3(tGenA)},"gen_b_sec":${SoakUtil.ms3(tGenB)},""" +
       s""""load_a_sec":${SoakUtil.ms3(tLoadA)},"load_b_sec":${SoakUtil.ms3(tLoadB)},""" +
       s""""diff_sec":${SoakUtil.ms3(tDiff)},""" +
+      s""""full_summary_sec":${SoakUtil.ms3(tFullSum)},""" +
+      s""""incr_summary_sec":${SoakUtil.ms3(tIncrSum)},""" +
+      s""""summary_owners":${fullSum.size},"summary_equal":true,""" +
       s""""added":${byChange.getOrElse("added", 0L)},""" +
       s""""removed":${byChange.getOrElse("removed", 0L)},""" +
       s""""modified":${byChange.getOrElse("modified", 0L)},""" +
@@ -123,6 +153,7 @@ object DiffBench {
     new java.io.File(imgA).delete(); new java.io.File(imgB).delete()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pqA))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pqB))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pqD))
     spark.stop()
   }
 }

@@ -15,7 +15,10 @@ import graft.functions.IECBinaryImpl
   *             dupnames | du | compaction | ext | sections | snapshots |
   *             refs | diffs | openfiles | cachepools | cache | secrets |
   *             diff (image-to-image namespace diff: `diff <before>
-  *             --against <after>`; -p/-distributed apply to both sides)
+  *             --against <after>`; -p/-distributed apply to both sides) |
+  *             incrsummary | incrhistogram (after-image report maintained
+  *             from the before image + diff delta, O(|diff|) — same
+  *             two-image call shape as diff)
   *   -o txt|csv|json   output format (csv/json write to --out dir)
   *   -p <path>         subtree to analyze (default /); repeatable, and a
   *                     single -p also accepts a comma-separated list —
@@ -110,13 +113,26 @@ object Tool {
     // Positional arg 2 is the BEFORE image (consistent with every other
     // command's image slot); -p restricts both sides to the subtree;
     // --distributed applies to both loads (the DiffBench-soaked shape).
-    if (cmd == "diff") {
+    if (cmd == "diff" || cmd == "incrsummary" || cmd == "incrhistogram") {
       val after = opts.getOrElse("--against",
-        throw new IllegalArgumentException("diff needs --against <afterImage>"))
+        throw new IllegalArgumentException(s"$cmd needs --against <afterImage>"))
       val afterAll =
         if (flags.contains("--distributed")) FsImageSource.inodesDistributed(spark, after)
         else FsImageSource.inodes(spark, after)
-      return Reports.namespaceDiff(inodes, subtree(afterAll, "path"))
+      val diff = Reports.namespaceDiff(inodes, subtree(afterAll, "path"))
+      return cmd match {
+        case "diff" => diff
+        // incremental report maintenance: the AFTER image's report
+        // derived from the BEFORE image + the diff delta — the after
+        // namespace is never aggregated (O(|diff|) maintenance; at fleet
+        // scale the before report is a stored table, not a re-scan)
+        case "incrsummary" =>
+          Reports.applySummaryDelta(Reports.filesSummary(inodes),
+            Reports.summaryDelta(diff))
+        case _ =>
+          Reports.applyHistogramDelta(Reports.sizeHistogram(inodes),
+            Reports.histogramDelta(diff))
+      }
     }
     val topN = opts.get("-l").map(_.toInt).getOrElse(20)
 
@@ -171,8 +187,8 @@ object Tool {
         throw new IllegalArgumentException(s"unknown command: $other " +
           "(expected one of: summary smallfiles smallfilesusers userusage " +
           "path inode acl xattr quotas growth growthdirs dupnames du " +
-          "compaction ext sections snapshots refs diffs diff openfiles " +
-          "cachepools cache secrets)")
+          "compaction ext sections snapshots refs diffs diff incrsummary " +
+          "incrhistogram openfiles cachepools cache secrets)")
     }
   }
 

@@ -365,10 +365,88 @@ object Reports {
                 col("b_mtime") =!= col("a_mtime"), "modified")
           .otherwise("unchanged"))
       .filter(col("change") =!= "unchanged")
-      .select(col("path"), col("change"),
+      .select(col("path"), col("change"), col("b_ftype"), col("a_ftype"),
         col("b_size"), col("a_size"), col("b_owner"), col("a_owner"))
       .orderBy(col("change"), col("path"))
   }
+
+  /** Per-owner files-only summary — the maintained object of
+    * [[applySummaryDelta]] (a [[summaryByUser]] cut down to the columns a
+    * diff can maintain: live-file count + bytes per owner). */
+  def filesSummary(inodes: DataFrame): DataFrame =
+    inodes.filter(col("ftype") === "F")
+      .groupBy(col("owner"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("sum_size"))
+
+  /** Per-owner (n_files, sum_size) DELTA implied by a [[namespaceDiff]]
+    * result: each added file credits its `a_owner`, each removed file
+    * debits its `b_owner`, and a modified file is debit(before) +
+    * credit(after) — which also handles owner reassignment (chown moves
+    * the file between two owners' rows). Directory/symlink diff rows
+    * contribute nothing (the summary counts files). Cost is O(|diff|):
+    * one explode-to-±2 projection and one groupBy on the owner domain. */
+  def summaryDelta(diff: DataFrame): DataFrame = {
+    val credit = diff.filter(col("a_ftype") === "F")
+      .select(col("a_owner").as("owner"), lit(1L).as("d_files"),
+        col("a_size").as("d_size"))
+    val debit = diff.filter(col("b_ftype") === "F")
+      .select(col("b_owner").as("owner"), lit(-1L).as("d_files"),
+        (-col("b_size")).as("d_size"))
+    credit.unionByName(debit)
+      .groupBy(col("owner"))
+      .agg(sum(col("d_files")).as("d_files"), sum(col("d_size")).as("d_size"))
+  }
+
+  /** Size-bucket delta implied by a [[namespaceDiff]] — [[summaryDelta]]'s
+    * sibling over the exponential-bucket domain: a modified file whose
+    * size crossed a bucket border debits the old bucket and credits the
+    * new one; same-bucket modifies cancel inside the groupBy. */
+  def histogramDelta(diff: DataFrame): DataFrame = {
+    val credit = diff.filter(col("a_ftype") === "F")
+      .select(size_bucket(col("a_size")).as("bucket"), lit(1L).as("d_files"))
+    val debit = diff.filter(col("b_ftype") === "F")
+      .select(size_bucket(col("b_size")).as("bucket"), lit(-1L).as("d_files"))
+    credit.unionByName(debit)
+      .groupBy(col("bucket"))
+      .agg(sum(col("d_files")).as("d_files"))
+      .filter(col("d_files") =!= 0L)
+  }
+
+  /** Fold a [[histogramDelta]] into an existing [[sizeHistogram]] —
+    * bucket-domain-sized work (≤ ~40 rows however large the image).
+    * Buckets first populated by the delta derive their upper border from
+    * the bucket id; emptied buckets drop out, matching a recompute. */
+  def applyHistogramDelta(beforeHist: DataFrame, delta: DataFrame): DataFrame =
+    beforeHist
+      .select(col("bucket"), col("n_files"))
+      .join(delta, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("n_files"), lit(0L)) + coalesce(col("d_files"), lit(0L)))
+          .as("n_files"))
+      .filter(col("n_files") > 0)
+      .select(col("bucket"), bucket_upper(col("bucket")).as("upper_bytes"),
+        col("n_files"))
+      .orderBy(col("bucket"))
+
+  /** Incremental report maintenance — the O(|diff|) alternative to an
+    * O(|image|) recompute: fold a [[summaryDelta]] into an existing
+    * per-owner files summary (owner, n_files, sum_size) to obtain the
+    * AFTER-image summary without touching the after image's 100M inode
+    * rows. Owners whose last file left drop out (n_files = 0); owners
+    * seen first in the delta appear. The join is a full-outer on the
+    * owner domain — summary-sized, not namespace-sized — so at fleet
+    * scale the whole maintenance step is bounded by |owners| + |diff|. */
+  def applySummaryDelta(beforeSummary: DataFrame, delta: DataFrame): DataFrame =
+    beforeSummary
+      .select(col("owner"), col("n_files"), col("sum_size"))
+      .join(delta, Seq("owner"), "full_outer")
+      .select(col("owner"),
+        (coalesce(col("n_files"), lit(0L)) + coalesce(col("d_files"), lit(0L)))
+          .as("n_files"),
+        (coalesce(col("sum_size"), lit(0L)) + coalesce(col("d_size"), lit(0L)))
+          .as("sum_size"))
+      .filter(col("n_files") > 0)
+      .orderBy(col("owner"))
 
   /** Age profile: files/bytes by modification year. */
   def ageProfile(inodes: DataFrame): DataFrame =

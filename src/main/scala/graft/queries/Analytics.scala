@@ -3108,6 +3108,112 @@ object Analytics extends QueryModule {
     FROM agg
     ORDER BY user_id, valid_from"""
 
+  // ------------------------------------------------- z-order layout eval
+
+  /** What a Z-order layout buys a 2-D box scan
+    * ([[graft.operators.ZOrder]]): lineitem laid out into 64 "files"
+    * twice — natural order (equal-width l_orderkey ranges: the
+    * as-ingested layout) vs Morton order (equal-width z ranges — the
+    * quadtree-prefix view of what [[graft.operators.ZOrder.layout]]'s
+    * range exchange produces) — then a parquet-style min/max pruning
+    * model counts how many files a box predicate on (l_partkey,
+    * l_suppkey) must touch under each. One row per layout with the
+    * touched share in basis points; rows_matched is layout-invariant by
+    * construction (the same rows exist in both), so the oracle hash pins
+    * the pruning MODEL, not just the counts. Scale shape: one scalar
+    * agg broadcast + two map-side file assignments + two bounded
+    * (64-row) aggregations — no window, no global sort; the production
+    * write path is the range exchange in ZOrder.layout. */
+  def qZorderPruneEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val NF = 64
+    val li = Tables.lineitem(spark, sfDir).select(
+        col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"),
+        col("l_orderkey").cast("long").as("nat"))
+      .withColumn("z", graft.operators.ZOrder.zValue(col("x"), col("y")))
+    val scalars = li.agg(max("z").as("max_z"), max("nat").as("max_nat"),
+      max("x").as("max_x"), max("y").as("max_y"))
+    val rows = li.crossJoin(broadcast(scalars))
+      .select(col("x"), col("y"),
+        expr(s"z div ((max_z + $NF) div $NF)").as("file_z"),
+        expr(s"nat div ((max_nat + $NF) div $NF)").as("file_nat"),
+        expr("(max_x * 2) div 5").as("x_lo"), expr("(max_x * 3) div 5").as("x_hi"),
+        expr("(max_y * 2) div 5").as("y_lo"), expr("(max_y * 3) div 5").as("y_hi"))
+    def layoutRow(fileCol: String, label: String): DataFrame =
+      rows.groupBy(col(fileCol).as("f"))
+        .agg(min("x").as("mnx"), max("x").as("mxx"),
+          min("y").as("mny"), max("y").as("mxy"),
+          min("x_lo").as("bx_lo"), min("x_hi").as("bx_hi"),
+          min("y_lo").as("by_lo"), min("y_hi").as("by_hi"),
+          sum(when(col("x").between(col("x_lo"), col("x_hi")) &&
+                   col("y").between(col("y_lo"), col("y_hi")), 1L)
+            .otherwise(0L)).as("nm"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("mnx") <= col("bx_hi") && col("mxx") >= col("bx_lo") &&
+                   col("mny") <= col("by_hi") && col("mxy") >= col("by_lo"), 1L)
+            .otherwise(0L)).as("files_touched"),
+          sum(col("nm")).as("rows_matched"))
+        .select(lit(label).as("layout"), col("n_files"), col("files_touched"),
+          col("rows_matched"),
+          expr("10000 * files_touched div n_files").as("touched_bp"))
+    layoutRow("file_nat", "natural").unionByName(layoutRow("file_z", "zorder"))
+      .orderBy(col("layout"))
+  }
+
+  val qZorderPruneEvalSql: String = """
+    WITH src AS (
+      SELECT CAST(l_partkey AS bigint) AS x, CAST(l_suppkey AS bigint) AS y,
+             CAST(l_orderkey AS bigint) AS nat,
+             CAST(list_reduce(list_transform(range(0, 21), i ->
+               (((CAST(l_partkey AS bigint) >> i) & 1) << (2*i)) +
+               (((CAST(l_suppkey AS bigint) >> i) & 1) << (2*i+1))),
+               (a, b) -> a + b) AS bigint) AS z
+      FROM lineitem
+    ), sc AS (
+      SELECT max(z) AS max_z, max(nat) AS max_nat,
+             max(x) AS max_x, max(y) AS max_y
+      FROM src
+    ), rws AS (
+      SELECT x, y,
+             z // ((max_z + 64) // 64) AS file_z,
+             nat // ((max_nat + 64) // 64) AS file_nat,
+             (max_x * 2) // 5 AS x_lo, (max_x * 3) // 5 AS x_hi,
+             (max_y * 2) // 5 AS y_lo, (max_y * 3) // 5 AS y_hi
+      FROM src CROSS JOIN sc
+    ), fz AS (
+      SELECT file_z, min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy,
+             min(x_lo) AS bx_lo, min(x_hi) AS bx_hi,
+             min(y_lo) AS by_lo, min(y_hi) AS by_hi,
+             sum(CASE WHEN x BETWEEN x_lo AND x_hi AND y BETWEEN y_lo AND y_hi
+                 THEN 1 ELSE 0 END) AS nm
+      FROM rws GROUP BY file_z
+    ), fn AS (
+      SELECT file_nat, min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy,
+             min(x_lo) AS bx_lo, min(x_hi) AS bx_hi,
+             min(y_lo) AS by_lo, min(y_hi) AS by_hi,
+             sum(CASE WHEN x BETWEEN x_lo AND x_hi AND y BETWEEN y_lo AND y_hi
+                 THEN 1 ELSE 0 END) AS nm
+      FROM rws GROUP BY file_nat
+    ), res AS (
+      SELECT 'natural' AS layout, CAST(count(*) AS bigint) AS n_files,
+             CAST(sum(CASE WHEN mnx <= bx_hi AND mxx >= bx_lo
+                            AND mny <= by_hi AND mxy >= by_lo
+                 THEN 1 ELSE 0 END) AS bigint) AS files_touched,
+             CAST(sum(nm) AS bigint) AS rows_matched
+      FROM fn
+      UNION ALL
+      SELECT 'zorder', CAST(count(*) AS bigint),
+             CAST(sum(CASE WHEN mnx <= bx_hi AND mxx >= bx_lo
+                            AND mny <= by_hi AND mxy >= by_lo
+                 THEN 1 ELSE 0 END) AS bigint),
+             CAST(sum(nm) AS bigint)
+      FROM fz
+    )
+    SELECT layout, n_files, files_touched, rows_matched,
+           10000 * files_touched // n_files AS touched_bp
+    FROM res
+    ORDER BY layout"""
+
   // ------------------------------------------------- division contract
 
   /** Integer-division semantics canary: the whole oracle framework leans
@@ -3142,6 +3248,7 @@ object Analytics extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_div_contract"    -> (qDivContract _),
+    "q_zorder_prune_eval" -> (qZorderPruneEval _),
     "q_scd2_join"       -> (qScd2Join _),
     "q_scd2_build"      -> (qScd2Build _),
     "q_scd2_incr"       -> (qScd2Incr _),
@@ -3210,6 +3317,7 @@ object Analytics extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "q_div_contract"    -> qDivContractSql,
+    "q_zorder_prune_eval" -> qZorderPruneEvalSql,
     "q_scd2_join"       -> qScd2JoinSql,
     "q_scd2_build"      -> qScd2BuildSql,
     "q_scd2_incr"       -> qScd2IncrSql,

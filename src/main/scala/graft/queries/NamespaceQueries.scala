@@ -481,7 +481,87 @@ object NamespaceQueries extends QueryModule {
     ORDER BY bytes_added DESC, dir
     LIMIT 20"""
 
+  // --------------------------------------------- incremental maintenance
+
+  /** Incremental summary maintenance (the O(|diff|) report-update lever):
+    * the per-owner files summary of an AFTER image obtained by folding
+    * [[graft.operators.Reports.summaryDelta]] of the image-to-image
+    * [[graft.operators.Reports.namespaceDiff]] into the BEFORE summary —
+    * never aggregating the after namespace itself. At fleet scale this is
+    * the difference between rescanning 100M inodes per report refresh and
+    * touching |diff| + |owners| rows. The before/after pair is carved
+    * deterministically out of the derived namespace (`size % 97`:
+    * 0 = added, 1 = removed, 2 = size+mtime modify, 3 = chown to a brand-new
+    * owner) so the DuckDB oracle can recompute the after summary DIRECTLY —
+    * a full-recompute oracle checking an incremental plan, the
+    * `q_scd2_join` adversarial posture. The chown slice exercises the
+    * debit(before)+credit(after) owner move, and `user_migrated` exists
+    * only via the delta's full-outer new-owner path. */
+  /** The deterministic before/after image pair shared by the incremental
+    * maintenance queries (`size % 97` carve — see [[incrSummary]]). */
+  private def incrPair(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val ino = inodes(spark, sfDir)
+    val files = ino.filter(col("ftype") === "F")
+    val rest = Reports.diffProjection(ino.filter(col("ftype") =!= "F"))
+    val r = col("size") % 97
+    val before = Reports.diffProjection(files.filter(r =!= 0)).unionByName(rest)
+    val after = files.filter(r =!= 1).select(
+        col("path"), col("ftype"),
+        when(r === 2, col("size") + 1024).otherwise(col("size")).as("size"),
+        when(r === 3, lit("user_migrated")).otherwise(col("owner")).as("owner"),
+        when(r === 2, col("mtime_sec") + 3600)
+          .when(r === 3, col("mtime_sec") + 1)
+          .otherwise(col("mtime_sec")).as("mtime_sec"))
+      .unionByName(rest)
+    (before, after)
+  }
+
+  def incrSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val (before, after) = incrPair(spark, sfDir)
+    Reports.applySummaryDelta(Reports.filesSummary(before),
+      Reports.summaryDelta(Reports.namespaceDiff(before, after)))
+  }
+
+  val incrSummarySql: String = NamespaceSql.cte + """
+    SELECT owner, CAST(count(*) AS bigint) AS n_files,
+           CAST(sum(size) AS bigint) AS sum_size
+    FROM (
+      SELECT CASE WHEN size % 97 = 3 THEN 'user_migrated' ELSE owner END AS owner,
+             CASE WHEN size % 97 = 2 THEN size + 1024 ELSE size END AS size
+      FROM inodes WHERE ftype='F' AND size % 97 <> 1
+    )
+    GROUP BY owner
+    ORDER BY owner"""
+
+  /** [[incrSummary]]'s sibling over the exponential size-bucket domain:
+    * the after-image histogram maintained from the before histogram +
+    * the diff's bucket delta ([[graft.operators.Reports.histogramDelta]]).
+    * The `size + 1024` modify slice crosses bucket borders for files near
+    * a power-of-two edge — the cancellation/crossing paths both fire.
+    * Maintenance work is O(|diff| + ~40 buckets); the oracle recomputes
+    * the after histogram directly. */
+  def incrHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val (before, after) = incrPair(spark, sfDir)
+    Reports.applyHistogramDelta(Reports.sizeHistogram(before),
+      Reports.histogramDelta(Reports.namespaceDiff(before, after)))
+  }
+
+  val incrHistogramSql: String = NamespaceSql.cte + s"""
+    SELECT bucket, ${SizeBucketSql.upperBorderSql("bucket")} AS upper_bytes,
+           count(*) AS n_files
+    FROM (
+      SELECT ${SizeBucketSql.caseSql("sz")} AS bucket
+      FROM (
+        SELECT CASE WHEN size % 97 = 2 THEN size + 1024 ELSE size END AS sz
+        FROM inodes WHERE ftype='F' AND size % 97 <> 1
+      )
+    )
+    GROUP BY bucket
+    ORDER BY bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ns_incr_summary"       -> (incrSummary _),
+    "q_ns_incr_histogram"     -> (incrHistogram _),
     "q_ns_du"                 -> (du _),
     "q_ns_growth"             -> (growth _),
     "q_ns_growth_dirs"        -> (growthDirs _),
@@ -507,6 +587,8 @@ object NamespaceQueries extends QueryModule {
     "q_ns_dup_names"          -> (dupNames _))
 
   val oracles: Map[String, String] = Map(
+    "q_ns_incr_summary"       -> incrSummarySql,
+    "q_ns_incr_histogram"     -> incrHistogramSql,
     "q_ns_du"                 -> duSql,
     "q_ns_growth"             -> growthSql,
     "q_ns_growth_dirs"        -> growthDirsSql,

@@ -449,6 +449,82 @@ object VectorQueries extends QueryModule {
     GROUP BY q_id
     ORDER BY q_id"""
 
+  /** Matryoshka prefix dims priced by [[matryoshkaEval]] (full dim 64
+    * anchors the curve at recall 10⁴). */
+  private val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** Matryoshka-representation eval — what truncating the embedding to a
+    * PREFIX of its dimensions costs in retrieval quality (Kusupati et al.
+    * 2022, arXiv:2205.13147: MRL-trained models pack coarse semantics
+    * into the leading dims, so serving can run ANN at d=16 and re-rank at
+    * full d). One row per prefix width: recall@5 of prefix-cosine
+    * brute-force top-5 against the full-dim top-5 ground truth. On these
+    * synthetic (non-MRL) embeddings the curve prices exactly what a
+    * pipeline must check before truncating — how fast recall decays with
+    * the prefix. Scale shape: each width is the [[annBruteForce]] plan
+    * (10 queries broadcast, map-side scored, no corpus shuffle), so the
+    * whole eval is |dims| linear passes; the slice pushes the narrower
+    * dot product into codegen, the real serving-time saving. */
+  def matryoshkaEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.operators.Dedup.guardQuadratic(embs(spark, sfDir),
+      "matryoshkaEval", "annIvf / annLsh", AnnBruteConf, AnnBruteDefault)
+    def top5(d: Int): DataFrame = {
+      val base = e.select(col("vec_id"), slice(col("v"), 1, d).as("pv"))
+        .withColumn("pn", sqrt(dot(col("pv"), col("pv"))))
+      val qs = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("pv").as("qv"), col("pn").as("qn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
+      base.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          cosBp(col("qv"), col("pv"), col("qn"), col("pn")).as("cos_bp"))
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("cand_id"))
+    }
+    // ground truth is tiny (10 queries × 5) — materialize once, reuse per width
+    val truth = top5(PcaDim).localCheckpoint()
+    MatryoshkaDims.map { d =>
+      truth.join(top5(d).withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(lit(d.toLong).as("dim"), col("n_queries"), col("n_truth"),
+          col("n_hit"), expr("10000 * n_hit div n_truth").as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy(col("dim"))
+  }
+
+  // lazy: PcaDim is declared later in this object; a strict val here
+  // would interpolate 0 at object-init time (the semDedupSql lesson)
+  lazy val matryoshkaEvalSql: String = {
+    def pdot(a: String, b: String, d: Int) =
+      s"list_reduce(list_transform(range(1, $d + 1), i -> CAST($a[i] AS double) * CAST($b[i] AS double)), (x, y) -> x + y)"
+    def topCte(name: String, d: Int) = s"""$name AS (
+      SELECT q_id, cand_id FROM (
+        SELECT q_id, cand_id,
+               rank() OVER (PARTITION BY q_id ORDER BY cos_bp DESC, cand_id) AS rnk
+        FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                 CAST(floor(${pdot("q.embedding", "c.embedding", d)} * 10000.0 /
+                   (sqrt(${pdot("q.embedding", "q.embedding", d)}) *
+                    sqrt(${pdot("c.embedding", "c.embedding", d)}))) AS bigint) AS cos_bp
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        )
+      ) WHERE rnk <= 5
+    )"""
+    val ctes = (Seq(topCte("truth", PcaDim)) ++
+      MatryoshkaDims.map(d => topCte(s"top$d", d))).mkString(",\n")
+    val rows = MatryoshkaDims.map(d => s"""
+      SELECT CAST($d AS bigint) AS dim,
+             CAST(count(DISTINCT t.q_id) AS bigint) AS n_queries,
+             CAST(count(*) AS bigint) AS n_truth,
+             CAST(sum(CASE WHEN a.q_id IS NULL THEN 0 ELSE 1 END) AS bigint) AS n_hit,
+             (10000 * CAST(sum(CASE WHEN a.q_id IS NULL THEN 0 ELSE 1 END) AS bigint) // count(*)) AS recall_bp
+      FROM truth t LEFT JOIN top$d a ON t.q_id = a.q_id AND t.cand_id = a.cand_id""")
+      .mkString(" UNION ALL ")
+    s"WITH $ctes SELECT * FROM ($rows) ORDER BY dim"
+  }
+
   /** The IVF cell structures shared by [[annIvf]] and [[annIvfPq]]:
     * (cellOf, probes) — every vector's nearest cell (with v/nrm riding
     * along for the exact re-rank) and each query's 2 probed cells. */
@@ -1808,12 +1884,60 @@ object VectorQueries extends QueryModule {
   private def pqCore(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) =
     pqCore(spark, sfDir, None)
 
+  // The PQ chain (quantized table + codebook + corpus-sized code
+  // assignment) is shared by e_ann_pq / e_ann_ivfpq* / e_pq_distortion /
+  // e_pq_rotate_eval's raw leg: memoize it per (session, sfDir, perm) —
+  // the Namespace.inodes posture — so a session that runs several PQ
+  // consumers trains + assigns once instead of once per consumer
+  // (VERDICT r10 watch item: the rotate eval re-ran the raw chain
+  // e_ann_pq had already built). Unlike the inodes memo (a .cache()
+  // whose lineage survives eviction), the chain is localCheckpoint'd —
+  // lineage TRUNCATED — so a memo hit must prove the checkpoint blocks
+  // still exist: each entry remembers the RDD ids its build persisted
+  // and is rebuilt if any left getPersistentRDDs (Bench's per-query
+  // block cleanup does exactly that — there every query rebuilds, the
+  // pre-memo status quo, keeping per-query timing attribution honest;
+  // Verify and long-lived sessions get the sharing). LRU-bounded with
+  // unpersist-on-evict so cycling sfDirs can't pile up corpora.
+  private val pqMemoMax = 4
+  private type PqChain = (DataFrame, DataFrame, DataFrame)
+  private val pqMemo =
+    new java.util.LinkedHashMap[(String, String, String),
+        (Set[Int], PqChain)](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String),
+            (Set[Int], PqChain)]): Boolean =
+        size > pqMemoMax && {
+          val (v, c1, codes) = e.getValue._2
+          try { v.unpersist(false); c1.unpersist(false); codes.unpersist(false) }
+          catch { case _: Throwable => () }
+          true
+        }
+    }
+
   /** [[pqCore]] with an optional dimension PERMUTATION applied before
     * the subspace split (perm(pos0) = new position): the OPQ-flavored
     * regrouping [[pqRotateEval]] prices. None = the raw contiguous
     * split every existing PQ query uses. */
   private def pqCore(spark: SparkSession, sfDir: String,
-                     perm: Option[Array[Long]]): (DataFrame, DataFrame, DataFrame) = {
+                     perm: Option[Array[Long]]): PqChain = pqMemo.synchronized {
+    val sc = spark.sparkContext
+    val key = (org.apache.spark.sql.graftshim.sessionKey(spark), sfDir,
+      perm.map(_.mkString(",")).getOrElse(""))
+    val hit = pqMemo.get(key)
+    if (hit != null && hit._1.subsetOf(sc.getPersistentRDDs.keySet)) hit._2
+    else {
+      if (hit != null) pqMemo.remove(key)
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val built = pqBuild(spark, sfDir, perm)
+      val ids = sc.getPersistentRDDs.keySet.toSet -- before
+      pqMemo.put(key, (ids, built))
+      built
+    }
+  }
+
+  private def pqBuild(spark: SparkSession, sfDir: String,
+                      perm: Option[Array[Long]]): (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(spark, sfDir)
     val pos = perm match {
       case None => col("pos0").cast("long")
@@ -1841,8 +1965,9 @@ object VectorQueries extends QueryModule {
       .groupBy(col("sub"), col("k"), col("spos"))
       .agg(floor(sum(col("q")) * 1.0 / count(lit(1))).cast("long").as("c"))
       .localCheckpoint() // codebook: reused by codes, LUT (and tiny)
-    // code assignment is the one inherently corpus-sized pass
-    val codes = assign(v, c1)
+    // code assignment is the one inherently corpus-sized pass —
+    // checkpointed so the memo's consumers never re-run it
+    val codes = assign(v, c1).localCheckpoint()
     (v, c1, codes)
   }
 
@@ -4663,6 +4788,7 @@ object VectorQueries extends QueryModule {
     "e_ann_filtered"    -> (annFiltered _),
     "e_hard_negatives"  -> (hardNegatives _),
     "e_ann_recall"      -> (annRecall _),
+    "e_matryoshka_eval" -> (matryoshkaEval _),
     "e_knn_graph"       -> (knnGraph _),
     "e_knn_recall"      -> (knnRecall _),
     "e_knn_mutual"      -> (knnMutual _),
@@ -4738,6 +4864,7 @@ object VectorQueries extends QueryModule {
     "e_ann_filtered"    -> annFilteredSql,
     "e_hard_negatives"  -> hardNegativesSql,
     "e_ann_recall"      -> annRecallSql,
+    "e_matryoshka_eval" -> matryoshkaEvalSql,
     "e_knn_graph"       -> knnGraphSql,
     "e_knn_recall"      -> knnRecallSql,
     "e_knn_mutual"      -> knnMutualSql,

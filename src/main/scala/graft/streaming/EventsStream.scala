@@ -192,6 +192,22 @@ object EventsStream {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** Streaming incremental report maintenance — the edit-log-tailing shape
+    * of the §2.2 incremental family: a STREAM of
+    * [[graft.operators.Reports.namespaceDiff]] rows (what a namenode
+    * edit-log tailer or per-image diff job emits) maintains the running
+    * per-owner (d_files, d_size) delta with the IDENTICAL batch plan —
+    * [[graft.operators.Reports.summaryDelta]] is pure
+    * filter/union/groupBy-sum, so Spark runs it as a streaming
+    * aggregation whose state is keyed by the bounded owner domain
+    * (update/complete mode; no watermark — deltas only ever accumulate,
+    * nothing retracts). Serve time folds the maintained delta into the
+    * stored before-summary with
+    * [[graft.operators.Reports.applySummaryDelta]] — O(|owners|) per
+    * refresh, the after image never re-aggregated. */
+  def maintainedSummaryDelta(diffStream: DataFrame): DataFrame =
+    graft.operators.Reports.summaryDelta(diffStream)
+
   /** Stream-vs-corpus Bloom gate — incremental-ingest dedup: flag arriving
     * rows whose fingerprint is (probably) already in a static corpus. The
     * corpus travels as [[graft.operators.Dedup.bloomMask]]'s single-row

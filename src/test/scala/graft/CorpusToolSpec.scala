@@ -14,7 +14,8 @@ class CorpusToolSpec extends SparkSpecBase {
       "bpeloop", "spanislands", "spanhist", "knngraph", "knnrecall",
       "knndedup", "knnsearch", "knnsearcheval", "ivfrebalance",
       "ivfrebalanceeval", "bpeapply", "pcatopk", "pcatopkvar",
-      "pqrotateeval", "hnswsearch", "hnswrecall", "hnswsweep", "minhashb3")
+      "pqrotateeval", "hnswsearch", "hnswrecall", "hnswsweep", "minhashb3",
+      "matryoshka")
     for (c <- cmds)
       assert(CorpusTool.run(spark, c, Sf, Map.empty).count() > 0, s"$c returned 0 rows")
   }

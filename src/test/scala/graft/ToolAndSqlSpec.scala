@@ -210,6 +210,19 @@ class ToolAndSqlSpec extends SparkSpecBase {
       assert(dist == diff)
       intercept[IllegalArgumentException](
         Tool.run(spark, "diff", a, Map.empty, Set.empty))
+
+      // incrsummary / incrhistogram: the maintained after-report must equal
+      // a direct recompute on the after image — the O(|diff|) CLI shape
+      import graft.sources.FsImageSource
+      import graft.operators.Reports
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      val afterIno = FsImageSource.inodes(spark, b)
+      val incrSum = Tool.run(spark, "incrsummary", a, Map("--against" -> b), Set.empty)
+      assert(rows(incrSum) === rows(
+        Reports.filesSummary(afterIno).orderBy("owner")))
+      val incrHist = Tool.run(spark, "incrhistogram", a, Map("--against" -> b), Set.empty)
+      assert(rows(incrHist) === rows(Reports.sizeHistogram(afterIno)))
     } finally {
       new java.io.File(a).delete(); new java.io.File(b).delete(); dir.delete()
     }

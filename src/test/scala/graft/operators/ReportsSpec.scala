@@ -104,4 +104,50 @@ class ReportsSpec extends SparkSpecBase {
     assert(got("/a/b") == ((15L, 2L)))
     assert(!got.contains("/a/b/c"))
   }
+
+  // a diff-projection-shaped namespace: path, ftype, size, owner, mtime_sec
+  private def ns(rows: (String, String, Long, String, Long)*) = {
+    val session = spark
+    import session.implicits._
+    rows.toSeq.toDF("path", "ftype", "size", "owner", "mtime_sec")
+  }
+
+  private def directSummary(df: org.apache.spark.sql.DataFrame) =
+    df.filter(col("ftype") === "F").groupBy(col("owner"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("sum_size"))
+
+  test("incremental summary maintenance ≡ full recompute: chown, drop-out, new owner, non-file noise") {
+    // before: u1 owns two files, u2 owns one, plus a dir and symlink.
+    // after: u1's /a/f1 is chowned to brand-new u3 (mtime bumped so the
+    // diff sees it), u2's only file is REMOVED (u2 must drop out of the
+    // summary entirely), /a/f2 grows by 7 bytes, a new file lands for u1,
+    // and the dir/symlink rows change mtime (diff rows that must NOT
+    // leak into a files summary).
+    val before = ns(
+      ("/a/f1", "F", 100L, "u1", 10L), ("/a/f2", "F", 50L, "u1", 10L),
+      ("/b/f3", "F", 30L, "u2", 10L),
+      ("/a", "D", 0L, "u1", 5L), ("/a/ln", "S", 0L, "u1", 5L))
+    val after = ns(
+      ("/a/f1", "F", 100L, "u3", 11L), ("/a/f2", "F", 57L, "u1", 11L),
+      ("/a/f4", "F", 9L, "u1", 12L),
+      ("/a", "D", 0L, "u1", 6L), ("/a/ln", "S", 0L, "u1", 6L))
+    val incr = Reports.applySummaryDelta(
+        directSummary(before),
+        Reports.summaryDelta(Reports.namespaceDiff(before, after)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = directSummary(after)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr === full)
+    assert(incr === Set(("u1", 2L, 66L), ("u3", 1L, 100L)))
+    assert(!incr.exists(_._1 == "u2"), "owner whose last file left must drop out")
+  }
+
+  test("summaryDelta on an empty diff is empty and applySummaryDelta is then identity") {
+    val base = ns(("/a/f1", "F", 100L, "u1", 10L))
+    val diff = Reports.namespaceDiff(base, base)
+    assert(diff.count() === 0L)
+    val kept = Reports.applySummaryDelta(directSummary(base), Reports.summaryDelta(diff))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept === Set(("u1", 1L, 100L)))
+  }
 }

@@ -32,6 +32,16 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("matryoshka curve: full-dim row is a perfect-recall anchor, widths are complete") {
+    val rows = VectorQueries.matryoshkaEval(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L, 64L))
+    val full = rows.find(_.getLong(0) == 64L).get
+    assert(full.getAs[Long]("recall_bp") == 10000L,
+      "truth compared against itself must be perfect recall")
+    assert(rows.forall(_.getAs[Long]("n_queries") == 10L))
+    assert(rows.forall(r => r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth")))
+  }
+
   test("every oracle key has a matching query") {
     val qs = graft.SparkEntry.queries.keySet
     val orphans = graft.SparkEntry.oracleSql.keySet -- qs

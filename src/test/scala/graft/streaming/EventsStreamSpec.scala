@@ -10,6 +10,12 @@ import java.sql.Timestamp
   * computation run as a batch plan. */
 case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
 
+// namespaceDiff row shape for the maintained-summary stream spec
+case class DiffRow(path: String, change: String,
+                   b_ftype: Option[String], a_ftype: Option[String],
+                   b_size: Option[Long], a_size: Option[Long],
+                   b_owner: Option[String], a_owner: Option[String])
+
 class EventsStreamSpec extends SparkSpecBase {
 
   private def mkEvents: Seq[Ev] = {
@@ -819,5 +825,49 @@ class EventsStreamSpec extends SparkSpecBase {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("maintained summary over a diff stream ≡ batch recompute, across micro-batch splits") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Reports
+
+    def ns(rows: (String, String, Long, String, Long)*) =
+      rows.toSeq.toDF("path", "ftype", "size", "owner", "mtime_sec")
+    // before → after: add for u1, remove u2's last file (drop-out), chown
+    // u1 → brand-new u3, grow a file, plus dir noise the summary ignores
+    val before = ns(
+      ("/a/f1", "F", 100L, "u1", 10L), ("/a/f2", "F", 50L, "u1", 10L),
+      ("/b/f3", "F", 30L, "u2", 10L), ("/a", "D", 0L, "u1", 5L))
+    val after = ns(
+      ("/a/f1", "F", 100L, "u3", 11L), ("/a/f2", "F", 57L, "u1", 11L),
+      ("/a/f4", "F", 9L, "u1", 12L), ("/a", "D", 0L, "u1", 6L))
+    val diffRows = Reports.namespaceDiff(before, after).collect().map(r => DiffRow(
+      r.getString(0), r.getString(1),
+      Option(r.getString(2)), Option(r.getString(3)),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)),
+      if (r.isNullAt(5)) None else Some(r.getLong(5)),
+      Option(r.getString(6)), Option(r.getString(7))))
+    assert(diffRows.length >= 4)
+
+    val input = MemoryStream[DiffRow]
+    val query = EventsStream.maintainedSummaryDelta(input.toDF())
+      .writeStream.format("memory").queryName("maint_delta")
+      .outputMode("complete").start()
+    try {
+      // the split exercises cross-batch state: the chown's debit and the
+      // drop-out land in batch 1, the credits in batch 2
+      val (b1, b2) = diffRows.sortBy(_.path).splitAt(2)
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val folded = Reports.applySummaryDelta(
+          Reports.filesSummary(before), spark.table("maint_delta"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val direct = Reports.filesSummary(after)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(folded === direct)
+      assert(!folded.exists(_._1 == "u2"), "dropped owner must not survive")
+    } finally query.stop()
   }
 }
