@@ -22,6 +22,7 @@ import graft.sources.ReportSink
   * knnrecall knndedup knnsearch knnsearcheval ivfrebalance
   * ivfrebalanceeval lshcurve pca pcavar bpeapply pcatopk pcatopkvar
   * pqrotateeval hnswsearch hnswrecall hnswsweep minhashb3 matryoshka
+  * unigramseg unigramem
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -82,7 +83,9 @@ object CorpusTool {
     "hnswrecall"  -> "e_hnsw_recall",
     "hnswsweep"   -> "e_hnsw_sweep",
     "minhashb3"   -> "d_dedup_minhash_b3",
-    "matryoshka"  -> "e_matryoshka_eval")
+    "matryoshka"  -> "e_matryoshka_eval",
+    "unigramseg"  -> "t_unigram_segment",
+    "unigramem"   -> "t_unigram_em")
 
   def run(spark: SparkSession, cmd: String, dir: String,
           opts: Map[String, String]): DataFrame = cmd match {

@@ -3081,7 +3081,192 @@ object TextQueries extends QueryModule {
           FROM documents)
     GROUP BY lang ORDER BY lang"""
 
+  // --------------------------------------------------- unigram-LM tokenizer
+
+  /** Word-length cap for the Viterbi DP (longer forms are dropped — the
+    * classic trainer cap; production chunks them first). */
+  private val UniMaxLen = 12
+  /** Longest candidate piece. */
+  private val UniMaxPiece = 4
+  /** Multi-char vocabulary budget (all single chars always kept, so every
+    * position stays reachable and Viterbi never dead-ends). */
+  private val UniVocabMulti = 400
+
+  /** Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+    * SentencePiece-unigram recipe, the tokenizer family's other half next
+    * to the BPE loop): seed a piece vocabulary from all ≤[[UniMaxPiece]]
+    * -char substrings of the freq-weighted word forms, price each piece
+    * with the repo's INTEGER-log2 surprisal surrogate
+    * (bitlen(total/cnt) — the [[docSurprisal]] trick, so the whole EM
+    * step is integer-exact and oracle-replayable, no float log), then run
+    * the E-step as an exact Viterbi DP over prefix lengths 1..
+    * [[UniMaxLen]]: best(j) = min over piece lengths k ≤ 4 of
+    * best(j−k) + cost(piece), ties broken (cost, n_pieces, seg) — fully
+    * deterministic. Scale posture is [[bpeTrain]]'s: everything after
+    * the one word-count shuffle runs on the \|vocab\|-bounded form
+    * table (each distinct form segmented once no matter its corpus
+    * count); the DP is [[UniMaxLen]] bounded joins against a broadcast
+    * ~430-piece vocabulary, plan depth pinned by per-round checkpoints.
+    * Returns (vocab with integer costs, best segmentation per form). */
+  private[queries] def uniTrain(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    val wf = Tables.documents(spark, sfDir)
+      .select(explode(words(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("term")).between(1, UniMaxLen))
+      .localCheckpoint()
+    val occ = wf.select(col("term"), col("freq"), explode(expr(
+      s"""flatten(transform(sequence(1, length(term)), i ->
+            transform(sequence(1, least($UniMaxPiece, length(term) - i + 1)),
+                      k -> substring(term, i, k))))""")).as("piece"))
+    val counts = occ.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val vsel = counts.filter(length(col("piece")) === 1)
+      .unionByName(counts.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(UniVocabMulti))
+    val total = vsel.agg(sum(col("cnt")).as("vtotal"))
+    val vocab = vsel.crossJoin(broadcast(total))
+      .select(col("piece"), col("cnt"),
+        (length(conv(expr("vtotal div cnt"), 10, 2)) - 1).cast("long").as("pcost"))
+      .localCheckpoint()
+    // Viterbi over prefix length j: states(j) holds every form of length
+    // ≥ j with its best (cost, n_pieces, seg) segmentation of the first
+    // j chars; single-char coverage guarantees non-emptiness.
+    val states = new Array[DataFrame](UniMaxLen + 1)
+    states(0) = wf.select(col("term"), col("freq"), lit(0L).as("cost"),
+      lit(0L).as("n_pieces"), lit("").as("seg"))
+    for (j <- 1 to UniMaxLen) {
+      val cands = (1 to math.min(UniMaxPiece, j)).map { k =>
+        states(j - k).filter(length(col("term")) >= j)
+          .select(col("term"), col("freq"),
+            substring(col("term"), j - k + 1, k).as("piece"),
+            col("cost"), col("n_pieces"), col("seg"))
+      }.reduce(_ unionByName _)
+        .join(broadcast(vocab.select(col("piece"), col("pcost"))), "piece")
+        .select(col("term"), col("freq"),
+          (col("cost") + col("pcost")).as("cost"),
+          (col("n_pieces") + 1L).as("n_pieces"),
+          when(col("seg") === "", col("piece"))
+            .otherwise(concat(col("seg"), lit("·"), col("piece"))).as("seg"))
+      states(j) = cands.groupBy(col("term"), col("freq"))
+        .agg(min(struct(col("cost"), col("n_pieces"), col("seg"))).as("m"))
+        .select(col("term"), col("freq"), col("m.cost").as("cost"),
+          col("m.n_pieces").as("n_pieces"), col("m.seg").as("seg"))
+        .localCheckpoint()
+    }
+    val best = (1 to UniMaxLen).map(j =>
+      states(j).filter(length(col("term")) === j)).reduce(_ unionByName _)
+    (vocab, best)
+  }
+
+  /** Viterbi segmentations of the 100 most frequent word forms — the
+    * E-step readout a tokenizer engineer eyeballs. */
+  def unigramSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, best) = uniTrain(spark, sfDir)
+    best.select(col("term"), col("freq"), col("n_pieces"), col("cost"), col("seg"))
+      .orderBy(col("freq").desc, col("term")).limit(100)
+  }
+
+  /** One full EM iteration's M-step: re-estimate piece counts from the
+    * freq-weighted Viterbi segmentations (pieces a segmentation never
+    * uses silently lose mass — exactly the signal Kudo's pruning step
+    * consumes), top 30 with old/new counts and new-mass share. */
+  def unigramEm(spark: SparkSession, sfDir: String): DataFrame = {
+    val (vocab, best) = uniTrain(spark, sfDir)
+    val agg = best
+      .select(col("freq"), explode(split(col("seg"), "·")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("new_cnt"))
+    val ntot = agg.agg(sum(col("new_cnt")).as("nt"))
+    agg.join(vocab.select(col("piece"), col("cnt").as("old_cnt")), "piece")
+      .crossJoin(broadcast(ntot))
+      .select(col("piece"), col("old_cnt"), col("new_cnt"),
+        expr("new_cnt * 10000 div nt").as("share_bp"))
+      .orderBy(col("new_cnt").desc, col("piece")).limit(30)
+  }
+
+  /** Shared CTE chain of [[uniTrain]] for the two oracles. */
+  private val uniCtes: String = {
+    val steps = (1 to UniMaxLen).map { j =>
+      val arms = (1 to math.min(UniMaxPiece, j)).map { k =>
+        s"""SELECT p.term, p.freq, p.cost + v.pcost AS cost,
+               p.n_pieces + 1 AS n_pieces,
+               CASE WHEN p.seg = '' THEN v.piece
+                    ELSE p.seg || chr(183) || v.piece END AS seg
+            FROM b${j - k} p
+            JOIN vocab v ON v.piece = substr(p.term, ${j - k + 1}, $k)
+            WHERE length(p.term) >= $j"""
+      }.mkString(" UNION ALL ")
+      s"""b$j AS MATERIALIZED (
+        SELECT term, freq, cost, n_pieces, seg FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY term ORDER BY cost, n_pieces, seg) AS rn
+          FROM ($arms)
+        ) WHERE rn = 1
+      )"""
+    }.mkString(",\n")
+    val bestArms = (1 to UniMaxLen)
+      .map(j => s"SELECT * FROM b$j WHERE length(term) = $j")
+      .mkString(" UNION ALL ")
+    s"""wf AS MATERIALIZED (
+      SELECT term, CAST(count(*) AS bigint) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY term
+      HAVING length(term) BETWEEN 1 AND $UniMaxLen
+    ), occ AS (
+      SELECT freq,
+             unnest(flatten(list_transform(range(1, length(term) + 1), i ->
+               list_transform(range(1, least($UniMaxPiece, length(term) - i + 1) + 1),
+                 k -> substr(term, CAST(i AS int), CAST(k AS int)))))) AS piece
+      FROM wf
+    ), counts AS (
+      SELECT piece, CAST(sum(freq) AS bigint) AS cnt FROM occ GROUP BY piece
+    ), vsel AS (
+      SELECT piece, cnt FROM counts WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM counts WHERE length(piece) > 1
+      ) WHERE rn <= $UniVocabMulti
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS bigint) AS vtotal FROM vsel
+    ), vocab AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(length(to_base(vtotal // cnt, 2)) - 1 AS bigint) AS pcost
+      FROM vsel CROSS JOIN tot
+    ), b0 AS (
+      SELECT term, freq, CAST(0 AS bigint) AS cost,
+             CAST(0 AS bigint) AS n_pieces, '' AS seg
+      FROM wf
+    ),
+    $steps,
+    best AS MATERIALIZED ($bestArms)"""
+  }
+
+  val unigramSegmentSql: String = s"""
+    WITH $uniCtes
+    SELECT term, freq, CAST(n_pieces AS bigint) AS n_pieces, cost, seg
+    FROM best
+    ORDER BY freq DESC, term
+    LIMIT 100"""
+
+  val unigramEmSql: String = s"""
+    WITH $uniCtes,
+    agg AS (
+      SELECT piece, CAST(sum(freq) AS bigint) AS new_cnt
+      FROM (SELECT freq, unnest(string_split(seg, chr(183))) AS piece FROM best)
+      GROUP BY piece
+    ), ntot AS (
+      SELECT CAST(sum(new_cnt) AS bigint) AS nt FROM agg
+    )
+    SELECT a.piece, v.cnt AS old_cnt, a.new_cnt,
+           a.new_cnt * 10000 // nt AS share_bp
+    FROM agg a JOIN vocab v USING (piece) CROSS JOIN ntot
+    ORDER BY new_cnt DESC, piece
+    LIMIT 30"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_unigram_segment" -> (unigramSegment _),
+    "t_unigram_em"    -> (unigramEm _),
     "t_ccnet_bucket"  -> (ccnetBucket _),
     "t_source_cap"    -> (sourceCap _),
     "t_fertility"     -> (fertility _),
@@ -3145,6 +3330,8 @@ object TextQueries extends QueryModule {
     "t_normalize"     -> (normalizeText _))
 
   val oracles: Map[String, String] = Map(
+    "t_unigram_segment" -> unigramSegmentSql,
+    "t_unigram_em"    -> unigramEmSql,
     "t_ccnet_bucket"  -> ccnetBucketSql,
     "t_source_cap"    -> sourceCapSql,
     "t_fertility"     -> fertilitySql,

@@ -142,6 +142,25 @@ class ReportsSpec extends SparkSpecBase {
     assert(!incr.exists(_._1 == "u2"), "owner whose last file left must drop out")
   }
 
+  test("incremental maintenance composes: successive diffs fold with no drift") {
+    // the production loop: each cycle's maintained output IS the next
+    // cycle's stored before-summary — A→B→C folded twice must equal a
+    // direct recompute on C (owner u2 leaves in B and RETURNS in C, so a
+    // drop-out row must be re-creatable from a later delta)
+    val a = ns(("/f1", "F", 100L, "u1", 1L), ("/f2", "F", 30L, "u2", 1L))
+    val b = ns(("/f1", "F", 100L, "u1", 2L), ("/f3", "F", 7L, "u1", 2L))
+    val c = ns(("/f1", "F", 100L, "u1", 2L), ("/f3", "F", 9L, "u1", 3L),
+      ("/f4", "F", 11L, "u2", 3L))
+    val sB = Reports.applySummaryDelta(directSummary(a),
+      Reports.summaryDelta(Reports.namespaceDiff(a, b)))
+    val sC = Reports.applySummaryDelta(sB,
+      Reports.summaryDelta(Reports.namespaceDiff(b, c)))
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(set(sC) === set(directSummary(c)))
+    assert(set(sC) === Set(("u1", 2L, 109L), ("u2", 1L, 11L)))
+  }
+
   test("summaryDelta on an empty diff is empty and applySummaryDelta is then identity") {
     val base = ns(("/a/f1", "F", 100L, "u1", 10L))
     val diff = Reports.namespaceDiff(base, base)
