@@ -22,7 +22,7 @@ import graft.sources.ReportSink
   * knnrecall knndedup knnsearch knnsearcheval ivfrebalance
   * ivfrebalanceeval lshcurve pca pcavar bpeapply pcatopk pcatopkvar
   * pqrotateeval hnswsearch hnswrecall hnswsweep minhashb3 matryoshka
-  * unigramseg unigramem
+  * unigramseg unigramem hnswinsert zordereval
   * options: `-j bp` jaccard cut (default 2000), `-c bp` containment cut
   * (default 8000), `-l topN` txt row cap (default 20), `-o txt|csv|json`
   * (default txt), `--out path` for csv/json.
@@ -85,7 +85,9 @@ object CorpusTool {
     "minhashb3"   -> "d_dedup_minhash_b3",
     "matryoshka"  -> "e_matryoshka_eval",
     "unigramseg"  -> "t_unigram_segment",
-    "unigramem"   -> "t_unigram_em")
+    "unigramem"   -> "t_unigram_em",
+    "hnswinsert"  -> "e_hnsw_insert",
+    "zordereval"  -> "q_zorder_prune_eval")
 
   def run(spark: SparkSession, cmd: String, dir: String,
           opts: Map[String, String]): DataFrame = cmd match {

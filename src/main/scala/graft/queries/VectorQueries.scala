@@ -1383,6 +1383,130 @@ object VectorQueries extends QueryModule {
     hnswWalk(e, qs, g0, visited, KnnSearchBeam, KnnSearchRounds, last = true)
   }
 
+  /** Incremental HNSW maintenance — the `e_ann_ivf_incr` posture for the
+    * layer graphs: a ~9% arrival batch (`vec_id % 11 = 7` — scattered,
+    * scale-proportional) is INSERTED into the existing layers instead of
+    * rebuilding them. Each new vector keeps its md5-geometric level (the
+    * [[hnswLvl]] rule is id-keyed, exactly how a real HNSW assigns levels
+    * at insert time) and, per layer ≤ its level, links to its
+    * top-[[HnswUpperK]] nearest EXISTING members by the layer-graph
+    * recipe itself: √n quantizer cells from the base layer, the new
+    * vector probes its 2 nearest cells, exact cosine inside them — so
+    * per-arrival cost is O(cells probed), never a rebuild, at any corpus
+    * size. One row per (layer, new vector): link count, best link and
+    * its cosine — the full link-selection pinned by the oracle replaying
+    * every cell cut, probe and top-k. */
+  def hnswInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embs(spark, sfDir).withColumn("lvl", hnswLvl).localCheckpoint(false)
+    val isNew = col("vec_id") % 11 === 7
+    val base = e.filter(!isNew)
+    val nw = e.filter(isNew)
+    def layerLinks(l: Int): DataFrame = {
+      val m = base.filter(col("lvl") >= l)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .localCheckpoint(false)
+      val ncells = math.max(4L, math.floor(math.sqrt(m.count().toDouble)).toLong)
+      val cents = m.orderBy(col("vec_id")).limit(ncells.toInt)
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+      val cellOf = m.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
+        .withColumn("crnk", rank().over(wA))
+        .filter(col("crnk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      val wQ = Window.partitionBy(col("src_id")).orderBy(col("ccos").desc, col("cell"))
+      val probes = nw.filter(col("lvl") >= l)
+        .select(col("vec_id").as("src_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cents))
+        .select(col("src_id"), col("qv"), col("qn"), col("cell"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("ccos"))
+        .withColumn("crnk", rank().over(wQ))
+        .filter(col("crnk") <= KnnProbe)
+        .select(col("src_id"), col("qv"), col("qn"), col("cell"))
+      val wTop = Window.partitionBy(col("src_id")).orderBy(col("cos_bp").desc, col("nbr_id"))
+      cellOf.join(probes, Seq("cell"))
+        .select(col("src_id"), col("vec_id").as("nbr_id"),
+          cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= HnswUpperK)
+        .groupBy(col("src_id"))
+        .agg(count(lit(1)).as("n_links"),
+          min(struct(col("rnk"), col("nbr_id"), col("cos_bp"))).as("b"))
+        .select(lit(l.toLong).as("layer"), col("src_id"),
+          col("b.nbr_id").as("best_nbr"), col("b.cos_bp").as("best_cos_bp"),
+          col("n_links"))
+    }
+    (0 to HnswMaxLevel).map(layerLinks).reduce(_ unionByName _)
+      .orderBy(col("layer"), col("src_id"))
+  }
+
+  val hnswInsertSql: String = {
+    val dotMC = "list_reduce(list_transform(range(1, len(m.v) + 1), i -> CAST(m.v[i] AS double) * CAST(c.cv[i] AS double)), (x, y) -> x + y)"
+    val dotQC = "list_reduce(list_transform(range(1, len(q.v) + 1), i -> CAST(q.v[i] AS double) * CAST(c.cv[i] AS double)), (x, y) -> x + y)"
+    val dotQT = "list_reduce(list_transform(range(1, len(q.qv) + 1), i -> CAST(q.qv[i] AS double) * CAST(t.v[i] AS double)), (x, y) -> x + y)"
+    def layer(l: Int): String = s"""im$l AS MATERIALIZED (
+      SELECT vec_id, v, nrm FROM ilv WHERE lvl >= $l AND vec_id % 11 <> 7
+    ), inc$l AS (
+      SELECT greatest(4, CAST(floor(sqrt(count(*))) AS bigint)) AS ncells FROM im$l
+    ), ict$l AS MATERIALIZED (
+      SELECT vec_id AS cell, v AS cv, nrm AS cn FROM (
+        SELECT *, row_number() OVER (ORDER BY vec_id) AS crank FROM im$l
+      ) CROSS JOIN inc$l WHERE crank <= ncells
+    ), icel$l AS MATERIALIZED (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT m.vec_id, m.v, m.nrm, c.cell,
+               rank() OVER (PARTITION BY m.vec_id
+                            ORDER BY $dotMC / (m.nrm * c.cn) DESC, c.cell) AS crnk
+        FROM im$l m CROSS JOIN ict$l c
+      ) WHERE crnk = 1
+    ), iprb$l AS MATERIALIZED (
+      SELECT src_id, qv, qn, cell FROM (
+        SELECT q.vec_id AS src_id, q.v AS qv, q.nrm AS qn, c.cell,
+               rank() OVER (PARTITION BY q.vec_id
+                            ORDER BY $dotQC / (q.nrm * c.cn) DESC, c.cell) AS crnk
+        FROM (SELECT * FROM ilv WHERE lvl >= $l AND vec_id % 11 = 7) q
+        CROSS JOIN ict$l c
+      ) WHERE crnk <= $KnnProbe
+    ), irk$l AS MATERIALIZED (
+      SELECT src_id, nbr_id, cos_bp, rnk FROM (
+        SELECT src_id, nbr_id, cos_bp,
+               row_number() OVER (PARTITION BY src_id
+                 ORDER BY cos_bp DESC, nbr_id) AS rnk
+        FROM (
+          SELECT q.src_id, t.vec_id AS nbr_id,
+                 CAST(floor($dotQT * 10000.0 / (q.qn * t.nrm)) AS bigint) AS cos_bp
+          FROM icel$l t JOIN iprb$l q ON t.cell = q.cell
+        )
+      ) WHERE rnk <= $HnswUpperK
+    ), ilnk$l AS (
+      SELECT CAST($l AS bigint) AS layer, a.src_id,
+             b.nbr_id AS best_nbr, b.cos_bp AS best_cos_bp, a.n_links
+      FROM (SELECT src_id, CAST(count(*) AS bigint) AS n_links
+            FROM irk$l GROUP BY src_id) a
+      JOIN (SELECT src_id, nbr_id, cos_bp FROM irk$l WHERE rnk = 1) b
+        USING (src_id)
+    )"""
+    s"""WITH ie AS MATERIALIZED (
+      SELECT vec_id, embedding AS v,
+             sqrt(${dotSqlOf("embedding", "embedding")}) AS nrm
+      FROM embeddings
+    ), ilv AS MATERIALIZED (
+      SELECT vec_id, v, nrm,
+             CASE WHEN vec_id = 0 THEN $HnswMaxLevel
+                  WHEN hb % ${HnswBase * HnswBase} = 0 THEN 2
+                  WHEN hb % $HnswBase = 0 THEN 1
+                  ELSE 0 END AS lvl
+      FROM (SELECT vec_id, v, nrm,
+                   CAST('0x' || substr(md5('hnsw_' || CAST(vec_id AS varchar)), 1, 15) AS BIGINT) AS hb
+            FROM ie)
+    ), ${layer(0)}, ${layer(1)}, ${layer(2)}
+    SELECT layer, src_id, best_nbr, best_cos_bp, n_links
+    FROM (SELECT * FROM ilnk0 UNION ALL SELECT * FROM ilnk1
+          UNION ALL SELECT * FROM ilnk2)
+    ORDER BY layer, src_id"""
+  }
+
   def hnswSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
     hnswVisited(spark, sfDir)
@@ -4762,6 +4886,7 @@ object VectorQueries extends QueryModule {
     "e_hnsw_search" -> (hnswSearch _),
     "e_hnsw_recall" -> (hnswRecall _),
     "e_hnsw_sweep"  -> (hnswSweep _),
+    "e_hnsw_insert" -> (hnswInsert _),
     "e_pca_var" -> (pcaVar _),
     "d_semdedup_eval09_sampled" -> (semDedupEval09Sampled _),
     "e_ann_ivf_incr"    -> (annIvfIncr _),
@@ -4834,6 +4959,7 @@ object VectorQueries extends QueryModule {
     "e_hnsw_search" -> hnswSearchSql,
     "e_hnsw_recall" -> hnswRecallSql,
     "e_hnsw_sweep"  -> hnswSweepSql,
+    "e_hnsw_insert" -> hnswInsertSql,
     "e_pca_var" -> pcaVarSql,
     "d_semdedup_eval09_sampled" -> semDedupEval09SampledSql,
     "e_ann_ivf_incr"    -> annIvfIncrSql,

@@ -15,7 +15,7 @@ class CorpusToolSpec extends SparkSpecBase {
       "knndedup", "knnsearch", "knnsearcheval", "ivfrebalance",
       "ivfrebalanceeval", "bpeapply", "pcatopk", "pcatopkvar",
       "pqrotateeval", "hnswsearch", "hnswrecall", "hnswsweep", "minhashb3",
-      "matryoshka", "unigramseg", "unigramem")
+      "matryoshka", "unigramseg", "unigramem", "hnswinsert", "zordereval")
     for (c <- cmds)
       assert(CorpusTool.run(spark, c, Sf, Map.empty).count() > 0, s"$c returned 0 rows")
   }
