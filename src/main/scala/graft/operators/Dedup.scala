@@ -35,8 +35,9 @@ object Dedup {
     *               pointless global sort of the pair table */
   def ngramJaccardPairs(documents: DataFrame, minJaccardBp: Long,
                         maxShingleDf: Long = DefaultMaxShingleDf,
-                        sorted: Boolean = true): DataFrame = {
-    val scored = ngramPairStats(documents, maxShingleDf)
+                        sorted: Boolean = true,
+                        memoTag: Option[String] = None): DataFrame = {
+    val scored = pairStats(documents, maxShingleDf, memoTag)
       .select(col("doc_a"), col("doc_b"),
         floor(col("n_common") * 10000.0 / (col("na") + col("nb") - col("n_common"))).cast("long").as("jaccard_bp"))
       .filter(col("jaccard_bp") >= minJaccardBp)
@@ -53,8 +54,9 @@ object Dedup {
     * all-pairs — only the score normalization differs. */
   def shingleContainmentPairs(documents: DataFrame, minContainBp: Long,
                               maxShingleDf: Long = DefaultMaxShingleDf,
-                              sorted: Boolean = true): DataFrame = {
-    val scored = ngramPairStats(documents, maxShingleDf)
+                              sorted: Boolean = true,
+                              memoTag: Option[String] = None): DataFrame = {
+    val scored = pairStats(documents, maxShingleDf, memoTag)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         floor(col("n_common") * 10000.0 / least(col("na"), col("nb"))).cast("long").as("contain_bp"))
       .filter(col("contain_bp") >= minContainBp)
@@ -77,6 +79,30 @@ object Dedup {
     * shingle does land in a single window partition, but that cost is a
     * linear, spillable sort whose rows the filter then drops — the cap
     * still prevents the quadratic JOIN blowup, which is the real hazard. */
+  /** [[ngramPairStats]] behind an optional [[graft.operators.ChainMemo]]
+    * entry — r12: the stats table is the shared core of the whole
+    * shingle-overlap family (jaccard pairs at four thresholds, the
+    * containment pairs, the cluster/keep chain's edges, the sketch
+    * evals' exact-Jaccard truth), and each consumer used to re-run the
+    * corpus-sized shingle explode + df window + self-join. A caller
+    * whose `documents` IS the canonical corpus passes a tag identifying
+    * it (sfDir, plus any gate suffix); non-canonical inputs (synthetic
+    * soak corpora, spec fixtures) pass None and keep the untouched
+    * per-call build — the memo can never serve the wrong corpus because
+    * the TAG, not the DataFrame, is the key, and only canonical call
+    * sites supply one. */
+  private val pairStatsMemo = new ChainMemo[DataFrame]()
+  def pairStats(documents: DataFrame, maxShingleDf: Long = DefaultMaxShingleDf,
+                memoTag: Option[String] = None): DataFrame = memoTag match {
+    case Some(tag) =>
+      pairStatsMemo.getOrBuild(documents.sparkSession, s"$tag|$maxShingleDf") {
+        // checkpoint the finished (doc_a, doc_b, n_common, na, nb) table:
+        // consumers re-cut it by threshold, never re-join shingles
+        ngramPairStats(documents, maxShingleDf).localCheckpoint(false)
+      }
+    case None => ngramPairStats(documents, maxShingleDf)
+  }
+
   private def ngramPairStats(documents: DataFrame, maxShingleDf: Long): DataFrame = {
     val docs = documents
       .select(col("doc_id"), graft.functions.word_shingle_keys(col("text")).as("shs"))

@@ -361,8 +361,14 @@ object Reports {
       .withColumn("change",
         when(col("b_ftype").isNull, "added")
           .when(col("a_ftype").isNull, "removed")
+          // ftype included (ADVICE r11, medium): a same-path type flip
+          // (file removed, dir/symlink created — identical size/owner/
+          // mtime) is a real change; classifying it 'unchanged' silently
+          // dropped the file debit from summaryDelta/histogramDelta and
+          // broke the maintained reports' exact-equivalence contract
           .when(col("b_size") =!= col("a_size") || col("b_owner") =!= col("a_owner") ||
-                col("b_mtime") =!= col("a_mtime"), "modified")
+                col("b_mtime") =!= col("a_mtime") ||
+                col("b_ftype") =!= col("a_ftype"), "modified")
           .otherwise("unchanged"))
       .filter(col("change") =!= "unchanged")
       .select(col("path"), col("change"), col("b_ftype"), col("a_ftype"),

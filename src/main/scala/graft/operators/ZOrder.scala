@@ -42,7 +42,20 @@ object ZOrder {
     * result with `.write.parquet(...)` (file i = partition i). */
   def layout(df: DataFrame, xCol: String, yCol: String,
              nFiles: Int, bits: Int = 21): DataFrame = {
-    val z = zValue(col(xCol), col(yCol), bits).as("z")
+    // Range guard (ADVICE r11): zValue silently folds away high bits and
+    // mangles negatives, so a caller passing keys outside [0, 2^bits)
+    // would get a non-selective layout with no error. Mirror the
+    // Triangles packed-key posture with a codegen'd runtime check — the
+    // write path refuses out-of-range keys loudly instead of writing a
+    // silently useless layout.
+    val bound = lit(1L << bits)
+    def inRange(c: Column): Column =
+      c.cast("long") >= 0L && c.cast("long") < bound
+    val z = when(inRange(col(xCol)) && inRange(col(yCol)),
+        zValue(col(xCol), col(yCol), bits))
+      .otherwise(raise_error(concat(
+        lit(s"ZOrder.layout: key outside [0, 2^$bits): $xCol="),
+        col(xCol).cast("string"), lit(s", $yCol="), col(yCol).cast("string"))))
     df.withColumn("z", z)
       .repartitionByRange(nFiles, col("z"))
       .sortWithinPartitions(col("z"))

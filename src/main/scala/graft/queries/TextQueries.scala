@@ -807,7 +807,8 @@ object TextQueries extends QueryModule {
     * in basis points. The oracle applies the identical cap. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Dedup.ngramJaccardPairs(
-      Tables.documents(spark, sfDir), minJaccardBp = 100)
+      Tables.documents(spark, sfDir), minJaccardBp = 100,
+      memoTag = Some(sfDir))
 
   /** Shingle-containment near-dup pairs (r6) — [[graft.operators.Dedup
     * .shingleContainmentPairs]]: the asymmetric overlap C = |A∩B| /
@@ -818,7 +819,8 @@ object TextQueries extends QueryModule {
     * appear in the other". */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Dedup.shingleContainmentPairs(
-      Tables.documents(spark, sfDir), minContainBp = 8000)
+      Tables.documents(spark, sfDir), minContainBp = 8000,
+      memoTag = Some(sfDir))
 
   val dedupContainmentSql: String = s"""
     WITH sh0 AS (
@@ -876,13 +878,27 @@ object TextQueries extends QueryModule {
     * dedup decision (keep canonical, drop the rest) — the shape a corpus
     * cleaning pipeline materializes at 100 TB. Singletons keep their own
     * id as cluster_id. */
+  /** The (doc_id, cluster_id) label table of the Jaccard≥0.2 clustering,
+    * memoized per (session, sfDir) — r12: `d_dedup_clusters`,
+    * `d_dedup_keep` and `d_cluster_sizes` each re-ran the identical pair
+    * generation + connected-components chain; the ChainMemo ([[
+    * graft.operators.ChainMemo]]) builds the labels once per session
+    * (Bench's per-query cleanup still re-attributes per query). */
+  private val ccLabelsMemo = new graft.operators.ChainMemo[DataFrame]()
+  private def jaccardClusterLabels(spark: SparkSession, sfDir: String): DataFrame =
+    ccLabelsMemo.getOrBuild(spark, sfDir) {
+      val docs = Tables.documents(spark, sfDir)
+      val pairs = graft.operators.Dedup
+        .ngramJaccardPairs(docs, minJaccardBp = 2000, sorted = false,
+          memoTag = Some(sfDir))
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.Dedup
+        .connectedComponents(pairs, docs.select(col("doc_id")))
+        .localCheckpoint(false) // |docs| rows; feeds three declared rows
+    }
+
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val pairs = graft.operators.Dedup
-      .ngramJaccardPairs(docs, minJaccardBp = 2000, sorted = false)
-      .select(col("doc_a"), col("doc_b"))
-    val labels = graft.operators.Dedup
-      .connectedComponents(pairs, docs.select(col("doc_id")))
+    val labels = jaccardClusterLabels(spark, sfDir)
     val byCluster = Window.partitionBy(col("cluster_id"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
@@ -936,11 +952,7 @@ object TextQueries extends QueryModule {
     * smallest-id) document of each near-dup cluster. One row per survivor. */
   def dedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val pairs = graft.operators.Dedup
-      .ngramJaccardPairs(docs, minJaccardBp = 2000, sorted = false)
-      .select(col("doc_a"), col("doc_b"))
-    val labels = graft.operators.Dedup
-      .connectedComponents(pairs, docs.select(col("doc_id")))
+    val labels = jaccardClusterLabels(spark, sfDir)
     graft.operators.Dedup
       .keepBest(labels, docs.select(col("doc_id"), col("n_chars").as("score")))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
@@ -2693,7 +2705,20 @@ object TextQueries extends QueryModule {
     * input — the standard plagiarism/CC-pipeline posture. Windows
     * partition by doc_id (per-doc sequences, bounded by doc length);
     * everything is md5/integer arithmetic, oracle-exact. */
-  def winnow(spark: SparkSession, sfDir: String): DataFrame = {
+  def winnow(spark: SparkSession, sfDir: String): DataFrame =
+    winnowPairs(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[winnow]]'s unsorted pair table — r12: memoized (ChainMemo, pqCore
+    * posture) because three declared rows re-derived the fingerprint
+    * index + pair join (`d_winnow`, `d_winnow_eval`,
+    * `d_winnow_eval_sampled`). */
+  private val winnowMemo = new graft.operators.ChainMemo[DataFrame]()
+  private[queries] def winnowPairs(spark: SparkSession, sfDir: String): DataFrame =
+    winnowMemo.getOrBuild(spark, sfDir) {
+      winnowBuild(spark, sfDir).localCheckpoint(false)
+    }
+
+  private[graft] def winnowBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val fps = Tables.documents(spark, sfDir)
       .select(col("doc_id"), graft.functions.word_shingle_seq(col("text")).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("m"),
@@ -2718,7 +2743,6 @@ object TextQueries extends QueryModule {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         floor(col("n_shared") * 10000.0 / least(col("nfa"), col("nfb")))
           .cast("long").as("overlap_bp"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val winnowSql: String = s"""
@@ -2836,7 +2860,15 @@ object TextQueries extends QueryModule {
     * `(term, freq, enc)` after [[BpeLoopMerges]] merges, the per-round
     * report frames). [[bpeLoop]] publishes the trajectory; [[bpeApply]]
     * takes the final vocab to the whole corpus. */
+  // r12: t_bpe_loop and t_bpe_apply each re-ran the full merge loop —
+  // ChainMemo (pqCore posture) shares one training run per session
+  private val bpeMemo =
+    new graft.operators.ChainMemo[(DataFrame, Seq[DataFrame])]()
   private[queries] def bpeTrain(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[DataFrame]) =
+    bpeMemo.getOrBuild(spark, sfDir)(bpeTrainBuild(spark, sfDir))
+
+  private def bpeTrainBuild(spark: SparkSession, sfDir: String)
       : (DataFrame, Seq[DataFrame]) = {
     val encOf = regexp_replace(col("term"), "(.)", "\u0001$1\u0002")
     var vocab = Tables.documents(spark, sfDir)
@@ -3108,7 +3140,18 @@ object TextQueries extends QueryModule {
     * count); the DP is [[UniMaxLen]] bounded joins against a broadcast
     * ~430-piece vocabulary, plan depth pinned by per-round checkpoints.
     * Returns (vocab with integer costs, best segmentation per form). */
+  private val uniMemo =
+    new graft.operators.ChainMemo[(DataFrame, DataFrame)]()
+
+  /** [[uniTrainBuild]] memoized per (session, sfDir) — r12, VERDICT r11
+    * flag 2: `t_unigram_segment` and `t_unigram_em` each re-ran the full
+    * trainer (8.7 s combined at sf0.1); the [[graft.operators.ChainMemo]]
+    * (pqCore posture) shares one build per session. */
   private[queries] def uniTrain(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) =
+    uniMemo.getOrBuild(spark, sfDir)(uniTrainBuild(spark, sfDir))
+
+  private def uniTrainBuild(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
     val wf = Tables.documents(spark, sfDir)
       .select(explode(words(lower(col("text")))).as("term"))
@@ -3128,33 +3171,79 @@ object TextQueries extends QueryModule {
       .select(col("piece"), col("cnt"),
         (length(conv(expr("vtotal div cnt"), 10, 2)) - 1).cast("long").as("pcost"))
       .localCheckpoint()
-    // Viterbi over prefix length j: states(j) holds every form of length
-    // ≥ j with its best (cost, n_pieces, seg) segmentation of the first
-    // j chars; single-char coverage guarantees non-emptiness.
-    val states = new Array[DataFrame](UniMaxLen + 1)
-    states(0) = wf.select(col("term"), col("freq"), lit(0L).as("cost"),
-      lit(0L).as("n_pieces"), lit("").as("seg"))
-    for (j <- 1 to UniMaxLen) {
-      val cands = (1 to math.min(UniMaxPiece, j)).map { k =>
-        states(j - k).filter(length(col("term")) >= j)
-          .select(col("term"), col("freq"),
-            substring(col("term"), j - k + 1, k).as("piece"),
-            col("cost"), col("n_pieces"), col("seg"))
-      }.reduce(_ unionByName _)
-        .join(broadcast(vocab.select(col("piece"), col("pcost"))), "piece")
-        .select(col("term"), col("freq"),
-          (col("cost") + col("pcost")).as("cost"),
-          (col("n_pieces") + 1L).as("n_pieces"),
-          when(col("seg") === "", col("piece"))
-            .otherwise(concat(col("seg"), lit("·"), col("piece"))).as("seg"))
-      states(j) = cands.groupBy(col("term"), col("freq"))
-        .agg(min(struct(col("cost"), col("n_pieces"), col("seg"))).as("m"))
-        .select(col("term"), col("freq"), col("m.cost").as("cost"),
-          col("m.n_pieces").as("n_pieces"), col("m.seg").as("seg"))
-        .localCheckpoint()
+    // Viterbi E-step — r12 rewrite (guide §1.2 "fix the distributed
+    // algorithm first"): the DP over prefix lengths used to run as 12
+    // rounds of (≤4-way union → broadcast join → groupBy-min →
+    // localCheckpoint) = ~24 shuffles + 12 materializations of the form
+    // table per training run. But the DP is PER-FORM: segmenting one
+    // term needs only that term and the ~430-piece vocabulary. So the
+    // vocabulary (bounded by construction: all corpus chars +
+    // [[UniVocabMulti]] pieces) is collected and broadcast — the
+    // SentencePiece posture, and the same broadcast-small-side shape as
+    // guide §3.2 — and the whole DP runs map-side in ONE pass over the
+    // distinct-form table: zero E-step shuffles at any corpus size.
+    // Semantics are bit-identical to the join DP (same integer costs,
+    // same (cost, n_pieces, seg) tie-break with seg compared as UTF-8
+    // bytes — Spark's min(struct) string order; same code-point
+    // substring indexing) and the unchanged DuckDB oracle replays the
+    // materialized join chain against it.
+    val vp: Map[String, Long] = vocab.select(col("piece"), col("pcost"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bcv = spark.sparkContext.broadcast(vp)
+    val segment = udf { (term: String) =>
+      val v = bcv.value
+      val cps = term.codePoints().toArray // Spark substring/length = code points
+      val n = cps.length
+      val cost = new Array[Long](n + 1)
+      val np = new Array[Long](n + 1)
+      val seg = new Array[String](n + 1)
+      val segB = new Array[Array[Byte]](n + 1)
+      seg(0) = ""; segB(0) = Array.emptyByteArray
+      def ltBytes(a: Array[Byte], b: Array[Byte]): Boolean = {
+        val m = math.min(a.length, b.length); var i = 0
+        while (i < m) {
+          val x = a(i) & 0xff; val y = b(i) & 0xff
+          if (x != y) return x < y
+          i += 1
+        }
+        a.length < b.length
+      }
+      var j = 1
+      while (j <= n) {
+        var bc = Long.MaxValue; var bn = Long.MaxValue
+        var bs: String = null; var bb: Array[Byte] = null
+        var k = 1
+        val kmax = math.min(UniMaxPiece, j)
+        while (k <= kmax) {
+          val piece = new String(cps, j - k, k)
+          val pc = v.get(piece)
+          if (pc.isDefined) {
+            val c = cost(j - k) + pc.get
+            val p = np(j - k) + 1
+            val s = if (seg(j - k).isEmpty) piece else seg(j - k) + "·" + piece
+            if (bs == null || c < bc || (c == bc && (p < bn || (p == bn && {
+              val sb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              ltBytes(sb, bb)
+            })))) {
+              bc = c; bn = p; bs = s
+              bb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            }
+          }
+          k += 1
+        }
+        // unreachable: every single char of every form is in the vocab
+        if (bs == null)
+          throw new IllegalStateException(s"unigram DP dead-end in '$term'")
+        cost(j) = bc; np(j) = bn; seg(j) = bs; segB(j) = bb
+        j += 1
+      }
+      (cost(n), np(n), seg(n))
     }
-    val best = (1 to UniMaxLen).map(j =>
-      states(j).filter(length(col("term")) === j)).reduce(_ unionByName _)
+    val best = wf
+      .withColumn("m", segment(col("term")))
+      .select(col("term"), col("freq"), col("m._1").as("cost"),
+        col("m._2").as("n_pieces"), col("m._3").as("seg"))
+      .localCheckpoint(false) // both consumers read the finished E-step
     (vocab, best)
   }
 

@@ -128,8 +128,7 @@ object VectorQueries extends QueryModule {
     * ≥ the threshold; else kept. Output: every vector with its cluster
     * and keep flag — the materializable dedup decision. */
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val fit = graft.operators.KMeans
-      .fit(Tables.embeddings(spark, sfDir), KmeansK, KmeansIters)
+    val fit = kmeansFit(spark, sfDir) // memoized (shared with e_kmeans etc.)
     // one fit + embedding join, materialized once, reused by both pair sides
     val e = embs(spark, sfDir)
       .join(fit.select(col("vec_id"), col("cluster")), "vec_id")
@@ -177,10 +176,8 @@ object VectorQueries extends QueryModule {
     * at eval scale only (the truth side carries the quadratic guard). */
   def semDedupEval(spark: SparkSession, sfDir: String): DataFrame = {
     val truth = dedupEmbedding(spark, sfDir).select(col("id_a"), col("id_b"))
-    val fit = graft.operators.KMeans
-      .fit(Tables.embeddings(spark, sfDir), KmeansK, KmeansIters)
+    val fit = kmeansFit(spark, sfDir) // memoized: one fit, both pair ends
       .select(col("vec_id"), col("cluster"))
-      .localCheckpoint() // one fit, probed by both pair ends
     truth
       .join(fit.select(col("vec_id").as("id_a"), col("cluster").as("ka")), "id_a")
       .join(fit.select(col("vec_id").as("id_b"), col("cluster").as("kb")), "id_b")
@@ -272,6 +269,20 @@ object VectorQueries extends QueryModule {
   def semDedupEval09Sampled(spark: SparkSession, sfDir: String): DataFrame =
     semDedupEval09At(spark, sfDir, sampleBp = EvalSampleBp)
 
+  /** The full-corpus multi-probe k-means assignment shared by the ≥0.9
+    * eval pair (`d_semdedup_eval09`, `_sampled` — the fit is never
+    * sampled) and `e_decontaminate`, memoized per (session, sfDir) —
+    * r12: three declared rows each re-ran the identical Lloyd fit. */
+  private val semFitMemo = new graft.operators.ChainMemo[DataFrame]()
+  private def semDedup09Fit(spark: SparkSession, sfDir: String): DataFrame =
+    semFitMemo.getOrBuild(spark, sfDir) {
+      graft.operators.KMeans
+        .fitTop(augmentedEmbeddings(spark, sfDir),
+          SemDedup09K, KmeansIters, SemDedup09Probes)
+        .select(col("vec_id"), col("cluster"), col("rnk"))
+        .localCheckpoint()
+    }
+
   private def semDedupEval09At(spark: SparkSession, sfDir: String,
                                sampleBp: Int): DataFrame = {
     val aug = augmentedEmbeddings(spark, sfDir)
@@ -291,10 +302,8 @@ object VectorQueries extends QueryModule {
         cosBp(col("va"), col("vb"), col("na"), col("nb")).as("cos_bp"))
       .filter(col("cos_bp") >= SemDedup09CosBp)
       .localCheckpoint()
-    val fit = graft.operators.KMeans
-      .fitTop(aug, SemDedup09K, KmeansIters, SemDedup09Probes)
-      .select(col("vec_id"), col("cluster"), col("rnk"))
-      .localCheckpoint() // one fit, probed by both pair ends at both depths
+    val fit = semDedup09Fit(spark, sfDir) // one fit, probed by both pair
+                                          // ends at both depths
     def captured(probes: Int): DataFrame = {
       val fa = fit.filter(col("rnk") <= probes)
         .select(col("vec_id").as("id_a"), col("cluster"))
@@ -528,8 +537,18 @@ object VectorQueries extends QueryModule {
   /** The IVF cell structures shared by [[annIvf]] and [[annIvfPq]]:
     * (cellOf, probes) — every vector's nearest cell (with v/nrm riding
     * along for the exact re-rank) and each query's 2 probed cells. */
+  private val ivfPartsMemo =
+    new graft.operators.ChainMemo[(DataFrame, DataFrame)]()
   private def ivfParts(spark: SparkSession, sfDir: String,
-                       maxProbe: Int = 2): (DataFrame, DataFrame) = {
+                       maxProbe: Int = 2): (DataFrame, DataFrame) =
+    // r12: eight IVF-family rows each re-derived the assignment window;
+    // ChainMemo (pqCore posture) checkpoints (cellOf, probes) once
+    ivfPartsMemo.getOrBuild(spark, s"$sfDir|$maxProbe") {
+      val (cellOf, probes) = ivfPartsBuild(spark, sfDir, maxProbe)
+      (cellOf.localCheckpoint(false), probes.localCheckpoint(false))
+    }
+  private def ivfPartsBuild(spark: SparkSession, sfDir: String,
+                            maxProbe: Int): (DataFrame, DataFrame) = {
     val e = embs(spark, sfDir)
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
@@ -857,12 +876,54 @@ object VectorQueries extends QueryModule {
     * cell equi-join (never all-pairs), and the per-vector top-k is the
     * bounded [[graft.operators.TopK]] aggregator — shuffle O(n·k), NOT a
     * window sort over all candidate pairs. */
-  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphCore(spark, sfDir).orderBy(col("src_id"), col("rnk"))
+
+  /** The k-NN graph's top-k edge table, memoized per (session, sfDir) —
+    * r12: the graph is an INDEX consumed by six declared rows
+    * (`e_knn_graph/_recall/_mutual/_search/_search_recall` and the
+    * `e_hnsw_*` layer-0 walks), and each used to re-run the O(n·√n·probe)
+    * build from scratch. The [[pqCore]] ChainMemo posture applies
+    * verbatim: within one session the graph is built once and every
+    * consumer reads the checkpointed O(n·k) edge table — the production
+    * "build the index once, serve it" shape — while Bench's per-query
+    * block cleanup still makes each query's run 1 rebuild it. */
+  private val knnGraphMemo = new graft.operators.ChainMemo[DataFrame]()
+
+  /** Conf+size component of the knn-family memo keys: the graph's shape
+    * depends on the conf-driven centroid mode and cell ceiling, so a
+    * session that flips those confs (KnnScaleSpec's forced cutover, an
+    * operator retune) must never be served a chain built under the old
+    * values — the conf values are part of the key, exactly like
+    * `minhashPairs`' rows-per-band. */
+  private def knnMemoTag(spark: SparkSession, sfDir: String): String = {
+    val n = Tables.embeddings(spark, sfDir).count()
+    s"$sfDir|${knnCentroidMode(spark, n)}|${knnNumCells(spark, n)}"
+  }
+
+  private def knnGraphCore(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphMemo.getOrBuild(spark, knnMemoTag(spark, sfDir)) {
+      // materialize the O(n·k) result itself: every memo consumer reads
+      // the finished edge list, not the assignment checkpoint re-aggregated
+      knnGraphBuild(spark, sfDir).localCheckpoint(false)
+    }
+
+  /** The un-memoized graph build — what actually executes on a memo
+    * miss; PlanGuardSpec asserts ITS shape (the declared query's own
+    * plan is a scan of the memoized checkpoint). */
+  private[graft] def knnGraphBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
     val n = e.count()
     val ncells = knnNumCells(spark, n)
     val cents = knnCentroids(spark, sfDir, e, n, ncells)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    // NOTE (r12, measured-not-shipped): this rank window carries the
+    // embedding array through its exchange (n·ncells wide rows). A
+    // narrow-window variant — rank over (vec_id, cell, ccos) only, then
+    // re-join e by vec_id to reattach v/nrm — cuts exchanged bytes
+    // ~20× and is the right shape at true corpus scale, but at the
+    // bench SFs the exchange is ~50 MB and the extra join costs more
+    // jobs than it saves; revisit when the corpus outgrows local mode.
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("ccos"))
@@ -887,7 +948,6 @@ object VectorQueries extends QueryModule {
     graft.operators.TopK.topK(scored, "src_id", "cos_bp", "nbr_id", KnnK)
       .select(col("src_id"), col("rnk").cast("long").as("rnk"),
         col("nbr_id"), col("cos_bp"))
-      .orderBy(col("src_id"), col("rnk"))
   }
 
   /** CTE chain: √n-cell assignment + all-vector probes (the [[knnGraph]]
@@ -971,10 +1031,9 @@ object VectorQueries extends QueryModule {
     * TopK, one self-join of the O(n·k) edge list on (a, b), CC over the
     * (tiny) mutual pair set — never an all-pairs pass. */
   def knnMutual(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = knnGraph(spark, sfDir)
+    val g = knnGraphCore(spark, sfDir) // memoized checkpoint; skip the sort
       .filter(col("cos_bp") >= MutualCosBp)
       .select(col("src_id"), col("nbr_id"))
-      .localCheckpoint(false) // both sides of the mutuality semi-join
     val pairs = g.filter(col("src_id") < col("nbr_id"))
       .select(col("src_id").as("doc_a"), col("nbr_id").as("doc_b"))
       .join(g.filter(col("src_id") > col("nbr_id"))
@@ -1075,57 +1134,30 @@ object VectorQueries extends QueryModule {
   /** The walk's full scored-visited set V_R per query — (q_id, cand_id,
     * cos_bp). [[knnSearch]] reads the top-k off it; [[knnSearchRecall]]
     * also reads |V_R| as the candidate budget. */
-  private def knnSearchVisited(spark: SparkSession, sfDir: String): DataFrame = {
+  private val knnVisitedMemo = new graft.operators.ChainMemo[DataFrame]()
+  private def knnSearchVisited(spark: SparkSession, sfDir: String): DataFrame =
+    knnVisitedMemo.getOrBuild(spark, knnMemoTag(spark, sfDir)) {
+      // checkpoint the final visited set: the memo's consumers
+      // (`e_knn_search`, `e_knn_search_recall`) each read it 2-3×
+      knnSearchVisitedBuild(spark, sfDir).localCheckpoint(false)
+    }
+  private[graft] def knnSearchVisitedBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
-    val g = knnGraph(spark, sfDir)
-      .select(col("src_id"), col("nbr_id"))
-      .localCheckpoint(false) // probed once per beam round
+    // the memoized graph core is already checkpointed — probe it directly
+    val g = knnGraphCore(spark, sfDir).select(col("src_id"), col("nbr_id"))
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    // (q_id, cand_id) → exact cosine; cands is tiny (≤ queries·beam·k) and
-    // rides broadcast into the corpus-side equi-join
-    def score(cands: DataFrame): DataFrame =
-      e.join(broadcast(cands), e("vec_id") === cands("cand_id"))
-        .join(broadcast(qs), "q_id")
-        .select(col("q_id"), col("cand_id"),
-          cosBp(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_bp"))
-    // layer 1: exact scores against the √n hub sample seed the beam
+    // layer 1: exact scores against the √n hub sample seed the beam;
+    // layer 0 is [[hnswWalk]] (r12: the walk loop was this function's
+    // inline twin — one shared best-first implementation now serves the
+    // hub-entry and multi-layer searches, with one checkpoint per round)
     val n = e.count()
     val hubIds = e.filter(col("vec_id") < knnNumCells(spark, n))
       .select(col("vec_id").as("cand_id"))
-    var visited = score(qs.select(col("q_id")).crossJoin(broadcast(hubIds)))
+    val visited0 = hnswScore(e, qs)(
+        qs.select(col("q_id")).crossJoin(broadcast(hubIds)))
       .localCheckpoint(false)
-    val wBeam = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("node"))
-    var frontier = visited.withColumnRenamed("cand_id", "node")
-      .withColumn("brnk", row_number().over(wBeam))
-      .filter(col("brnk") <= KnnSearchBeam)
-      .select(col("q_id"), col("node"))
-      .localCheckpoint(false)
-    var expanded = frontier
-    for (r <- 1 to KnnSearchRounds) {
-      val nbrs = g.join(broadcast(frontier), g("src_id") === frontier("node"))
-        .select(col("q_id"), col("nbr_id").as("cand_id")).distinct()
-      val newly = nbrs.join(visited, Seq("q_id", "cand_id"), "left_anti")
-      val grown = visited.union(score(newly))
-      if (r < KnnSearchRounds) {
-        visited = grown.localCheckpoint(false)
-        // next beam: best UNEXPANDED visited (true best-first —
-        // re-expanding a node reaches nothing new, so expanded nodes
-        // never re-enter)
-        frontier = visited.withColumnRenamed("cand_id", "node")
-          .join(expanded, Seq("q_id", "node"), "left_anti")
-          .withColumn("brnk", row_number().over(wBeam))
-          .filter(col("brnk") <= KnnSearchBeam)
-          .select(col("q_id"), col("node"))
-          .localCheckpoint(false)
-        expanded = expanded.union(frontier).localCheckpoint(false)
-      } else
-        // the LAST round's beam/expanded sets feed nothing — stop at the
-        // grown visited set, unmaterialized, so the readout plan still
-        // shows the round shape (one broadcast frontier-edge join)
-        visited = grown
-    }
-    visited
+    hnswWalk(e, qs, g, visited0, KnnSearchBeam, KnnSearchRounds, last = true)
   }
 
   /** Per-query recall of the beam walk vs brute-force truth (the
@@ -1323,32 +1355,41 @@ object VectorQueries extends QueryModule {
                        last: Boolean): DataFrame = {
     val score = hnswScore(e, qs) _
     val wBeam = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("node"))
-    var visited = visited0
-    var frontier = visited.withColumnRenamed("cand_id", "node")
-      .withColumn("brnk", row_number().over(wBeam))
-      .filter(col("brnk") <= beam)
-      .select(col("q_id"), col("node"))
-      .localCheckpoint(false)
-    var expanded = frontier
+    // r12 (guide §2.4 — remove per-round materializations): the walk used
+    // to checkpoint THREE tables per round (visited, frontier, expanded =
+    // ~3 jobs + 2 broadcast rebuilds of tiny states); the same best-first
+    // trajectory folds into ONE state table with an `expanded` flag —
+    // per-round frontier = top-`beam` unexpanded by (cos_bp DESC, node),
+    // exactly the old anti-join(visited, expanded) cut, so the visited
+    // set (and every recall/budget readout) is bit-identical. One
+    // checkpoint per round; the DuckDB unrolled replay is unchanged.
+    var state = visited0.withColumn("expanded", lit(false)).localCheckpoint(false)
+    var out: DataFrame = null
     for (r <- 1 to rounds) {
+      val frontier = state.filter(!col("expanded"))
+        .withColumnRenamed("cand_id", "node")
+        .withColumn("brnk", row_number().over(wBeam))
+        .filter(col("brnk") <= beam)
+        .select(col("q_id"), col("node"))
       val nbrs = g.join(broadcast(frontier), g("src_id") === frontier("node"))
         .select(col("q_id"), col("nbr_id").as("cand_id")).distinct()
-      val newly = nbrs.join(visited, Seq("q_id", "cand_id"), "left_anti")
-      val grown = visited.union(score(newly))
-      if (r < rounds || !last) {
-        visited = grown.localCheckpoint(false)
-        if (r < rounds) {
-          frontier = visited.withColumnRenamed("cand_id", "node")
-            .join(expanded, Seq("q_id", "node"), "left_anti")
-            .withColumn("brnk", row_number().over(wBeam))
-            .filter(col("brnk") <= beam)
-            .select(col("q_id"), col("node"))
-            .localCheckpoint(false)
-          expanded = expanded.union(frontier).localCheckpoint(false)
-        }
-      } else visited = grown
+      val newly = nbrs.join(state, Seq("q_id", "cand_id"), "left_anti")
+      val scored = score(newly)
+      if (r < rounds) {
+        val fmark = frontier
+          .select(col("q_id"), col("node").as("cand_id"), lit(true).as("inf"))
+        state = state.join(broadcast(fmark), Seq("q_id", "cand_id"), "left")
+          .select(col("q_id"), col("cand_id"), col("cos_bp"),
+            (col("expanded") || coalesce(col("inf"), lit(false))).as("expanded"))
+          .unionByName(scored.withColumn("expanded", lit(false)))
+          .localCheckpoint(false)
+      } else {
+        val grown = state.select(col("q_id"), col("cand_id"), col("cos_bp"))
+          .union(scored)
+        out = if (last) grown else grown.localCheckpoint(false)
+      }
     }
-    visited
+    out
   }
 
   /** TRUE multi-layer HNSW search (the r9 "what's missing" item 4): a
@@ -1363,14 +1404,22 @@ object VectorQueries extends QueryModule {
     * the recall this cheaper entry costs). Every stage is deterministic
     * (exact integer cos_bp, id tie-breaks), so DuckDB replays the whole
     * descent through materialized per-layer, per-round CTEs. */
-  private[queries] def hnswVisited(spark: SparkSession, sfDir: String): DataFrame = {
+  private val hnswVisitedMemo = new graft.operators.ChainMemo[DataFrame]()
+  private[queries] def hnswVisited(spark: SparkSession, sfDir: String): DataFrame =
+    hnswVisitedMemo.getOrBuild(spark, knnMemoTag(spark, sfDir)) {
+      // the multi-layer descent over the memoized [[knnGraphCore]] layer-0
+      // graph, checkpointed once for its two consumers (`e_hnsw_search`,
+      // `e_hnsw_recall` — which used to re-run the whole descent AND the
+      // knn-graph build underneath it)
+      hnswVisitedBuild(spark, sfDir).localCheckpoint(false)
+    }
+  private def hnswVisitedBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
     val lv = e.withColumn("lvl", hnswLvl).localCheckpoint(false)
     val g2 = hnswLayerGraph(lv, 2).localCheckpoint(false)
     val g1 = hnswLayerGraph(lv, 1).localCheckpoint(false)
-    val g0 = knnGraph(spark, sfDir)
-      .select(col("src_id"), col("nbr_id"))
-      .localCheckpoint(false)
+    val g0 = knnGraphCore(spark, sfDir)
+      .select(col("src_id"), col("nbr_id")) // memo core is checkpointed
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val entry = lv.filter(col("lvl") >= HnswMaxLevel)
@@ -1608,7 +1657,17 @@ object VectorQueries extends QueryModule {
     * graph = [[hnswLayerGraph]] at lvl ≥ 0 with [[KnnK]] edges — the
     * [[knnGraph]] recipe in its deterministic sampled-centroid mode (an
     * eval row stays oracle-replayable at any size). */
-  def hnswSweep(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The sweep's shared index build — nav corpus, level table, three
+    * layer graphs, brute-force truth, and the two entry seeds — memoized
+    * per (session, sfDir) (r12, ChainMemo/pqCore posture: the build is
+    * the sweep's dominant cost and is pure infrastructure; the four
+    * WALKS being priced re-run on every invocation). */
+  private final case class NavIndex(e: DataFrame, qs: DataFrame,
+      g2: DataFrame, g1: DataFrame, g0: DataFrame, truth: DataFrame,
+      entrySeed: DataFrame, hubSeed: DataFrame)
+  private val navIndexMemo = new graft.operators.ChainMemo[NavIndex]()
+  private def navSweepIndex(spark: SparkSession, sfDir: String): NavIndex =
+    navIndexMemo.getOrBuild(spark, knnMemoTag(spark, sfDir)) {
     val e = navEmbs(spark, sfDir).localCheckpoint()
     val lv = e.withColumn("lvl", hnswLvl).localCheckpoint(false)
     val g2 = hnswLayerGraph(lv, 2).localCheckpoint(false)
@@ -1640,6 +1699,12 @@ object VectorQueries extends QueryModule {
       .select(col("vec_id").as("cand_id"))
     val hubSeed = score(qs.select(col("q_id")).crossJoin(broadcast(hubIds)))
       .localCheckpoint(false)
+    NavIndex(e, qs, g2, g1, g0, truth, entrySeed, hubSeed)
+  }
+
+  def hnswSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val NavIndex(e, qs, g2, g1, g0, truth, entrySeed, hubSeed) =
+      navSweepIndex(spark, sfDir)
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos_bp").desc, col("cand_id"))
     val rows = HnswSweepConfigs.map { case (kind, upR, beam, rounds) =>
       val seed =
@@ -2023,42 +2088,21 @@ object VectorQueries extends QueryModule {
   // pre-memo status quo, keeping per-query timing attribution honest;
   // Verify and long-lived sessions get the sharing). LRU-bounded with
   // unpersist-on-evict so cycling sfDirs can't pile up corpora.
-  private val pqMemoMax = 4
   private type PqChain = (DataFrame, DataFrame, DataFrame)
-  private val pqMemo =
-    new java.util.LinkedHashMap[(String, String, String),
-        (Set[Int], PqChain)](8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String, String),
-            (Set[Int], PqChain)]): Boolean =
-        size > pqMemoMax && {
-          val (v, c1, codes) = e.getValue._2
-          try { v.unpersist(false); c1.unpersist(false); codes.unpersist(false) }
-          catch { case _: Throwable => () }
-          true
-        }
-    }
+  private val pqMemo = new graft.operators.ChainMemo[PqChain]()
 
   /** [[pqCore]] with an optional dimension PERMUTATION applied before
     * the subspace split (perm(pos0) = new position): the OPQ-flavored
     * regrouping [[pqRotateEval]] prices. None = the raw contiguous
-    * split every existing PQ query uses. */
+    * split every existing PQ query uses. r12: the bespoke memo moved to
+    * [[graft.operators.ChainMemo]] (same contract; eviction now drops
+    * the checkpoint blocks by RDD id — ADVICE r11). */
   private def pqCore(spark: SparkSession, sfDir: String,
-                     perm: Option[Array[Long]]): PqChain = pqMemo.synchronized {
-    val sc = spark.sparkContext
-    val key = (org.apache.spark.sql.graftshim.sessionKey(spark), sfDir,
-      perm.map(_.mkString(",")).getOrElse(""))
-    val hit = pqMemo.get(key)
-    if (hit != null && hit._1.subsetOf(sc.getPersistentRDDs.keySet)) hit._2
-    else {
-      if (hit != null) pqMemo.remove(key)
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val built = pqBuild(spark, sfDir, perm)
-      val ids = sc.getPersistentRDDs.keySet.toSet -- before
-      pqMemo.put(key, (ids, built))
-      built
+                     perm: Option[Array[Long]]): PqChain =
+    pqMemo.getOrBuild(spark,
+      sfDir + "|" + perm.map(_.mkString(",")).getOrElse("")) {
+      pqBuild(spark, sfDir, perm)
     }
-  }
 
   private def pqBuild(spark: SparkSession, sfDir: String,
                       perm: Option[Array[Long]]): (DataFrame, DataFrame, DataFrame) = {
@@ -2754,14 +2798,22 @@ object VectorQueries extends QueryModule {
     minhashBandIndex(Tables.documents(spark, sfDir))
       .localCheckpoint() // signature table built once, reused by both join sides
 
-  private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val exploded = minhashBands(spark, sfDir)
-    exploded.as("x").join(exploded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"))
-  }
+  // r12: the banded pair table feeds four declared rows (d_dedup_minhash,
+  // d_minhash_keep, d_minhash_recall, d_edit_verify) — ChainMemo, pqCore
+  // posture: one candidate generation per session
+  private val minhashPairsMemo = new graft.operators.ChainMemo[DataFrame]()
+  private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    // banding is conf-driven — the conf value is part of the memo key, so
+    // a mid-session retune can never be served a stale band width
+    minhashPairsMemo.getOrBuild(spark, s"$sfDir|rpb=${lshRowsPerBand(spark)}") {
+      val exploded = minhashBands(spark, sfDir)
+      exploded.as("x").join(exploded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_bands"))
+        .localCheckpoint(false)
+    }
 
   /** Incremental fuzzy dedup — "dedup the new crawl against the existing
     * corpus", the arriving-batch counterpart of [[dedupBloom]]'s exact
@@ -2964,7 +3016,14 @@ object VectorQueries extends QueryModule {
   /** The unsorted simhash pair set — [[simhashEval]] consumes this
     * directly so the eval never pays [[dedupSimhash]]'s presentation
     * sort on the candidate table. */
-  private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  // r12: the hamming-verified pair table feeds three declared rows
+  // (d_dedup_simhash, d_simhash_eval, d_simhash_eval_sampled) — ChainMemo
+  private val simhashPairsMemo = new graft.operators.ChainMemo[DataFrame]()
+  private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsMemo.getOrBuild(spark, sfDir) {
+      simhashPairsBuild(spark, sfDir).localCheckpoint(false)
+    }
+  private def simhashPairsBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
@@ -3047,9 +3106,19 @@ object VectorQueries extends QueryModule {
     * cluster id). The curation move behind IVF cells and diversity
     * bucketing. */
   def kmeans(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.KMeans
-      .fit(Tables.embeddings(spark, sfDir), KmeansK, KmeansIters)
-      .orderBy(col("vec_id"))
+    kmeansFit(spark, sfDir).orderBy(col("vec_id"))
+
+  /** The k=[[KmeansK]] Lloyd fit shared by `e_kmeans`,
+    * `e_cluster_quality` and `e_medoids` — r12: each re-ran the full fit
+    * (BENCH_NOTES r4: "a pipeline would fit once and derive all three");
+    * the ChainMemo does exactly that within a session. */
+  private val kmeansFitMemo = new graft.operators.ChainMemo[DataFrame]()
+  private def kmeansFit(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansFitMemo.getOrBuild(spark, sfDir) {
+      graft.operators.KMeans
+        .fit(Tables.embeddings(spark, sfDir), KmeansK, KmeansIters)
+        .localCheckpoint(false)
+    }
 
   /** The k-means trajectory as a reusable `WITH …` CTE chain ending at
     * `fin` (vec_id, k, dist — the final assignment), shared by the kmeans,
@@ -3155,8 +3224,8 @@ object VectorQueries extends QueryModule {
     * join is k²·dim rows — driver-trivial at any corpus size. */
   def clusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val fit = graft.operators.KMeans.fit(e, KmeansK, KmeansIters)
-      .localCheckpoint() // feeds the centroid rebuild AND the per-cluster agg
+    val fit = kmeansFit(spark, sfDir) // memoized checkpoint: feeds the
+                                      // centroid rebuild AND per-cluster agg
     val vecs = e.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos0", "x")))
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
@@ -3219,8 +3288,7 @@ object VectorQueries extends QueryModule {
     * embedding space"). A k-row bounded output; the argmin is one
     * partial-aggregable min(struct) over the fit. */
   def medoids(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.KMeans
-      .fit(Tables.embeddings(spark, sfDir), KmeansK, KmeansIters)
+    kmeansFit(spark, sfDir)
       .groupBy(col("cluster"))
       .agg(min(struct(col("dist"), col("vec_id"))).as("m"),
         count(lit(1)).as("n_vecs"))
@@ -3315,10 +3383,7 @@ object VectorQueries extends QueryModule {
           .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
           .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
       }).localCheckpoint()
-    val exact = graft.operators.Dedup
-      .ngramJaccardPairs(docs, minJaccardBp = 5000, sorted = false)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    val exact = exactTruthPairs(spark, sfDir, sampleBp)
     val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -3331,6 +3396,33 @@ object VectorQueries extends QueryModule {
           .otherwise(floor(col("n_hit") * 10000.0 / col("n_cand")).cast("long"))
           .as("precision_bp"))
   }
+
+  /** The exact-Jaccard(≥0.5) ground-truth pair set every sketch eval is
+    * scored against, memoized per (session, sfDir, sampleBp) — r12: the
+    * truth is the EXPENSIVE side of the evals by design (BENCH_NOTES r5+),
+    * and `d_minhash_recall`, `d_simhash_eval`, `d_winnow_eval` each
+    * re-derived the identical full-corpus pair set (their `_sampled`
+    * twins and `d_lsh_curve` the identical 2500 bp-gated one). One truth
+    * build per session now serves the whole eval family — the ChainMemo
+    * contract ([[pqCore]]): checkpoint-validated, never cross-session. */
+  private val truthPairsMemo = new graft.operators.ChainMemo[DataFrame]()
+  private def exactTruthPairs(spark: SparkSession, sfDir: String,
+                              sampleBp: Int): DataFrame =
+    truthPairsMemo.getOrBuild(spark, s"$sfDir|$sampleBp") {
+      val docs0 = graft.core.Tables.documents(spark, sfDir)
+      val docs =
+        if (sampleBp >= 10000) docs0
+        else docs0.filter(TextQueries.hashGateBp("evl_", col("doc_id")) < sampleBp)
+      // the full-corpus truth additionally shares the canonical
+      // pair-stats build with the d_dedup_* candidate family
+      val statsTag =
+        if (sampleBp >= 10000) sfDir else s"$sfDir|evl$sampleBp"
+      graft.operators.Dedup
+        .ngramJaccardPairs(docs, minJaccardBp = 5000, sorted = false,
+          memoTag = Some(statsTag))
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    }
 
   /** The ONE DuckDB twin of [[sketchEval]], parameterized on the
     * candidate pair SQL — minhash and simhash evals splice it so the
@@ -3366,7 +3458,7 @@ object VectorQueries extends QueryModule {
     * query makes that number a tracked, oracle-checked fact instead of
     * folklore. */
   def minhashRecall(spark: SparkSession, sfDir: String): DataFrame =
-    sketchEval(spark, sfDir, dedupMinhash(spark, sfDir))
+    sketchEval(spark, sfDir, minhashPairs(spark, sfDir))
 
   val minhashRecallSql: String = sketchEvalSql(dedupMinhashSql)
 
@@ -3395,7 +3487,7 @@ object VectorQueries extends QueryModule {
     * 100 TB corpus can actually afford — and it stays oracle-checked
     * because the oracle re-derives the identical sample. */
   def minhashRecallSampled(spark: SparkSession, sfDir: String): DataFrame =
-    sketchEval(spark, sfDir, dedupMinhash(spark, sfDir), sampleBp = EvalSampleBp)
+    sketchEval(spark, sfDir, minhashPairs(spark, sfDir), sampleBp = EvalSampleBp)
 
   val minhashRecallSampledSql: String = sketchEvalSql(dedupMinhashSql, EvalSampleBp)
 
@@ -3429,9 +3521,8 @@ object VectorQueries extends QueryModule {
     val sdocs = graft.core.Tables.documents(spark, sfDir)
       .filter(TextQueries.hashGateBp("evl_", col("doc_id")) < EvalSampleBp)
     val sigs = minhashSigs(sdocs).localCheckpoint()
-    val exact = graft.operators.Dedup
-      .ngramJaccardPairs(sdocs, minJaccardBp = 5000, sorted = false)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // identical gate + threshold as the *_sampled evals → shared memo
+    val exact = exactTruthPairs(spark, sfDir, EvalSampleBp)
     val rows = Seq(1, 2, 3, 4).map { r =>
       val bt = bandSigs(sigs, r)
       val cand = bt.as("x").join(bt.as("y"),
@@ -3503,7 +3594,7 @@ object VectorQueries extends QueryModule {
 
   /** [[winnowEval]]'s sampled-truth twin — same gate, winnowed index. */
   def winnowEvalSampled(spark: SparkSession, sfDir: String): DataFrame =
-    sketchEval(spark, sfDir, TextQueries.winnow(spark, sfDir), sampleBp = EvalSampleBp)
+    sketchEval(spark, sfDir, TextQueries.winnowPairs(spark, sfDir), sampleBp = EvalSampleBp)
 
   val winnowEvalSampledSql: String = sketchEvalSql(TextQueries.winnowSql, EvalSampleBp)
 
@@ -3522,10 +3613,8 @@ object VectorQueries extends QueryModule {
     * per-cell work is |cell∩train|·|cell∩eval|. */
   def embedDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val aug = augmentedEmbeddings(spark, sfDir)
-    val fit = graft.operators.KMeans
-      .fitTop(aug, SemDedup09K, KmeansIters, SemDedup09Probes)
+    val fit = semDedup09Fit(spark, sfDir) // one fit; both sides probe it
       .select(col("vec_id"), col("cluster"))
-      .localCheckpoint() // one fit; both sides probe it
     val e = aug.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .join(fit, "vec_id") // ≤2 rows per vector: its probed cells
@@ -3941,7 +4030,7 @@ object VectorQueries extends QueryModule {
     * the containment scoring admits in precision, over the same exact
     * ground truth as the minhash/simhash evals. */
   def winnowEval(spark: SparkSession, sfDir: String): DataFrame =
-    sketchEval(spark, sfDir, TextQueries.winnow(spark, sfDir))
+    sketchEval(spark, sfDir, TextQueries.winnowPairs(spark, sfDir))
 
   val winnowEvalSql: String = sketchEvalSql(TextQueries.winnowSql)
 
@@ -4019,7 +4108,19 @@ object VectorQueries extends QueryModule {
     * sub-centroid table, and the one per-cell sort (the median cut) is
     * keyed by cell — hot-cell members only. Output: one row per FINAL
     * cell (cell, parent_cell, was_split, n_vecs). */
-  def ivfRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+  def ivfRebalance(spark: SparkSession, sfDir: String): DataFrame =
+    ivfRebalanceCore(spark, sfDir).orderBy(col("cell"))
+
+  /** [[ivfRebalance]]'s final cell table, memoized — r12:
+    * `e_ivf_rebalance_eval` re-ran the whole split/Lloyd/median-cut chain
+    * `e_ivf_rebalance` had just built (4.5 s each at sf0.1); the
+    * ChainMemo shares one build per session. */
+  private val ivfRebalanceMemo = new graft.operators.ChainMemo[DataFrame]()
+  private def ivfRebalanceCore(spark: SparkSession, sfDir: String): DataFrame =
+    ivfRebalanceMemo.getOrBuild(spark, sfDir) {
+      ivfRebalanceBuild(spark, sfDir).localCheckpoint(false)
+    }
+  private def ivfRebalanceBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val (cellOf, _) = ivfParts(spark, sfDir)
     val cellOfC = cellOf.localCheckpoint(false) // counts + members + final
     val counts = cellOfC.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
@@ -4106,7 +4207,7 @@ object VectorQueries extends QueryModule {
     val keptCells = counts.join(hot.select(col("cell")), Seq("cell"), "left_anti")
       .select(col("cell"), col("cell").as("parent_cell"),
         lit(false).as("was_split"), col("n_vecs"))
-    keptCells.union(splitCells).orderBy(col("cell"))
+    keptCells.union(splitCells)
   }
 
   /** Shared CTE chain: cellof → counts/tot/hot → k′=2 seed split → one

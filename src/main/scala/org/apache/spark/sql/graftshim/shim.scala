@@ -16,4 +16,12 @@ package object graftshim {
     case c: classic.SparkSession => c.sessionUUID
     case other                   => System.identityHashCode(other).toString
   }
+
+  /** `explain("formatted")` as a string (r12 plan artifacts). */
+  def formattedPlan(df: Dataset[_]): String = df match {
+    case d: classic.Dataset[_] =>
+      d.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    case other => other.queryExecution.toString
+  }
 }

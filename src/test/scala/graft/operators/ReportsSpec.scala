@@ -161,6 +161,25 @@ class ReportsSpec extends SparkSpecBase {
     assert(set(sC) === Set(("u1", 2L, 109L), ("u2", 1L, 11L)))
   }
 
+  test("type flip at identical size/owner/mtime is a modified diff row and keeps the maintained summary exact (ADVICE r11)") {
+    // /a/f1 is a FILE before and a SYMLINK after, with size, owner and
+    // mtime all unchanged — the predicate that compared only those three
+    // classified the flip 'unchanged', losing the file debit and breaking
+    // the maintained summary's exact-equivalence contract.
+    val before = ns(("/a/f1", "F", 100L, "u1", 10L), ("/b/f2", "F", 7L, "u2", 10L))
+    val after  = ns(("/a/f1", "S", 100L, "u1", 10L), ("/b/f2", "F", 7L, "u2", 10L))
+    val diff = Reports.namespaceDiff(before, after)
+    val changes = diff.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(changes === Set(("/a/f1", "modified")))
+    val incr = Reports.applySummaryDelta(directSummary(before),
+        Reports.summaryDelta(diff))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = directSummary(after)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr === full)
+    assert(incr === Set(("u2", 1L, 7L)), "u1's file debit must land (flip to symlink)")
+  }
+
   test("summaryDelta on an empty diff is empty and applySummaryDelta is then identity") {
     val base = ns(("/a/f1", "F", 100L, "u1", 10L))
     val diff = Reports.namespaceDiff(base, base)

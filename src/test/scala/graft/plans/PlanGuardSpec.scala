@@ -65,8 +65,13 @@ class PlanGuardSpec extends SparkSpecBase {
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
   }
 
-  test("e_knn_graph: cell equi-join candidates (no all-pairs self-join), bounded TopK (no corpus window sort)") {
-    val p = plan("e_knn_graph")
+  // r12: the knn-graph/walk chains are memoized (ChainMemo) — the
+  // declared queries' own plans are scans of the memoized checkpoint, so
+  // the shape guards below assert the BUILD plan, i.e. what actually
+  // executes on a memo miss (every bench run's first execution).
+  test("e_knn_graph build: cell equi-join candidates (no all-pairs self-join), bounded TopK (no corpus window sort)") {
+    val p = graft.queries.VectorQueries.knnGraphBuild(spark, Sf)
+      .queryExecution.executedPlan.toString
     // candidate generation must stay the probed-cell equi-join — an
     // all-pairs vector self-join would be quadratic in the corpus
     assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[cell#".r
@@ -78,11 +83,12 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(!p.contains("row_number"), "candidate-pair window sort leaked into e_knn_graph")
   }
 
-  test("e_knn_search probes the graph by broadcast frontier equi-join each round") {
+  test("e_knn_search build probes the graph by broadcast frontier equi-join each round") {
     // every beam round must join the (tiny) frontier against the edge
     // list by BROADCAST hash on src_id — a shuffled join would re-shuffle
     // the O(n·k) graph per round, and a dropped key would nested-loop it
-    val p = plan("e_knn_search")
+    val p = graft.queries.VectorQueries.knnSearchVisitedBuild(spark, Sf)
+      .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin \\[src_id#".r.findFirstIn(p).isDefined,
       "broadcast frontier-edge join missing in e_knn_search")
     assert(!p.contains("CartesianProduct"), "cartesian in e_knn_search")
@@ -172,10 +178,12 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(gen >= 0 && agg > gen, s"pair expansion not over the vocab aggregate (gen=$gen agg=$agg)")
   }
 
-  test("d_winnow pairs join on the fingerprint key, never nested-loop") {
+  test("d_winnow build pairs join on the fingerprint key, never nested-loop") {
     // same contract as the jaccard candidate generator: the pair join
     // must stay an equi-join keyed on the winnowed fingerprint hash
-    val p = plan("d_winnow")
+    // (build plan — the declared query serves the memoized checkpoint)
+    val p = graft.queries.TextQueries.winnowBuild(spark, Sf)
+      .queryExecution.executedPlan.toString
     assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) \\[sh#".r
       .findFirstIn(p).isDefined, "fingerprint equi-join missing in d_winnow")
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in d_winnow")
