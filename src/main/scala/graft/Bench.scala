@@ -20,8 +20,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
+  /** `cold` is the kept attempt's RUN-1 time — the build-inclusive cost a
+    * single-query session pays (VERDICT r12 task 2: memoized rows must be
+    * comparable on build cost, not just the steady-state median).
+    * `attemptSteals` is the in-run steal of EVERY attempt made for the row,
+    * in order, so a steal-gated row's selection is auditable from the
+    * artifact alone (VERDICT r12 task 8). */
   final case class Timing(name: String, median: Double, max: Double, min: Double,
-                          stealBp: Long = 0L, load1: Double = 0.0)
+                          stealBp: Long = 0L, load1: Double = 0.0,
+                          cold: Double = 0.0,
+                          attemptSteals: Seq[Long] = Seq.empty)
 
   /** (total, steal) jiffies from /proc/stat's aggregate cpu line — the
     * host-contention ledger. On non-Linux both are 0 and ambient fields
@@ -81,7 +89,9 @@ object Bench {
       // later query trips it (the roaming 5 s outliers of r1/r3).
       System.gc()
     }
-    queries.foreach { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame,
+                maxAttempts: Int,
+                prior: Option[Timing]): Either[(String, Boolean), Timing] = {
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
         val r =
@@ -116,14 +126,23 @@ object Bench {
                 val stealBp =
                   if (tj1 > tj0) 10000L * (sj1 - sj0) / (tj1 - tj0) else 0L
                 Right(Timing(name, all(all.size / 2), all.last, all.head,
-                  stealBp, load1()))
+                  stealBp, load1(), cold = first, attemptSteals = Seq(stealBp)))
             }
         }
       }
-      var outcome = attempt()
-      var attempts = 1
+      // selection is blind to the measured time: attempts are compared by
+      // the ambient ledger (lowest in-run steal) alone, and every
+      // attempt's steal lands in `attemptSteals` for the artifact
+      var outcome: Either[String, Timing] = prior match {
+        case Some(p) => Right(p)
+        case None => attempt() match {
+          case Left(msg) => Left(msg)
+          case Right(t) => Right(t)
+        }
+      }
+      var attempts = if (prior.isDefined) 0 else 1
       while (outcome.exists(_.stealBp > rowStealBp) &&
-             attempts < MaxStealAttempts) {
+             attempts < maxAttempts) {
         val dirty = outcome.toOption.get
         System.err.println(f"[bench] $name in-run steal ${dirty.stealBp} bp " +
           f"> $rowStealBp bp: re-timing (attempt ${attempts + 1})")
@@ -131,23 +150,52 @@ object Bench {
         attempt() match {
           case Left(msg) => outcome = Left(msg) // a retry failure is of record
           case Right(t2) =>
-            if (t2.stealBp < dirty.stealBp) outcome = Right(t2)
+            val merged = dirty.attemptSteals ++ t2.attemptSteals
+            outcome =
+              if (t2.stealBp < dirty.stealBp)
+                Right(t2.copy(attemptSteals = merged))
+              else Right(dirty.copy(attemptSteals = merged))
         }
         attempts += 1
       }
-      outcome match {
-        case Left(msg) =>
+      outcome.left.map(msg => (msg, attempts > 1 || prior.isDefined))
+    }
+
+    // suite-end re-queue (VERDICT r12 task 8): a burst that outlasts the
+    // in-place attempt cap gets a fresh window after the rest of the suite
+    // has run, instead of shipping a contaminated row in the record
+    val requeue = Seq.newBuilder[(String, (SparkSession, String) => DataFrame, Timing)]
+    queries.foreach { case (name, fn) =>
+      timeOne(name, fn, MaxStealAttempts, prior = None) match {
+        case Left((msg, retried)) =>
           System.err.println(s"[bench] $name FAILED: $msg")
           failures += name ->
-            (if (attempts > 1) s"failed on steal-gate re-time: $msg" else msg)
+            (if (retried) s"failed on steal-gate re-time: $msg" else msg)
         case Right(t) =>
           System.err.println(
-            f"[bench] ${t.name}%-28s ${t.median}%8.3f s  (min ${t.min}%.3f / max ${t.max}%.3f, steal ${t.stealBp} bp)")
+            f"[bench] ${t.name}%-28s ${t.median}%8.3f s  (min ${t.min}%.3f / max ${t.max}%.3f, steal ${t.stealBp} bp, cold ${t.cold}%.3f)")
+          if (t.stealBp > rowStealBp) requeue += ((name, fn, t))
+          else timings += t
+      }
+      cleanup()
+    }
+    requeue.result().foreach { case (name, fn, dirty) =>
+      System.err.println(s"[bench] $name kept attempt still ${dirty.stealBp} bp " +
+        s"> $rowStealBp bp after ${dirty.attemptSteals.size} attempts: " +
+        "suite-end re-queue")
+      cleanup()
+      timeOne(name, fn, MaxStealAttempts, prior = Some(dirty)) match {
+        case Left((msg, _)) =>
+          System.err.println(s"[bench] $name FAILED: $msg")
+          failures += name -> s"failed on steal-gate re-time: $msg"
+        case Right(t) =>
+          System.err.println(
+            f"[bench] ${t.name}%-28s ${t.median}%8.3f s  (requeued; steal ${t.stealBp} bp over ${t.attemptSteals.size} attempts)")
           timings += t
       }
       cleanup()
     }
-    (timings.result(), failures.result())
+    (timings.result().sortBy(_.name), failures.result())
   }
 
   /** One JSON line; the headline median `queries` map goes LAST so the
@@ -172,7 +220,30 @@ object Bench {
     // artifact itself, so a reader can never mistake a gated surface for
     // a shrunk one
     val gatedJson = gated.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"gated":$gatedJson,"ambient":$ambient,"queries_max":$qsMax,"queries":$qs}"""
+    // run-1 (build-inclusive) time per query: the cost a single-query
+    // session pays, which median-of-3 no longer shows for memoized chains
+    // (VERDICT r12 task 2 — cross-round ratios need matching semantics)
+    val qsCold = jmap(timings.map(t => t.name -> ms3(t.cold)))
+    // per-attempt steal for steal-gate re-timed rows only (bounded): the
+    // artifact shows WHY the kept attempt was selected (VERDICT r12 task 8)
+    val stealAttempts = jmap(timings.filter(_.attemptSteals.size > 1).map(t =>
+      t.name -> t.attemptSteals.mkString("[", ",", "]")))
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"gated":$gatedJson,"steal_attempts":$stealAttempts,"ambient":$ambient,"queries_cold":$qsCold,"queries_max":$qsMax,"queries":$qs}"""
+  }
+
+  /** Final compact stdout line (≤300 chars), printed AFTER the full line:
+    * the driver keeps only a bounded stdout tail and the ~6 KB full line
+    * never fit — 12 rounds of BENCH_r*.json carry `parsed: null` (VERDICT
+    * r12 task 1). The full per-query maps stay in the full line and in
+    * BENCH_SELF.json; this line carries the headline alone and parses on
+    * its own. */
+  def renderSummary(timings: Seq[Timing], failures: Seq[(String, String)],
+                    sfDir: String, cpus: String, gated: Int = 0): String = {
+    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val total = ms3(timings.map(_.median).sum)
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val sf = scala.util.Try(sfName.stripPrefix("sf").toDouble).getOrElse(0.0)
+    s"""{"metric":"total","value":$total,"unit":"sec","n":${timings.size},"failed":${failures.size},"gated":$gated,"sf":$sf,"cpus":$cpus}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -255,6 +326,11 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), line + "\n")
     }
     println(line)
+    // VERDICT r12 task 1: the final compact line is what the driver's
+    // bounded stdout tail can actually parse; the full line above (and
+    // BENCH_SELF.json) remain the per-query artifact of record.
+    println(renderSummary(timings, failures, sfDir, cpus,
+      gated = if (only.isEmpty) gated.size else 0))
     spark.stop()
   }
 }

@@ -896,8 +896,22 @@ object VectorQueries extends QueryModule {
     * operator retune) must never be served a chain built under the old
     * values — the conf values are part of the key, exactly like
     * `minhashPairs`' rows-per-band. */
+  /** Corpus row count per (session, sfDir) — r13 (ADVICE r12 low):
+    * `knnMemoTag` ran `embeddings.count()` on EVERY memo lookup, so each
+    * knn-family call paid a Spark job even on a hit, counted inside
+    * Bench's timed runs 2–3. The count of an immutable input is memoized
+    * once per session (ChainMemo entry with no checkpoint blocks — always
+    * valid within the session, never persisted across processes). The
+    * conf-driven mode/cell values stay LIVE in the tag, so a session that
+    * flips the cutover confs (KnnScaleSpec) still re-keys correctly. */
+  private val embCountMemo = new graft.operators.ChainMemo[Long]()
+  private def embCount(spark: SparkSession, sfDir: String): Long =
+    embCountMemo.getOrBuild(spark, sfDir) {
+      Tables.embeddings(spark, sfDir).count()
+    }
+
   private def knnMemoTag(spark: SparkSession, sfDir: String): String = {
-    val n = Tables.embeddings(spark, sfDir).count()
+    val n = embCount(spark, sfDir)
     s"$sfDir|${knnCentroidMode(spark, n)}|${knnNumCells(spark, n)}"
   }
 
@@ -913,7 +927,7 @@ object VectorQueries extends QueryModule {
     * plan is a scan of the memoized checkpoint). */
   private[graft] def knnGraphBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embs(spark, sfDir)
-    val n = e.count()
+    val n = embCount(spark, sfDir) // = e.count(): one projection per row
     val ncells = knnNumCells(spark, n)
     val cents = knnCentroids(spark, sfDir, e, n, ncells)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
@@ -1151,7 +1165,7 @@ object VectorQueries extends QueryModule {
     // layer 0 is [[hnswWalk]] (r12: the walk loop was this function's
     // inline twin — one shared best-first implementation now serves the
     // hub-entry and multi-layer searches, with one checkpoint per round)
-    val n = e.count()
+    val n = embCount(spark, sfDir) // = e.count(): one projection per row
     val hubIds = e.filter(col("vec_id") < knnNumCells(spark, n))
       .select(col("vec_id").as("cand_id"))
     val visited0 = hnswScore(e, qs)(
@@ -1693,8 +1707,9 @@ object VectorQueries extends QueryModule {
     val entrySeed = score(qs.select(col("q_id")).crossJoin(broadcast(entry)))
       .localCheckpoint(false) // every hnsw config descends from it
     // hub-entry baseline seed: exact scores against the √n smallest-id
-    // hub sample (the e_knn_search entry, on THIS corpus)
-    val n = e.count()
+    // hub sample (the e_knn_search entry, on THIS corpus — one nav row
+    // per embedding row, so the corpus count is the embeddings count)
+    val n = embCount(spark, sfDir)
     val hubIds = e.filter(col("vec_id") < knnNumCells(spark, n))
       .select(col("vec_id").as("cand_id"))
     val hubSeed = score(qs.select(col("q_id")).crossJoin(broadcast(hubIds)))

@@ -43,9 +43,10 @@ class HarnessSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(s"$out/q")), "stale parquet kept")
   }
 
-  test("Bench.timeAll steal gate re-times a row and keeps the lowest-steal attempt (r12)") {
+  test("Bench.timeAll steal gate re-times a row, requeues it at suite end, and keeps the lowest-steal attempt (r12/r13)") {
     // rowStealBp = -1 makes every attempt read as "dirty" (real steal is
-    // >= 0), so the gate must exhaust MaxStealAttempts and still report
+    // >= 0), so the gate must exhaust MaxStealAttempts in place, re-queue
+    // the row at suite end for MaxStealAttempts more, and still report
     // ONE timing — selected by the ambient ledger, never dropped
     var calls = 0
     def counted(s: SparkSession, dir: String): DataFrame = { calls += 1; ok(s, dir) }
@@ -55,8 +56,13 @@ class HarnessSpec extends SparkSpecBase {
         Seq("gated" -> (counted _)), runs = 2)
       assert(failures.isEmpty)
       assert(timings.map(_.name) == Seq("gated"))
-      assert(calls == 2 * Bench.MaxStealAttempts,
-        s"expected ${2 * Bench.MaxStealAttempts} runs across gated attempts, got $calls")
+      assert(calls == 2 * 2 * Bench.MaxStealAttempts,
+        s"expected ${2 * 2 * Bench.MaxStealAttempts} runs across gated+requeued attempts, got $calls")
+      // every attempt's steal is in the artifact ledger (r13: auditable
+      // selection), and run-1 time rides along as the cold field
+      assert(timings.head.attemptSteals.size == 2 * Bench.MaxStealAttempts,
+        timings.head.attemptSteals.toString)
+      assert(timings.head.cold > 0.0)
     } finally spark.conf.unset("spark.graft.bench.rowStealBp")
   }
 
@@ -104,6 +110,30 @@ class HarnessSpec extends SparkSpecBase {
       gated = Seq("d_winnow_eval", "d_semdedup_eval"))
     assert(gatedJson.contains(""""gated":["d_semdedup_eval","d_winnow_eval"]"""),
       gatedJson)
+  }
+
+  test("Bench.renderJson carries the run-1 cold map and per-attempt steals for re-timed rows (r13)") {
+    val json = Bench.renderJson(
+      Seq(Bench.Timing("a", 0.5, 4.2, 0.4, stealBp = 3L, load1 = 1.0,
+            cold = 4.2, attemptSteals = Seq(3L)),
+          Bench.Timing("b", 0.2, 0.3, 0.1, stealBp = 10L, load1 = 1.0,
+            cold = 0.3, attemptSteals = Seq(900L, 10L))),
+      Seq.empty, "/tmp/sf")
+    // the memoized-row build cost is a first-class field, not just max
+    assert(json.contains(""""queries_cold":{"a":4.2,"b":0.3}"""), json)
+    // only re-timed rows carry an attempts list (bounded line growth)
+    assert(json.contains(""""steal_attempts":{"b":[900,10]}"""), json)
+    assert(!json.contains(""""a":[3]"""), json)
+  }
+
+  test("Bench.renderSummary is one short parse-on-its-own line (r13, VERDICT r12 task 1)") {
+    val s = Bench.renderSummary(
+      Seq(Bench.Timing("a", 0.5, 0.7, 0.4), Bench.Timing("b", 1.0, 1.2, 0.9)),
+      Seq("bad" -> "boom"), "/root/testdata/sf0.1", "32", gated = 5)
+    assert(s.length <= 300, s"summary line too long (${s.length}): $s")
+    assert(!s.contains("\n"))
+    assert(s ==
+      """{"metric":"total","value":1.5,"unit":"sec","n":2,"failed":1,"gated":5,"sf":0.1,"cpus":32}""", s)
   }
 
   test("timestamp contract: events.ts is TIMESTAMP_NTZ and every query analyzes against it") {
