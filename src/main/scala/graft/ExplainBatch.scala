@@ -7,8 +7,27 @@ package graft
   * before/after sweep impractical).
   *
   * Usage: `runMain graft.ExplainBatch <outDir> <suffix> <sfDir> <q1,q2,…>`
+  *
+  * r13 (VERDICT r12 item 3): for ChainMemo'd rows the declared query's
+  * plan is a memo-hit scan, which proves sharing but not the work a miss
+  * executes — the names below additionally resolve to the BUILD
+  * functions, so `<family>_build_{before,after}.txt` artifacts carry the
+  * plan that actually runs on every cold build.
   */
 object ExplainBatch {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  val builds: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph_build" ->
+      ((s: SparkSession, d: String) => graft.queries.VectorQueries.knnGraphBuild(s, d)),
+    "knn_search_visited_build" ->
+      ((s: SparkSession, d: String) => graft.queries.VectorQueries.knnSearchVisitedBuild(s, d)),
+    "winnow_build" ->
+      ((s: SparkSession, d: String) => graft.queries.TextQueries.winnowBuild(s, d)),
+    "ngram_pair_stats_build" ->
+      ((s: SparkSession, d: String) => graft.operators.Dedup.pairStats(
+        graft.core.Tables.documents(s, d))))
+
   def main(args: Array[String]): Unit = {
     val Array(outDir, suffix, sfDir, qlist) = args.take(4)
     val spark = graft.core.GraftSession.builder(
@@ -21,7 +40,7 @@ object ExplainBatch {
     qlist.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val t0 = System.nanoTime()
       try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
+        val df = builds.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
         val plan = org.apache.spark.sql.graftshim.formattedPlan(df)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)

@@ -29,8 +29,12 @@ object JobProbe {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map(s =>
+          s"${s.name.takeWhile(_ != '\n')} [${js.stageInfos.size} stages, " +
+            s"${js.stageInfos.map(_.numTasks).sum} tasks]").getOrElse("")
         val desc = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .map(d => s"$d | $site").getOrElse(site)
         jobs.put(js.jobId, (js.time, desc))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

@@ -104,15 +104,23 @@ object Dedup {
   }
 
   private def ngramPairStats(documents: DataFrame, maxShingleDf: Long): DataFrame = {
-    val docs = documents
+    // r13 (guide §2.4): checkpoint AFTER the df cut, not before the
+    // window. The old shape materialized the unfiltered explode and then
+    // ran the window sort + df filter once per self-join SIDE (the
+    // exchange was reused, the sort+filter were not). Cutting first and
+    // checkpointing the survivors (a) halves the window work, (b) shrinks
+    // the checkpoint to the post-cut rows without the df column, and
+    // (c) hands both join sides the SAME (sh-partitioned, sh-sorted)
+    // layout — localCheckpoint preserves partitioning+ordering, so the
+    // self-join needs no exchange and no re-sort at any corpus size.
+    val kept = documents
       .select(col("doc_id"), graft.functions.word_shingle_keys(col("text")).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("sh"))
-      .localCheckpoint()
-    val kept = docs
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxShingleDf)
       .drop("df")
+      .localCheckpoint()
     kept.as("x").join(kept.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -146,35 +154,67 @@ object Dedup {
     // materialize the (possibly expensive) pair plan ONCE — the union
     // below scans it twice, and every propagation round scans the result
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val sym = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // r13 (guide §2.4 — one exchange per hop): the symmetric edge table is
+    // laid out ONCE by the hop join's key (`doc_id` = the endpoint whose
+    // label flows out) and checkpointed; the label table is keyed the same
+    // way by construction (every hop's aggregate groups on doc_id), so the
+    // per-hop edges⋈labels join and the label-domain seeding both reuse
+    // this layout instead of re-shuffling the edge table every hop. The
+    // pair table is near-dup candidates — a sliver of the corpus — so the
+    // extra laid copy is bounded (the r8 two-copies lesson doesn't bite).
+    val sym = p.select(col("doc_a").as("nbr"), col("doc_b").as("doc_id"))
+      .union(p.select(col("doc_b").as("nbr"), col("doc_a").as("doc_id")))
+      .repartition(col("doc_id"))
+      .localCheckpoint()
     // only edge-touched vertices can ever change label — iterate over that
     // subset (a sliver of a mostly-singleton corpus) and attach the
     // untouched majority once at the end. Seeding with min(self, neighbors)
-    // is the first propagation hop for free: one groupBy instead of a
-    // distinct, and shallow (near-clique) components then converge a full
-    // materialized round earlier.
-    var labels = sym.groupBy(col("src").as("doc_id"))
-      .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
+    // is the first propagation hop for free; on a SYMMETRIC table grouping
+    // by either endpoint yields the same set, so the seed groups on the
+    // laid-out key and is exchange-free.
+    var labels = sym.groupBy(col("doc_id"))
+      .agg(min(least(col("nbr"), col("doc_id"))).as("cluster_id"))
       .localCheckpoint(false) // lazy: round 1's convergence count materializes it
-    // one min-label hop (string-key joins so the analyzer disambiguates
-    // the repeated sym lineage when hops are chained); any column besides
-    // (doc_id, cluster_id) — e.g. the round's starting label — rides along,
-    // so the convergence check needs no extra join against the old labels
-    // inner join is exact here: the label domain IS sym's vertex set and
-    // every such vertex has >= 1 neighbor (singletons never enter the loop)
+    // one min-label hop = one exchange (r13): the co-partitioned
+    // edges⋈labels join ships each node's label to its neighbors as
+    // (nbr → doc_id) messages, each node also messages ITSELF its own
+    // label (plus any carried columns, e.g. the round's starting label —
+    // exactly one self-message per node, so max() recovers them), and ONE
+    // groupBy(doc_id) folds min(neighbor labels, own) — the old
+    // hop's separate nbrMin aggregate + combine join, fused.
+    // Domain unchanged: the label domain IS sym's vertex set and every
+    // such vertex has >= 1 neighbor (singletons never enter the loop).
     def hop(l: DataFrame): DataFrame = {
-      val nbrMin = sym.toDF("nbr", "doc_id")
+      val carried = l.columns.filter(c => c != "doc_id" && c != "cluster_id")
+      val msgs = sym
         .join(l.select(col("doc_id"), col("cluster_id")), "doc_id")
-        .groupBy(col("nbr")).agg(min(col("cluster_id")).as("nbr_min"))
-        .withColumnRenamed("nbr", "doc_id")
+        .select(col("nbr").as("doc_id") +: col("cluster_id") +:
+          carried.map(c => lit(null).cast(l.schema(c).dataType).as(c)): _*)
+        .unionByName(l)
+      msgs.groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          carried.map(c => max(col(c)).as(c)): _*)
+        .select(col("doc_id") +: carried.map(col) :+ col("cluster_id"): _*)
+    }
+    // pointer-jumping / path compression (r13, measured: mutual-kNN
+    // components are CHAINS, not cliques — the plain min-label hop took 17
+    // materialized rounds on them): l'(u) = l(l(u)). Every label value is
+    // a domain node id (labels start as least(self, nbr) and both ops
+    // preserve that), labels are monotone non-increasing and bounded by
+    // the component minimum, and a hop-stable labeling is constant per
+    // component — so hop+jump converges to the SAME fixpoint as hop alone
+    // in O(log diameter) materialized rounds instead of O(diameter). The
+    // oracle checks the final labeling (recursive reachability), which is
+    // unchanged.
+    def jump(l: DataFrame): DataFrame = {
       val carried = l.columns.filter(c => c != "doc_id" && c != "cluster_id").map(col)
-      l.join(nbrMin, Seq("doc_id"))
-        .select(col("doc_id") +: carried :+
-          least(col("cluster_id"), col("nbr_min")).as("cluster_id"): _*)
+      val ptr = l.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lbl"))
+      l.join(ptr, l("cluster_id") === ptr("p_id"))
+        .select(col("doc_id") +: carried :+ col("p_lbl").as("cluster_id"): _*)
     }
     var changed = 1L
     var iter = 0
+    val sc0 = pairs.sparkSession.sparkContext
     // Ordered checkpoint eviction (r9, VERDICT r8 item 2): a round's
     // label blocks become unreachable the moment the NEXT round is
     // materialized, but localCheckpoint blocks are freed only by the
@@ -194,11 +234,31 @@ object Dedup {
       // count is the ONE job per round (an eager checkpoint would run a
       // second materialization job before it).
       val before = sc.getPersistentRDDs.keySet
-      val next = hop(hop(labels.withColumn("prev", col("cluster_id"))))
-        .localCheckpoint(false)
+      // every step consumes its input TWICE (hop: edge join + self-
+      // messages; jump: label side + pointer side), so each intermediate
+      // is EAGERLY checkpointed before the next step reads it —
+      // unmaterialized chaining would re-derive the first hop 8× per
+      // round (the 2^R hazard documented on the SQL unrolls), and LAZY
+      // intermediates keep the original logical plan, whose size
+      // estimates compound across self-join rounds until Catalyst's
+      // BigInteger stats overflow (measured: planning seized up by round
+      // ~6). Eager checkpoints swap in a LogicalRDD with fresh stats.
+      // The round's blocks are evicted once the next round lands (below).
+      val h1 = hop(labels.withColumn("prev", col("cluster_id")))
+        .localCheckpoint()
+      val j1 = jump(h1).localCheckpoint()
+      val h2 = hop(j1).localCheckpoint()
+      val midIds = sc.getPersistentRDDs.keySet.diff(before)
+      val next = jump(h2).localCheckpoint(false)
+      sc0.setJobDescription(s"cc round ${iter + 1}")
       changed = next.filter(col("cluster_id") < col("prev")).count()
-      val newIds = sc.getPersistentRDDs.keySet.diff(before)
-      prevRoundIds.foreach(id =>
+      sc0.setJobDescription(null)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round ${iter + 1}: changed=$changed")
+      // `next` is materialized (the count above) — the round's
+      // intermediates AND the previous round's labels are dead now
+      val newIds = sc.getPersistentRDDs.keySet.diff(before).diff(midIds)
+      (prevRoundIds ++ midIds).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prevRoundIds = newIds
       labels = next.select(col("doc_id"), col("cluster_id"))

@@ -50,8 +50,6 @@ object KCore {
     * other's observation. */
   def peel(sym: DataFrame, k: Int, rounds: Int,
            modeOut: String => Unit = _ => ()): DataFrame = {
-    require(k >= 1, s"k-core threshold must be >= 1, got $k")
-    require(rounds >= 1, s"peel rounds must be >= 1, got $rounds")
     // ONE edge materialization serves both plans (the r8 soak lesson: a
     // plain checkpoint here plus a repartitioned one inside the shuffled
     // peel held TWO copies of the edge table and starved a capped heap):
@@ -59,8 +57,19 @@ object KCore {
     // exactly this (v-partitioned, sorted) layout.
     val e = sym.repartition(col("v")).sortWithinPartitions(col("v"))
       .localCheckpoint()
-    val nNodes = e.select(col("u")).distinct().count()
-    if (GraphScale.useBroadcast(sym.sparkSession, nNodes)) {
+    peelLaid(e, e.select(col("u")).distinct().count(), k, rounds, modeOut)
+  }
+
+  /** [[peel]] over an ALREADY laid-out edge table — `e` must be the
+    * symmetric edge set, v-partitioned, v-sorted and checkpointed, with
+    * `nNodes` its measured node count (r13: callers that stage the
+    * layout once per session — the co-order graph serves four iterative
+    * rows — skip re-shuffling the edges per consuming query). */
+  def peelLaid(e: DataFrame, nNodes: Long, k: Int, rounds: Int,
+               modeOut: String => Unit = _ => ()): DataFrame = {
+    require(k >= 1, s"k-core threshold must be >= 1, got $k")
+    require(rounds >= 1, s"peel rounds must be >= 1, got $rounds")
+    if (GraphScale.useBroadcast(e.sparkSession, nNodes)) {
       modeOut("broadcast"); peelBroadcast(e, k, rounds)
     } else {
       modeOut("shuffled"); peelShuffled(e, k, rounds)

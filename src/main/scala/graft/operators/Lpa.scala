@@ -41,15 +41,28 @@ object Lpa {
     * long columns `u`, `v`; both (a,b) and (b,a) present, no self-loops)
     * for exactly `rounds` synchronous rounds. Returns `(u, lbl)` — one
     * row per node that has at least one neighbor. */
-  def propagate(sym: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"propagation rounds must be >= 1, got $rounds")
+  def propagate(sym: DataFrame, rounds: Int): DataFrame =
     // partition + sort on the join key once; the checkpoint preserves the
     // layout, so every round's merge join moves only the label table
-    val e = sym.repartition(col("v")).sortWithinPartitions(col("v"))
-      .localCheckpoint()
+    propagateLaid(sym.repartition(col("v")).sortWithinPartitions(col("v"))
+      .localCheckpoint(), rounds)
+
+  /** [[propagate]] over an ALREADY laid-out edge table — `e` must be the
+    * symmetric edge set, v-partitioned, v-sorted and checkpointed (r13:
+    * the co-order graph's layout is staged once per session and shared
+    * across the iterative rows). */
+  def propagateLaid(e: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"propagation rounds must be >= 1, got $rounds")
+    // r13 (guide §2.4): per-round checkpoints are LAZY — round r's labels
+    // are referenced exactly ONCE (round r+1's join), so the fixed-round
+    // chain executes in a single job with one merge-join + two aggregation
+    // stages per round, instead of one eager materialization job per
+    // round. Lineage depth is bounded by the fixed round count; blocks
+    // still materialize (and are reused by any second action) on first
+    // use. The trajectory is the same plans over the same values.
     var labels = e.select(col("u")).distinct()
       .withColumn("lbl", col("u"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val l = labels.withColumnRenamed("u", "n").hint("merge")
       labels = e.join(l, e("v") === l("n"))
@@ -59,7 +72,7 @@ object Lpa {
         .groupBy(col("u"))
         .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("u"), (-col("m.neg")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     labels
   }

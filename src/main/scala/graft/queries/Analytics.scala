@@ -1970,6 +1970,23 @@ object Analytics extends QueryModule {
         .localCheckpoint(false) // lazy: first consumer materializes
     }
 
+  /** The SYMMETRIZED co-order edge table in the iterative operators'
+    * required layout (v-partitioned, v-sorted, checkpointed) plus its
+    * node count — r13: `q_kcore` and `q_lpa_communities` each re-laid the
+    * 2·|E| table per consuming query on top of the (already memoized)
+    * edge list; one staged layout per session now serves both (the same
+    * ChainMemo posture as the edge list itself — within Bench every
+    * query's run 1 still rebuilds it). */
+  private val symLaidMemo = new graft.operators.ChainMemo[(DataFrame, Long)]()
+  private def coOrderSymLaid(spark: SparkSession, sfDir: String): (DataFrame, Long) =
+    symLaidMemo.getOrBuild(spark, sfDir) {
+      val und = coOrderEdges(spark, sfDir)
+      val e = und.union(und.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("v")).sortWithinPartitions(col("v"))
+        .localCheckpoint()
+      (e, e.select(col("u")).distinct().count())
+    }
+
   def qGraphTriangles(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Triangles.summary(spark, coOrderEdges(spark, sfDir))
 
@@ -2003,34 +2020,56 @@ object Analytics extends QueryModule {
     * chosen attach plan (`"broadcast"` / `"shuffled"`) — a callback
     * rather than a shared mutable global, so concurrent runs can't
     * clobber each other's observation. */
+  /** PageRank's staged inputs — the degree-joined edge table in its
+    * mode-dependent layout, the degree table, the node count and the
+    * chosen mode — memoized per (session, sfDir, cutover conf): r13, the
+    * same staging posture as [[coOrderSymLaid]]. The cutover conf is part
+    * of the key so a spec that forces the shuffled plan can never be
+    * served the broadcast-mode layout. */
+  private val pagerankCoreMemo =
+    new graft.operators.ChainMemo[(DataFrame, DataFrame, Long, Boolean)]()
+  private def pagerankCore(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, Long, Boolean) =
+    pagerankCoreMemo.getOrBuild(spark,
+      s"$sfDir|${graft.operators.GraphScale.broadcastMaxNodes(spark)}") {
+      // memoized checkpoint BEFORE the union doubles the lineage (and deg
+      // doubles it again): without it the expansion+distinct re-derives 4×
+      // inside er's materialization (measured: half the query's wall time)
+      val und = coOrderEdges(spark, sfDir)
+      val e = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      // deg is |V| rows — checkpointed so the node count AND the er join
+      // both reuse one materialization
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("outd")).localCheckpoint()
+      val nn = deg.count() // measured node count drives the cutover
+      val useBroadcast = graft.operators.GraphScale.useBroadcast(spark, nn)
+      // exactly ONE edge-table materialization in either mode (the r8 soak
+      // lesson: checkpointing a base copy AND a repartitioned copy held the
+      // 2× edge table and starved a capped heap); shuffled mode lays it out
+      // (u-partitioned, sorted) so the 5 merge joins reuse the exchange
+      // (localCheckpoint preserves partitioning+ordering)
+      val erBase = e.join(deg, "u")
+      val er = (if (useBroadcast) erBase
+        else erBase.repartition(col("u")).sortWithinPartitions(col("u")))
+        .localCheckpoint()
+      (er, deg, nn, useBroadcast)
+    }
+
   def qPagerank(spark: SparkSession, sfDir: String,
                 modeOut: String => Unit): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val S = 1000000000000L
     val iters = 5
-    // memoized checkpoint BEFORE the union doubles the lineage (and deg
-    // doubles it again): without it the expansion+distinct re-derives 4×
-    // inside er's materialization (measured: half the query's wall time)
-    val und = coOrderEdges(spark, sfDir)
-    val e = und.union(und.select(col("v").as("u"), col("u").as("v")))
-    // deg is |V| rows — checkpointed so the node count AND the er join
-    // both reuse one materialization
-    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("outd")).localCheckpoint()
-    val nn = deg.count() // measured node count drives the cutover
-    val useBroadcast = graft.operators.GraphScale.useBroadcast(spark, nn)
+    val (er, deg, nn, useBroadcast) = pagerankCore(spark, sfDir)
     modeOut(if (useBroadcast) "broadcast" else "shuffled")
-    // exactly ONE edge-table materialization in either mode (the r8 soak
-    // lesson: checkpointing a base copy AND a repartitioned copy held the
-    // 2× edge table and starved a capped heap); shuffled mode lays it out
-    // (u-partitioned, sorted) so the 5 merge joins reuse the exchange
-    // (localCheckpoint preserves partitioning+ordering)
-    val erBase = e.join(deg, "u")
-    val er = (if (useBroadcast) erBase
-      else erBase.repartition(col("u")).sortWithinPartitions(col("u")))
-      .localCheckpoint()
+    // r13 (guide §2.4): the per-iteration rank checkpoints are LAZY —
+    // each iteration's rank table is referenced exactly once (the next
+    // iteration's attach), so in broadcast mode the broadcast BUILD is
+    // the one materialization per round (the eager checkpoint ran a
+    // second, redundant job per round), and in shuffled mode the merge
+    // join's scan materializes it. Same plans, same integer trajectory.
     var r = deg.select(col("u").as("node"))
       .select(col("node"), lit(S / nn).as("rank"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val joined =
         if (useBroadcast) er.join(broadcast(r), er("u") === r("node"))
@@ -2040,7 +2079,7 @@ object Analytics extends QueryModule {
         .agg(sum(expr("rank div outd")).as("m"))
         .select(col("v").as("node"),
           expr(s"(15 * $S) div (100 * $nn) + (85 * m) div 100").as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     r.orderBy(col("rank").desc, col("node")).limit(20)
   }
@@ -2195,10 +2234,8 @@ object Analytics extends QueryModule {
   def qKcore(spark: SparkSession, sfDir: String,
              modeOut: String => Unit): DataFrame = {
     val k = KcoreK
-    val und = coOrderEdges(spark, sfDir)
-    val core = graft.operators.KCore.peel(
-      und.union(und.select(col("v").as("u"), col("u").as("v"))),
-      k, KcoreRounds, modeOut)
+    val (laid, nNodes) = coOrderSymLaid(spark, sfDir)
+    val core = graft.operators.KCore.peelLaid(laid, nNodes, k, KcoreRounds, modeOut)
     core.groupBy(col("u")).agg(count(lit(1)).as("d"))
       .agg(count(lit(1)).as("n_core_nodes"),
         coalesce(sum(col("d")), lit(0L)).as("dir_deg"),
@@ -2260,9 +2297,8 @@ object Analytics extends QueryModule {
     * label trajectory is deterministic (synchronous rounds, min-label
     * tie-break), so the DuckDB oracle replays every round exactly. */
   def qLpaCommunities(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = coOrderEdges(spark, sfDir)
-    val labels = graft.operators.Lpa.propagate(
-      und.union(und.select(col("v").as("u"), col("u").as("v"))), LpaRounds)
+    val labels = graft.operators.Lpa.propagateLaid(
+      coOrderSymLaid(spark, sfDir)._1, LpaRounds)
     labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
       .groupBy(col("comm_size")).agg(count(lit(1)).as("n_comms"))
       .select(lit(LpaRounds.toLong).as("n_rounds"), col("comm_size"),

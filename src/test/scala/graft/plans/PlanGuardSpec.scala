@@ -86,11 +86,21 @@ class PlanGuardSpec extends SparkSpecBase {
   test("e_knn_search build probes the graph by broadcast frontier equi-join each round") {
     // every beam round must join the (tiny) frontier against the edge
     // list by BROADCAST hash on src_id — a shuffled join would re-shuffle
-    // the O(n·k) graph per round, and a dropped key would nested-loop it
+    // the O(n·k) graph per round, and a dropped key would nested-loop it.
+    // r13: the expansion executes inside the walk's per-round collect job
+    // (the frontier is a local relation), so the guard targets hnswExpand
+    // — the exact expression every round runs — plus the returned plan's
+    // no-cartesian invariant.
+    import spark.implicits._
+    val g = graft.queries.VectorQueries.knnGraphBuild(spark, Sf)
+      .select("src_id", "nbr_id")
+    val frontier = Seq((0L, 1L), (1L, 2L)).toDF("q_id", "node")
+    val pe = graft.queries.VectorQueries.hnswExpand(g, frontier)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[src_id#".r.findFirstIn(pe).isDefined,
+      "broadcast frontier-edge join missing in hnswExpand")
     val p = graft.queries.VectorQueries.knnSearchVisitedBuild(spark, Sf)
       .queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin \\[src_id#".r.findFirstIn(p).isDefined,
-      "broadcast frontier-edge join missing in e_knn_search")
     assert(!p.contains("CartesianProduct"), "cartesian in e_knn_search")
   }
 
